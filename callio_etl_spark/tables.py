@@ -1,0 +1,67 @@
+"""Sources over the driver's synthetic testdata (SURVEY.md section 2.1).
+
+Maps the reference's scan operators onto declarative Spark reads:
+
+- S1/S2 incremental descending API scan  -> parquet scan + watermark filter
+  (predicate pushdown replaces the reference's early-stop pagination,
+  /root/reference/callio_etl/api.py:86-324)
+- S3 time-slice planner -> partitioned read / partition pruning (api.py:219-230)
+- S5/S6 snapshot scans -> full table reads (api.py:326-385)
+
+Scale notes: reads stay fully declarative so Catalyst pushes filters and prunes
+columns into the parquet scan; nothing here collects to the driver. The nanos
+timestamp in ``events`` is scanned as a long (see session.RUNTIME_CONFS) and
+converted with integer arithmetic — `ts DIV 1000` — because a double division
+would lose precision above 2^53 ns (~104 days since epoch).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Small dimension tables that should always be broadcast in joins.
+DIM_TABLES = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; normalizes the events nanos timestamp."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # INT64 TIMESTAMP(NANOS) read as long: truncate to micros (matches how
+        # DuckDB/pyarrow surface the same column, so oracles agree).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Parquet timestamps without isAdjustedToUTC surface as TIMESTAMP_NTZ in
+    # Spark 4; normalize to TIMESTAMP (session tz is pinned UTC — same instant)
+    # so time functions like unix_millis work uniformly.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register temp views so operators can also be expressed as spark.sql."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
