@@ -113,7 +113,7 @@ def row_hash(df: DataFrame, exclude: set[str] | None = None) -> Column:
 
 def epoch_ms_to_utc_date(col: Column) -> Column:
     """P8 — epoch-ms -> UTC DATE (runner.py:135-136, 300)."""
-    return F.to_date(F.timestamp_millis(F.try_cast(col.cast("string"), "long")))
+    return F.to_date(F.timestamp_millis(col.cast("string").try_cast("long")))
 
 
 def epoch_ms_to_local_date(col: Column, tz: str = HCM_TZ) -> Column:
@@ -131,7 +131,7 @@ def ts_to_local_date(col: Column, tz: str = HCM_TZ) -> Column:
 def lenient_long(col: Column) -> Column:
     """P10 — SAFE_CAST(x AS INT64) / pd.to_numeric(errors='coerce')
     (runner.py:135, 141, 171, 179, 454, 470)."""
-    return F.try_cast(col.cast("string"), "long")
+    return col.cast("string").try_cast("long")
 
 
 def norm_string(col: Column) -> Column:
@@ -148,7 +148,7 @@ def iso_week_key(col: Column) -> Column:
     """P17 — ISO week key `IYYY-IW` (utils.py:82-90)."""
     return F.concat_ws(
         "-",
-        F.date_format(col, "YYYY"),
+        F.date_part(F.lit("YEAROFWEEK"), col).cast("string"),
         F.lpad(F.weekofyear(col).cast("string"), 2, "0"),
     )
 
