@@ -1,0 +1,131 @@
+"""Incremental checkpoint / update-log protocol (SURVEY.md section 2.9, C1-C5).
+
+Reference: /root/reference/callio_etl/checkpoints.py (store + log buffer) and
+runner.py:55-146, 523-563 (the advance rules). Semantics preserved:
+
+- C1 per-(table, tenant) checkpoint = MAX event timestamp, warmed from the
+  append-only update_log by a group-by-max (the A6 aggregate).
+- C2 late-data overlap: effective cutoff = checkpoint - overlap_ms; the
+  downstream MERGE makes the re-read idempotent.
+- C3 cold start: now - lookback_days when no checkpoint exists.
+- C4 ordering: write -> merge -> THEN commit the checkpoint (never before).
+- C5 update_log rows (table_name, tenant, updated_at, rows_loaded,
+  max_update_ms, mode) buffered and flushed per tick.
+
+Table names are lowercased on read and write — the reference does this in
+warm() (checkpoints.py:70, 80-82) and checkpoints silently miss if the
+normalization differs (SURVEY section 7.5).
+
+Spark shape: the log is an append-only parquet table; the warm is one small
+aggregate collected to the driver (a sanctioned scalar collect). In
+Structured Streaming terms, checkpoint == watermark state and overlap ==
+withWatermark delay; this batch implementation is the Trigger.AvailableNow
+equivalent the reference's scheduler approximates.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+UPDATE_LOG_SCHEMA = StructType(
+    [
+        StructField("table_name", StringType()),
+        StructField("tenant", StringType()),
+        StructField("updated_at", TimestampType()),
+        StructField("rows_loaded", LongType()),
+        StructField("max_update_ms", LongType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+#: Log modes (runner.py:90-575).
+MODES = ("NOOP", "STAGED", "MERGED", "APPEND", "TRUNCATE", "ERROR_LOGIN")
+
+DEFAULT_OVERLAP_MS = 180_000  # config.py:186
+DEFAULT_LOOKBACK_DAYS = 30  # config.py:187
+
+
+@dataclass
+class CheckpointStore:
+    """Checkpoint cache + update-log buffer over a parquet path."""
+
+    spark: SparkSession
+    log_path: str
+    overlap_ms: int = DEFAULT_OVERLAP_MS
+    lookback_days: int = DEFAULT_LOOKBACK_DAYS
+    _cache: dict[tuple[str, str], int] = field(default_factory=dict)
+    _buffer: list[tuple] = field(default_factory=list)
+
+    def warm(self) -> None:
+        """C1 — rebuild the cache from the log: GROUP BY (table, tenant)
+        MAX(max_update_ms) (reference checkpoints.py:60-78; the A6 agg)."""
+        try:
+            log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(self.log_path)
+        except Exception:
+            return  # no log yet — cold start everywhere
+        rows = (
+            log.where(F.col("max_update_ms").isNotNull())
+            .groupBy(F.lower("table_name").alias("t"), "tenant")
+            .agg(F.max("max_update_ms").alias("ck"))
+            .collect()
+        )
+        for r in rows:
+            self._cache[(r["t"], r["tenant"])] = r["ck"]
+
+    def get(self, table: str, tenant: str) -> int | None:
+        return self._cache.get((table.lower(), tenant))
+
+    def set(self, table: str, tenant: str, ck_ms: int) -> None:
+        """C4 — callers invoke this only AFTER a successful merge."""
+        self._cache[(table.lower(), tenant)] = ck_ms
+
+    def cutoff_ms(self, table: str, tenant: str, now_ms: int | None = None) -> int:
+        """C2/C3 — effective scan cutoff: checkpoint - overlap, or cold-start
+        lookback (runner.py:59-64, 218-221)."""
+        ck = self.get(table, tenant)
+        if ck is not None:
+            return ck - self.overlap_ms
+        now_ms = now_ms if now_ms is not None else int(time.time() * 1000)
+        return now_ms - self.lookback_days * 86_400_000
+
+    def log(
+        self,
+        table: str,
+        tenant: str,
+        rows_loaded: int,
+        max_update_ms: int | None,
+        mode: str,
+    ) -> None:
+        """C5 — buffer one audit row (reference checkpoints.py:23-40)."""
+        assert mode in MODES, f"unknown mode {mode}"
+        import datetime as dt
+
+        self._buffer.append(
+            (
+                table.lower(),
+                tenant,
+                dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
+                rows_loaded,
+                max_update_ms,
+                mode,
+            )
+        )
+
+    def flush(self) -> None:
+        """C5 — append the buffer to the log table (checkpoints.py:42-50)."""
+        if not self._buffer:
+            return
+        df = self.spark.createDataFrame(self._buffer, UPDATE_LOG_SCHEMA)
+        df.write.mode("append").parquet(self.log_path)
+        self._buffer.clear()

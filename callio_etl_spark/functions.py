@@ -69,17 +69,22 @@ def custom_field_pick(custom_fields: Column, key: str) -> Column:
     matches = F.filter(
         custom_fields, lambda x: F.lower(F.trim(x.getField("key"))) == F.lit(key.lower())
     )
-    item = matches.getItem(0)
+    # Serialize the matched item so the value candidates can be probed without
+    # requiring every field to exist in the struct schema (payload drift —
+    # section 1.3); JSON-path misses are NULLs, like the reference's dict.get.
+    item_json = F.to_json(matches.getItem(0))
     raw = F.coalesce(
-        *[item.getField(f).cast("string") for f in ("val", "value", "values", "text", "name")]
+        *[F.get_json_object(item_json, f"$.{f}") for f in ("val", "value", "values", "text", "name")]
     )
-    vals = F.array_distinct(
-        F.filter(
-            F.transform(F.split(raw, r"\s*\|\s*"), lambda v: F.trim(v)),
-            lambda v: v != "",
-        )
+    # utils.py:138-145 — val may itself be a list; otherwise treat as one
+    # (possibly '|'-separated) scalar string.
+    vals = F.when(
+        raw.startswith("["), F.from_json(raw, "array<string>")
+    ).otherwise(F.split(raw, r"\s*\|\s*"))
+    cleaned = F.array_distinct(
+        F.filter(F.transform(vals, lambda v: F.trim(v)), lambda v: v != "")
     )
-    return F.array_join(vals, " | ")
+    return F.array_join(cleaned, " | ")
 
 
 def parse_permissive(col: Column, schema: str) -> Column:

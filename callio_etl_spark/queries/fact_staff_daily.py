@@ -370,27 +370,33 @@ def fact_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("MaNV_id"),
         (F.col("event_id") % 100).cast("string").alias("SDTKhach"),
     )
+    # Plan note: the regex buckets are evaluated per CUSTOMER (small side,
+    # once per row) BEFORE the fan-out join, so the joined rows carry four
+    # booleans instead of re-running Java regexes per joined row — same
+    # counts, ~|customers| regex evaluations instead of ~|joined rows|.
+    status_norm = F.nullif(
+        F.trim(_status_case_col(F.col("c_custkey")).cast("string")), F.lit("")
+    )
+    norm = F.lower(F.trim(status_norm))
     customers_raw = c.select(
         (F.col("c_custkey") % 100).cast("string").alias("phone"),
-        F.nullif(
-            F.trim(_status_case_col(F.col("c_custkey")).cast("string")), F.lit("")
-        ).alias("customField0_norm"),
+        norm.like(ZALO_LIKE).alias("f_zalo"),
+        (norm.isin(*CO_NHU_CAU_IN) | norm.rlike(CO_NHU_CAU_RE)).alias("f_conhucau"),
+        norm.rlike(TU_CHOI_RE).alias("f_tuchoi"),
+        (norm.rlike(KHONG_NGHE_RE) | norm.isin(*BAN_IN)).alias("f_khongnghe"),
     )
-    # J5: many-to-many phone join — fan-out preserved, counts run over joined rows.
+    # J5: many-to-many phone join — fan-out preserved, counts run over joined
+    # rows. The phone side is customer-table-sized (small vs the call log) and
+    # the key has few distinct values (skew): broadcast it so the fan-out
+    # happens map-side with no shuffle on the skewed key.
     with_status = calls_all.join(
-        customers_raw, calls_all["SDTKhach"] == customers_raw["phone"], "left"
-    ).select("Ngay", "MaNV_id", F.col("customField0_norm").alias("TrangThaiXuLi"))
-
-    norm = F.lower(F.trim(F.col("TrangThaiXuLi")))
+        F.broadcast(customers_raw), calls_all["SDTKhach"] == customers_raw["phone"], "left"
+    )
     status_pivot = with_status.groupBy("Ngay", "MaNV_id").agg(
-        F.count_if(norm.like(ZALO_LIKE)).alias("SoSDT_KetBanZalo"),
-        F.count_if(norm.isin(*CO_NHU_CAU_IN) | norm.rlike(CO_NHU_CAU_RE)).alias(
-            "SoSDT_CoNhuCau"
-        ),
-        F.count_if(norm.rlike(TU_CHOI_RE)).alias("SoSDT_TuChoi"),
-        F.count_if(norm.rlike(KHONG_NGHE_RE) | norm.isin(*BAN_IN)).alias(
-            "SoSDT_KhongNgheMay"
-        ),
+        F.count_if(F.col("f_zalo")).alias("SoSDT_KetBanZalo"),
+        F.count_if(F.col("f_conhucau")).alias("SoSDT_CoNhuCau"),
+        F.count_if(F.col("f_tuchoi")).alias("SoSDT_TuChoi"),
+        F.count_if(F.col("f_khongnghe")).alias("SoSDT_KhongNgheMay"),
     )
 
     p, se = status_pivot.alias("p"), staff_enriched.alias("e")

@@ -63,6 +63,7 @@ def _load_all() -> None:
         return
     from callio_etl_spark.queries import (  # noqa: F401
         fact_staff_daily,
+        merge_queries,
         relational,
         scalars,
     )

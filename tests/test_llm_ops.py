@@ -1,0 +1,88 @@
+"""LLM-pipeline operator tests: deterministic stubs, signature properties."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from callio_etl_spark.llm_ops.multimodal import (
+    decode_image_stub,
+    extract_media_features,
+    media_table,
+)
+from tests.conftest import SF_DIR
+
+
+def test_media_features_deterministic(spark):
+    m = media_table(spark, SF_DIR)
+    out = extract_media_features(m)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == m.count()
+    # recompute one row's features locally — must match the UDF exactly
+    sample = m.where(F.col("doc_id") == 0).collect()[0]
+    w, h, feats = decode_image_stub(bytes(sample["payload"]))
+    got = rows[0]
+    assert (got["width"], got["height"]) == (w, h)
+    assert list(got["features"]) == feats
+    assert got["byte_len"] == len(bytes(sample["payload"]))
+    # schema contract (what a real decoder must keep producing)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "media_type", "byte_len", "width", "height", "features",
+    ]
+
+
+def test_minhash_candidates_superset_of_exact_dupes(spark):
+    """Docs with identical token SETS must collide on every band -> any
+    exact-duplicate pair is an LSH candidate pair (recall=1 for J=1)."""
+    from callio_etl_spark.llm_ops.dedup_ops import minhash_lsh_pairs, _words
+
+    d = spark.createDataFrame(
+        [(1, "spark table merge"), (2, "merge spark table"), (3, "utterly different words")],
+        "doc_id long, text string",
+    )
+    d.createOrReplaceTempView("_docs_tmp")
+    # run the operator on a tiny in-memory frame via the same internals
+    import callio_etl_spark.llm_ops.dedup_ops as ops
+
+    words = ops._words(F.col("text"))
+    sig = d.select("doc_id", *[ops._minhash(words, i).alias(f"mh{i}") for i in range(ops.NUM_HASHES)])
+    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(ops.NUM_HASHES)) for r in sig.collect()}
+    assert sigs[1] == sigs[2]  # same token set -> identical signature
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_similarity_property(spark):
+    from callio_etl_spark.llm_ops.dedup_ops import simhash
+
+    # identical token sets -> identical simhash; disjoint sets -> (almost
+    # surely) different signature
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "zz yy xx ww vv uu")],
+        "doc_id long, text string",
+    )
+    import callio_etl_spark.llm_ops.dedup_ops as ops
+
+    hs = F.transform(ops._words(F.col("text")), lambda w: F.md5(w))
+    # reuse the registered op by mimicking its projection on this frame
+    from pyspark.sql import DataFrame
+
+    out = {r["doc_id"]: r["simhash16"] for r in _simhash_frame(d).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+
+
+def _simhash_frame(d):
+    import callio_etl_spark.llm_ops.dedup_ops as ops
+
+    hs = F.transform(ops._words(F.col("text")), lambda w: F.md5(w))
+    hexmap = "0123456789abcdef"
+
+    def bit(p):
+        tot = F.aggregate(
+            hs,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (2 * (F.instr(F.lit(hexmap), F.substring(h, p, 1)) - 1).cast("long") - 15),
+        )
+        return F.when(tot > 0, "1").otherwise("0")
+
+    return d.select("doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash16"))
