@@ -415,7 +415,7 @@ def extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT e.event_type, COUNT(*) AS n
 FROM events e
-WHERE epoch_ms(e.ts) > 1705276800000
+WHERE e.ts > TIMESTAMP '2024-01-15 00:00:00'
 GROUP BY 1
 """,
     tags=["F1", "C2", "S1"],
@@ -423,14 +423,13 @@ GROUP BY 1
 def watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/C2/S1 — the incremental watermark cutoff: keep only rows newer than
     the checkpoint (api.py:190-195, 241-243; overlap rule runner.py:64).
-    Expressed as a pushed-down predicate — the Spark analog of the scan's
-    early-stop pagination."""
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.where(F.unix_millis("ts") > 1705276800000)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-    )
+    The cutoff is applied to the RAW nanos column before conversion
+    (tables.load_events_since) so it reaches the parquet reader as a real
+    PushedFilter — asserted in tests/test_plans.py."""
+    from callio_etl_spark.tables import load_events_since
+
+    e = load_events_since(spark, sf_dir, 1705276800000)
+    return e.groupBy("event_type").agg(F.count("*").alias("n"))
 
 
 @register(

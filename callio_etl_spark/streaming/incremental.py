@@ -1,0 +1,162 @@
+"""Structured Streaming expression of the reference's incremental semantics
+(SURVEY.md section 2.9): the batch pipeline in pipeline.py and this module
+are two executions of the same logical contract.
+
+Mapping (section 1.1 'Streams'):
+
+- checkpoint (C1)            -> Structured Streaming state / checkpointLocation
+- 180 s late-data overlap (C2) -> withWatermark("ts", "3 minutes")
+- scheduled batch ticks (C6) -> Trigger.AvailableNow micro-batches
+- in-scan keyed dedup (D1)   -> dropDuplicatesWithinWatermark
+- per-key running checkpoint (C1/C4) -> applyInPandasWithState running max
+
+Scale notes: file-source streams shard by file; state (dedup keys, window
+partials, per-key max) lives in the state store partitioned by key — the same
+shuffle keys as the batch plan, so sizing follows the batch reasoning. The
+watermark bounds state: keys older than (max event time - delay) are evicted,
+which is exactly the reference's 'overlap window' contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: 3-minute watermark == the reference's OVERLAP_MS=180000 (config.py:186).
+OVERLAP_WATERMARK = "3 minutes"
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, schema: StructType = EVENTS_STREAM_SCHEMA
+) -> DataFrame:
+    """S1 as a stream: the reference's paginated incremental scan becomes a
+    file-source readStream; new files == new pages, checkpointing replaces
+    the cutoff bookkeeping."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def dedup_stream(events: DataFrame, keys: list[str]) -> DataFrame:
+    """D1 streaming — keyed first-wins dedup across micro-batches with
+    watermark-bounded state (api.py:238-257's cross-page dict, but with
+    bounded memory)."""
+    return events.withWatermark("ts", OVERLAP_WATERMARK).dropDuplicatesWithinWatermark(keys)
+
+
+def daily_user_metrics_stream(events: DataFrame) -> DataFrame:
+    """A1 as a streaming windowed aggregate: per (day-window, user) counts
+    with late rows accepted inside the overlap watermark — the streaming twin
+    of the flagship calls-per-staff-day aggregate."""
+    return (
+        events.withWatermark("ts", OVERLAP_WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("d"),
+            "user_id",
+            "n_events",
+            "max_ts_ms",
+        )
+    )
+
+
+CHECKPOINT_STATE_SCHEMA = "max_ts_ms LONG, n_rows LONG"
+CHECKPOINT_OUT_SCHEMA = StructType(
+    [
+        StructField("tenant", StringType()),
+        StructField("max_ts_ms", LongType()),
+        StructField("rows_total", LongType()),
+    ]
+)
+
+
+def running_checkpoint_stream(events: DataFrame, tenant_col: str = "event_type") -> DataFrame:
+    """C1/C4 as a custom stateful operator: per-tenant running MAX event time
+    + row count via applyInPandasWithState — the streaming form of the
+    checkpoint table (checkpoints.py:60-98). Emits the updated checkpoint
+    row per tenant per micro-batch."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        max_ts, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if len(pdf):
+                max_ts = max(max_ts, int(pdf["ts_ms"].max()))
+                total += len(pdf)
+        state.update((max_ts, total))
+        yield pd.DataFrame(
+            {"tenant": [key[0]], "max_ts_ms": [max_ts], "rows_total": [total]}
+        )
+
+    prepared = events.select(
+        F.col(tenant_col).alias("tenant"), F.unix_millis("ts").alias("ts_ms")
+    )
+    return prepared.groupBy("tenant").applyInPandasWithState(
+        update,
+        outputStructType=CHECKPOINT_OUT_SCHEMA,
+        stateStructType=CHECKPOINT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+) -> None:
+    """C6 — one scheduled tick: process everything available, then stop
+    (Trigger.AvailableNow). The reference's daemon slots (runner.py:876-932)
+    are exactly repeated invocations of this."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_merge(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    merge_fn,
+    output_mode: str = "update",
+) -> None:
+    """C7 — streaming MERGE: each micro-batch is handed to the batch merge
+    operator (merge.merge_write) via foreachBatch; this is the standard
+    Spark pattern for upsert sinks without Delta (and the only way to emit
+    `update`-mode stateful results to an append-only format like parquet)."""
+    q = (
+        stream_df.writeStream.foreachBatch(lambda batch, _id: merge_fn(batch))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

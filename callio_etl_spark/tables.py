@@ -55,6 +55,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_since(spark: SparkSession, sf_dir: str, cutoff_ms: int) -> DataFrame:
+    """S1/F1 — incremental scan with a cutoff that actually reaches the
+    parquet reader. The events timestamp is scanned as a raw nanos long, so a
+    filter on the *converted* column cannot push down (only IsNotNull does);
+    filtering the raw long first gives a plain `ts >= literal` PushedFilter —
+    the Spark analog of the reference's early-stop pagination (api.py:190-195).
+
+    Boundary exactness: rows carry sub-microsecond nanos, and downstream
+    (and DuckDB) truncate to micros. `nanos >= (cutoff_us + 1) * 1000` is
+    exactly `truncate_to_micros(ts) > cutoff` — no off-by-sub-microsecond
+    drift against the oracle."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        cutoff_us = cutoff_ms * 1000
+        df = df.where(F.col("ts") >= (cutoff_us + 1) * 1000)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:  # already a timestamp column (e.g. re-written table)
+        df = df.where(F.col("ts") > F.timestamp_millis(F.lit(cutoff_ms)))
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:

@@ -123,3 +123,21 @@ def test_flatten_call_with_dupes(spark):
     assert {r["fromGroup__id"] for r in got} == {"g1", None}
     # projection backfilled declared-but-absent columns as NULLs
     assert "hangupCause" in out.columns and all(r["hangupCause"] is None for r in got)
+
+
+def test_flatten_customer_stringly_user(spark):
+    """P6 (safe_eval, utils.py:16-26): the user struct arriving as a JSON
+    string or a Python-repr string parses identically (parse_user=True)."""
+    rows = [
+        ("c1", 1704067200000, '{"_id": "u1", "name": "Agent A", "group": {"_id": "g1"}}'),
+        ("c2", 1704067200000, "{'_id': 'u2', 'name': 'Agent B', 'group': {'_id': 'g2'}}"),
+        ("c3", 1704067200000, None),
+    ]
+    df = spark.createDataFrame(rows, "_id string, updateTime long, user string").withColumn(
+        "customFields",
+        F.lit(None).cast("array<struct<key:string, val:string>>"),
+    )
+    out = {r["_id"]: r for r in flatten_customer(df, "PK", parse_user=True).collect()}
+    assert out["c1"]["user_id"] == "u1" and out["c1"]["user_group_id"] == "g1"
+    assert out["c2"]["user_id"] == "u2" and out["c2"]["user_group_id"] == "g2"
+    assert out["c3"]["user_id"] is None

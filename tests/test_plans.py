@@ -1,0 +1,69 @@
+"""Physical-plan assertions (SURVEY section 4): the optimizations the engine
+promises must be visible in .explain output, not just intended — broadcast
+dim joins, scan-level column pruning, predicate pushdown, TakeOrderedAndProject
+top-k, and partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from callio_etl_spark.registry import REGISTRY, _load_all
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    _load_all()
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dim_join_is_broadcast(spark):
+    plan = _plan(spark, "join_left_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_group_dim(spark):
+    plan = _plan(spark, "fact_staff_daily")
+    assert "BroadcastHashJoin" in plan  # nation/group dim never shuffles
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "topk_recent")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "string_norm")  # selects 4 of documents' 5 columns
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "text" not in scan[0]  # untouched wide column pruned from the scan
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "customer_in_range")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    assert "o_orderstatus" in pushed[0]  # tenant predicate at the scan
+
+
+def test_watermark_cutoff_pushes_to_scan(spark):
+    plan = _plan(spark, "watermark_filter")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "GreaterThanOrEqual(ts" in pushed[0], pushed
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = _plan(spark, "conditional_agg")
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_merge_upsert_shuffles_only_on_the_key(spark):
+    # The merge is one FULL OUTER sort-merge join on the merge key: every
+    # Exchange in the plan must be a hash partitioning on o_orderkey — no
+    # extra repartitions sneak in around the conditional projection.
+    plan = _plan(spark, "merge_upsert_full")
+    assert "SortMergeJoin FullOuter" in plan
+    exchanges = [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
+    assert exchanges and all("o_orderkey" in l for l in exchanges), plan

@@ -1,0 +1,98 @@
+"""Structured Streaming incremental semantics (SURVEY section 2.9): two
+Trigger.AvailableNow ticks over a file stream — the streaming twin of the
+batch two-tick tests in test_incremental.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from callio_etl_spark.streaming.incremental import (
+    EVENTS_STREAM_SCHEMA,
+    daily_user_metrics_stream,
+    dedup_stream,
+    read_event_stream,
+    run_available_now,
+    running_checkpoint_stream,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _row(eid, minutes, uid, etype="call", value="v"):
+    return (eid, T0 + dt.timedelta(minutes=minutes), uid, etype, value)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = str(tmp_path / "src")
+    return {
+        "src": src,
+        "out": str(tmp_path / "out"),
+        "ck": str(tmp_path / "ck"),
+    }
+
+
+def test_two_tick_windowed_agg(spark, dirs):
+    _write_batch(spark, dirs["src"], [_row(1, 0, 10), _row(2, 5, 10), _row(3, 0, 20)])
+    stream = daily_user_metrics_stream(read_event_stream(spark, dirs["src"]))
+    run_available_now(stream, dirs["out"], dirs["ck"])
+    # append mode emits only watermark-closed windows -> nothing yet
+    first = spark.read.schema(
+        "d date, user_id long, n_events long, max_ts_ms long"
+    ).parquet(dirs["out"])
+    n_first = first.count()
+
+    # tick 2: new rows one day later close the first window past the watermark
+    _write_batch(spark, dirs["src"], [_row(4, 60 * 24 + 10, 10), _row(5, 60 * 24 + 11, 30)])
+    run_available_now(stream, dirs["out"], dirs["ck"])
+    out = spark.read.parquet(dirs["out"])
+    rows = {(str(r["d"]), r["user_id"]): r["n_events"] for r in out.collect()}
+    assert rows[("2024-01-01", 10)] == 2  # both day-1 events for user 10
+    assert rows[("2024-01-01", 20)] == 1
+    assert n_first == 0  # watermark held the open window at tick 1
+
+
+def test_stream_dedup_first_wins(spark, dirs):
+    _write_batch(
+        spark,
+        dirs["src"],
+        [_row(1, 0, 10), _row(1, 1, 10), _row(2, 2, 20)],  # dup event_id=1
+    )
+    stream = dedup_stream(read_event_stream(spark, dirs["src"]), ["event_id"])
+    run_available_now(stream, dirs["out"], dirs["ck"])
+    # second tick re-sends an already-seen key within the watermark
+    _write_batch(spark, dirs["src"], [_row(2, 3, 20), _row(3, 4, 30)])
+    run_available_now(stream, dirs["out"], dirs["ck"])
+    out = spark.read.parquet(dirs["out"])
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]  # each key exactly once across micro-batches
+
+
+def test_running_checkpoint_state(spark, dirs):
+    from callio_etl_spark.streaming.incremental import run_foreach_batch_merge
+
+    _write_batch(spark, dirs["src"], [_row(1, 0, 10, "customer"), _row(2, 5, 20, "customer"), _row(3, 1, 10, "call")])
+    stream = running_checkpoint_stream(read_event_stream(spark, dirs["src"]))
+    sink = lambda batch: batch.write.mode("append").parquet(dirs["out"])  # noqa: E731
+    run_foreach_batch_merge(stream, dirs["ck"], sink)
+    _write_batch(spark, dirs["src"], [_row(4, 30, 10, "customer")])
+    run_foreach_batch_merge(stream, dirs["ck"], sink)
+
+    out = spark.read.parquet(dirs["out"])
+    # take the latest row per tenant (updates append one row per batch)
+    latest = {
+        r["tenant"]: r
+        for r in out.orderBy("rows_total").collect()  # last write wins below
+    }
+    ck_customer = latest["customer"]
+    assert ck_customer["rows_total"] == 3  # 2 + 1 across ticks (state kept)
+    want_ms = int((T0 + dt.timedelta(minutes=30)).replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert ck_customer["max_ts_ms"] == want_ms  # running max advanced (C1/C4)
