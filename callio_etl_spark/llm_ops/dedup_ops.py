@@ -32,24 +32,56 @@ from callio_etl_spark.tables import load_table
 
 TOKEN_RE = "[a-z0-9]+"
 NUM_HASHES = 8
+HASH_HEX_CHARS = 4  # disjoint 4-hex-char slices of one MD5 = 8 independent hashes
 ROWS_PER_BAND = 2
 N_BANDS = NUM_HASHES // ROWS_PER_BAND  # 4 bands of 2 — LSH for J~0.7+
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small single-file input to the session's parallelism.
+
+    At 100 TB these tables arrive as thousands of parquet splits and the
+    per-row signature / pair work below is naturally parallel; the local
+    testdata is one file -> one scan partition -> one task. One cheap
+    round-robin shuffle restores the parallelism the real layout would have.
+    Results are partitioning-invariant (all outputs here are set-valued)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _words(col):
     return F.array_distinct(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0))
 
 
-def _minhash(words, i: int):
-    """Min over MD5(i|word) — one uniform hash per seed i, JVM-side."""
-    return F.array_min(F.transform(words, lambda w: F.md5(F.concat(F.lit(f"{i}|"), w))))
+def _minhash_sig(words):
+    """All NUM_HASHES min-hashes in ONE fold over ONE md5 per word.
+
+    Hashing every word once and slicing disjoint 4-hex-char substrings of the
+    digest gives 8 independent uniform hash functions at 1/8th the hash cost;
+    the fold keeps an array<string> of running minima so tokenization + md5
+    happen exactly once per row (an alias per hash would be re-inlined by
+    CollapseProject and re-tokenize per hash)."""
+    slices = lambda h: F.array(  # noqa: E731
+        *[
+            F.substring(h, i * HASH_HEX_CHARS + 1, HASH_HEX_CHARS)
+            for i in range(NUM_HASHES)
+        ]
+    )
+    return F.aggregate(
+        F.transform(words, lambda w: F.md5(w)),
+        F.array_repeat(F.lit("g"), NUM_HASHES),  # 'g' > any hex char
+        lambda acc, h: F.zip_with(acc, slices(h), lambda a, s: F.least(a, s)),
+    )
 
 
 _WORDS_SQL = "list_distinct(regexp_extract_all(lower(d.text), '[a-z0-9]+'))"
 
 
 def _minhash_sql(i: int) -> str:
-    return f"list_aggregate(list_transform({_WORDS_SQL}, w -> md5('{i}|' || w)), 'min')"
+    start = i * HASH_HEX_CHARS + 1
+    return (
+        f"list_aggregate(list_transform({_WORDS_SQL}, "
+        f"w -> substr(md5(w), {start}, {HASH_HEX_CHARS})), 'min')"
+    )
 
 
 @register(
@@ -114,16 +146,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cf. MMDS ch.3); pyspark.ml's MinHashLSH gives the same via fit/transform,
     implemented here natively to keep the plan transparent and oracle-checkable.
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    sig = d.select(
-        "doc_id", *[_minhash(words, i).alias(f"mh{i}") for i in range(NUM_HASHES)]
-    )
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    sig = d.select("doc_id", _minhash_sig(_words(F.col("text"))).alias("mins"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.concat(
-                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                *[
+                    F.element_at("mins", b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ]
             ).alias("band_key"),
         )
         for b in range(N_BANDS)
@@ -175,26 +207,30 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the sum over token hashes of (2*nibble - 15) at that hex position —
     i.e. majority vote per bit dimension. Near-dups share most bits, so
     bucketing on the signature (or bit-prefix groups) finds them without
-    all-pairs. Pure array expressions, single projection, no shuffle."""
-    d = load_table(spark, sf_dir, "documents")
-    hs = F.transform(_words(F.col("text")), lambda w: F.md5(w))
+    all-pairs. Pure array expressions, single projection; the only shuffle is
+    the parallelism-restoring round-robin (see _spread).
+
+    All 16 bit-counters accumulate in ONE fold with an array<long> accumulator
+    so tokenization and the per-word md5 run once per row, not once per bit;
+    integer sums are order-exact, so the per-bit DuckDB oracle stays
+    value-identical."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
     hexmap = "0123456789abcdef"
-
-    def bit(p: int):
-        tot = F.aggregate(
-            hs,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (
-                2 * (F.instr(F.lit(hexmap), F.substring(h, p, 1)) - 1).cast("long")
-                - 15
-            ),
-        )
-        return F.when(tot > 0, "1").otherwise("0")
-
-    return d.select(
-        "doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash16")
+    contribs = lambda h: F.array(  # noqa: E731
+        *[
+            2 * (F.instr(F.lit(hexmap), F.substring(h, p, 1)) - 1).cast("long") - 15
+            for p in range(1, 17)
+        ]
     )
+    counts = F.aggregate(
+        F.transform(_words(F.col("text")), lambda w: F.md5(w)),
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, h: F.zip_with(acc, contribs(h), lambda a, c: a + c),
+    )
+    sig = F.array_join(
+        F.transform(counts, lambda c: F.when(c > 0, "1").otherwise("0")), ""
+    )
+    return d.select("doc_id", sig.alias("simhash16"))
 
 
 @register(
@@ -280,7 +316,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan note: each vector's norm is computed ONCE before the self-join (same
     expression the oracle evaluates per pair — identical bits, 3x less work;
-    the O(n²) side evaluates only the dot product)."""
+    the O(n²) side evaluates only the dot product). The broadcast-nested-loop
+    pair join streams the left side, so that side is _spread to the session's
+    parallelism — a single-file scan would otherwise run the whole O(n²)
+    scoring in one task."""
     from callio_etl_spark.llm_ops.similarity import dot
 
     emb = (
@@ -288,7 +327,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    a, b = _spread(emb).alias("a"), F.broadcast(emb).alias("b")
     cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

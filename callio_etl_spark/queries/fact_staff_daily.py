@@ -385,18 +385,27 @@ def fact_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.rlike(TU_CHOI_RE).alias("f_tuchoi"),
         (norm.rlike(KHONG_NGHE_RE) | norm.isin(*BAN_IN)).alias("f_khongnghe"),
     )
-    # J5: many-to-many phone join — fan-out preserved, counts run over joined
-    # rows. The phone side is customer-table-sized (small vs the call log) and
-    # the key has few distinct values (skew): broadcast it so the fan-out
-    # happens map-side with no shuffle on the skewed key.
+    # J5: many-to-many phone join — the reference counts over the fanned-out
+    # rows. The flags depend only on the join key, so COUNT_IF over the
+    # fan-out factors into SUM(per-phone match counts): pre-aggregate the
+    # build side to one row per phone, broadcast that, and sum. Identical
+    # counts (left-miss rows contribute 0 via coalesce) without materializing
+    # the |calls| x |customers-per-phone| intermediate — the rewrite that
+    # keeps this join linear at 100 TB, and one Catalyst won't do for us.
+    phone_stats = customers_raw.groupBy("phone").agg(
+        F.count_if(F.col("f_zalo")).alias("n_zalo"),
+        F.count_if(F.col("f_conhucau")).alias("n_conhucau"),
+        F.count_if(F.col("f_tuchoi")).alias("n_tuchoi"),
+        F.count_if(F.col("f_khongnghe")).alias("n_khongnghe"),
+    )
     with_status = calls_all.join(
-        F.broadcast(customers_raw), calls_all["SDTKhach"] == customers_raw["phone"], "left"
+        F.broadcast(phone_stats), calls_all["SDTKhach"] == phone_stats["phone"], "left"
     )
     status_pivot = with_status.groupBy("Ngay", "MaNV_id").agg(
-        F.count_if(F.col("f_zalo")).alias("SoSDT_KetBanZalo"),
-        F.count_if(F.col("f_conhucau")).alias("SoSDT_CoNhuCau"),
-        F.count_if(F.col("f_tuchoi")).alias("SoSDT_TuChoi"),
-        F.count_if(F.col("f_khongnghe")).alias("SoSDT_KhongNgheMay"),
+        F.sum(F.coalesce("n_zalo", F.lit(0))).alias("SoSDT_KetBanZalo"),
+        F.sum(F.coalesce("n_conhucau", F.lit(0))).alias("SoSDT_CoNhuCau"),
+        F.sum(F.coalesce("n_tuchoi", F.lit(0))).alias("SoSDT_TuChoi"),
+        F.sum(F.coalesce("n_khongnghe", F.lit(0))).alias("SoSDT_KhongNgheMay"),
     )
 
     p, se = status_pivot.alias("p"), staff_enriched.alias("e")

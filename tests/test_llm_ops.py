@@ -43,9 +43,8 @@ def test_minhash_candidates_superset_of_exact_dupes(spark):
     # run the operator on a tiny in-memory frame via the same internals
     import callio_etl_spark.llm_ops.dedup_ops as ops
 
-    words = ops._words(F.col("text"))
-    sig = d.select("doc_id", *[ops._minhash(words, i).alias(f"mh{i}") for i in range(ops.NUM_HASHES)])
-    sigs = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(ops.NUM_HASHES)) for r in sig.collect()}
+    sig = d.select("doc_id", ops._minhash_sig(ops._words(F.col("text"))).alias("mins"))
+    sigs = {r["doc_id"]: tuple(r["mins"]) for r in sig.collect()}
     assert sigs[1] == sigs[2]  # same token set -> identical signature
     assert sigs[1] != sigs[3]
 
