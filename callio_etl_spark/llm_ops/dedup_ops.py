@@ -28,24 +28,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from callio_etl_spark.registry import register
-from callio_etl_spark.tables import load_table
+from callio_etl_spark.tables import load_table, spread as _spread
 
 TOKEN_RE = "[a-z0-9]+"
 NUM_HASHES = 8
 HASH_HEX_CHARS = 4  # disjoint 4-hex-char slices of one MD5 = 8 independent hashes
 ROWS_PER_BAND = 2
 N_BANDS = NUM_HASHES // ROWS_PER_BAND  # 4 bands of 2 — LSH for J~0.7+
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a small single-file input to the session's parallelism.
-
-    At 100 TB these tables arrive as thousands of parquet splits and the
-    per-row signature / pair work below is naturally parallel; the local
-    testdata is one file -> one scan partition -> one task. One cheap
-    round-robin shuffle restores the parallelism the real layout would have.
-    Results are partitioning-invariant (all outputs here are set-valued)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def _words(col):
@@ -269,7 +258,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus draws from a ~40-word vocabulary, so all-pairs-via-tokens is
     quadratic — this query runs on the deterministic doc_id%5 sample (same
     filter in the oracle); production feeds LSH candidates, not a sample."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    d = _spread(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
     ws = d.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
     )

@@ -85,13 +85,13 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     read but never shipped to Python. This is the dedup/partitioning key
     layer for multimodal corpora."""
     m = media_table(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    m = m.join(d, "doc_id")
+    # md5 over the binary payload == md5 of the text it encodes (UTF-8), so
+    # no join back to documents is needed — one scan, zero shuffles.
     return m.select(
         "doc_id",
         "media_type",
         F.octet_length("payload").alias("byte_len"),
-        F.md5("text").alias("content_md5"),
+        F.md5("payload").alias("content_md5"),
         F.upper(F.substring(F.hex("payload"), 1, 8)).alias("magic_prefix"),
     )
 
@@ -158,5 +158,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract pass (stubbed decoder, real plumbing): binary
     payloads -> mapInPandas -> typed features. No oracle — mapInPandas is not
     SQL-expressible; the driver records a rows-only check, and
-    tests/test_llm_ops.py asserts the deterministic feature values."""
-    return extract_media_features(media_table(spark, sf_dir))
+    tests/test_llm_ops.py asserts the deterministic feature values.
+
+    The input is spread to the session's parallelism first: a single-file
+    scan would otherwise funnel every Arrow batch through one Python worker."""
+    from callio_etl_spark.tables import spread
+
+    return extract_media_features(spread(media_table(spark, sf_dir)))

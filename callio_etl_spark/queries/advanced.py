@@ -1,0 +1,311 @@
+"""Advanced relational operators beyond the reference's surface.
+
+The reference (Khang-TB/Callio-ETL) has no as-of/range joins, no frame-spec
+window functions, no grouping sets and no set ops beyond UNION ALL
+(SURVEY.md sections 2.5/2.7 note their absence). A standalone analytics
+engine needs them, so they're implemented here Spark-first, each with a
+DuckDB oracle:
+
+- ``asof_join_latest_order``  point-in-time (as-of) join. Spark lacks ASOF
+  JOIN; a range self-join explodes, so it's computed as ONE union + ONE
+  window pass: tag build/probe rows, sort within user by (ts, side), carry
+  the last non-null build payload forward. One shuffle on the join key,
+  linear in |events| + |orders| — the 100 TB-safe plan.
+- ``sessionize``              gap-based sessionization (30-min inactivity):
+  lag -> gap flag -> running sum = session number -> per-session rollup.
+  Two window passes over the same (user, time) sort — Catalyst reuses the
+  exchange, so it's one shuffle end-to-end.
+- ``rollup_agg`` / ``cube_agg``  grouping-sets aggregates with GROUPING_ID.
+- ``window_frames``           running total + 3-row moving average (ROWS
+  BETWEEN frames); sums in DECIMAL so both engines agree bit-for-bit, the
+  moving average as sum/count in double (identical operands both sides).
+- ``percentile_summary``      exact interpolated percentiles. The quartile
+  fractions are powers of two, so the interpolation x + d*(y-x) is exact in
+  binary floating point and engine-independent.
+- ``set_intersect_except``    INTERSECT / EXCEPT (distinct set semantics).
+
+Determinism notes follow the registry rules: unique-key tiebreakers on every
+ordering, DECIMAL accumulation for double sums, max_by on a unique key for
+pick-one semantics.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+WITH ob AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey)                    AS o_orderkey,
+         max_by(o_totalprice, o_orderkey)   AS o_totalprice
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       ob.o_orderkey   AS last_orderkey,
+       ob.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN ob ON e.user_id = ob.o_custkey AND e.ts >= ob.o_orderdate
+""",
+    tags=["advanced", "asof-join"],
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's latest order at-or-before the
+    event time. Build side is first reduced to one row per (user, ts) —
+    max_by on the unique order key — so the as-of pick is deterministic.
+
+    Plan: union build+probe rows, one window sorted by (ts, side) per user
+    carrying the last non-null build payload forward (builds sort before
+    probes at equal ts => inclusive <= semantics). No range join, no
+    explosion: one shuffle on user_id, linear scan within partitions."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    ob = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    probe = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(1).alias("side"),  # probes sort after builds at equal ts
+        "event_id",
+        F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("b"),
+    )
+    build = ob.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.struct("o_orderkey", "o_totalprice").alias("b"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = probe.unionByName(build).withColumn(
+        "last_b", F.last("b", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("side") == 1).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts",
+        F.col("last_b.o_orderkey").alias("last_orderkey"),
+        F.col("last_b.o_totalprice").alias("last_totalprice"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, session_no
+""",
+    tags=["advanced", "sessionize"],
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity threshold): the standard
+    training-pipeline event op. Gap test runs on integer microseconds —
+    exact in both engines. Both window passes share one (user_id) shuffle
+    and one (ts, event_id) sort; the session rollup then shuffles the much
+    smaller session keys."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > gap_us),
+        1,
+    ).otherwise(0)
+    numbered = e.withColumn("new_session", new_session).withColumn(
+        "session_no",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=["advanced", "grouping-sets"],
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregate (TPC-H Q1 shape + subtotals + grand
+    total), GROUPING_ID distinguishing subtotal rows from data NULLs. Spark
+    plans grouping sets as one Expand + hash aggregate — still partial-agg
+    before the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+        F.sum(revenue).cast("double").alias("sum_revenue"),
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=["advanced", "grouping-sets"],
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "window_frames",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
+         / CAST(COUNT(*) OVER w3 AS DOUBLE) AS moving_avg3
+FROM orders
+WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    tags=["advanced", "window-frames"],
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame window functions the reference never uses: per-customer
+    running total and 3-row moving average. DECIMAL accumulation keeps the
+    running sums engine-exact; the moving average divides two identical
+    values in double. Both frames share one (custkey) shuffle + sort."""
+    o = load_table(spark, sf_dir, "orders")
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w3 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(-2, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast("decimal(18,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(price_dec).over(w_run).cast("double").alias("running_spend"),
+        (
+            F.sum(price_dec).over(w3).cast("double")
+            / F.count("*").over(w3).cast("double")
+        ).alias("moving_avg3"),
+    )
+
+
+@register(
+    "percentile_summary",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5)  AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       CAST(MAX(l_quantity) AS DOUBLE) AS q_max
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=["advanced", "percentiles"],
+)
+def percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. The fractions are powers of
+    two so x + d*(y-x) is exact in binary FP — engine-independent without a
+    DECIMAL detour (which percentile interpolation doesn't support anyway).
+    Scale note: exact percentiles sort within groups; at 100 TB swap in
+    approx_percentile (t-digest) behind the same signature when a bounded
+    error is acceptable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.max("l_quantity").cast("double").alias("q_max"),
+    )
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderkey % 5 = 0
+""",
+    tags=["advanced", "set-ops"],
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT with distinct set semantics (the reference only
+    ever UNION ALLs). Spark plans these as left-semi / left-anti hash joins
+    over pre-aggregated inputs — no sort, partial distinct before the
+    shuffle. Predicates on the unique order key keep the query
+    deterministic and domain-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    half = o.where(F.col("o_orderkey") % 2 == 0).select("o_custkey")
+    third = o.where(F.col("o_orderkey") % 3 == 0).select("o_custkey")
+    fifth = o.where(F.col("o_orderkey") % 5 == 0).select("o_custkey")
+    return half.intersect(third).subtract(fifth)

@@ -62,6 +62,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from callio_etl_spark.queries import (  # noqa: F401
+        advanced,
         fact_staff_daily,
         merge_queries,
         relational,

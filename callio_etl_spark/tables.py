@@ -55,6 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a small single-file input to the session's parallelism.
+
+    At production scale these tables arrive as thousands of parquet splits
+    and per-row compute (signatures, decodes, pair scoring) is naturally
+    parallel; the local testdata is one file -> one scan partition -> one
+    task. One cheap round-robin shuffle restores the parallelism the real
+    layout would have. Use only ahead of compute-heavy stages — results must
+    be partitioning-invariant (set-valued outputs)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_events_since(spark: SparkSession, sf_dir: str, cutoff_ms: int) -> DataFrame:
     """S1/F1 — incremental scan with a cutoff that actually reaches the
     parquet reader. The events timestamp is scanned as a raw nanos long, so a

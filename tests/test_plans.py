@@ -67,3 +67,27 @@ def test_merge_upsert_shuffles_only_on_the_key(spark):
     assert "SortMergeJoin FullOuter" in plan
     exchanges = [l for l in plan.splitlines() if l.strip().startswith("Arguments: hashpartitioning")]
     assert exchanges and all("o_orderkey" in l for l in exchanges), plan
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must plan as union + one window (linear), never a
+    range/nested-loop join (quadratic)."""
+    plan = _plan(spark, "asof_join_latest_order")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one Window node = two mentions in formatted output (tree + details)
+    assert plan.count("Window") <= 2
+    assert "Union" in plan
+
+
+def test_sessionize_windows_share_one_shuffle(spark):
+    """Both sessionize window passes sort on the same key: one exchange for
+    the windows, one for the final session rollup."""
+    plan = _plan(spark, "sessionize")
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_grouping_sets_partial_agg(spark):
+    plan = _plan(spark, "rollup_agg")
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2  # partial before the shuffle
