@@ -327,3 +327,121 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= 0.4)
     )
+
+
+JACCARD_THRESHOLD = 0.8
+
+_JACCARD_PAIRS_SQL = """
+ws AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS w
+  FROM documents
+  WHERE doc_id % 5 = 0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ws GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ws a JOIN ws b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.n_common AS DOUBLE)
+        / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.8
+)"""
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node
+    starts as its own component; each round adopts the smallest label among
+    itself and its neighbors, until a fixpoint. Converges in O(component
+    diameter) rounds — near-dup graphs are dense clusters, so diameter (and
+    the round count) stays tiny even at 100 TB.
+
+    Scale notes: each round is one shuffle join on the edge list + one
+    aggregate — all set-based, nothing on the driver except the convergence
+    flag. Lineage is truncated per round (localCheckpoint) so plans don't
+    grow with iterations. Production graphs upgrade to the large-star/
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce"), which contracts the same propagation in O(log n) rounds;
+    the operator contract (nodes, edges) -> (node, component) is unchanged.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``src``, ``dst``
+    (undirected). Returns (node, component=min reachable node id).
+    """
+    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    labels = nodes.select("node", F.col("node").alias("comp"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+WITH RECURSIVE
+{_JACCARD_PAIRS_SQL},
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+""",
+    tags=["llm", "dedup", "iterative"],
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — the stage after pair generation that an
+    actual dedup pipeline keys its keep/drop decision on: verified Jaccard
+    pairs (>= {JACCARD_THRESHOLD}) become an undirected graph; connected
+    components give each doc a cluster id = min doc_id reachable (the
+    canonical survivor). Oracle: DuckDB recursive-CTE transitive closure —
+    exact same fixpoint, closed-form.
+
+    Uses the same deterministic doc_id%5 sample as ngram_jaccard_pairs
+    (the all-pairs verification is quadratic on this vocabulary-degenerate
+    corpus; production feeds LSH candidates)."""
+    d = _spread(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
+    nodes = d.select(F.col("doc_id").alias("node"))
+    edges = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )

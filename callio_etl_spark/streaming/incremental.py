@@ -84,6 +84,26 @@ def daily_user_metrics_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def user_sessions_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the batch ``sessionize`` query: native session
+    windows (gap-based, watermark-bounded state). Spark merges overlapping
+    per-key windows in the state store and finalizes a session only once the
+    watermark passes its close — the streaming-correct form of the batch
+    lag/running-sum construction."""
+    return (
+        events.withWatermark("ts", OVERLAP_WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.max(F.unix_millis("ts")).alias("max_ts_ms"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "max_ts_ms",
+        )
+    )
+
+
 CHECKPOINT_STATE_SCHEMA = "max_ts_ms LONG, n_rows LONG"
 CHECKPOINT_OUT_SCHEMA = StructType(
     [

@@ -85,3 +85,20 @@ def _simhash_frame(d):
         return F.when(tot > 0, "1").otherwise("0")
 
     return d.select("doc_id", F.concat(*[bit(p) for p in range(1, 17)]).alias("simhash16"))
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains + an isolated node: labels converge to the min node id of
+    each component regardless of edge direction or order."""
+    from callio_etl_spark.llm_ops.dedup_ops import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    # component {1,2,3,4} via chain, component {5,6} — 7 isolated
+    edges = spark.createDataFrame(
+        [(4, 3), (2, 1), (3, 2), (6, 5)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["comp"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7)}

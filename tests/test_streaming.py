@@ -96,3 +96,32 @@ def test_running_checkpoint_state(spark, dirs):
     assert ck_customer["rows_total"] == 3  # 2 + 1 across ticks (state kept)
     want_ms = int((T0 + dt.timedelta(minutes=30)).replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
     assert ck_customer["max_ts_ms"] == want_ms  # running max advanced (C1/C4)
+
+
+def test_session_window_stream(spark, dirs):
+    """Two events 5 min apart share a session; a 40-min gap opens a new one
+    (gap=30m). Complete mode over two ticks so finalized sessions surface."""
+    from callio_etl_spark.streaming.incremental import user_sessions_stream
+
+    _write_batch(
+        spark,
+        dirs["src"],
+        [_row(1, 0, 7), _row(2, 5, 7), _row(3, 45, 7), _row(4, 0, 8)],
+    )
+    stream = user_sessions_stream(read_event_stream(spark, dirs["src"]))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_t")
+        .outputMode("complete")
+        .option("checkpointLocation", dirs["ck"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["user_id"], r["n_events"])
+        for r in spark.sql("select * from sessions_t").collect()
+    }
+    assert (7, 2) in rows  # events 1+2 merged into one session
+    assert (7, 1) in rows  # event 3 in its own session
+    assert (8, 1) in rows
