@@ -309,3 +309,121 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     third = o.where(F.col("o_orderkey") % 3 == 0).select("o_custkey")
     fifth = o.where(F.col("o_orderkey") % 5 == 0).select("o_custkey")
     return half.intersect(third).subtract(fifth)
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_types",
+    oracle="""
+SELECT CAST(ts AS DATE) AS d,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view
+FROM events
+GROUP BY 1
+""",
+    tags=["advanced", "pivot"],
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot via DataFrame.pivot with an explicit value list (the
+    explicit list keeps the plan single-pass — omitting it costs an extra
+    distinct-values job — and keeps the output schema static, which any
+    downstream contract needs anyway). Missing combos surface as NULL from
+    pivot; coalesced to 0 to match COUNT FILTER semantics."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "d", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES]
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS words
+  FROM documents
+  WHERE doc_id % 25 = 0
+)
+SELECT doc_id, CAST(e.idx - 1 AS INT) AS pos, e.tok AS token
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(words, (w, i) -> {'tok': w, 'idx': i})) AS e
+  FROM t
+)
+""",
+    tags=["advanced", "lateral"],
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/table-generating surface: posexplode preserving element
+    position (the reference has no TVFs at all, SURVEY section 2.8). Position
+    order is the regex scan order — deterministic in both engines. (No
+    dedup here: DuckDB's list_distinct does NOT preserve element order, so a
+    distinct token list would make positions engine-dependent.)"""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    words = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    return d.select("doc_id", F.posexplode(words).alias("pos", "token"))
+
+
+RANGE_BIN_US = 15 * 60 * 1_000_000  # 15-minute buckets
+
+
+@register(
+    "range_join_bucketed",
+    oracle="""
+SELECT a.event_id,
+       CAST(COUNT(*) FILTER (WHERE b.ts > a.ts
+                               AND b.ts <= a.ts + INTERVAL 15 MINUTE)
+            AS BIGINT) AS n_next15m
+FROM events a
+JOIN events b
+  ON CAST(FLOOR(epoch_us(b.ts) / 900000000) AS BIGINT)
+     BETWEEN CAST(FLOOR(epoch_us(a.ts) / 900000000) AS BIGINT)
+         AND CAST(FLOOR(epoch_us(a.ts) / 900000000) AS BIGINT) + 1
+GROUP BY a.event_id
+""",
+    tags=["advanced", "range-join"],
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join, bucketed: count events anywhere in the stream
+    within 15 minutes after each event. A raw inequality join is a
+    nested-loop O(n²); bucketing both sides into 15-min bins and equi-joining
+    on {bin, bin+1} makes it a hash join whose candidate set is only the
+    adjacent bins — the standard bin-bucketing rewrite for range joins at
+    scale. A match's bin is always the probe's bin or the next one, so
+    candidates are exact; every row matches its own bin (itself), so
+    zero-match events survive without a left join. The oracle expresses the
+    identical bucketed semantics relationally."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select("event_id", F.unix_micros("ts").alias("ta")).withColumn(
+        "bin",
+        F.explode(
+            F.array(
+                F.floor(F.col("ta") / RANGE_BIN_US),
+                F.floor(F.col("ta") / RANGE_BIN_US) + 1,
+            )
+        ),
+    )
+    b = e.select(
+        F.unix_micros("ts").alias("tb"),
+        F.floor(F.col("tb") / RANGE_BIN_US).alias("bin"),
+    )
+    return (
+        a.join(b, "bin")
+        .groupBy("event_id")
+        .agg(
+            F.count_if(
+                (F.col("tb") > F.col("ta"))
+                & (F.col("tb") <= F.col("ta") + RANGE_BIN_US)
+            ).alias("n_next15m")
+        )
+    )
