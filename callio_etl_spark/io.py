@@ -65,3 +65,68 @@ def stage_temp_view(df: DataFrame, name: str) -> str:
     TABLE _S; bigquery_service.py:214-238: stg_customer)."""
     df.createOrReplaceTempView(name)
     return name
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (Spark's analog of co-located storage): rows
+    are hash-partitioned into ``n_buckets`` files per partition by
+    ``bucket_cols`` AT WRITE TIME, so joins/aggregations on those keys read
+    co-located data and skip the shuffle entirely — the plan shows
+    SortMergeJoin with NO Exchange on either side (asserted in
+    tests/test_io.py). This is the 100 TB answer for repeated big-big joins
+    on a stable key (e.g. fact-to-fact on tenant+id): pay one shuffle at
+    write, never again at read."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the skewed (large) side gets a deterministic
+    salt derived from a hash of its whole row, splitting each hot key into
+    ``n_salts`` shuffle partitions; the small(er) side is replicated across
+    all salt values with explode. Result is row-identical to
+    ``left.join(right, key, how)``.
+
+    Use when one join key dominates (AQE's skew-join split handles moderate
+    skew at runtime; salting is the explicit fix when a single key exceeds
+    what one task can hold). Replication multiplies the right side by
+    n_salts — keep it the smaller input."""
+    salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salts))
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return lhs.join(rhs, [key, "__salt"], how).drop("__salt")
+
+
+def read_json_docs(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S1 ingestion surface for the reference's native payload shape: JSON
+    docs (api.py:184's `docs` arrays land as JSON-lines files in a landing
+    zone). An explicit schema keeps the read single-pass — omitting it costs
+    a full inference scan, and on 100 TB of JSON that doubles the read. Mode
+    PERMISSIVE + columnNameOfCorruptRecord quarantines malformed rows
+    instead of failing the scan (the reference tolerates drift the same way,
+    bigquery_service.py:276-284)."""
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -53,3 +53,103 @@ def test_delete_rows_between(spark, tmp_path):
     delete_rows_between(spark, p, "id", 3, 6)  # S11: staging-window cleanup
     left = sorted(r["id"] for r in spark.read.parquet(p).collect())
     assert left == [0, 1, 2, 7, 8, 9]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT any shuffle: the
+    write-time hash layout replaces the runtime Exchange on both sides."""
+    from callio_etl_spark.io import write_bucketed
+
+    a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("va", F.col("k") * 2)
+    b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn("vb", F.col("k") + 7)
+    write_bucketed(a, "bkt_a", ["k"], 8)
+    write_bucketed(b, "bkt_b", ["k"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the big-big (SortMergeJoin) path is planned —
+        # that's the case bucketing exists for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be row-identical to the plain join, including a
+    pathological 90%-one-key skew and duplicate right-side keys."""
+    from callio_etl_spark.io import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
+        "k long, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (1, "hot2"), (2, "cold"), (999, "miss")], "k long, name string"
+    )
+    got = sorted(salted_join(left, right, "k").collect())
+    want = sorted(left.join(right, "k").collect())
+    assert got == want
+
+
+def test_json_ingest_to_flatten_chain(spark, tmp_path):
+    """End-to-end ingestion in the reference's native shape: nested JSON docs
+    (struct user, array-of-struct customFields) -> read_json_docs with an
+    explicit schema -> flatten_customer produces the flattened columns."""
+    import json
+
+    from callio_etl_spark.flatten import flatten_customer
+    from callio_etl_spark.io import read_json_docs
+
+    docs = [
+        {
+            "_id": "c1",
+            "user": {"_id": "u1", "name": "An", "group": {"_id": "g1"}},
+            "customFields": [{"key": "tinh-trang-kh", "val": "có nhu cầu"}],
+            "updateTime": 1700000000000,
+            "createTime": 1690000000000,
+        },
+        {"_id": "c2", "user": None, "customFields": None,
+         "updateTime": 1700000100000, "createTime": None},
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(d, ensure_ascii=False) for d in docs))
+    schema = (
+        "_id string, user struct<_id:string,name:string,group:struct<_id:string>>, "
+        "customFields array<struct<key:string,val:string>>, "
+        "updateTime long, createTime long"
+    )
+    raw = read_json_docs(spark, str(p), schema)
+    out = {r["_id"]: r for r in flatten_customer(raw, "PK").collect()}
+    assert out["c1"]["user_id"] == "u1"
+    assert out["c1"]["user_group_id"] == "g1"
+    assert out["c1"]["customField_0_val"] == "có nhu cầu"
+    assert out["c2"]["user_id"] is None
+    assert out["c1"]["tenant"] == "PK"
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """A filter on the partition column must prune at planning time: the scan
+    reports the predicate under PartitionFilters and reads only matching
+    directories."""
+    from callio_etl_spark.io import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 5:02d}") for i in range(100)], "v long, d string"
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(df, path, "d")
+    back = spark.read.parquet(path).where(F.col("d") == "2024-01-03")
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "2024-01-03" in pf[0], plan
+    assert back.count() == 20
