@@ -373,8 +373,13 @@ def connected_components(
     ``nodes``: one column ``node``; ``edges``: columns ``src``, ``dst``
     (undirected). Returns (node, component=min reachable node id).
     """
-    sym = edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionByName(
-        edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        # materialize once: the edge list is re-joined every round, and
+        # without this its full upstream lineage (e.g. the Jaccard
+        # verification join) would re-execute per iteration
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select("node", F.col("node").alias("comp"))
     for _ in range(max_iter):
