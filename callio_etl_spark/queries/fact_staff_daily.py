@@ -145,22 +145,29 @@ WHERE COALESCE(c.MaNV_id, s.MaNV_id) IS NOT NULL
     tags=["flagship", "A1", "A2", "A3", "J1", "J2", "J4", "P9", "P13", "F4"],
 )
 def fact_staff_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-after-aggregation rewrite: the oracle (and the reference) joins
+    the staff/group dims BEFORE aggregating and picks names with MIN; but
+    every dim attribute is functionally dependent on the group key (one
+    c_name / n_name per user_id), so the dim joins commute with the
+    aggregate. Joining after shrinks the join input from |events| to
+    |groups| AND keeps the aggregation buffer all-numeric, so Spark plans
+    HashAggregate instead of Sort+SortAggregate (a string MIN in the buffer
+    forces the sort-based fallback). Catalyst does not do this rewrite
+    itself; values are identical by functional dependency."""
     t = load_tables(spark, sf_dir, ["events", "customer", "nation", "orders"])
     e, c, n, o = t["events"], t["customer"], t["nation"], t["orders"]
-    cust_dim = c.select("c_custkey", "c_name", "c_nationkey")
+    cust_dim = c.select(
+        F.col("c_custkey").cast("string").alias("ck"), "c_name", "c_nationkey"
+    )
     ndim = F.broadcast(n.select("n_nationkey", "n_name"))
 
-    calls = (
+    calls_agg = (
         e.where(F.col("ts").isNotNull())
-        .join(cust_dim, e["user_id"] == cust_dim["c_custkey"], "left")
-        .join(ndim, cust_dim["c_nationkey"] == ndim["n_nationkey"], "left")
         .groupBy(
             ts_to_local_date(F.col("ts")).alias("Ngay"),
             F.col("user_id").cast("string").alias("MaNV_id"),
         )
         .agg(
-            F.min("c_name").alias("MaNV"),
-            F.min(F.coalesce(F.col("n_name"), F.lit("Unassigned"))).alias("Team"),
             F.count("*").alias("TongCuoc"),
             F.countDistinct("event_type").alias("SoSDT_Unique"),
             F.count_if(F.col("value") > 100).alias("SoCuoc_NoiMay"),
@@ -179,30 +186,38 @@ def fact_staff_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_millis(F.col("ts"))).alias("max_create_ms"),
         )
     )
+    calls = (
+        calls_agg.join(F.broadcast(cust_dim), calls_agg["MaNV_id"] == cust_dim["ck"], "left")
+        .join(ndim, cust_dim["c_nationkey"] == ndim["n_nationkey"], "left")
+        .select(
+            calls_agg["*"],
+            F.col("c_name").alias("MaNV"),
+            F.coalesce(F.col("n_name"), F.lit("Unassigned")).alias("Team"),
+        )
+    )
 
-    assigned = (
+    assigned_agg = (
         o.where(F.col("o_orderdate").isNotNull())
-        .join(cust_dim, o["o_custkey"] == cust_dim["c_custkey"], "left")
         .groupBy(
             ts_to_local_date(F.col("o_orderdate")).alias("Ngay"),
             F.col("o_custkey").cast("string").alias("MaNV_id"),
         )
         .agg(
-            F.min("c_name").alias("MaNV"),
-            F.min("c_nationkey").alias("group_id"),
             F.countDistinct("o_orderkey").alias("SoDataNhan"),
             F.max(F.unix_millis(F.col("o_orderdate"))).alias("max_assigned_ms"),
         )
     )
-
+    # A3's re-aggregation after the group join collapses under the same
+    # functional dependency: the keys are unchanged, so MAX(x) == x.
     agg_assigned = (
-        assigned.join(ndim, assigned["group_id"] == ndim["n_nationkey"], "left")
-        .groupBy("Ngay", "MaNV_id")
-        .agg(
-            F.min("MaNV").alias("MaNV"),
-            F.min("n_name").alias("Team"),
-            F.max("SoDataNhan").alias("SoDataNhan"),
-            F.max("max_assigned_ms").alias("max_assigned_ms"),
+        assigned_agg.join(
+            F.broadcast(cust_dim), assigned_agg["MaNV_id"] == cust_dim["ck"], "left"
+        )
+        .join(ndim, cust_dim["c_nationkey"] == ndim["n_nationkey"], "left")
+        .select(
+            assigned_agg["*"],
+            F.col("c_name").alias("MaNV"),
+            F.col("n_name").alias("Team"),
         )
     )
 
@@ -334,33 +349,35 @@ def fact_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_dim = c.select("c_custkey", "c_name", "c_nationkey")
     ndim = F.broadcast(n.select("n_nationkey", "n_name"))
 
-    staff_from_calls = (
-        e.join(cust_dim, e["user_id"] == cust_dim["c_custkey"], "left")
-        .groupBy(
+    # Join-after-aggregation (same functional-dependency argument as
+    # fact_staff_daily): MaNV/group_id are determined by MaNV_id alone, so
+    # the UNION ALL + MIN consolidation (A4) reduces to a DISTINCT over the
+    # two key sets followed by one broadcast dim lookup — all-numeric
+    # aggregation buffers (HashAggregate), dims joined against |staff-days|
+    # rows instead of |events| + |orders|.
+    cdim = F.broadcast(
+        c.select(F.col("c_custkey").cast("string").alias("ck"), "c_name", "c_nationkey")
+    )
+    staff_keys = (
+        e.select(
             ts_to_local_date(F.col("ts")).alias("Ngay"),
             F.col("user_id").cast("string").alias("MaNV_id"),
         )
-        .agg(F.min("c_name").alias("MaNV"), F.min("c_nationkey").alias("group_id"))
-    )
-    staff_from_cus = (
-        o.join(cust_dim, o["o_custkey"] == cust_dim["c_custkey"], "left")
-        .groupBy(
-            ts_to_local_date(F.col("o_orderdate")).alias("Ngay"),
-            F.col("o_custkey").cast("string").alias("MaNV_id"),
+        .unionByName(
+            o.select(
+                ts_to_local_date(F.col("o_orderdate")).alias("Ngay"),
+                F.col("o_custkey").cast("string").alias("MaNV_id"),
+            )
         )
-        .agg(F.min("c_name").alias("MaNV"), F.min("c_nationkey").alias("group_id"))
-    )
-    staff_one = (
-        staff_from_calls.unionByName(staff_from_cus)
-        .groupBy("Ngay", "MaNV_id")
-        .agg(F.min("MaNV").alias("MaNV"), F.min("group_id").alias("group_id"))
+        .distinct()
     )
     staff_enriched = (
-        staff_one.join(ndim, staff_one["group_id"] == ndim["n_nationkey"], "left")
+        staff_keys.join(cdim, staff_keys["MaNV_id"] == cdim["ck"], "left")
+        .join(ndim, cdim["c_nationkey"] == ndim["n_nationkey"], "left")
         .select(
             "Ngay",
             "MaNV_id",
-            "MaNV",
+            F.col("c_name").alias("MaNV"),
             F.coalesce(F.col("n_name"), F.lit("Unassigned")).alias("Team"),
         )
     )
