@@ -427,3 +427,22 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_next15m")
         )
     )
+
+
+@register("approx_sketch_stats", oracle=None, tags=["advanced", "sketch"])
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates — the 100 TB path where exact
+    distinct counts / percentiles are too expensive: HyperLogLog++ distinct
+    users and t-digest-style quantiles per event type, one pass, fixed-size
+    mergeable state (partial-agg before the shuffle like any hash agg).
+
+    No SQL oracle: DuckDB's approx algorithms differ (its HLL/quantile
+    sketches produce different estimates), so the driver records rows-only;
+    tests/test_llm_ops.py bounds the error against the exact answers
+    (rsd=0.02 for HLL; quantile within the neighboring exact quantiles)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.99], 10_000).alias("value_p50_p99"),
+        F.count("*").alias("n_rows"),
+    )

@@ -180,3 +180,12 @@ def run_foreach_batch_merge(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the (small) dim
+    snapshot — the streaming form of the flagship's J1/J2 group-dim joins.
+    The static side is re-read per micro-batch, so a slowly-changing dim
+    stays current without restarting the query; no state store involved
+    (unlike stream-stream joins)."""
+    return stream.join(F.broadcast(dim), on, how)

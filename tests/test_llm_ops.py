@@ -102,3 +102,39 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7)}
+
+
+def test_approx_sketch_stats_error_bounds(spark):
+    """HLL estimate within 3*rsd of exact; approx quantiles within the exact
+    p25..p75 / p95..max envelopes (accuracy=10k on ~2k rows per group is
+    near-exact; the loose envelope keeps the test sketch-implementation
+    agnostic)."""
+    from callio_etl_spark.queries.advanced import approx_sketch_stats
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["event_type"]: r for r in approx_sketch_stats(spark, sf).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("users"),
+                F.percentile("value", 0.25).alias("p25"),
+                F.percentile("value", 0.5).alias("p50"),
+                F.percentile("value", 0.75).alias("p75"),
+                F.percentile("value", 0.95).alias("p95"),
+                F.max("value").alias("vmax"),
+            )
+            .collect()
+        )
+    }
+    assert set(approx) == set(exact)
+    for t, a in approx.items():
+        x = exact[t]
+        assert abs(a["approx_users"] - x["users"]) <= 3 * 0.02 * x["users"] + 1
+        p50, p99 = a["value_p50_p99"]
+        assert x["p25"] <= p50 <= x["p75"]
+        assert x["p95"] <= p99 <= x["vmax"]

@@ -125,3 +125,28 @@ def test_session_window_stream(spark, dirs):
     assert (7, 2) in rows  # events 1+2 merged into one session
     assert (7, 1) in rows  # event 3 in its own session
     assert (8, 1) in rows
+
+
+def test_stream_static_dim_enrichment(spark, dirs):
+    """Events stream joined to a static user dim: names resolve per
+    micro-batch, unmatched users stay (left join)."""
+    from callio_etl_spark.streaming.incremental import enrich_stream_with_dim
+
+    _write_batch(spark, dirs["src"], [_row(1, 0, 7), _row(2, 1, 99)])
+    dim = spark.createDataFrame([(7, "An")], "user_id long, name string")
+    stream = enrich_stream_with_dim(
+        read_event_stream(spark, dirs["src"]), dim, "user_id"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enriched_t")
+        .option("checkpointLocation", dirs["ck"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["event_id"]: r["name"]
+        for r in spark.sql("select * from enriched_t").collect()
+    }
+    assert rows == {1: "An", 2: None}
