@@ -146,3 +146,66 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= TOP_K)
     )
+
+
+def _topk_window(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= TOP_K
+    )
+
+
+@register("ann_topk_gemm", oracle=None, tags=["llm", "similarity"])
+def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow + numpy GEMM fast path for brute-force top-k: the query matrix
+    (tiny — collected to the driver like a checkpoint scalar and closed over)
+    hits each Arrow batch of candidates as one BLAS matrix multiply, each
+    task emits only its partial top-k per query, and a final window re-ranks
+    the ~(partitions x k x queries) survivors. This is the wide-vector
+    production path the sequential-dot operators' docstrings point to; no
+    SQL oracle because BLAS pairwise summation is not bit-identical to the
+    sequential fold — tests/test_llm_ops.py asserts it ranks exactly like
+    ann_topk_brute."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from callio_etl_spark.tables import spread
+
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    qrows = emb.where(F.col("vec_id") < N_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    qm = np.array([r["v"] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.array(list(pdf["v"]), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            cos = cm @ qm.T  # |batch| x |queries| in one GEMM
+            nid = pdf["vec_id"].to_numpy()
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = cos[:, j]
+                keep = nid != qid
+                order = np.lexsort((nid[keep], -col[keep]))[:TOP_K]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid[keep][order],
+                            "cosine": col[keep][order],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    scored = spread(emb).mapInPandas(score, out_schema)
+    return _topk_window(scored)

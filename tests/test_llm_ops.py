@@ -138,3 +138,21 @@ def test_approx_sketch_stats_error_bounds(spark):
         p50, p99 = a["value_p50_p99"]
         assert x["p25"] <= p50 <= x["p75"]
         assert x["p95"] <= p99 <= x["vmax"]
+
+
+def test_gemm_topk_ranks_match_exact_bruteforce(spark):
+    """The BLAS fast path must produce the same neighbors in the same order
+    as the oracle-checked sequential brute force (fp reassociation moves
+    cosines by ~1e-16, far below any rank gap in this data)."""
+    from callio_etl_spark.llm_ops.similarity import ann_topk_brute, ann_topk_gemm
+
+    sf = "/root/testdata/sf0.01"
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk_brute(spark, sf).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_topk_gemm(spark, sf).collect()
+    }
+    assert got == want
