@@ -32,10 +32,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm-up: flagship at smoke scale (codegen/JIT, not measured).
-    queries["fact_staff_daily"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # Warm-up at smoke scale (not measured): flagship for JVM codegen/JIT,
+    # one Arrow query so Python workers + numpy imports are resident before
+    # any mapInPandas timing.
+    for warm in ("fact_staff_daily", "media_features"):
+        queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
