@@ -156,7 +156,10 @@ def merge_write(
     target = spark.read.parquet(target_path)
     if partition_col and part_min is not None:
         window_target = target.where(F.col(partition_col).between(part_min, part_max))
-        merged = merge_upsert(window_target, source, spec)
+        # localCheckpoint: materialize before overwriting files we read from
+        # (without it a task retry during the commit could re-read deleted
+        # input). The window is bounded, so this stays small by design.
+        merged = merge_upsert(window_target, source, spec).localCheckpoint()
         (
             merged.write.mode("overwrite")
             .partitionBy(partition_col)
