@@ -1,0 +1,117 @@
+"""CLI entry — the reference's ``python -m callio_etl --mode once|daemon
+--job all|customer|call|staffgroup`` surface (reference __main__.py:11-34,
+runner.py:967-1010) over the engine's fixture schema (FIXTURES.md mapping:
+events = call_log, orders = customer-assignment stream).
+
+``once`` runs one incremental tick per selected job (scan -> dedup -> MERGE
+-> checkpoint commit -> audit log) and then refreshes the two reporting
+facts (the reference's post-run hook, runner.py:1004-1008). ``daemon`` wraps
+the same ticks in the slot scheduler (scheduler.run_daemon).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.checkpoints import CheckpointStore
+from callio_etl_spark.config import EngineConfig
+from callio_etl_spark.functions import row_hash
+from callio_etl_spark.pipeline import IncrementalTable, commit, run_tick
+from callio_etl_spark.tables import load_table
+
+TENANT = "PK"
+
+
+def _prepared_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").withColumns(
+        {"tenant": F.lit(TENANT), "createTime": F.unix_millis("ts")}
+    )
+    return e.withColumn("row_hash", row_hash(e))
+
+
+def _prepared_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumns(
+        {"tenant": F.lit(TENANT), "updateTime": F.unix_millis("o_orderdate")}
+    )
+    return o.withColumn("row_hash", row_hash(o))
+
+
+JOB_TABLES = {
+    "call": (IncrementalTable("call_log", ["tenant", "event_id"], "createTime"), _prepared_events),
+    "customer": (IncrementalTable("customer", ["tenant", "o_orderkey"], "updateTime"), _prepared_orders),
+}
+
+
+def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: str) -> None:
+    table, prepare = JOB_TABLES[job]
+    path = os.path.join(cfg.work_dir, table.name)
+    target = None
+    if os.path.isdir(path):
+        target = spark.read.parquet(path)
+    batch = prepare(spark, cfg.sf_dir)
+    if cfg.limit_records:
+        batch = batch.orderBy(F.col(table.time_col_ms).desc()).limit(cfg.limit_records)
+    merged, new_ck = run_tick(spark, store, table, batch, target, TENANT)
+    if new_ck is not None:
+        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+    commit(store, table, TENANT, new_ck)
+
+
+def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
+    from callio_etl_spark.registry import all_queries
+
+    qs = all_queries()
+    for name in ("fact_staff_daily", "fact_status_pivot"):
+        out = os.path.join(cfg.work_dir, name)
+        qs[name](spark, cfg.sf_dir).write.mode("overwrite").parquet(out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="callio_etl_spark")
+    p.add_argument("--mode", choices=["once", "daemon"], default="once")
+    p.add_argument("--job", choices=["all", "customer", "call"], default="all")
+    p.add_argument("--sf-dir", default=None)
+    p.add_argument("--work-dir", default=None)
+    args = p.parse_args(argv)
+
+    cfg = EngineConfig.from_env()
+    if args.sf_dir:
+        cfg.sf_dir = args.sf_dir
+    if args.work_dir:
+        cfg.work_dir = args.work_dir
+    os.makedirs(cfg.work_dir, exist_ok=True)
+
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("callio-etl-cli", cpus=cfg.cpus)
+    store = CheckpointStore(
+        spark,
+        os.path.join(cfg.work_dir, "update_log"),
+        overlap_ms=cfg.overlap_ms,
+        lookback_days=cfg.lookback_days,
+    )
+    store.warm()
+
+    jobs = list(JOB_TABLES) if args.job == "all" else [args.job]
+
+    def run_once() -> None:
+        for job in jobs:
+            _tick(spark, cfg, store, job)
+        _refresh_reports(spark, cfg)  # post-run hook (runner.py:1004-1008)
+
+    if args.mode == "once":
+        run_once()
+    else:
+        from callio_etl_spark.scheduler import run_daemon
+
+        run_daemon({"tick": run_once}, cfg.run_times)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Scheduler slot math (C6) and the CLI once-mode end-to-end (reference
+__main__ parity): deterministic clock-injected scheduling tests plus a
+two-run idempotency check of `--mode once --job all`.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from callio_etl_spark.scheduler import (
+    due,
+    next_slot,
+    parse_run_times,
+    prev_slot,
+    run_daemon,
+    sleep_seconds,
+)
+
+UTC = dt.timezone.utc
+TIMES = parse_run_times("02:30,04:00,11:00")
+
+
+def test_slot_math_same_day_and_wraparound():
+    now = dt.datetime(2024, 5, 2, 5, 0, tzinfo=UTC)
+    assert prev_slot(now, TIMES) == dt.datetime(2024, 5, 2, 4, 0, tzinfo=UTC)
+    assert next_slot(now, TIMES) == dt.datetime(2024, 5, 2, 11, 0, tzinfo=UTC)
+    early = dt.datetime(2024, 5, 2, 1, 0, tzinfo=UTC)
+    assert prev_slot(early, TIMES) == dt.datetime(2024, 5, 1, 11, 0, tzinfo=UTC)
+    late = dt.datetime(2024, 5, 2, 23, 0, tzinfo=UTC)
+    assert next_slot(late, TIMES) == dt.datetime(2024, 5, 3, 2, 30, tzinfo=UTC)
+
+
+def test_due_skip_if_already_ran():
+    now = dt.datetime(2024, 5, 2, 5, 0, tzinfo=UTC)
+    assert due(None, now, TIMES)  # never ran
+    ran_after_slot = dt.datetime(2024, 5, 2, 4, 30, tzinfo=UTC)
+    assert not due(ran_after_slot, now, TIMES)  # 04:00 slot already consumed
+    ran_before_slot = dt.datetime(2024, 5, 2, 3, 0, tzinfo=UTC)
+    assert due(ran_before_slot, now, TIMES)  # 04:00 fired since
+
+
+def test_sleep_capped_at_poll_ceiling():
+    now = dt.datetime(2024, 5, 2, 5, 0, tzinfo=UTC)
+    assert sleep_seconds(now, TIMES) == 300  # 6 h away -> capped
+    near = dt.datetime(2024, 5, 2, 10, 58, tzinfo=UTC)
+    assert sleep_seconds(near, TIMES) == 120
+
+
+def test_daemon_error_isolation_and_skip():
+    """A failing job never stops the loop; a job that ran is skipped until
+    the next slot fires."""
+    calls = {"good": 0, "bad": 0}
+    errors = []
+    clock_ticks = iter(
+        [
+            dt.datetime(2024, 5, 2, 4, 1, tzinfo=UTC),  # iter 1 now
+            dt.datetime(2024, 5, 2, 4, 1, tzinfo=UTC),  # iter 1 sleep calc
+            dt.datetime(2024, 5, 2, 4, 2, tzinfo=UTC),  # iter 2: same slot
+            dt.datetime(2024, 5, 2, 4, 2, tzinfo=UTC),
+            dt.datetime(2024, 5, 2, 11, 1, tzinfo=UTC),  # iter 3: new slot
+            dt.datetime(2024, 5, 2, 11, 1, tzinfo=UTC),
+        ]
+    )
+
+    def good():
+        calls["good"] += 1
+
+    def bad():
+        calls["bad"] += 1
+        raise RuntimeError("boom")
+
+    run_daemon(
+        {"good": good, "bad": bad},
+        TIMES,
+        clock=lambda: next(clock_ticks),
+        sleeper=lambda s: None,
+        max_iterations=3,
+        on_error=lambda name, exc: errors.append(name),
+    )
+    # good: iter1 (never ran) + iter3 (new slot); skipped in iter2
+    assert calls["good"] == 2
+    # bad never succeeds -> due every iteration; loop survives all failures
+    assert calls["bad"] == 3
+    assert errors == ["bad", "bad", "bad"]
+
+
+def test_cli_once_is_idempotent(tmp_path, monkeypatch):
+    """Two `--mode once --job all` runs: outputs exist after the first; the
+    second is a NOOP tick (checkpoint already at max event time) and leaves
+    the merged table byte-identical. The fixture data is archival (2024), so
+    the cold-start lookback is widened via the reference's env knob."""
+    monkeypatch.setenv("DAYS_TO_FETCH_IF_EMPTY", "100000")
+    from callio_etl_spark.__main__ import main
+
+    wd = str(tmp_path / "work")
+    args = ["--mode", "once", "--job", "all",
+            "--sf-dir", "/root/testdata/sf0.001", "--work-dir", wd]
+    assert main(args) == 0
+
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("cli-test")
+    first = spark.read.parquet(f"{wd}/call_log").count()
+    assert first > 0
+    assert spark.read.parquet(f"{wd}/fact_staff_daily").count() > 0
+    assert spark.read.parquet(f"{wd}/fact_status_pivot").count() > 0
+
+    assert main(args) == 0
+    # idempotent: the overlap tail re-merges (mode MERGED, C2 semantics) but
+    # the row_hash guard changes nothing — count stays identical
+    assert spark.read.parquet(f"{wd}/call_log").count() == first
+    log = spark.read.parquet(f"{wd}/update_log")
+    modes = [r["mode"] for r in log.where(F_table("call_log")).collect()]
+    assert modes == ["MERGED", "MERGED"]
+
+
+def F_table(name):
+    import pyspark.sql.functions as F
+
+    return F.col("table_name") == name
