@@ -1,0 +1,132 @@
+"""Dataset-splitting and weighting operators for training pipelines
+(SURVEY.md section 7.4 extension surface).
+
+- ``hash_split``     deterministic train/valid/test assignment from a
+  content-independent key hash. The industry-standard way to split at
+  100 TB: no global shuffle, no sampling state, stable across reruns and
+  engines (MD5 is engine-independent; Spark's rand()/sampleBy are not
+  reproducible cross-engine).
+- ``tfidf_top_terms``  per-document top-k terms by tf-idf. Uses the LINEAR
+  idf variant ``tf * (N+1)/(df+1)`` so every score is a ratio of small
+  integers — exact in IEEE double on both engines, which keeps the oracle's
+  rank comparison deterministic (a log idf differs in the last ulp between
+  libm implementations and can flip ranks; production swaps in log idf, the
+  plan shape is identical).
+
+Scale notes: hash_split is a pure map-side projection. tfidf is two hash
+aggregates (term counts per doc; doc frequency per term) + one broadcast-
+able join on term — doc-frequency is the classic hot-key risk (stopwords),
+prune them first in production or salt the term join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+TOKEN_RE = "[a-z0-9]+"
+TRAIN_FRAC, VALID_FRAC = 0.8, 0.1  # remainder = test
+TOP_TERMS = 3
+
+
+@register(
+    "hash_split",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < {TRAIN_FRAC} THEN 'train'
+            WHEN u < {TRAIN_FRAC + VALID_FRAC} THEN 'valid'
+            ELSE 'test' END AS split,
+       u AS split_key
+FROM h
+""",
+    tags=["llm", "sampling"],
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split: uniform u in [0,1) from the first 32
+    bits of MD5(doc_id), thresholded. Pure projection — no shuffle, no
+    state; membership is reproducible from the key alone (add a salt string
+    to the hash input to draw a fresh split)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return d.select(
+        "doc_id",
+        F.when(u < TRAIN_FRAC, "train")
+        .when(u < TRAIN_FRAC + VALID_FRAC, "valid")
+        .otherwise("test")
+        .alias("split"),
+        u.alias("split_key"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+  WHERE doc_id % 5 = 0
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tok),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) + 1.0)
+           / (CAST(df.df AS DOUBLE) + 1.0) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM scored
+WINDOW w AS (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_TERMS}
+""",
+    tags=["llm", "text", "sampling"],
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_TERMS} characteristic terms per document by tf-idf (linear
+    idf — see module docstring for why). Two hash aggregates + a term join
+    (broadcast: the term dictionary is tiny relative to the corpus) + one
+    per-doc window."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") + 1.0)
+                / (F.col("df").cast("double") + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
+        F.col("rank") <= TOP_TERMS
+    )

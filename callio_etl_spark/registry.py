@@ -70,6 +70,7 @@ def _load_all() -> None:
     )
     from callio_etl_spark.llm_ops import (  # noqa: F401
         dedup_ops,
+        sampling,
         similarity,
         text_analysis,
         multimodal,

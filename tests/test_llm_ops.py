@@ -156,3 +156,19 @@ def test_gemm_topk_ranks_match_exact_bruteforce(spark):
         for r in ann_topk_gemm(spark, sf).collect()
     }
     assert got == want
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    """80/10/10 within binomial tolerance on 500 docs; rerunning assigns
+    identical membership (pure function of the key)."""
+    from callio_etl_spark.llm_ops.sampling import hash_split
+
+    sf = "/root/testdata/sf0.01"
+    a = {r["doc_id"]: r["split"] for r in hash_split(spark, sf).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(spark, sf).collect()}
+    assert a == b
+    n = len(a)
+    counts = {s: sum(1 for v in a.values() if v == s) for s in ("train", "valid", "test")}
+    assert abs(counts["train"] / n - 0.8) < 0.06
+    assert abs(counts["valid"] / n - 0.1) < 0.05
+    assert abs(counts["test"] / n - 0.1) < 0.05
