@@ -446,3 +446,85 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.99], 10_000).alias("value_p50_p99"),
         F.count("*").alias("n_rows"),
     )
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(RANK() OVER w AS BIGINT)         AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT)   AS drnk,
+       CAST(NTILE(4) OVER w AS BIGINT)       AS quartile,
+       LAG(o_totalprice) OVER w              AS prev_price,
+       LEAD(o_totalprice) OVER w             AS next_price,
+       FIRST_VALUE(o_orderkey) OVER w        AS first_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+    tags=["advanced", "window-functions"],
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/offset window surface beyond the reference's lone
+    ROW_NUMBER (SURVEY section 2.7): rank, dense_rank, ntile, lag/lead,
+    first_value, one shared (ASC, unique-tiebreak) ordering so every
+    function is deterministic. All six share one shuffle + sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+    )
+
+
+@register(
+    "date_fn_suite",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                              AS d,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)   AS month_start,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS quarter_start,
+       last_day(CAST(o_orderdate AS DATE))                    AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)     AS plus_2m,
+       CAST(CAST(o_orderdate AS DATE) - 7 AS DATE)            AS minus_7d,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                                                              AS days_since_epoch_95,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)         AS y,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT)      AS q,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)        AS m,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS BIGINT)          AS dom
+FROM orders
+""",
+    tags=["advanced", "date-functions"],
+)
+def date_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function surface beyond the reference's epoch-ms day buckets
+    (P8/P9/P17): truncation, month arithmetic (end-of-month clamping
+    included), day offsets, date differences, and part extraction — the
+    expressions every date-partitioned rollup at scale is built from.
+    Engine-sensitive functions (week numbering, day-of-week origin) are
+    deliberately excluded; those need an explicit convention (P17's
+    iso_week_key / week_start_vn cover the reference's)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.date_sub(d, 7).alias("minus_7d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_95"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+    )
