@@ -528,3 +528,42 @@ def date_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("m"),
         F.dayofmonth("o_orderdate").cast("long").alias("dom"),
     )
+
+
+@register(
+    "string_fn_suite",
+    oracle="""
+SELECT p_partkey,
+       split_part(p_name, ' ', 1)                          AS first_word,
+       split_part(p_name, ' ', 2)                          AS second_word,
+       levenshtein(p_name, p_brand)                        AS name_brand_dist,
+       translate(p_name, 'aeiou', 'AEIOU')                 AS vowels_up,
+       repeat(left(p_brand, 2), 2)                         AS brand_rep,
+       reverse(p_type)                                     AS type_rev,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')               AS size_pad,
+       CAST(strpos(p_name, ' ') AS BIGINT)                 AS space_pos,
+       concat_ws('|', p_brand, p_type)                     AS brand_type
+FROM part
+""",
+    tags=["advanced", "string-functions"],
+)
+def string_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface beyond the reference's lower/trim/like/rlike
+    (P11-P14): tokenized field access (split_part), edit distance
+    (levenshtein — the cheap fuzzy-match primitive), character mapping,
+    padding, position search, separator-joined concat. All chosen for
+    identical cross-engine semantics on ASCII (unicode-sensitive functions
+    like initcap differ per engine and are excluded)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.levenshtein("p_name", "p_brand").alias("name_brand_dist"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("brand_rep"),
+        F.reverse("p_type").alias("type_rev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.instr("p_name", " ").cast("long").alias("space_pos"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
