@@ -64,11 +64,14 @@ def _load_all() -> None:
     from callio_etl_spark.queries import (  # noqa: F401
         advanced,
         fact_staff_daily,
+        functions_ext,
         merge_queries,
         relational,
         scalars,
+        subqueries,
     )
     from callio_etl_spark.llm_ops import (  # noqa: F401
+        chunking,
         dedup_ops,
         sampling,
         similarity,

@@ -91,3 +91,24 @@ def test_grouping_sets_partial_agg(spark):
     plan = _plan(spark, "rollup_agg")
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2  # partial before the shuffle
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must plan as one semi join (subquery runs once as
+    a relation), never a per-row subquery or nested loop."""
+    plan = _plan(spark, "exists_subquery")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_not_in_subquery_is_null_aware_anti_join(spark):
+    plan = _plan(spark, "not_in_subquery")
+    assert "LeftAnti" in plan
+
+
+def test_pack_sequences_single_exchange(spark):
+    """The packing window and the pack rollup share the partitioning on
+    source: exactly one data Exchange in the whole plan (one node = two
+    mentions in formatted output: tree + details)."""
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("Exchange") <= 2, plan
