@@ -69,6 +69,7 @@ def _load_all() -> None:
         relational,
         scalars,
         subqueries,
+        tpch,
     )
     from callio_etl_spark.llm_ops import (  # noqa: F401
         chunking,
