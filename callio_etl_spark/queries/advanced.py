@@ -176,18 +176,29 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregate (TPC-H Q1 shape + subtotals + grand
-    total), GROUPING_ID distinguishing subtotal rows from data NULLs. Spark
-    plans grouping sets as one Expand + hash aggregate — still partial-agg
-    before the shuffle."""
+    total), GROUPING_ID distinguishing subtotal rows from data NULLs.
+
+    Computed as base-aggregate-then-rollup: COUNT/SUM are decomposable, so
+    the fact table is first reduced to its finest grouping (a handful of
+    rows), and ROLLUP's Expand runs over THAT. A naive rollup over the raw
+    table Expands every input row once per grouping set (3x the scan rows
+    through the aggregate at 100 TB); this form pays one ordinary hash
+    aggregate plus an Expand over |groups| rows — the standard rewrite for
+    additive grouping-set measures."""
     li = load_table(spark, sf_dir, "lineitem")
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,6)"
     )
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("pq"),
+        F.sum(revenue).alias("pr"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("long").alias("gid"),
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
-        F.sum(revenue).cast("double").alias("sum_revenue"),
+        F.sum("pn").cast("long").alias("n_rows"),
+        F.sum("pq").cast("double").alias("sum_qty"),
+        F.sum("pr").cast("double").alias("sum_revenue"),
     )
 
 
