@@ -189,3 +189,49 @@ def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on, how: str = "le
     stays current without restarting the query; no state store involved
     (unlike stream-stream joins)."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    watermark: str = OVERLAP_WATERMARK,
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with the right
+    events of the same user that land within ``within`` AFTER it (click ->
+    purchase attribution shape). Both sides carry watermarks and the join
+    condition bounds event time in BOTH directions — that pair of bounds is
+    what lets Spark evict join state (a side's rows older than
+    watermark + interval can never match again), so state stays
+    proportional to the window, not the stream history.
+
+    State is partitioned by user_id — the same shuffle key as every batch
+    analog here — and an inner join emits a result only when both sides
+    have arrived, making output independent of arrival order."""
+    l = (
+        left.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("l_event_id"),
+            F.col("event_type").alias("l_type"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("r_event_id"),
+            F.col("event_type").alias("r_type"),
+        )
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"user_id = r_user_id AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+        "inner",
+    ).select(
+        "user_id", "l_event_id", "l_type", "l_ts", "r_event_id", "r_type", "r_ts"
+    )

@@ -150,3 +150,33 @@ def test_stream_static_dim_enrichment(spark, dirs):
         for r in spark.sql("select * from enriched_t").collect()
     }
     assert rows == {1: "An", 2: None}
+
+
+def test_stream_stream_interval_join(spark, dirs):
+    """Two streams over the same source dir (clicks vs purchases) joined on
+    user within a 30-min forward interval; result must match the batch join
+    regardless of micro-batch arrival order."""
+    from callio_etl_spark.streaming.incremental import join_event_streams
+
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            _row(1, 0, 7, "click"),
+            _row(2, 10, 7, "purchase"),     # pairs with 1 (within 30m)
+            _row(3, 50, 7, "purchase"),     # too late for 1
+            _row(4, 45, 7, "click"),
+            # user 8: purchase before any click -> no pair
+            _row(5, 5, 8, "purchase"),
+        ],
+    )
+    s = read_event_stream(spark, dirs["src"])
+    clicks = s.where(F.col("event_type") == "click")
+    buys = s.where(F.col("event_type") == "purchase")
+    joined = join_event_streams(clicks, buys)
+    run_available_now(joined, dirs["out"], dirs["ck"])
+    got = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    )
+    assert got == [(1, 2), (4, 3)]
