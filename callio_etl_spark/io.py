@@ -130,3 +130,27 @@ def read_json_docs(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV ingestion for the landing zone, same contract as read_json_docs:
+    explicit schema => single-pass scan (inference reads the data twice —
+    never at 100 TB), PERMISSIVE mode quarantines malformed lines into
+    _corrupt_record instead of failing the job. CSV is splittable only
+    without multiline quoting, so wide-cluster parallelism holds for
+    line-per-record files; convert to parquet at the first hop regardless."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)

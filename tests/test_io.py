@@ -153,3 +153,27 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "2024-01-03" in pf[0], plan
     assert back.count() == 20
+
+
+def test_csv_ingest_with_corrupt_quarantine(spark, tmp_path):
+    """Malformed CSV lines land in _corrupt_record; good rows parse fully."""
+    from callio_etl_spark.io import read_csv_table
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,n\n1,alpha,10\n2,beta,not_a_number\n3,gamma,30\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("n", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_csv_table(spark, str(p), schema=schema).cache()
+    good = df.where(df._corrupt_record.isNull())
+    bad = df.where(df._corrupt_record.isNotNull())
+    assert good.count() == 2
+    assert [r.id for r in bad.collect()] == [2]
