@@ -191,3 +191,56 @@ def regexp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit("[aeiou]+")).cast("long").alias("n_vowel_runs"),
         F.when(t.rlike("[0-9]"), 1).otherwise(0).cast("long").alias("has_digit"),
     )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, val
+FROM (
+  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                  l_discount, l_tax
+           FROM lineitem WHERE l_orderkey % 50 = 0)
+  ON l_quantity, l_extendedprice, l_discount, l_tax
+  INTO NAME measure VALUE val
+)
+""",
+    tags=["functions", "unpivot"],
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long UNPIVOT (melt) of the four lineitem measures, keyed by
+    (order, line). Pure row-local Expand — 4x the rows, zero shuffle; the
+    inverse of pivot_event_types. Values pass through untouched (no
+    arithmetic), so cross-engine parity is exact."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "json_map_suite",
+    oracle="""
+SELECT e.event_id,
+       u.k                                              AS k,
+       CAST(json_extract(e.props, '$.' || u.k) AS BIGINT) AS v
+FROM events e, unnest(json_keys(e.props)) AS u(k)
+WHERE e.event_id % 20 = 0
+""",
+    tags=["functions", "json", "map"],
+)
+def json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload -> MAP type -> exploded key/value rows: the generic
+    form of schema-on-read for the reference's stringly-typed payloads
+    (SURVEY P6) when the key set is open-ended — from_json to a map accepts
+    ANY keys, where a struct schema would silently null unknown ones.
+    Lateral explode is row-local (no shuffle)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return e.select("event_id", F.explode(m).alias("k", "v"))
