@@ -149,9 +149,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        # materialize once: a self-join evaluates its input subtree on BOTH
+        # sides (broadcast + stream), which would run the whole
+        # tokenize->minhash signature pass twice. The band table is 4 short
+        # rows per doc — at scale this is the signature table you'd persist
+        # anyway before pair generation.
+        .localCheckpoint(eager=True)
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -261,7 +272,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0))
     ws = d.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
-    )
+        # materialize the inverted index once: it feeds both sides of the
+        # token self-join AND both size lookups — four evaluations of the
+        # regexp tokenization without this (at scale: the posting list you'd
+        # persist anyway)
+    ).localCheckpoint(eager=True)
     sizes = ws.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = ws.alias("a"), ws.alias("b")
     inter = (
