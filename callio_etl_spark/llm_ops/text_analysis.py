@@ -203,3 +203,54 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     fp = F.md5(norm)
     return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_bucket"))
+
+
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+URL_RE = "https?://[^ ]+"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+WITH seeded AS (
+  -- deterministic synthetic PII so the redaction paths are actually
+  -- exercised (the synthetic corpus contains none)
+  SELECT doc_id,
+         text || ' contact u' || doc_id ||
+         '@example.com via https://example.com/u/' || doc_id AS t
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{URL_RE}')) AS BIGINT)   AS n_urls,
+       substr(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{URL_RE}', '<URL>', 'g'),
+              -60, 60)                                          AS scrubbed_tail
+FROM seeded
+""",
+    tags=["llm", "text", "pii"],
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass: count and mask
+    emails/URLs with placeholder tokens. Pure per-row regexp (codegen, no
+    shuffle); extend the pattern list (phone, SSN, IP) the same way. The
+    synthetic corpus carries no PII, so a deterministic doc_id-derived
+    email+URL is appended first — the redaction is verified against real
+    matches, not vacuous zero counts."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://example.com/u/"),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(URL_RE)).cast("long").alias("n_urls"),
+        F.substring(scrubbed, -60, 60).alias("scrubbed_tail"),
+    )

@@ -89,3 +89,63 @@ def test_row_hash_ignores_volatile_and_column_order(spark, rows, volatile):
     changed = base.withColumn("name", F.concat(F.col("name"), F.lit("!")))
     h1 = hashes(changed)
     assert all(h1[k] != h0[k] for k in h0)  # stable-column change moves it
+
+
+def test_chunk_documents_reassembles_to_original(spark):
+    """Joining each doc's chunks back in chunk order must reproduce the
+    original text exactly — no token lost, duplicated, or reordered."""
+    from callio_etl_spark.llm_ops.chunking import chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    chunks = chunk_documents(spark, sf)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_id", "chunk_text"))
+                ).getField("chunk_text"),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    orig = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    bad = (
+        orig.join(rebuilt, "doc_id")
+        .where(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_sequences_conserves_tokens_and_bounds_packs(spark):
+    """Packing must conserve the total token count per source and every
+    pack's start offset must align to the running order (pack ids dense
+    from 0, each pack below budget + one max-doc overhang)."""
+    from callio_etl_spark.llm_ops.chunking import pack_sequences, PACK_BUDGET
+
+    sf = "/root/testdata/sf0.001"
+    packs = pack_sequences(spark, sf).cache()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "source", F.size(F.split("text", " ")).alias("n")
+    )
+    per_src_docs = docs.groupBy("source").agg(
+        F.sum("n").alias("tok"), F.max("n").alias("max_doc")
+    )
+    per_src_packs = packs.groupBy("source").agg(
+        F.sum("pack_tokens").alias("tok"),
+        F.min("pack_id").alias("min_pid"),
+        F.max("pack_id").alias("max_pid"),
+        F.count("*").alias("n_packs"),
+    )
+    j = per_src_docs.alias("d").join(per_src_packs.alias("p"), "source")
+    # conservation
+    assert j.where(F.col("d.tok") != F.col("p.tok")).count() == 0
+    # dense pack ids starting at 0
+    assert j.where(F.col("min_pid") != 0).count() == 0
+    assert j.where(F.col("max_pid") != F.col("n_packs") - 1).count() == 0
+    # a pack never exceeds budget by more than one straddling document
+    over = packs.join(per_src_docs, "source").where(
+        F.col("pack_tokens") >= PACK_BUDGET + F.col("max_doc")
+    )
+    assert over.count() == 0
