@@ -244,3 +244,152 @@ def json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 20 == 0)
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return e.select("event_id", F.explode(m).alias("k", "v"))
+
+
+@register(
+    "window_dist_suite",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       percent_rank() OVER w AS pr,
+       cume_dist()    OVER w AS cd,
+       nth_value(o_orderkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS second_key
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+""",
+    tags=["functions", "window"],
+)
+def window_dist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank/cume_dist (integer
+    ratios — engine-exact doubles) and nth_value over the full-partition
+    frame. Ordering on the unique o_orderkey makes every value
+    deterministic; one sort per partition key, shared by all three."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=["functions", "grouping-sets"],
+)
+def grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar for:
+    per-flag totals, per-status totals, and the grand total, with no
+    (flag, status) level. Expressed through spark.sql (the DataFrame API
+    has rollup/cube but not arbitrary sets)."""
+    from callio_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    # Spark spells the bit-encoded grouping indicator GROUPING_ID(...);
+    # DuckDB's multi-arg GROUPING(...) returns the same encoding.
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "null_semantics_suite",
+    oracle="""
+SELECT e.event_id,
+       CAST(CASE WHEN e.value IS DISTINCT FROM o.o_totalprice
+                 THEN 1 ELSE 0 END AS BIGINT)                  AS is_diff,
+       CAST(CASE WHEN e.props IS NOT DISTINCT FROM NULL
+                 THEN 1 ELSE 0 END AS BIGINT)                  AS props_null,
+       COALESCE(NULLIF(e.event_type, 'view'), 'other')         AS type_or_other,
+       CASE WHEN e.value IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_like
+FROM events e
+LEFT JOIN orders o ON e.event_id = o.o_orderkey
+WHERE e.event_id % 25 = 0
+""",
+    tags=["functions", "null-semantics"],
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe comparison semantics: IS [NOT] DISTINCT FROM (Spark's
+    equal_null / <=>), NULLIF+COALESCE chains, NVL2-style presence
+    branching — the three-valued-logic corners every engine must agree on,
+    exercised across a LEFT join's generated NULLs."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 25 == 0)
+    o = load_table(spark, sf_dir, "orders")
+    j = e.join(o, e.event_id == o.o_orderkey, "left")
+    return j.select(
+        "event_id",
+        (~F.col("value").eqNullSafe(F.col("o_totalprice")))
+        .cast("long")
+        .alias("is_diff"),
+        F.col("props").eqNullSafe(F.lit(None)).cast("long").alias("props_null"),
+        F.coalesce(F.nullif("event_type", F.lit("view")), F.lit("other")).alias(
+            "type_or_other"
+        ),
+        F.when(F.col("value").isNotNull(), "has").otherwise("none").alias("nvl2_like"),
+    )
+
+
+@register(
+    "date_spine_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+  FROM events WHERE user_id % 200 = 0 GROUP BY user_id
+),
+spine AS (
+  -- scalar generate_series (list) + unnest: the table-function form can't
+  -- take lateral column arguments in DuckDB
+  SELECT b.user_id,
+         CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds b
+),
+actual AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id % 200 = 0 GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT s.user_id, s.d, COALESCE(a.n, 0) AS n_events
+FROM spine s LEFT JOIN actual a ON s.user_id = a.user_id AND s.d = a.d
+""",
+    tags=["functions", "date-spine"],
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: a dense per-user daily series with explicit
+    zero rows — the standard reporting fix for 'days with no events
+    disappear from the fact table' (the reference's staff-daily fact has
+    exactly this shape). sequence()+explode generates each user's spine
+    from its own bounds (rows ∝ user-days, no cross join against a global
+    calendar); the left join back is on the aggregate, which reuses the
+    same (user, day) partitioning."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 200 == 0)
+    ed = e.select("user_id", F.col("ts").cast("date").alias("d"))
+    bounds = ed.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d"),
+    )
+    actual = ed.groupBy("user_id", "d").agg(F.count("*").alias("n"))
+    return spine.join(actual, ["user_id", "d"], "left").select(
+        "user_id", "d", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events")
+    )
