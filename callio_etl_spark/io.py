@@ -154,3 +154,36 @@ def read_csv_table(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_value,
+    target_files: int = 1,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction for one partition — the OPTIMIZE half of table
+    maintenance that incremental pipelines need at scale: every AvailableNow
+    tick appends a few files per day-partition, and a year of ticks turns a
+    scan into an open()-per-kilobyte exercise. Rewrites the partition into
+    ``target_files`` files (re-sorted on the cluster keys so row-group
+    pruning survives compaction) via dynamic partition overwrite, so sibling
+    partitions are untouched. Returns the number of rows rewritten.
+
+    Scale: one shuffle of the single partition's data; at 100 TB this runs
+    per-partition (bounded work) on a schedule, never over the whole table.
+    With Delta this becomes OPTIMIZE ... WHERE + ZORDER."""
+    df = spark.read.parquet(path).where(F.col(partition_col) == partition_value)
+    n = df.count()
+    compacted = df.repartition(target_files)
+    if cluster_cols:
+        compacted = compacted.sortWithinPartitions(*cluster_cols)
+    (
+        compacted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return n

@@ -177,3 +177,32 @@ def test_csv_ingest_with_corrupt_quarantine(spark, tmp_path):
     bad = df.where(df._corrupt_record.isNotNull())
     assert good.count() == 2
     assert [r.id for r in bad.collect()] == [2]
+
+
+def test_compact_partition_rewrites_only_target(spark, tmp_path):
+    """Compaction merges one partition's files and leaves siblings alone."""
+    import glob
+
+    from callio_etl_spark.io import compact_partition, write_partitioned
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(d, i, f"v{i}") for d in ("2024-01-01", "2024-01-02") for i in range(40)],
+        "d string, k int, v string",
+    )
+    write_partitioned(df, path, "d")
+    # fragment partition d=2024-01-01 into many small files
+    frag = spark.createDataFrame(
+        [("2024-01-01", 100 + i, "x") for i in range(8)], "d string, k int, v string"
+    )
+    frag.repartition(8).write.mode("append").partitionBy("d").parquet(path)
+
+    files_before_sibling = set(glob.glob(f"{path}/d=2024-01-02/*.parquet"))
+    rows = compact_partition(spark, path, "d", "2024-01-01", target_files=1,
+                             cluster_cols=["k"])
+    assert rows == 48
+    assert len(glob.glob(f"{path}/d=2024-01-01/*.parquet")) == 1
+    assert set(glob.glob(f"{path}/d=2024-01-02/*.parquet")) == files_before_sibling
+    got = spark.read.parquet(path)
+    assert got.count() == 88
+    assert got.where(F.col("d") == "2024-01-01").count() == 48
