@@ -254,3 +254,72 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(t, F.lit(URL_RE)).cast("long").alias("n_urls"),
         F.substring(scrubbed, -60, 60).alias("scrubbed_tail"),
     )
+
+
+MIN_TOKENS, MAX_TOKENS = 10, 10_000
+MAX_REPEAT_RATIO = 0.30  # top token may claim at most 30% of the doc
+
+
+@register(
+    "corpus_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_extract_all(lower(text), '{{TOKEN_RE}}') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT)                 AS n_tok,
+         CAST(len(list_distinct(toks)) AS BIGINT)  AS n_uniq,
+         CAST((SELECT max(cnt) FROM (
+            SELECT COUNT(*) AS cnt FROM unnest(toks) AS u(w) GROUP BY w
+         )) AS BIGINT)                             AS top_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tok,
+       CAST(n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS} AS BIGINT)  AS len_ok,
+       CAST(top_tok <= CAST(ceil(n_tok * {MAX_REPEAT_RATIO}) AS BIGINT) AS BIGINT)
+                                                                        AS repeat_ok,
+       CAST(lang IN ('en', 'de', 'fr', 'es', 'zh') AS BIGINT)           AS lang_ok,
+       CAST(n_tok >= {MIN_TOKENS} AND n_tok <= {MAX_TOKENS}
+            AND top_tok <= CAST(ceil(n_tok * {MAX_REPEAT_RATIO}) AS BIGINT)
+            AND lang IN ('en', 'de', 'fr', 'es', 'zh') AS BIGINT)       AS keep
+FROM s
+""".replace("{TOKEN_RE}", TOKEN_RE),
+    tags=["llm", "text", "filter"],
+)
+def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style keep/drop decision with per-rule flags: length
+    bounds, max-token-repetition (boilerplate/spam proxy), language
+    allowlist. Emitting each rule's verdict separately — not just the
+    final keep bit — is what makes a 100 TB filter debuggable: rule hit
+    rates are one groupBy away. Single scan, all codegen expressions;
+    the top-token count is an in-row aggregate over the token array
+    (no explode, no shuffle). That in-row count is O(|distinct| x |tokens|)
+    per document — right for web-page-sized docs; for book-length inputs
+    flip to explode + (doc, token) count + max, which trades a shuffle for
+    linear work."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    n_tok = F.size(toks).cast("long")
+    # most frequent token's count, computed in-row: count occurrences of
+    # each distinct token via filter(), take the max
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)).cast("long"),
+        )
+    )
+    len_ok = (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS)
+    repeat_ok = top_tok <= F.ceil(n_tok * MAX_REPEAT_RATIO).cast("long")
+    lang_ok = F.col("lang").isin("en", "de", "fr", "es", "zh")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tok"),
+        len_ok.cast("long").alias("len_ok"),
+        repeat_ok.cast("long").alias("repeat_ok"),
+        lang_ok.cast("long").alias("lang_ok"),
+        (len_ok & repeat_ok & lang_ok).cast("long").alias("keep"),
+    )

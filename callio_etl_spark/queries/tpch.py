@@ -196,3 +196,50 @@ def tpch_q5_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+Q18_QTY = 300
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > {Q18_QTY}
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+""",
+    tags=["tpch", "join", "having"],
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume orders: IN over an aggregate subquery (HAVING) ->
+    planned as aggregate + left-semi join, so the big lineitem table is
+    aggregated ONCE to find qualifying orders and the rest of the query
+    touches only those. l_quantity is integer-valued, so the HAVING
+    threshold compares exactly in both engines; the output sum goes
+    through DECIMAL."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > Q18_QTY)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "bk"),
+                F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty")
+        )
+    )
