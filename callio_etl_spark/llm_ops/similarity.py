@@ -209,3 +209,49 @@ def ann_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = spread(emb).mapInPandas(score, out_schema)
     return _topk_window(scored)
+
+
+QUANT_BITS = 127  # int8 symmetric range
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v
+)
+SELECT vec_id,
+       scale,
+       CAST(len(e) AS BIGINT) AS dim,
+       list_transform(e, x -> CAST(floor(x / scale * {QUANT_BITS}) AS BIGINT))[1:4]
+         AS q_head4
+FROM s
+""",
+    tags=["llm", "similarity", "quantization"],
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (per-vector absmax scale)
+    — the standard 4x storage/bandwidth cut before ANN serving. Pure
+    per-row array math in codegen; floor() (not round(): engines disagree
+    on tie-breaking) keeps the quantized codes engine-exact. Emits the
+    scale + first codes so the oracle verifies the actual arithmetic."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(x / F.col("scale") * QUANT_BITS))
+    return (
+        e.select("vec_id", v.alias("e"), scale.alias("scale"))
+        .select(
+            "vec_id",
+            "scale",
+            F.size("e").cast("long").alias("dim"),
+            F.slice(F.transform("e", lambda x: F.floor(x / F.col("scale") * QUANT_BITS)), 1, 4).alias("q_head4"),
+        )
+    )

@@ -393,3 +393,31 @@ def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(actual, ["user_id", "d"], "left").select(
         "user_id", "d", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events")
     )
+
+
+@register(
+    "bitwise_agg_suite",
+    oracle="""
+SELECT l_returnflag,
+       bit_and(l_partkey) AS all_bits,
+       bit_or(l_partkey)  AS any_bits,
+       bit_xor(l_partkey) AS parity_bits,
+       CAST(bit_count(bit_or(l_partkey)) AS BIGINT) AS n_set_bits
+FROM lineitem
+WHERE l_orderkey % 40 = 0
+GROUP BY l_returnflag
+""",
+    tags=["functions", "bitwise"],
+)
+def bitwise_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR aggregates + popcount — the primitives behind
+    flag-mask rollups and bitmap-style membership summaries. Associative
+    and commutative, so they partial-aggregate map-side like any sum;
+    integer-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 40 == 0)
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_partkey").alias("all_bits"),
+        F.bit_or("l_partkey").alias("any_bits"),
+        F.bit_xor("l_partkey").alias("parity_bits"),
+        F.bit_count(F.bit_or("l_partkey")).cast("long").alias("n_set_bits"),
+    )
