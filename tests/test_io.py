@@ -206,3 +206,14 @@ def test_compact_partition_rewrites_only_target(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 88
     assert got.where(F.col("d") == "2024-01-01").count() == 48
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write/read roundtrip — the other splittable columnar format the
+    engine supports out of the box (predicate pushdown + column pruning
+    work the same as parquet through the DSv2 reader)."""
+    p = str(tmp_path / "t.orc")
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], "k long, s string, v double")
+    df.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p).orderBy("k")
+    assert [tuple(r) for r in back.collect()] == [(1, "a", 1.5), (2, "b", 2.5)]
