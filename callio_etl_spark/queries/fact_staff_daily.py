@@ -439,3 +439,47 @@ def fact_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SoSDT_TuChoi",
         "SoSDT_KhongNgheMay",
     )
+
+
+def _flagship_spark_sql() -> str:
+    """The flagship as Spark SQL text: byte-identical to the DuckDB oracle
+    except two dialect spellings — epoch_ms() -> unix_millis() (same
+    semantics) and bare VARCHAR -> STRING (Spark requires a length on
+    VARCHAR). The reference ships this query AS SQL text (runner.py:589-874
+    embeds it for BigQuery); accepting the same declarative shape through
+    spark.sql — and getting a correct distributed plan from Catalyst with
+    zero manual work — is the S10 'SQL execution channel' contract."""
+    from callio_etl_spark.registry import REGISTRY
+
+    return (
+        REGISTRY["fact_staff_daily"]
+        .oracle.replace("epoch_ms(", "unix_millis(")
+        .replace("AS VARCHAR", "AS STRING")
+    )
+
+
+@register(
+    "fact_staff_daily_sql",
+    oracle=None,  # set below: identical to fact_staff_daily's oracle
+    tags=["flagship", "S10", "sql-channel"],
+)
+def fact_staff_daily_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship executed from SQL TEXT over temp views — the untuned
+    declarative form. Catalyst plans the dim joins before aggregation
+    exactly as written (string MIN in the aggregation buffer -> sort-based
+    aggregate), which is why the hand-rewritten DataFrame form in
+    [fact_staff_daily] (join-after-aggregation by functional dependency)
+    exists; both must return identical rows."""
+    from callio_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["events", "customer", "nation", "orders"])
+    return spark.sql(_flagship_spark_sql())
+
+
+def _copy_flagship_oracle() -> None:
+    from callio_etl_spark.registry import REGISTRY
+
+    REGISTRY["fact_staff_daily_sql"].oracle = REGISTRY["fact_staff_daily"].oracle
+
+
+_copy_flagship_oracle()
