@@ -578,3 +578,67 @@ def string_fn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", " ").cast("long").alias("space_pos"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
     )
+
+
+@register(
+    "tumbling_window_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS w_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id % 100 = 0
+GROUP BY 1, 2
+""",
+    tags=["advanced", "time-window"],
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 15-minute tumbling windows in BATCH mode via F.window — the
+    same expression Structured Streaming uses, so the batch backfill and
+    the live stream share one definition (the lambda-architecture killer).
+    window() is a row-local projection; the aggregate shuffles once on
+    (window, type)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 100 == 0)
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "total_value")
+    )
+
+
+@register(
+    "hopping_window_agg",
+    oracle="""
+WITH x AS (
+  SELECT ts, value,
+         time_bucket(INTERVAL 15 MINUTE, ts) AS b,
+         unnest([INTERVAL 0 MINUTE, INTERVAL 15 MINUTE]) AS back
+  FROM events WHERE user_id % 100 = 0
+)
+SELECT b - back AS w_start,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM x
+GROUP BY 1
+""",
+    tags=["advanced", "time-window"],
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 30-minute windows every 15 minutes, so
+    each event lands in exactly two windows. F.window with a slide emits
+    one row per covering window BEFORE aggregation — the standard overlap
+    expansion (2x here, window/slide in general); the oracle spells the
+    same expansion as an unnest of the two candidate starts."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 100 == 0)
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "total_value")
+    )
