@@ -495,3 +495,45 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, edges).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE
+{_JACCARD_PAIRS_SQL},
+docs AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT)     AS cluster_size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+FROM clusters
+GROUP BY cluster_id
+""",
+    tags=["llm", "dedup", "iterative"],
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last stage: collapse each near-dup cluster to
+    its canonical survivor (cluster_id = min doc_id, the same keep-rule the
+    reference's keyed dedup uses — smallest/first key wins) and report the
+    removal accounting per cluster. In production the survivor set joins
+    back to the corpus as a left-semi on (doc_id = cluster_id); here the
+    per-cluster rollup is emitted so the oracle checks both membership and
+    the drop counts in one result."""
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    return clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        (F.count("*") - 1).cast("long").alias("n_dropped"),
+    )
