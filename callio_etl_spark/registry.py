@@ -63,6 +63,7 @@ def _load_all() -> None:
         return
     from callio_etl_spark.queries import (  # noqa: F401
         advanced,
+        data_quality,
         fact_staff_daily,
         functions_ext,
         merge_queries,
