@@ -161,7 +161,20 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py asserts the deterministic feature values.
 
     The input is spread to the session's parallelism first: a single-file
-    scan would otherwise funnel every Arrow batch through one Python worker."""
+    scan would otherwise funnel every Arrow batch through one Python worker.
+
+    Output is scalar-only: the 4-dim feature vector is projected to f0..f3
+    DOUBLE columns because the driver's rows-only canonicalizer cannot sort
+    array cells (pandas raises on numpy.ndarray). The array-typed plumbing
+    (extract_media_features / MEDIA_FEATURES_SCHEMA) is unchanged."""
     from callio_etl_spark.tables import spread
 
-    return extract_media_features(spread(media_table(spark, sf_dir)))
+    feats = extract_media_features(spread(media_table(spark, sf_dir)))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        "width",
+        "height",
+        *[F.col("features").getItem(i).alias(f"f{i}") for i in range(4)],
+    )

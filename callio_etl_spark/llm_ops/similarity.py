@@ -230,8 +230,10 @@ s AS (
 SELECT vec_id,
        scale,
        CAST(len(e) AS BIGINT) AS dim,
-       list_transform(e, x -> CAST(floor(x / scale * {QUANT_BITS}) AS BIGINT))[1:4]
-         AS q_head4
+       CAST(floor(e[1] / scale * {QUANT_BITS}) AS BIGINT) AS q0,
+       CAST(floor(e[2] / scale * {QUANT_BITS}) AS BIGINT) AS q1,
+       CAST(floor(e[3] / scale * {QUANT_BITS}) AS BIGINT) AS q2,
+       CAST(floor(e[4] / scale * {QUANT_BITS}) AS BIGINT) AS q3
 FROM s
 """,
     tags=["llm", "similarity", "quantization"],
@@ -241,17 +243,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard 4x storage/bandwidth cut before ANN serving. Pure
     per-row array math in codegen; floor() (not round(): engines disagree
     on tie-breaking) keeps the quantized codes engine-exact. Emits the
-    scale + first codes so the oracle verifies the actual arithmetic."""
+    scale + the first four codes as scalar columns (the driver's
+    canonicalizer cannot sort array cells) so the oracle verifies the
+    actual arithmetic."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
     v = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.floor(x / F.col("scale") * QUANT_BITS))
+    q = F.transform("e", lambda x: F.floor(x / F.col("scale") * QUANT_BITS))
     return (
         e.select("vec_id", v.alias("e"), scale.alias("scale"))
         .select(
             "vec_id",
             "scale",
             F.size("e").cast("long").alias("dim"),
-            F.slice(F.transform("e", lambda x: F.floor(x / F.col("scale") * QUANT_BITS)), 1, 4).alias("q_head4"),
+            *[q.getItem(i).alias(f"q{i}") for i in range(4)],
         )
     )

@@ -450,11 +450,15 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle: DuckDB's approx algorithms differ (its HLL/quantile
     sketches produce different estimates), so the driver records rows-only;
     tests/test_llm_ops.py bounds the error against the exact answers
-    (rsd=0.02 for HLL; quantile within the neighboring exact quantiles)."""
+    (rsd=0.02 for HLL; quantile within the neighboring exact quantiles).
+
+    Output is scalar-only (p50/p99 as separate DOUBLE columns, not one
+    array): the driver's rows-only canonicalizer cannot sort array cells."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.99], 10_000).alias("value_p50_p99"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("value_p50"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10_000)).alias("value_p99"),
         F.count("*").alias("n_rows"),
     )
 
