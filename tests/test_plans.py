@@ -112,3 +112,15 @@ def test_pack_sequences_single_exchange(spark):
     mentions in formatted output: tree + details)."""
     plan = _plan(spark, "pack_sequences")
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_bucketed_neardup_is_equi_join(spark):
+    """The production embedding near-dup must plan the pair join as a hash
+    equi-join on the bucket label — never the all-pairs
+    BroadcastNestedLoopJoin the exact baseline uses."""
+    plan = _plan(spark, "embedding_neardup_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
