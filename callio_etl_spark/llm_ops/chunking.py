@@ -178,3 +178,72 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.where(
         F.col("u") < F.lit(float(TARGET_PER_STRATUM)) / F.col("n_lang")
     ).select("doc_id", "lang", "u")
+
+
+CHUNK_STRIDE = 32  # < CHUNK_TOKENS -> consecutive windows overlap by 18 tokens
+
+
+@register(
+    "chunk_overlap",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0,
+           CAST(ceil(greatest(len(toks) - {CHUNK_TOKENS}, 0) / {CHUNK_STRIDE}.0)
+                AS BIGINT) + 1)) AS win_id
+  FROM t
+)
+SELECT doc_id,
+       win_id,
+       CAST(win_id * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       array_to_string(
+         toks[win_id * {CHUNK_STRIDE} + 1 : win_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+         ' ')                                                      AS chunk_text,
+       CAST(least({CHUNK_TOKENS},
+                  len(toks) - win_id * {CHUNK_STRIDE}) AS BIGINT)  AS chunk_tokens
+FROM c
+""",
+    tags=["llm", "chunking"],
+)
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding-window) chunking — stride {CHUNK_STRIDE} <
+    window {CHUNK_TOKENS}, the standard training-data layout that preserves
+    context across chunk boundaries (each consecutive pair shares
+    {CHUNK_TOKENS - CHUNK_STRIDE} tokens). Window count is
+    ceil(max(n - window, 0) / stride) + 1, so every document emits at least
+    one chunk and the last window always reaches the document's end.
+
+    Same plan shape as ``chunk_documents``: sequence() + explode + slice,
+    all codegen'd array ops, zero shuffle — overlap changes only the window
+    arithmetic, not the distribution strategy, so the map-only scaling
+    holds at any stride."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_win = (
+        F.ceil(
+            F.greatest(F.size(toks) - CHUNK_TOKENS, F.lit(0))
+            / F.lit(float(CHUNK_STRIDE))
+        ).cast("long")
+        + 1
+    )
+    c = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win - 1)).alias("win_id"),
+    )
+    start = F.col("win_id") * CHUNK_STRIDE
+    return c.select(
+        "doc_id",
+        "win_id",
+        start.cast("long").alias("start_tok"),
+        F.array_join(
+            F.slice(F.col("toks"), (start + 1).cast("int"), CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("long"),
+            F.size("toks").cast("long") - start,
+        ).alias("chunk_tokens"),
+    )

@@ -141,3 +141,37 @@ def test_flatten_customer_stringly_user(spark):
     assert out["c1"]["user_id"] == "u1" and out["c1"]["user_group_id"] == "g1"
     assert out["c2"]["user_id"] == "u2" and out["c2"]["user_group_id"] == "g2"
     assert out["c3"]["user_id"] is None
+
+
+def test_parse_permissive_apostrophe_in_value(spark):
+    """safe_eval parity (utils.py:16-26): apostrophes embedded in string
+    values must survive both arms — JSON payloads keep them inside
+    double-quoted strings, and Python-repr payloads double-quote any string
+    containing a single quote (repr semantics), so only STRUCTURAL single
+    quotes are rewritten."""
+    from callio_etl_spark.functions import parse_permissive
+
+    rows = [
+        ("j", '{"name": "O\'Brien", "city": "Cork"}'),          # JSON arm
+        ("p", "{'name': \"O'Brien\", 'city': 'Cork'}"),          # repr arm
+        ("plain", "{'name': 'Alice', 'city': 'Hanoi'}"),         # repr, no quirks
+        ("junk", "not a payload"),                               # both arms miss
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, payload string")
+    out = {
+        r["k"]: r
+        for r in df.select(
+            "k",
+            parse_permissive(
+                F.col("payload"), "struct<name:string, city:string>"
+            ).alias("u"),
+        ).collect()
+    }
+    assert out["j"]["u"]["name"] == "O'Brien"
+    assert out["p"]["u"]["name"] == "O'Brien"
+    assert out["p"]["u"]["city"] == "Cork"
+    assert out["plain"]["u"]["name"] == "Alice"
+    # from_json PERMISSIVE yields an all-NULL struct for unparseable input
+    assert out["junk"]["u"]["name"] is None and out["junk"]["u"]["city"] is None
+    assert out["none"]["u"] is None
