@@ -96,16 +96,43 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_real(payload: bytes):  # pragma: no cover - stub
-    """Real decoder — requires PIL/cv2, not present in this container."""
+def has_pillow() -> bool:
+    """Probe for the optional real-decode dependency."""
     try:
         from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image_real(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real decoder behind the optional Pillow dependency: actual
+    dimensions plus a 4-dim feature vector (mean R/G/B in [0,1] and aspect
+    ratio). Same signature as decode_image_stub, so it drops into
+    extract_media_features(decoder=...) without touching the plan; raises
+    NotImplementedError when Pillow is absent (this container ships none —
+    tests skip-mark accordingly)."""
+    try:
+        import io
+
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
-            "media decode requires Pillow/cv2; container ships none — "
-            "use decode_image_stub (deterministic fake) in tests"
+            "media decode requires Pillow; container ships none — "
+            "use decode_image_stub (deterministic fake) instead"
         ) from exc
-    raise NotImplementedError("wire Image.open(io.BytesIO(payload)) here")
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    width, height = img.size
+    n = float(width * height)
+    # mean per channel without numpy: PIL histogram is 256 bins x 3 channels
+    hist = img.histogram()
+    means = [
+        sum(i * hist[c * 256 + i] for i in range(256)) / (255.0 * n)
+        for c in range(3)
+    ]
+    features = [round(m, 6) for m in means] + [round(width / float(height), 6)]
+    return width, height, features
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
@@ -120,19 +147,22 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, features
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
     The UDF consumes (doc_id, payload, media_type) Arrow batches and yields
-    MEDIA_FEATURES_SCHEMA batches — the real decoder drops into
-    ``decode_image_stub``'s slot without touching the plan."""
+    MEDIA_FEATURES_SCHEMA batches. ``decoder`` is any
+    ``bytes -> (width, height, features)`` callable — ``decode_image_stub``
+    (default) or ``decode_image_real`` when Pillow is installed; swapping it
+    does not touch the plan."""
+    decoder = decoder or decode_image_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, feats, lens = [], [], [], []
             for payload in pdf["payload"]:
                 b = bytes(payload)
-                w, h, f = decode_image_stub(b)
+                w, h, f = decoder(b)
                 ws.append(w)
                 hs.append(h)
                 feats.append(f)

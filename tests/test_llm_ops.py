@@ -268,3 +268,35 @@ def test_dedup_pipeline_survivor_invariants(spark):
         survivors = [m for m in members if m["is_survivor"]]
         assert len(survivors) == 1 and survivors[0]["doc_id"] == cid
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_decode_image_real_gated_on_pillow(spark):
+    """The real decoder path: with Pillow absent it must raise
+    NotImplementedError (honest stub contract); with Pillow present it must
+    decode a real PNG through the same extract_media_features plumbing."""
+    import pytest
+
+    from callio_etl_spark.llm_ops import multimodal as mm
+
+    if not mm.has_pillow():
+        with pytest.raises(NotImplementedError):
+            mm.decode_image_real(b"\x89PNG fake")
+        pytest.skip("Pillow not installed; real-decode path gated off")
+
+    # real path (runs only where Pillow exists)
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 4), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    w, h, feats = mm.decode_image_real(png)
+    assert (w, h) == (8, 4)
+    assert feats[0] == 1.0 and feats[1] == 0.0 and feats[2] == 0.0
+    assert feats[3] == 2.0  # aspect ratio
+    media = spark.createDataFrame(
+        [(1, bytearray(png), "image")], "doc_id long, payload binary, media_type string"
+    )
+    out = mm.extract_media_features(media, decoder=mm.decode_image_real).collect()
+    assert out[0]["width"] == 8 and out[0]["height"] == 4
