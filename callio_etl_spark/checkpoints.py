@@ -12,9 +12,10 @@ runner.py:55-146, 523-563 (the advance rules). Semantics preserved:
 - C5 update_log rows (table_name, tenant, updated_at, rows_loaded,
   max_update_ms, mode) buffered and flushed per tick.
 
-Table names are lowercased on read and write — the reference does this in
-warm() (checkpoints.py:70, 80-82) and checkpoints silently miss if the
-normalization differs (SURVEY section 7.5).
+Table names are normalized on read and write exactly as the reference's
+_normalize_table does (checkpoints.py:83-85): strip + lowercase + '-'/' '
+-> '_'. Checkpoints silently miss if the normalization differs (SURVEY
+section 7.5), so e.g. 'call-log' and 'Call Log' key identically.
 
 Spark shape: the log is an append-only parquet table; the warm is one small
 aggregate collected to the driver (a sanctioned scalar collect). In
@@ -56,6 +57,11 @@ DEFAULT_OVERLAP_MS = 180_000  # config.py:186
 DEFAULT_LOOKBACK_DAYS = 30  # config.py:187
 
 
+def normalize_table(name: str) -> str:
+    """Mirror the reference's _normalize_table (checkpoints.py:83-85)."""
+    return name.strip().lower().replace("-", "_").replace(" ", "_")
+
+
 @dataclass
 class CheckpointStore:
     """Checkpoint cache + update-log buffer over a parquet path."""
@@ -69,26 +75,40 @@ class CheckpointStore:
 
     def warm(self) -> None:
         """C1 — rebuild the cache from the log: GROUP BY (table, tenant)
-        MAX(max_update_ms) (reference checkpoints.py:60-78; the A6 agg)."""
+        MAX(max_update_ms) (reference checkpoints.py:60-78; the A6 agg).
+
+        Only the missing-log cold start is swallowed; any other read error
+        (corrupt footer, permissions, transient FS failure) propagates —
+        silently resetting every checkpoint to the 30-day lookback would
+        re-read the whole window and mask the real failure."""
+        from pyspark.errors import AnalysisException
+
         try:
             log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(self.log_path)
-        except Exception:
-            return  # no log yet — cold start everywhere
-        rows = (
-            log.where(F.col("max_update_ms").isNotNull())
-            .groupBy(F.lower("table_name").alias("t"), "tenant")
-            .agg(F.max("max_update_ms").alias("ck"))
-            .collect()
-        )
+            rows = (
+                log.where(F.col("max_update_ms").isNotNull())
+                .groupBy(
+                    F.regexp_replace(
+                        F.lower(F.trim("table_name")), "[- ]", "_"
+                    ).alias("t"),
+                    "tenant",
+                )
+                .agg(F.max("max_update_ms").alias("ck"))
+                .collect()
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return  # no log yet — cold start everywhere
+            raise
         for r in rows:
             self._cache[(r["t"], r["tenant"])] = r["ck"]
 
     def get(self, table: str, tenant: str) -> int | None:
-        return self._cache.get((table.lower(), tenant))
+        return self._cache.get((normalize_table(table), tenant))
 
     def set(self, table: str, tenant: str, ck_ms: int) -> None:
         """C4 — callers invoke this only AFTER a successful merge."""
-        self._cache[(table.lower(), tenant)] = ck_ms
+        self._cache[(normalize_table(table), tenant)] = ck_ms
 
     def cutoff_ms(self, table: str, tenant: str, now_ms: int | None = None) -> int:
         """C2/C3 — effective scan cutoff: checkpoint - overlap, or cold-start
@@ -113,7 +133,7 @@ class CheckpointStore:
 
         self._buffer.append(
             (
-                table.lower(),
+                normalize_table(table),
                 tenant,
                 dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
                 rows_loaded,

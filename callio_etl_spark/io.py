@@ -102,12 +102,23 @@ def salted_join(
     salt derived from a hash of its whole row, splitting each hot key into
     ``n_salts`` shuffle partitions; the small(er) side is replicated across
     all salt values with explode. Result is row-identical to
-    ``left.join(right, key, how)``.
+    ``left.join(right, key, how)`` for the LEFT-PRESERVING join types only:
+    because the right side is exploded n_salts times, any join that emits
+    unmatched RIGHT rows (right/full outer) would emit each of them n_salts
+    times — those types are rejected.
 
     Use when one join key dominates (AQE's skew-join split handles moderate
     skew at runtime; salting is the explicit fix when a single key exceeds
     what one task can hold). Replication multiplies the right side by
     n_salts — keep it the smaller input."""
+    safe = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi",
+            "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join: join type {how!r} would duplicate unmatched right "
+            f"rows (right side is replicated {n_salts}x); supported: inner/"
+            f"left/left_semi/left_anti"
+        )
     salt = F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])), F.lit(n_salts))
     lhs = left.withColumn("__salt", salt)
     rhs = right.withColumn(

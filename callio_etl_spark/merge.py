@@ -70,12 +70,17 @@ def merge_upsert(target: DataFrame, source: DataFrame, spec: MergeSpec) -> DataF
     Reference: J8 runner.py:163-199 (conditional update), J10 605-728 (full
     update), J11 733-871 (partial update with keep-existing).
     """
-    t, s = target.alias("T"), source.alias("S")
+    # Row-presence markers: detecting side presence via key IS NULL would
+    # misclassify rows whose merge key is legitimately NULL (the join is
+    # null-safe, so NULL keys match) — a target-only row with a NULL first
+    # key would read as source-only and have its data wiped.
+    t = target.withColumn("__t", F.lit(1)).alias("T")
+    s = source.withColumn("__s", F.lit(1)).alias("S")
     on = [F.col(f"T.{k}").eqNullSafe(F.col(f"S.{k}")) for k in spec.keys]
     joined = t.join(s, _and_all(on), "full_outer")
 
-    matched = F.col(f"T.{spec.keys[0]}").isNotNull() & F.col(f"S.{spec.keys[0]}").isNotNull()
-    src_only = F.col(f"T.{spec.keys[0]}").isNull()
+    matched = F.col("T.__t").isNotNull() & F.col("S.__s").isNotNull()
+    src_only = F.col("T.__t").isNull()
     do_update = matched & (spec.update_condition if spec.update_condition is not None else F.lit(True))
 
     update_cols = set(spec.update_cols or source.columns)
@@ -155,6 +160,22 @@ def merge_write(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     target = spark.read.parquet(target_path)
     if partition_col and part_min is not None:
+        # Guard: a source row OUTSIDE [part_min, part_max] would be inserted
+        # into a partition excluded from window_target, and the dynamic
+        # partition overwrite would then rewrite that partition with ONLY the
+        # merged rows — silently deleting its pre-existing target rows. The
+        # reference's bounded MERGE can at worst duplicate, never delete, so
+        # fail fast instead (callers widen the window or pre-filter).
+        stray = source.where(
+            ~F.col(partition_col).between(part_min, part_max)
+            | F.col(partition_col).isNull()
+        )
+        if stray.limit(1).count() > 0:
+            raise ValueError(
+                f"merge_write: source rows outside the merge window "
+                f"[{part_min}, {part_max}] on {partition_col!r} would "
+                f"clobber partitions excluded from the windowed target"
+            )
         window_target = target.where(F.col(partition_col).between(part_min, part_max))
         # localCheckpoint: materialize before overwriting files we read from
         # (without it a task retry during the commit could re-read deleted

@@ -123,3 +123,103 @@ def test_noop_and_log_modes(spark, store, tmp_path):
     fresh = CheckpointStore(spark, store.log_path)
     fresh.warm()
     assert fresh.get("customer", "PK") == ck1
+
+
+def test_checkpoint_table_name_normalization(spark, store):
+    """Reference _normalize_table parity (checkpoints.py:83-85): strip,
+    lowercase, '-'/' ' -> '_', applied on set/get/log/warm — 'Call-Log ' and
+    'call_log' must hit the same checkpoint key."""
+    store.set(" Call-Log ", "PK", 123)
+    assert store.get("call_log", "PK") == 123
+    assert store.get("CALL LOG", "PK") == 123
+    store.log("Call-Log", "PK", 1, 456, "MERGED")
+    store.flush()
+    fresh = type(store)(spark=spark, log_path=store.log_path)
+    fresh.warm()
+    assert fresh.get("call_log", "PK") == 456
+
+
+def test_checkpoint_warm_propagates_non_missing_errors(spark, tmp_path):
+    """Only the missing-log cold start is swallowed; a corrupt log file must
+    raise, not silently reset every checkpoint to the lookback window."""
+    import pytest
+
+    from callio_etl_spark.checkpoints import CheckpointStore
+
+    missing = CheckpointStore(spark=spark, log_path=str(tmp_path / "nope"))
+    missing.warm()  # cold start: no error, empty cache
+    assert missing.get("t", "x") is None
+
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_text("this is not parquet")
+    broken = CheckpointStore(spark=spark, log_path=str(bad))
+    with pytest.raises(Exception):
+        broken.warm()
+
+
+def test_merge_write_rejects_out_of_window_source(spark, tmp_path):
+    """ADVICE: a source row outside [part_min, part_max] would land in a
+    partition excluded from the windowed target, and dynamic partition
+    overwrite would then clobber that partition's pre-existing rows. The
+    windowed merge_write must refuse; in-window sources must merge and leave
+    sibling partitions untouched."""
+    import pytest
+
+    import pyspark.sql.functions as F
+    from callio_etl_spark.merge import MergeSpec, merge_write
+
+    path = str(tmp_path / "fact")
+    target = spark.createDataFrame(
+        [("2024-01-01", 1, "old"), ("2024-01-02", 2, "keep"), ("2024-01-03", 3, "other-part")],
+        "d string, k long, v string",
+    )
+    target.write.partitionBy("d").parquet(path)
+
+    spec = MergeSpec(keys=["k"])
+    # out-of-window source row -> refuse before any write happens
+    stray = spark.createDataFrame([("2024-01-03", 3, "clobber")], "d string, k long, v string")
+    with pytest.raises(ValueError, match="outside the merge window"):
+        merge_write(spark, path, stray, spec, partition_col="d",
+                    part_min="2024-01-01", part_max="2024-01-02")
+    after = {(str(r["d"]), r["k"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert after[("2024-01-03", 3)] == "other-part"  # untouched
+
+    # in-window source: update k=1, insert k=9, keep k=2, never touch 01-03
+    src = spark.createDataFrame(
+        [("2024-01-01", 1, "new"), ("2024-01-02", 9, "ins")], "d string, k long, v string"
+    )
+    merge_write(spark, path, src, spec, partition_col="d",
+                part_min="2024-01-01", part_max="2024-01-02")
+    after = {(str(r["d"]), r["k"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == {
+        ("2024-01-01", 1): "new",
+        ("2024-01-02", 2): "keep",
+        ("2024-01-02", 9): "ins",
+        ("2024-01-03", 3): "other-part",
+    }
+
+
+def test_merge_upsert_null_key_rows_survive(spark):
+    """ADVICE: side presence is detected via marker columns, not key
+    nullness — a target-only row whose merge key is NULL must keep its data,
+    and a null-null matched pair must route through the matched arm."""
+    from callio_etl_spark.merge import MergeSpec, merge_upsert
+
+    target = spark.createDataFrame(
+        [(None, "t-null", 1), (1, "t-one", 1)], "k long, v string, n long"
+    )
+    # no source row for NULL: target-only with NULL key
+    source = spark.createDataFrame([(1, "s-one", 2)], "k long, v string, n long")
+    out = {r["k"]: r for r in merge_upsert(target, source, MergeSpec(keys=["k"])).collect()}
+    assert out[None]["v"] == "t-null" and out[None]["n"] == 1  # data NOT wiped
+    assert out[1]["v"] == "s-one"
+
+    # null-null matched pair: keep_existing must read the TARGET value
+    target2 = spark.createDataFrame([(None, "t-val", 7)], "k long, v string, n long")
+    source2 = spark.createDataFrame([(None, "s-val", 8)], "k long, v string, n long")
+    spec2 = MergeSpec(keys=["k"], keep_existing=["v"])
+    got = merge_upsert(target2, source2, spec2).collect()
+    assert len(got) == 1
+    assert got[0]["v"] == "t-val"  # IFNULL(T.v, S.v) keeps existing
+    assert got[0]["n"] == 8  # non-keep column takes source

@@ -217,3 +217,19 @@ def test_orc_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").orc(p)
     back = spark.read.orc(p).orderBy("k")
     assert [tuple(r) for r in back.collect()] == [(1, "a", 1.5), (2, "b", 2.5)]
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    """right/full_outer would emit each unmatched right row n_salts times
+    (the right side is exploded across all salts) — must raise."""
+    import pytest
+
+    from callio_etl_spark.io import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x")], "k long, w string")
+    for how in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", n_salts=4, how=how)
+    # left-preserving types still work
+    assert salted_join(left, right, "k", n_salts=4, how="left").count() == 1
