@@ -215,12 +215,21 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
     tags=["advanced", "grouping-sets"],
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (status, priority) — all four grouping sets in one pass."""
+    """CUBE over (status, priority) — all four grouping sets in one pass.
+
+    Same base-aggregate-then-expand rewrite as rollup_agg: COUNT/SUM are
+    additive, so the fact table first reduces to its finest grouping and
+    CUBE's 4-way Expand runs over those few rows instead of multiplying
+    every scan row by the number of grouping sets."""
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("pp"),
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping_id().cast("long").alias("gid"),
-        F.count("*").cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("sum_price"),
+        F.sum("pn").cast("long").alias("n_orders"),
+        F.sum("pp").cast("double").alias("sum_price"),
     )
 
 
