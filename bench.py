@@ -45,6 +45,15 @@ def main() -> None:
     # reports steady-state execution, which is what scale projections need.
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        # Isolate queries from each other's leftover state: localCheckpoint
+        # blocks from earlier queries are reclaimed by the ContextCleaner
+        # only after GC notices the dead RDD references — without the nudge,
+        # shuffle-heavy queries late in the run absorb the accumulated
+        # block-manager/GC pressure and time 2-3x their isolated cost.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -383,13 +383,16 @@ def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from callio_etl_spark.llm_ops.similarity import dot
 
     emb = (
-        load_table(spark, sf_dir, "embeddings")
+        _spread(load_table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             "label",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
         .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        # spread THEN checkpoint: a single-file scan would materialize (and
+        # later stream) the whole table through one task, serializing the
+        # per-bucket pair scoring
         .localCheckpoint(eager=True)  # signature table: one scan, both sides
     )
     a = emb.select(
