@@ -259,3 +259,109 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[q.getItem(i).alias(f"q{i}") for i in range(4)],
         )
     )
+
+
+EMB_DIM = 64
+
+
+@register(
+    "ann_recall_ivf",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT b.query_id,
+       CAST({TOP_K} AS BIGINT)  AS k,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(i.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute b
+LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+    tags=["llm", "similarity", "metric"],
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF bucketed path against the exact brute force —
+    the metric every ANN deployment tracks to tune its probe count. A
+    brute-force neighbor counts as recalled iff the IVF path also returned
+    it for the same query; recall = hits / k per query.
+
+    Plan: both top-k pipelines share the broadcast query set; the recall
+    join is tiny (queries x k rows on each side). At 100 TB this runs on a
+    sampled query set exactly like this one — the metric join never grows
+    with the corpus."""
+    brute = ann_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    return (
+        brute.join(
+            ivf,
+            (F.col("query_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("inb").cast("long").alias("n_hits"),
+            (F.count("inb").cast("double") / TOP_K).alias("recall_at_k"),
+        )
+    )
+
+
+@register(
+    "ivf_centroids",
+    oracle=f"""
+SELECT label,
+       CAST(i AS BIGINT) AS dim,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)))
+            AS DOUBLE) / COUNT(*) AS centroid
+FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
+GROUP BY label, i
+""",
+    tags=["llm", "similarity", "clustering"],
+)
+def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means update step that trains an IVF coarse quantizer: mean
+    vector per current assignment (label), emitted as (label, dim,
+    centroid) rows — array-free output, and the exact layout a broadcast
+    centroid table uses for the next assign step.
+
+    Plan: posexplode the vectors once, one hash aggregate on (label, dim)
+    — map-side partial sums make this a single shuffle of |labels| x dim
+    rows regardless of corpus size, which is why the assign/update loop
+    scales to 100 TB (the reduce side never sees raw vectors). Sums
+    accumulate in DECIMAL (exact, order-independent); the final divide is
+    double — bit-identical in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            (
+                # float -> DOUBLE -> decimal on both engines: a direct
+                # float->decimal cast rounds differently (Spark goes via the
+                # short string repr, DuckDB via the double expansion)
+                F.sum(F.col("val").cast("double").cast("decimal(28,10)"))
+                .cast("double")
+                / F.count("*")
+            ).alias("centroid")
+        )
+    )

@@ -323,3 +323,90 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_ok.cast("long").alias("lang_ok"),
         (len_ok & repeat_ok & lang_ok).cast("long").alias("keep"),
     )
+
+
+#: Shingle width for benchmark decontamination. Production pipelines use
+#: 8-13-gram overlap; this synthetic corpus shuffles a small vocabulary, so
+#: ordered 8-grams never collide — 3 keeps the operator's output non-trivial
+#: while the plan is width-independent.
+SHINGLE_N = 3
+BENCH_MOD = 97  # doc_id % 97 == 0 simulates the held-out eval set
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS s
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {SHINGLE_N - 1}, 0) + 1)) AS i
+    FROM toks
+  )
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (SELECT * FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+hit AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_sh AS BIGINT)  AS n_shingles,
+       CAST(h.n_hit AS BIGINT) AS n_contaminated,
+       CAST(h.n_hit AS DOUBLE) / t.n_sh AS contamination_rate
+FROM tot t JOIN hit h ON t.doc_id = h.doc_id
+""",
+    tags=["llm", "text", "decontamination"],
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the LLM-pipeline op that strikes training
+    documents overlapping the evaluation set: {SHINGLE_N}-token shingles of
+    every corpus doc are joined against the distinct shingle set of the
+    held-out benchmark docs (here the deterministic doc_id % {BENCH_MOD}
+    subset); any overlap marks the doc with its contaminated-shingle count
+    and rate. This is the n-gram-overlap decontamination used for
+    GSM8K/MMLU-style eval hygiene.
+
+    Plan/scale: shingling is one projection (sequence + transform + slice,
+    zero shuffle); the overlap is an equi-join on the shingle — at 100 TB
+    you join on xxhash64(shingle) instead of the string (same plan, 8-byte
+    keys), and the benchmark side is small enough to broadcast, making the
+    whole check a map-side semi-join over one corpus scan."""
+    from callio_etl_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    n_win = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
+    )
+    sh = (
+        d.select("doc_id", F.explode(shingles).alias("s"))
+        .distinct()
+        # the shingle table feeds both the benchmark side and the corpus
+        # side — materialize the tokenize+shingle pass once
+        .localCheckpoint(eager=True)
+    )
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hit = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return tot.join(hit, "doc_id").select(
+        "doc_id",
+        F.col("n_sh").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_contaminated"),
+        (F.col("n_hit").cast("double") / F.col("n_sh")).alias("contamination_rate"),
+    )

@@ -124,3 +124,55 @@ def test_bucketed_neardup_is_equi_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew handling (the complement of io.salted_join's explicit
+    fix): with a 97%-hot key and skew thresholds lowered to toy scale, AQE
+    must rewrite the sort-merge join's hot partition into skew splits —
+    visible as 'skew=true' in the final adaptive plan."""
+    import pyspark.sql.functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # keep it a sort-merge join — broadcast would hide the skew split
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(200_000).select(
+            F.when(F.col("id") % 100 < 97, 1).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pad"),
+        )
+        small = spark.range(2_000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        # aggregate on top so executing THIS DataFrame finalizes the adaptive
+        # plan (a write would execute a cloned queryExecution and leave this
+        # one isFinalPlan=false)
+        q = big.join(small, "k").groupBy().count()
+        q.collect()
+        plan = q._sc._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "simple"
+        )
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
