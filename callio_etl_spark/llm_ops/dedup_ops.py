@@ -623,9 +623,14 @@ def connected_components_star(
     ``node``; ``edges`` columns ``src``/``dst`` undirected; returns
     (node, comp = min reachable node id).
     """
+    # Touched nodes come from the CLEANED edge set (self-loops dropped, like
+    # _star_rounds does): a node whose only edges are self-loops is a
+    # singleton — deriving touched from raw edges would exclude it from the
+    # singleton arm while the star rounds never label it.
+    clean = edges.where(F.col("src") != F.col("dst"))
     sym_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
+        clean.select(F.col("src").alias("node"))
+        .unionByName(clean.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -243,3 +243,98 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_qty")
         )
     )
+
+
+Q6_YEAR_START = "1994-01-01"
+Q6_YEAR_END = "1995-01-01"
+Q6_DISCOUNT_LO = 0.05
+Q6_DISCOUNT_HI = 0.07
+Q6_QTY = 24
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR_START} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{Q6_YEAR_END} 00:00:00'
+  AND l_discount BETWEEN {Q6_DISCOUNT_LO} AND {Q6_DISCOUNT_HI}
+  AND l_quantity < {Q6_QTY}
+""",
+    tags=["tpch"],
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — the pure filter-scan aggregate: every predicate pushes to the
+    parquet scan (shipdate range + discount band + quantity), the aggregate
+    is a single global DECIMAL sum with map-side partials, and the shuffle
+    carries exactly one row per partition. The canonical predicate-pushdown
+    /scan-throughput microbenchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR_START} 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR_END} 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(Q6_DISCOUNT_LO, Q6_DISCOUNT_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+Q4_QTR_START = "1995-07-01"
+Q4_QTR_END = "1995-10-01"
+Q4_LATE_DAYS = 80
+
+
+@register(
+    "tpch_q4_priority",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_QTR_START} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{Q4_QTR_END} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    tags=["tpch"],
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — order-priority checking: EXISTS-correlated subquery over late
+    lineitems expressed as a LEFT SEMI join (one pass over lineitem, no
+    fan-out duplication of orders), then a small grouped count. The semi
+    join is the decorrelation Catalyst applies to EXISTS anyway — writing
+    it directly keeps the plan deterministic. 'Late' is adapted to the
+    testdata's columns (it has no l_commitdate/l_receiptdate): a lineitem
+    shipped more than {Q4_LATE_DAYS} days after its order date — note the
+    correlation spans both the key AND the date comparison, like real Q4."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(f"{Q4_QTR_START} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q4_QTR_END} 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > o["o_orderdate"] + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )

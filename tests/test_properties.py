@@ -149,3 +149,41 @@ def test_pack_sequences_conserves_tokens_and_bounds_packs(spark):
         F.col("pack_tokens") >= PACK_BUDGET + F.col("max_doc")
     )
     assert over.count() == 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        max_size=18,
+    ),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_star_cc_equals_baseline_on_random_graphs(spark, edges, seed):
+    """large-star/small-star and min-label propagation are different
+    fixpoint algorithms for the same function: on any random graph (self
+    loops, duplicates, disconnected bits included) they must produce the
+    identical (node, component-min) labeling."""
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        connected_components,
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "node long")
+    rng = random.Random(seed)
+    perm = edges[:]
+    rng.shuffle(perm)
+    edf = spark.createDataFrame(
+        perm or [(0, 0)], "src long, dst long"
+    )
+    base = {
+        (r["node"], r["comp"]) for r in connected_components(nodes, edf).collect()
+    }
+    star = {
+        (r["node"], r["comp"])
+        for r in connected_components_star(nodes, edf).collect()
+    }
+    assert star == base
