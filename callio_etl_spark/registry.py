@@ -88,11 +88,11 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q1_pricing",
     # sketches (rows-only; fixed scalar output this round)
     "approx_sketch_stats",
-    # LLM ops: chunking
+    # LLM ops: chunking + decontamination
     "chunk_documents",
     "chunk_overlap",
     "pack_sequences",
-    "stratified_sample",
+    "contamination_check",
     # LLM ops: dedup (every variant + the end-to-end pipeline)
     "dedup_exact",
     "minhash_lsh_pairs",
