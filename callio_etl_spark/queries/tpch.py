@@ -338,3 +338,373 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").cast("long").alias("order_count"))
     )
+
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+WHERE (n1.n_name = '{Q7_NATION_A}' AND n2.n_name = '{Q7_NATION_B}')
+   OR (n1.n_name = '{Q7_NATION_B}' AND n2.n_name = '{Q7_NATION_A}')
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    tags=["tpch", "join"],
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 volume shipping: the role-playing-dimension query — nation joins
+    TWICE under different roles (supplier's vs customer's nation). Both
+    nation sides broadcast (25 rows, fixed cardinality at any SF); the
+    cross-nation disjunction is applied AFTER both role joins, exactly as
+    written in the spec, so Catalyst can still push each side's IN-list
+    into the dim scans. orders⋈lineitem is the only at-scale shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin(Q7_NATION_A, Q7_NATION_B))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin(Q7_NATION_A, Q7_NATION_B))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B))
+            | ((F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q10_QTR_START = "1996-10-01"
+Q10_QTR_END = "1997-01-01"
+Q10_TOPK = 20
+
+
+@register(
+    "tpch_q10_returned",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '{Q10_QTR_START} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_QTR_END} 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT {Q10_TOPK}
+""",
+    tags=["tpch", "join", "topk"],
+)
+def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: quarter filter on orders and the
+    returnflag filter on lineitem BOTH push to their parquet scans before
+    the orderkey shuffle join; nation broadcasts; the top-20 plans as
+    TakeOrderedAndProject (per-partition heaps — no global sort of the
+    grouped customers). Tiebreak on unique c_custkey for a deterministic
+    cut."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(f"{Q10_QTR_START} 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(f"{Q10_QTR_END} 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+Q13_EXCLUDED_PRIORITY = "1-URGENT"
+
+
+@register(
+    "tpch_q13_order_distribution",
+    oracle=f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+  GROUP BY c.c_custkey
+) counted
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=["tpch", "join", "outer"],
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: LEFT OUTER join with the
+    filter in the JOIN CONDITION (not WHERE — customers with zero
+    qualifying orders must survive with c_count = 0), a per-customer
+    count, then a second tiny aggregate over the distinct counts. The
+    first aggregate shuffles on c_custkey; the second moves one row per
+    distinct count value. The excluded-priority predicate stands in for
+    the spec's comment NOT LIKE (the testdata has no o_comment). Fully
+    sorted output (small: tens of rows) with the standard tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q14_MONTH_START = "1997-03-01"
+Q14_MONTH_END = "1997-04-01"
+
+
+@register(
+    "tpch_q14_promo",
+    oracle=f"""
+SELECT CAST(100.0 * SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                 THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+            AS DECIMAL(38,6)))
+          / SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+       AS DOUBLE) AS promo_revenue_pct,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q14_MONTH_START} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{Q14_MONTH_END} 00:00:00'
+""",
+    tags=["tpch", "join"],
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promotion effect: conditional-aggregate ratio in ONE pass — the
+    CASE rides inside the sum, so lineitem⋈part is scanned once and both
+    numerator and denominator come out of the same hash aggregate (a
+    single row crosses the final shuffle). part broadcasts at test SF and
+    shuffles on p_partkey at 100 TB (it scales with SF); the month filter
+    pushes to the lineitem scan. Ratio computed on exact DECIMAL sums,
+    cast to double only at the end."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{Q14_MONTH_START} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q14_MONTH_END} 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).alias("promo_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"))
+            .cast("double")
+            .alias("promo_revenue_pct"),
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_QTR_START = "1996-01-01"
+Q15_QTR_END = "1996-04-01"
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_QTR_START} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{Q15_QTR_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=["tpch", "subquery"],
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: a reused CTE (the per-supplier revenue aggregate)
+    consumed twice — once for the rows, once for its MAX. The revenue
+    frame is computed once and localCheckpoint'd so the two consumers
+    don't re-run the lineitem scan; the 1-row MAX side is a broadcast
+    join. Revenue equality is compared on the exact DECIMAL sums (never
+    double), so ties and the max cut are engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{Q15_QTR_START} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q15_QTR_END} 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .alias("total_revenue")
+        )
+        .localCheckpoint(eager=False)
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(
+            F.broadcast(max_rev),
+            F.col("total_revenue") == F.col("max_revenue"),
+        )
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q17_BRAND = "Brand#3"
+Q17_MAX_SIZE = 5
+
+
+@register(
+    "tpch_q17_small_quantity",
+    oracle=f"""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) / 7.0 AS DOUBLE)
+         AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND p.p_size <= {Q17_MAX_SIZE}
+  AND CAST(l.l_quantity AS DECIMAL(38,6)) * 5 * (
+        SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      ) < (
+        SELECT SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey
+      )
+""",
+    tags=["tpch", "subquery"],
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the correlated per-part average
+    decorrelated by hand into ONE grouped aggregate over lineitem joined
+    back on partkey — Spark computes the per-part (count, sum) in a
+    single shuffle instead of re-scanning lineitem per row. The spec's
+    ``l_quantity < 0.2 * avg(...)`` is algebraically rearranged to
+    ``5 * qty * cnt < sum`` over exact DECIMALs — no float division, so
+    the boundary rows agree bit-for-bit across engines. The p_size
+    predicate stands in for the spec's p_container (absent column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE)
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.count("*").alias("pp_cnt"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("pp_sum"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pp_key"))
+        .where(
+            F.col("l_quantity").cast(DEC) * 5 * F.col("pp_cnt") < F.col("pp_sum")
+        )
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)) / 7.0)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    tags=["tpch", "join"],
+)
+def tpch_q19_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue: the disjunctive-predicate join — three OR'd
+    (brand, size-band, quantity-band) arms spanning BOTH tables. Written
+    as a plain equi-join on partkey with the disjunction as a post-join
+    filter: Catalyst extracts the common l_quantity/p_size bounds it can
+    prove (OR-expansion) and keeps the join an efficient hash join rather
+    than a nested-loop over the OR. Adapted to the available columns
+    (no l_shipmode/l_shipinstruct arms)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    arm1 = (br == "Brand#1") & sz.between(1, 5) & q.between(1, 11)
+    arm2 = (br == "Brand#2") & sz.between(1, 10) & q.between(10, 20)
+    arm3 = (br == "Brand#3") & sz.between(1, 15) & q.between(20, 30)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(arm1 | arm2 | arm3)
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )

@@ -176,3 +176,27 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q10_topk_and_broadcast_nation(spark):
+    """Q10: the top-20 must plan as TakeOrderedAndProject and the
+    fixed-cardinality nation dim as a broadcast join."""
+    plan = _plan(spark, "tpch_q10_returned")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_decorrelates_to_one_lineitem_agg(spark):
+    """Q17's per-part correlated subquery must run as ONE grouped aggregate
+    joined back — never a nested-loop re-scan per row."""
+    plan = _plan(spark, "tpch_q17_small_quantity")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunction_stays_hash_join(spark):
+    """Q19's OR'd cross-table arms must not demote the partkey equi-join to
+    a nested loop."""
+    plan = _plan(spark, "tpch_q19_discounted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
