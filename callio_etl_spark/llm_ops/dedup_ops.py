@@ -884,3 +884,84 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+SUBSTR_K = 8  # tokens per exact window (50 in Lee et al.; docs here are ~60 tokens)
+SUBSTR_FREQ_CAP = 50  # drop windows shared by more docs: boilerplate, not dup signal
+
+
+@register(
+    "exact_substring_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+),
+sh AS (
+  SELECT DISTINCT t.doc_id,
+         md5(array_to_string(t.tokens[g : g + {SUBSTR_K} - 1], ' ')) AS h
+  FROM toks t
+  CROSS JOIN UNNEST(range(1, len(t.tokens) - {SUBSTR_K} + 2)) AS u(g)
+),
+rare AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS freq FROM sh
+  ) WHERE freq <= {SUBSTR_FREQ_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    tags=["llm", "dedup"],
+)
+def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection: documents sharing any verbatim
+    {SUBSTR_K}-token window (the exact-match complement of MinHash — the
+    method of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", which MinHash misses when a long doc embeds a copied
+    span too small to move the signature).
+
+    Shape: windows are built IN-ROW (slice over an offset sequence —
+    linear in doc length) and hashed to md5 so the shuffle carries 32-byte
+    keys, never the window text. Per-(doc,window) distinct, then a
+    COUNT(*) OVER (PARTITION BY h) window drops boilerplate windows
+    occurring in more than {SUBSTR_FREQ_CAP} docs BEFORE the pair
+    self-join — the join's per-bucket fan-out is capped at
+    {SUBSTR_FREQ_CAP}^2, so the plan has no unbounded quadratic surface at
+    100 TB (the frequency window and the join shuffle on the same key, so
+    AQE reuses the exchange). Production note: K=50 and a suffix-array
+    pass to recover maximal spans; the candidate-pair stage here is the
+    distributed part that matters."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens")).where(
+        F.size("tokens") >= SUBSTR_K
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - SUBSTR_K + 1),
+                lambda g: F.md5(
+                    F.concat_ws(" ", F.slice("tokens", g, SUBSTR_K))
+                ),
+            )
+        ).alias("h"),
+    ).distinct()
+    rare = (
+        sh.withColumn("freq", F.count("*").over(Window.partitionBy("h")))
+        .where(F.col("freq") <= SUBSTR_FREQ_CAP)
+        .drop("freq")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_windows"))
+    )

@@ -410,3 +410,92 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit").cast("long").alias("n_contaminated"),
         (F.col("n_hit").cast("double") / F.col("n_sh")).alias("contamination_rate"),
     )
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT t.doc_id,
+         CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(t.tokens)) AS DOUBLE)
+           / CAST(len(t.tokens) AS DOUBLE) AS distinct_token_ratio,
+         t.tokens[g] || ' ' || t.tokens[g + 1] AS bigram
+  FROM toks t CROSS JOIN UNNEST(range(1, len(t.tokens))) AS u(g)
+),
+counted AS (
+  SELECT doc_id, n_tokens, distinct_token_ratio, bigram,
+         COUNT(*) AS cnt
+  FROM bi
+  GROUP BY doc_id, n_tokens, distinct_token_ratio, bigram
+)
+SELECT doc_id, n_tokens, distinct_token_ratio,
+       CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         AS top_bigram_frac,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(cnt) AS DOUBLE) AS dup_bigram_frac
+FROM counted
+GROUP BY doc_id, n_tokens, distinct_token_ratio
+""",
+    tags=["llm", "text"],
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: per-document duplicate-bigram
+    fraction, most-common-bigram fraction, and distinct-token ratio —
+    the filters that catch boilerplate and degenerate repetition that
+    plain length/stopword scoring (quality_score) misses.
+
+    Shape: bigrams are built IN-ROW (transform over an offset sequence —
+    linear, codegen'd), then exploded and counted with a two-level
+    aggregate. The per-doc scalars ride along as constant grouping keys,
+    so the whole thing is the explode plus two hash aggregates on the
+    same doc_id-prefixed keys — no join back, and AQE coalesces the
+    second (tiny) shuffle. At 100 TB this is the standard linear
+    inverted-count pattern; nothing is quadratic in document length
+    (the in-row alternative — filter(bigrams, x -> x = b) per distinct
+    bigram — is O(n^2) per doc and was rejected).
+
+    Ratios divide two exact BIGINTs in one IEEE double op — engine-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    ).where(F.size("tokens") >= 2)
+    bi = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("tokens")).cast("double")
+            / F.size("tokens").cast("double")
+        ).alias("distinct_token_ratio"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 1),
+                lambda g: F.concat_ws(
+                    " ",
+                    F.element_at("tokens", g),
+                    F.element_at("tokens", g + F.lit(1)),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counted = bi.groupBy(
+        "doc_id", "n_tokens", "distinct_token_ratio", "bigram"
+    ).agg(F.count("*").alias("cnt"))
+    return counted.groupBy("doc_id", "n_tokens", "distinct_token_ratio").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("cnt").cast("double")
+        ).alias("dup_bigram_frac"),
+    )
