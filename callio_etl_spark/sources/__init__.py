@@ -1,0 +1,1 @@
+"""Custom Spark data sources (Python DataSource API, Spark 4)."""

@@ -1,0 +1,301 @@
+"""Paginated-API source as a native Spark Python DataSource (SURVEY S1-S4, S7).
+
+The reference ingests from a paginated HTTP API on a single thread: a
+driver-side stack of time slices, each fetched page-by-page in descending
+time order with early stop at the checkpoint cutoff, reactive bisection
+when the server refuses a too-large result window, and a token cache with
+a 25-minute TTL (reference ``api.py:43-68`` token cache, ``151-218``
+``fetch_slice`` pagination + early stop, ``222-231`` backward slice walk,
+``278-301`` resume/bisect on result-window errors).
+
+This module re-expresses that contract in Spark's execution model instead
+of translating the loop:
+
+- **Slice planning is plan-time metadata** (``partitions()``): the driver
+  probes each candidate slice's row count (the API's cheap ``totalDocs``
+  header — one request, no docs) and bisects proactively until every slice
+  fits the server's result window, down to ``min_slice_ms`` (the
+  reference's S4 bisection, moved from reactive 400-handling to the
+  planner so ALL partitions are known up front and fetch in parallel).
+- **Pagination + early stop run per executor** (``read()``): each
+  partition walks its own slice's pages in descending time order and
+  stops at the first row at-or-under the cutoff — S1/S2 exactly, but N
+  slices fetch concurrently instead of serially.
+- **Reactive resume stays** as the fallback: if the transport still
+  raises a result-window refusal mid-read (counts drifted between plan
+  and fetch), the reader resumes from the oldest fetched timestamp - 1,
+  the reference's recovery trick, sequentially within the partition.
+- **First-wins keying** (reference ``add_docs`` doc_store): applied
+  within a partition during the page walk; slices are disjoint time
+  ranges, so cross-slice duplicates only exist for payloads re-emitted by
+  the API across windows — exactly what the engine-level
+  ``dedup.first_wins`` pass (D1) handles downstream, where it scales,
+  instead of a driver-side dict.
+- **Schema-driven projection**: ``read()`` emits only the fields in the
+  caller's schema, so a pruned schema never deserializes untouched
+  payload columns (the DataFrame-side column pruning reaches the source).
+
+Transports: ``JsonlApiTransport`` is the deterministic offline backend
+(a JSONL file stands in for the endpoint; same three calls a real client
+needs). ``HttpApiTransport`` documents the real-endpoint surface and
+raises until pointed at one — this container has no network.
+
+The global ``limit_records`` cap (reference ``config.py:203-204``) is a
+driver-side concern in Spark: apply ``.limit(n)`` on the returned
+DataFrame; Spark pushes it into the scan and stops consuming partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import time as _time
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+TOKEN_TTL_S = 25 * 60  # reference api.py:67
+DEFAULT_PAGE_SIZE = 500  # reference config.py:32
+DEFAULT_SLICE_MS = 24 * 60 * 60 * 1000  # reference config.py:36
+DEFAULT_MIN_SLICE_MS = 60 * 60 * 1000  # reference config.py:45
+DEFAULT_RESULT_WINDOW = 10_000  # ES-style result-window cap the API enforces
+
+DEFAULT_SCHEMA = (
+    "_id string, ts_ms long, user_id long, event_type string, value string"
+)
+
+
+class ResultWindowTooLarge(Exception):
+    """The API refused the slice: more rows than its result window allows
+    (reference api.py:170-180 maps the HTTP 400 text to this)."""
+
+
+@dataclass
+class TokenCache:
+    """Per-tenant auth token cache with TTL — reference api.py:43-68.
+
+    ``clock`` is injectable for tests; ``get`` refreshes on expiry or on
+    ``force=True`` (the 401-retry path, reference api.py:137-142)."""
+
+    login: "callable"
+    ttl_s: float = TOKEN_TTL_S
+    clock: "callable" = _time.monotonic
+    _tokens: dict = field(default_factory=dict)
+
+    def get(self, tenant: str, force: bool = False) -> str:
+        now = self.clock()
+        token, expiry = self._tokens.get(tenant, (None, 0.0))
+        if force or token is None or now >= expiry:
+            token = self.login(tenant)
+            if not token:
+                raise RuntimeError(f"[{tenant}] cannot obtain token")
+            self._tokens[tenant] = (token, now + self.ttl_s)
+        return self._tokens[tenant][0]
+
+
+class JsonlApiTransport:
+    """Deterministic offline endpoint: a JSONL file is the 'server'.
+
+    Implements the three calls any real client needs — ``count`` (the
+    totalDocs probe), ``fetch_page`` (descending-sorted page), ``login``.
+    Enforces the same result-window behavior as the reference's server:
+    a fetch whose page offset would reach past ``result_window`` raises
+    ``ResultWindowTooLarge``. Picklable (path only) so it ships to
+    executors; each task lazily loads and caches the rows."""
+
+    def __init__(self, path: str, time_field: str = "ts_ms",
+                 result_window: int = DEFAULT_RESULT_WINDOW):
+        self.path = path
+        self.time_field = time_field
+        self.result_window = result_window
+        self._rows = None
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_rows"] = None  # never ship the data; executors re-read
+        return state
+
+    def _load(self):
+        if self._rows is None:
+            with open(self.path) as f:
+                rows = [json.loads(line) for line in f if line.strip()]
+            rows.sort(key=lambda r: (-int(r[self.time_field]), str(r.get("_id"))))
+            self._rows = rows
+        return self._rows
+
+    def login(self, tenant: str) -> str:
+        return f"token-{tenant}"
+
+    def _in_range(self, from_ms: int, to_ms: int):
+        tf = self.time_field
+        return [r for r in self._load() if from_ms <= int(r[tf]) <= to_ms]
+
+    def count(self, from_ms: int, to_ms: int) -> int:
+        return len(self._in_range(from_ms, to_ms))
+
+    def fetch_page(self, token: str, from_ms: int, to_ms: int, page: int,
+                   page_size: int):
+        """1-based page of the descending-sorted range; returns
+        (docs, has_next). Raises ResultWindowTooLarge past the window."""
+        if not token:
+            raise RuntimeError("unauthenticated")
+        if page * page_size > self.result_window:
+            raise ResultWindowTooLarge(
+                f"page={page} x pageSize={page_size} exceeds "
+                f"result window {self.result_window}"
+            )
+        rows = self._in_range(from_ms, to_ms)
+        lo = (page - 1) * page_size
+        return rows[lo : lo + page_size], lo + page_size < len(rows)
+
+
+class HttpApiTransport:
+    """The real-endpoint surface (reference api.py perform_request /
+    _login). Not runnable here — this environment has no network; the
+    class exists so a deployment only swaps the transport, never the
+    planner or reader."""
+
+    def __init__(self, base_url: str, timeout_s: float = 90.0):
+        self.base_url = base_url
+        self.timeout_s = timeout_s
+
+    def login(self, tenant: str) -> str:
+        raise NotImplementedError("no network in this environment")
+
+    def count(self, from_ms: int, to_ms: int) -> int:
+        raise NotImplementedError("no network in this environment")
+
+    def fetch_page(self, token, from_ms, to_ms, page, page_size):
+        raise NotImplementedError("no network in this environment")
+
+
+def plan_slices(
+    count,  # callable (from_ms, to_ms) -> int
+    cutoff_ms: int,
+    window_end_ms: int,
+    slice_ms: int = DEFAULT_SLICE_MS,
+    min_slice_ms: int = DEFAULT_MIN_SLICE_MS,
+    result_window: int = DEFAULT_RESULT_WINDOW,
+) -> list[tuple[int, int]]:
+    """Plan-time slice layout: the reference's backward fixed-width walk
+    (api.py:222-231) followed by PROACTIVE bisection of any slice whose
+    probed row count exceeds the result window (the reference bisects
+    reactively on the 400 error, api.py:294-301 — same floor, same
+    halving, but at plan time so the fetch stage is embarrassingly
+    parallel). Returns newest-first [start, end] closed ranges."""
+    slices: list[tuple[int, int]] = []
+    cursor_end = window_end_ms
+    while cursor_end > cutoff_ms:
+        cursor_start = max(cutoff_ms, cursor_end - slice_ms)
+        slices.append((cursor_start, cursor_end))
+        cursor_end = cursor_start - 1
+    if not slices:
+        slices = [(cutoff_ms, window_end_ms)]
+
+    planned: list[tuple[int, int]] = []
+    stack = list(reversed(slices))
+    while stack:
+        start, end = stack.pop()
+        if end <= start:
+            continue
+        span = end - start
+        if span > min_slice_ms and count(start, end) > result_window:
+            mid = start + span // 2
+            stack.append((mid + 1, end))
+            stack.append((start, mid))
+            continue
+        planned.append((start, end))
+    return planned
+
+
+class SlicePartition(InputPartition):
+    def __init__(self, start_ms: int, end_ms: int):
+        self.start_ms = start_ms
+        self.end_ms = end_ms
+
+
+class PagedApiReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict, transport):
+        self.fields = schema.fieldNames()
+        self.time_field = options.get("time_field", "ts_ms")
+        self.cutoff_ms = int(options.get("cutoff_ms", 0))
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.slice_ms = int(options.get("slice_ms", DEFAULT_SLICE_MS))
+        self.min_slice_ms = int(options.get("min_slice_ms", DEFAULT_MIN_SLICE_MS))
+        self.result_window = int(
+            options.get("result_window", DEFAULT_RESULT_WINDOW)
+        )
+        self.window_end_ms = int(options["window_end_ms"])  # determinism: explicit
+        self.tenant = options.get("tenant", "default")
+        self.transport = transport
+
+    def partitions(self):
+        ranges = plan_slices(
+            self.transport.count,
+            self.cutoff_ms,
+            self.window_end_ms,
+            self.slice_ms,
+            self.min_slice_ms,
+            self.result_window,
+        )
+        return [SlicePartition(s, e) for s, e in ranges]
+
+    def read(self, partition: SlicePartition):
+        tokens = TokenCache(login=self.transport.login)
+        token = tokens.get(self.tenant)
+        tf, cutoff = self.time_field, self.cutoff_ms
+        seen: set = set()
+        range_start, range_end = partition.start_ms, partition.end_ms
+        while True:  # resume loop (result-window recovery)
+            page, stop, refused = 1, False, False
+            oldest_ts = None
+            while True:  # page walk, descending time
+                try:
+                    docs, has_next = self.transport.fetch_page(
+                        token, range_start, range_end, page, self.page_size
+                    )
+                except ResultWindowTooLarge:
+                    refused = True
+                    break
+                for doc in docs:
+                    ts = int(doc.get(tf) or 0)
+                    if ts <= cutoff:  # early stop: S2
+                        stop = True
+                        break
+                    key = doc.get("_id") or f"{ts}:{doc.get('id')}"
+                    if key in seen:  # first wins: reference add_docs
+                        continue
+                    seen.add(key)
+                    oldest_ts = ts if oldest_ts is None else min(oldest_ts, ts)
+                    yield tuple(doc.get(f) for f in self.fields)
+                if stop or not has_next:
+                    break
+                page += 1
+            if refused and oldest_ts is not None and oldest_ts - 1 > range_start:
+                range_end = oldest_ts - 1  # resume older remainder: S4 fallback
+                continue
+            return
+
+
+class CallioPagedDataSource(DataSource):
+    """``spark.read.format("callio_paged_api")`` — options:
+
+    ``path`` (JSONL endpoint data), ``window_end_ms`` (required: scan
+    upper bound — the reference uses now(), pinned here for determinism),
+    ``cutoff_ms``, ``time_field``, ``page_size``, ``slice_ms``,
+    ``min_slice_ms``, ``result_window``, ``tenant``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "callio_paged_api"
+
+    def schema(self) -> str:
+        return self.options.get("api_schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> PagedApiReader:
+        transport = JsonlApiTransport(
+            self.options["path"],
+            self.options.get("time_field", "ts_ms"),
+            int(self.options.get("result_window", DEFAULT_RESULT_WINDOW)),
+        )
+        return PagedApiReader(schema, dict(self.options), transport)

@@ -1,0 +1,258 @@
+"""Custom paginated-API DataSource (SURVEY S1-S4, S7 as a native source).
+
+Covers the planner (proactive bisection), the token cache (TTL + forced
+refresh), the reader's early stop / first-wins keying / result-window
+resume as plain Python, and the end-to-end Spark read with partition
+parallelism and schema projection.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from callio_etl_spark.sources.paged_api import (
+    DEFAULT_SCHEMA,
+    CallioPagedDataSource,
+    JsonlApiTransport,
+    PagedApiReader,
+    ResultWindowTooLarge,
+    TokenCache,
+    plan_slices,
+)
+
+HOUR = 60 * 60 * 1000
+DAY = 24 * HOUR
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(path)
+
+
+def _mk_rows(n, start_ms, step_ms, prefix="r"):
+    return [
+        {
+            "_id": f"{prefix}{i}",
+            "ts_ms": start_ms + i * step_ms,
+            "user_id": i % 7,
+            "event_type": "call" if i % 2 else "sms",
+            "value": f"v{i}",
+        }
+        for i in range(n)
+    ]
+
+
+# ---------------------------------------------------------------- planner
+
+
+def test_plan_slices_backward_walk_covers_range_without_overlap():
+    calls = []
+
+    def count(a, b):
+        calls.append((a, b))
+        return 10  # under any window: no splitting
+
+    got = plan_slices(count, cutoff_ms=0, window_end_ms=3 * DAY,
+                      slice_ms=DAY, min_slice_ms=HOUR, result_window=100)
+    # newest-first fixed-width walk, closed ranges, disjoint, full coverage
+    assert got[0][1] == 3 * DAY and got[-1][0] == 0
+    for (s1, e1), (s2, e2) in zip(got, got[1:]):
+        assert s1 > e2  # disjoint and descending
+    covered = sum(e - s + 1 for s, e in got)
+    assert covered == 3 * DAY + 1
+
+
+def test_plan_slices_bisects_hot_slice_only():
+    hot_lo, hot_hi = DAY, 2 * DAY  # middle day overflows the window
+
+    def count(a, b):
+        return 5000 if (a < hot_hi and b > hot_lo) else 50
+
+    got = plan_slices(count, 0, 3 * DAY, DAY, HOUR, result_window=100)
+    hot = [s for s in got if s[0] >= hot_lo - 1 and s[1] <= hot_hi]
+    cold = [s for s in got if s not in hot]
+    assert len(cold) == 2  # untouched cold days
+    # hot day bisected to the floor: spans near min_slice_ms
+    assert all((e - s) <= 2 * HOUR for s, e in hot)
+    assert len(hot) >= 12
+
+
+def test_plan_slices_respects_min_slice_floor():
+    got = plan_slices(lambda a, b: 10**9, 0, DAY, DAY, 6 * HOUR, 1)
+    # overflow everywhere, but never split below the floor
+    assert all((e - s) >= 6 * HOUR // 2 for s, e in got)
+    assert all((e - s) <= 6 * HOUR for s, e in got)
+
+
+# ------------------------------------------------------------ token cache
+
+
+def test_token_cache_ttl_and_forced_refresh():
+    clock = {"t": 0.0}
+    logins = []
+
+    def login(tenant):
+        logins.append(tenant)
+        return f"tok{len(logins)}"
+
+    cache = TokenCache(login=login, ttl_s=100.0, clock=lambda: clock["t"])
+    assert cache.get("a") == "tok1"
+    assert cache.get("a") == "tok1"  # cached
+    clock["t"] = 99.0
+    assert cache.get("a") == "tok1"  # still valid
+    clock["t"] = 101.0
+    assert cache.get("a") == "tok2"  # TTL expired
+    assert cache.get("a", force=True) == "tok3"  # 401 path
+    assert cache.get("b") == "tok4"  # per-tenant
+    assert logins == ["a", "a", "a", "b"]
+
+
+# ------------------------------------------------------- reader as python
+
+
+class CountingTransport(JsonlApiTransport):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.pages_fetched = 0
+
+    def fetch_page(self, *a, **kw):
+        self.pages_fetched += 1
+        return super().fetch_page(*a, **kw)
+
+
+def _default_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("_id", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+
+
+def _reader(transport, **opts):
+    options = {"window_end_ms": 10 * DAY, "page_size": 10, **opts}
+    return PagedApiReader(_default_schema(), options, transport)
+
+
+def test_reader_early_stops_at_cutoff(tmp_path):
+    # 100 rows, 1 min apart; cutoff excludes the oldest 80 -> with
+    # descending pages of 10, only ~3 pages are ever requested (S2).
+    rows = _mk_rows(100, start_ms=0, step_ms=60_000)
+    t = CountingTransport(_write_jsonl(tmp_path / "d.jsonl", rows))
+    cutoff = rows[79]["ts_ms"]
+    r = _reader(t, cutoff_ms=cutoff)
+    [part] = [p for p in r.partitions() if p.start_ms <= cutoff + HOUR]
+    got = list(r.read(part))
+    assert len(got) == 20
+    assert t.pages_fetched <= 3
+    ids = {g[0] for g in got}
+    assert ids == {f"r{i}" for i in range(80, 100)}
+
+
+def test_reader_first_wins_on_duplicate_ids(tmp_path):
+    rows = _mk_rows(10, start_ms=0, step_ms=60_000)
+    dup = dict(rows[5])
+    dup["value"] = "late-duplicate"
+    dup["ts_ms"] = rows[5]["ts_ms"] - 1  # older copy of the same _id
+    t = JsonlApiTransport(_write_jsonl(tmp_path / "d.jsonl", rows + [dup]))
+    r = _reader(t, cutoff_ms=-1)
+    got = {}
+    for p in r.partitions():
+        for row in r.read(p):
+            assert row[0] not in got
+            got[row[0]] = row
+    # newest (descending walk) wins; the older duplicate is dropped
+    assert got["r5"][4] == "v5"
+    assert len(got) == 10
+
+
+def test_reader_resumes_after_result_window_refusal(tmp_path):
+    # One slice holding 50 rows with a result window of 30: the plan
+    # can't split (span == min_slice floor), so the reader must fetch 30,
+    # then RESUME from oldest-1 and fetch the remaining 20 (S4 fallback).
+    rows = _mk_rows(50, start_ms=0, step_ms=1000)
+    t = JsonlApiTransport(_write_jsonl(tmp_path / "d.jsonl", rows),
+                          result_window=30)
+    r = _reader(
+        t,
+        cutoff_ms=-1,
+        window_end_ms=HOUR,
+        slice_ms=2 * HOUR,
+        min_slice_ms=2 * HOUR,
+        result_window=30,
+    )
+    parts = r.partitions()
+    assert len(parts) == 1
+    got = list(r.read(parts[0]))
+    assert len(got) == 50
+    assert {g[0] for g in got} == {f"r{i}" for i in range(50)}
+
+
+def test_transport_raises_past_result_window(tmp_path):
+    rows = _mk_rows(40, 0, 1000)
+    t = JsonlApiTransport(_write_jsonl(tmp_path / "d.jsonl", rows),
+                          result_window=20)
+    t.fetch_page("tok", 0, HOUR, 2, 10)  # 20 <= window: fine
+    with pytest.raises(ResultWindowTooLarge):
+        t.fetch_page("tok", 0, HOUR, 3, 10)
+
+
+# ----------------------------------------------------------- end to end
+
+
+def test_spark_read_end_to_end(spark, tmp_path):
+    # 3 days of data, hot middle day -> planner bisects it; every
+    # partition fetches in parallel; rows at/under the cutoff excluded.
+    rows = (
+        _mk_rows(40, start_ms=0, step_ms=30 * 60 * 1000, prefix="a")  # day 1 spread
+        + _mk_rows(500, start_ms=DAY + 6 * HOUR, step_ms=1000, prefix="hot")
+        + _mk_rows(40, start_ms=2 * DAY, step_ms=30 * 60 * 1000, prefix="c")
+    )
+    path = _write_jsonl(tmp_path / "events.jsonl", rows)
+    spark.dataSource.register(CallioPagedDataSource)
+    cutoff = 10 * 30 * 60 * 1000  # excludes the oldest 11 'a' rows (ts<=cutoff)
+    df = (
+        spark.read.format("callio_paged_api")
+        .option("path", path)
+        .option("window_end_ms", 3 * DAY)
+        .option("cutoff_ms", cutoff)
+        .option("result_window", 200)
+        .option("page_size", 50)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() > 3  # hot day split into extra slices
+    got = df.collect()
+    expect = [r for r in rows if r["ts_ms"] > cutoff]
+    assert len(got) == len(expect)
+    assert {r["_id"] for r in got} == {r["_id"] for r in expect}
+    assert df.where(df.ts_ms <= cutoff).count() == 0
+
+
+def test_spark_read_projected_schema(spark, tmp_path):
+    rows = _mk_rows(30, start_ms=0, step_ms=60_000)
+    path = _write_jsonl(tmp_path / "events.jsonl", rows)
+    spark.dataSource.register(CallioPagedDataSource)
+    df = (
+        spark.read.format("callio_paged_api")
+        .option("path", path)
+        .option("window_end_ms", DAY)
+        .option("cutoff_ms", -1)
+        .option("api_schema", "_id string, ts_ms long")
+        .load()
+    )
+    assert df.columns == ["_id", "ts_ms"]
+    assert df.count() == 30
