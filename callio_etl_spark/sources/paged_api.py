@@ -51,7 +51,12 @@ import json
 import time as _time
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 TOKEN_TTL_S = 25 * 60  # reference api.py:67
@@ -131,7 +136,18 @@ class JsonlApiTransport:
         return [r for r in self._load() if from_ms <= int(r[tf]) <= to_ms]
 
     def count(self, from_ms: int, to_ms: int) -> int:
+        self._rows = None  # driver-side plan probe: always a fresh view
         return len(self._in_range(from_ms, to_ms))
+
+    def latest_ts(self) -> int:
+        """Newest record timestamp — the stream's latestOffset probe (one
+        cheap request against a descending-sorted endpoint: page 1, size 1).
+        Always re-reads: the probe must observe newly landed data; executor
+        page walks keep their per-task snapshot (the resume loop tolerates
+        in-flight shift, like a live API)."""
+        self._rows = None
+        rows = self._load()
+        return int(rows[0][self.time_field]) if rows else 0
 
     def fetch_page(self, token: str, from_ms: int, to_ms: int, page: int,
                    page_size: int):
@@ -163,6 +179,9 @@ class HttpApiTransport:
         raise NotImplementedError("no network in this environment")
 
     def count(self, from_ms: int, to_ms: int) -> int:
+        raise NotImplementedError("no network in this environment")
+
+    def latest_ts(self) -> int:
         raise NotImplementedError("no network in this environment")
 
     def fetch_page(self, token, from_ms, to_ms, page, page_size):
@@ -209,9 +228,53 @@ def plan_slices(
 
 
 class SlicePartition(InputPartition):
-    def __init__(self, start_ms: int, end_ms: int):
+    """One fetch slice: closed time range plus the exclusive lower cutoff
+    rows must stay strictly above (the checkpoint boundary for the slice
+    that touches it; a no-op for younger slices)."""
+
+    def __init__(self, start_ms: int, end_ms: int, cutoff_ms: int):
         self.start_ms = start_ms
         self.end_ms = end_ms
+        self.cutoff_ms = cutoff_ms
+
+
+def _walk_slice(transport, token, fields, time_field, partition, page_size):
+    """Descending page walk over one slice: early stop at the cutoff (S2),
+    first-wins keying across pages (reference add_docs), reactive
+    resume-from-oldest on a result-window refusal (S4 fallback). Shared by
+    the batch and streaming readers — the tick semantics are identical."""
+    tf, cutoff = time_field, partition.cutoff_ms
+    seen: set = set()
+    range_start, range_end = partition.start_ms, partition.end_ms
+    while True:  # resume loop (result-window recovery)
+        page, stop, refused = 1, False, False
+        oldest_ts = None
+        while True:  # page walk, descending time
+            try:
+                docs, has_next = transport.fetch_page(
+                    token, range_start, range_end, page, page_size
+                )
+            except ResultWindowTooLarge:
+                refused = True
+                break
+            for doc in docs:
+                ts = int(doc.get(tf) or 0)
+                if ts <= cutoff:  # early stop: S2
+                    stop = True
+                    break
+                key = doc.get("_id") or f"{ts}:{doc.get('id')}"
+                if key in seen:  # first wins: reference add_docs
+                    continue
+                seen.add(key)
+                oldest_ts = ts if oldest_ts is None else min(oldest_ts, ts)
+                yield tuple(doc.get(f) for f in fields)
+            if stop or not has_next:
+                break
+            page += 1
+        if refused and oldest_ts is not None and oldest_ts - 1 > range_start:
+            range_end = oldest_ts - 1  # resume older remainder
+            continue
+        return
 
 
 class PagedApiReader(DataSourceReader):
@@ -238,52 +301,80 @@ class PagedApiReader(DataSourceReader):
             self.min_slice_ms,
             self.result_window,
         )
-        return [SlicePartition(s, e) for s, e in ranges]
+        return [SlicePartition(s, e, self.cutoff_ms) for s, e in ranges]
 
     def read(self, partition: SlicePartition):
-        tokens = TokenCache(login=self.transport.login)
-        token = tokens.get(self.tenant)
-        tf, cutoff = self.time_field, self.cutoff_ms
-        seen: set = set()
-        range_start, range_end = partition.start_ms, partition.end_ms
-        while True:  # resume loop (result-window recovery)
-            page, stop, refused = 1, False, False
-            oldest_ts = None
-            while True:  # page walk, descending time
-                try:
-                    docs, has_next = self.transport.fetch_page(
-                        token, range_start, range_end, page, self.page_size
-                    )
-                except ResultWindowTooLarge:
-                    refused = True
-                    break
-                for doc in docs:
-                    ts = int(doc.get(tf) or 0)
-                    if ts <= cutoff:  # early stop: S2
-                        stop = True
-                        break
-                    key = doc.get("_id") or f"{ts}:{doc.get('id')}"
-                    if key in seen:  # first wins: reference add_docs
-                        continue
-                    seen.add(key)
-                    oldest_ts = ts if oldest_ts is None else min(oldest_ts, ts)
-                    yield tuple(doc.get(f) for f in self.fields)
-                if stop or not has_next:
-                    break
-                page += 1
-            if refused and oldest_ts is not None and oldest_ts - 1 > range_start:
-                range_end = oldest_ts - 1  # resume older remainder: S4 fallback
-                continue
-            return
+        token = TokenCache(login=self.transport.login).get(self.tenant)
+        yield from _walk_slice(
+            self.transport, token, self.fields, self.time_field, partition,
+            self.page_size,
+        )
+
+
+class PagedApiStreamReader(DataSourceStreamReader):
+    """The reference's incremental tick loop (C1/C4/C6: checkpoint cutoff
+    -> scan window -> advance checkpoint, reference pipeline.py) as a
+    Structured Streaming source. Offsets ARE the checkpoint watermark
+    (`{"ts_ms": N}`): each micro-batch plans slices over (start, end] with
+    the SAME proactive-bisection planner as the batch reader, fetches
+    them in parallel on executors, and Spark's offset log replaces the
+    reference's update_log table. A crashed batch replays from the last
+    committed offset — exactly the reference's redo-from-checkpoint
+    semantics, but exactly-once into transactional sinks."""
+
+    def __init__(self, schema: StructType, options: dict, transport):
+        self.fields = schema.fieldNames()
+        self.time_field = options.get("time_field", "ts_ms")
+        self.start_cutoff_ms = int(options.get("cutoff_ms", 0))
+        self.page_size = int(options.get("page_size", DEFAULT_PAGE_SIZE))
+        self.slice_ms = int(options.get("slice_ms", DEFAULT_SLICE_MS))
+        self.min_slice_ms = int(options.get("min_slice_ms", DEFAULT_MIN_SLICE_MS))
+        self.result_window = int(
+            options.get("result_window", DEFAULT_RESULT_WINDOW)
+        )
+        self.tenant = options.get("tenant", "default")
+        self.transport = transport
+
+    def initialOffset(self) -> dict:
+        return {"ts_ms": self.start_cutoff_ms}
+
+    def latestOffset(self) -> dict:
+        latest = self.transport.latest_ts()
+        return {"ts_ms": max(latest, self.start_cutoff_ms)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["ts_ms"]), int(end["ts_ms"])
+        if hi <= lo:
+            return []
+        ranges = plan_slices(
+            self.transport.count, lo, hi,
+            self.slice_ms, self.min_slice_ms, self.result_window,
+        )
+        # each batch consumes (lo, hi]: the cutoff rides on every slice
+        return [SlicePartition(s, e, lo) for s, e in ranges]
+
+    def read(self, partition: SlicePartition):
+        token = TokenCache(login=self.transport.login).get(self.tenant)
+        yield from _walk_slice(
+            self.transport, token, self.fields, self.time_field, partition,
+            self.page_size,
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the checkpoint store
+
+    def stop(self) -> None:
+        pass
 
 
 class CallioPagedDataSource(DataSource):
-    """``spark.read.format("callio_paged_api")`` — options:
+    """``spark.read.format("callio_paged_api")`` (batch) or
+    ``spark.readStream.format("callio_paged_api")`` (incremental ticks).
 
-    ``path`` (JSONL endpoint data), ``window_end_ms`` (required: scan
-    upper bound — the reference uses now(), pinned here for determinism),
-    ``cutoff_ms``, ``time_field``, ``page_size``, ``slice_ms``,
-    ``min_slice_ms``, ``result_window``, ``tenant``."""
+    Options: ``path`` (JSONL endpoint data), ``window_end_ms`` (batch
+    only, required: scan upper bound — the reference uses now(), pinned
+    for determinism), ``cutoff_ms``, ``time_field``, ``page_size``,
+    ``slice_ms``, ``min_slice_ms``, ``result_window``, ``tenant``."""
 
     @classmethod
     def name(cls) -> str:
@@ -292,10 +383,15 @@ class CallioPagedDataSource(DataSource):
     def schema(self) -> str:
         return self.options.get("api_schema", DEFAULT_SCHEMA)
 
-    def reader(self, schema: StructType) -> PagedApiReader:
-        transport = JsonlApiTransport(
+    def _transport(self) -> JsonlApiTransport:
+        return JsonlApiTransport(
             self.options["path"],
             self.options.get("time_field", "ts_ms"),
             int(self.options.get("result_window", DEFAULT_RESULT_WINDOW)),
         )
-        return PagedApiReader(schema, dict(self.options), transport)
+
+    def reader(self, schema: StructType) -> PagedApiReader:
+        return PagedApiReader(schema, dict(self.options), self._transport())
+
+    def streamReader(self, schema: StructType) -> PagedApiStreamReader:
+        return PagedApiStreamReader(schema, dict(self.options), self._transport())

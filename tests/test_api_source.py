@@ -256,3 +256,51 @@ def test_spark_read_projected_schema(spark, tmp_path):
     )
     assert df.columns == ["_id", "ts_ms"]
     assert df.count() == 30
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_stream_incremental_ticks_resume_from_offset(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: run 2 must emit ONLY the
+    rows that landed after run 1's final offset (the reference's
+    tick/cutoff loop, reference pipeline.py, with Spark's offset log as
+    the checkpoint store)."""
+    rows1 = _mk_rows(60, start_ms=1, step_ms=60_000, prefix="t")
+    path = _write_jsonl(tmp_path / "events.jsonl", rows1)
+    spark.dataSource.register(CallioPagedDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("callio_paged_api")
+            .option("path", path)
+            .option("cutoff_ms", 0)
+            .option("page_size", 25)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 60
+
+    # new data lands strictly after the last consumed timestamp
+    last_ts = rows1[-1]["ts_ms"]
+    rows2 = _mk_rows(15, start_ms=last_ts + 1000, step_ms=1000, prefix="n")
+    with open(path, "a") as f:
+        for r in rows2:
+            f.write(json.dumps(r) + "\n")
+
+    run_once()
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 75  # no replays, no gaps
+    assert got2.where("_id like 'n%'").count() == 15
+    assert got2.select("_id").distinct().count() == 75
