@@ -130,3 +130,81 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(
         F.col("rank") <= TOP_TERMS
     )
+
+
+MIX_ALPHA_NOTE = 0.5  # temperature exponent: factor = share^(alpha-1) = sqrt(1/share)
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per_source)
+SELECT p.source, p.n_docs,
+       CAST(p.n_docs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       SQRT(CAST(t.total AS DOUBLE) / CAST(p.n_docs AS DOUBLE)) AS upsample_factor
+FROM per_source p CROSS JOIN tot t
+""",
+    tags=["llm", "sampling"],
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture temperature weights per source: share of corpus and
+    the alpha=0.5 temperature up/down-sampling factor share^(alpha-1) =
+    sqrt(total/n). Normalize the factors downstream (sum-to-one needs a
+    cross-source reduction whose FP accumulation order is engine-dependent;
+    every column HERE is one or two IEEE ops on exact integers, so the
+    oracle match is bit-exact).
+
+    Shape: one tiny grouped count (sources are a handful of keys; map-side
+    combine means the shuffle moves one row per source per task) + a
+    broadcast 1-row total. This is the planning step of proportional /
+    temperature data mixing (cf. multilingual LM sampling): the factors
+    feed stratified_sample or a weighted interleave at write time."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = per_source.agg(F.sum("n_docs").cast("long").alias("total"))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        F.sqrt(
+            F.col("total").cast("double") / F.col("n_docs").cast("double")
+        ).alias("upsample_factor"),
+    )
+
+
+N_CURRICULUM_BINS = 10
+
+
+@register(
+    "curriculum_bins",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       CAST(NTILE({N_CURRICULUM_BINS})
+              OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS bin
+FROM documents
+""",
+    tags=["llm", "sampling"],
+)
+def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: global {N_CURRICULUM_BINS}-tile over document
+    length (short -> long), the standard length-ordered curriculum /
+    bucketed-batching prep. The unique doc_id tiebreak makes the global
+    order total, so bin edges are engine-deterministic.
+
+    Scale note: a single-partition global sort is the textbook NTILE
+    hazard; production replaces it with approx quantile edges (one pass,
+    percentile_approx) + a map-side bin lookup — percentile_summary in
+    this repo demonstrates that path. Registered with the exact NTILE so
+    the two variants can be diffed."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(N_CURRICULUM_BINS).over(w).cast("long").alias("bin"),
+    )

@@ -156,6 +156,7 @@ def _load_all() -> None:
         return
     from callio_etl_spark.queries import (  # noqa: F401
         advanced,
+        cdc,
         data_quality,
         fact_staff_daily,
         functions_ext,

@@ -200,3 +200,28 @@ def test_q19_disjunction_stays_hash_join(spark):
     plan = _plan(spark, "tpch_q19_discounted")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange_on_entity_key(spark):
+    """SCD2's change-detect window, run rollup, and interval-closing window
+    must share the user_id partitioning: no extra data exchanges beyond
+    the one hash partitioning (one node = two mentions in formatted
+    output)."""
+    plan = _plan(spark, "scd2_history")
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchanges and all("user_id" in l for l in exchanges), plan
+
+
+def test_table_diff_is_single_key_join(spark):
+    """The snapshot diff is ONE full-outer join on the key; the fingerprint
+    compare must not introduce extra exchanges."""
+    plan = _plan(spark, "table_diff")
+    assert "FullOuter" in plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert exchanges and all("o_orderkey" in l for l in exchanges), plan
