@@ -208,3 +208,121 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         *[F.col("features").getItem(i).alias(f"f{i}") for i in range(4)],
     )
+
+
+FRAME_BYTES = 64  # stub frame stride: payload bytes per pseudo-frame
+FRAME_EVERY_N = 4  # keep every Nth frame
+
+
+@register(
+    "frame_sample",
+    oracle=f"""
+WITH v AS (
+  SELECT d.doc_id, hex(encode(d.text)) AS payload_hex,
+         octet_length(encode(d.text)) AS byte_len
+  FROM documents d WHERE d.doc_id % 3 = 2
+),
+idx AS (
+  SELECT v.doc_id, v.payload_hex, u.i AS frame_idx
+  FROM v CROSS JOIN UNNEST(range(0, v.byte_len // {FRAME_BYTES})) AS u(i)
+  WHERE u.i % {FRAME_EVERY_N} = 0
+)
+-- DuckDB has no BLOB substring; slicing the hex string is byte-equivalent:
+-- hex(payload[k : k+{FRAME_BYTES}])[:16] == substr(hex(payload), 2*k+1, 16)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       UPPER(substr(payload_hex, CAST(frame_idx * {FRAME_BYTES} * 2 + 1 AS INT), 16)) AS frame_sig
+FROM idx
+""",
+    tags=["llm", "multimodal"],
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling — the fan-out shape (one payload row -> many
+    frame rows), entirely JVM-side: frame offsets from a sequence, every
+    Nth kept, the frame's bytes sliced out of the binary payload with
+    substr and fingerprinted. The stub 'codec' treats each {FRAME_BYTES}-
+    byte stride as a frame (deterministic, oracle-checkable); a real codec
+    swaps the slice+fingerprint for a mapInPandas decode exactly like
+    extract_media_features — the distribution shape (in-row offset
+    generation, explode, no shuffle) is the part that survives at 100 TB.
+    Partial tail bytes are dropped, as a real GOP-aligned sampler would."""
+    v = media_table(spark, sf_dir).where(F.col("media_type") == "video")
+    n_frames = F.floor(F.octet_length("payload") / FRAME_BYTES).cast("long")
+    idx = v.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0).cast("long"), n_frames - 1),
+                lambda i: i % FRAME_EVERY_N == 0,
+            )
+        ).alias("frame_idx"),
+    ).where(n_frames > 0)
+    frame = F.col("payload").substr(
+        (F.col("frame_idx") * FRAME_BYTES + 1).cast("int"), F.lit(FRAME_BYTES)
+    )
+    return idx.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.upper(F.substring(F.hex(frame), 1, 16)).alias("frame_sig"),
+    )
+
+
+RESIZE_BOX = (32, 32)  # fit-in-box target for the resize pass
+
+MEDIA_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, box=RESIZE_BOX, decoder=None) -> DataFrame:
+    """Resize pass over binary payloads via the same Arrow mapInPandas
+    plumbing as extract_media_features: decode dimensions (stub or real),
+    compute aspect-preserving fit-in-box dims. With Pillow installed the
+    decoder is decode_image_real and a real pipeline would also emit the
+    re-encoded payload — the plan (scan -> Arrow batches -> Python -> Arrow
+    out, payload never on the driver) is identical."""
+    decoder = decoder or decode_image_stub
+    bw, bh = box
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, nws, nhs, scales = [], [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, _ = decoder(bytes(payload))
+                s = min(bw / float(w), bh / float(h), 1.0)
+                ws.append(w)
+                hs.append(h)
+                nws.append(max(1, int(w * s)))
+                nhs.append(max(1, int(h * s)))
+                scales.append(round(s, 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "new_width": nws,
+                    "new_height": nhs,
+                    "scale": scales,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, MEDIA_RESIZE_SCHEMA)
+
+
+@register("media_resize", oracle=None, tags=["llm", "multimodal"])
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over image payloads (stub decoder,
+    real Arrow plumbing — rows-only like media_features: mapInPandas is
+    not SQL-expressible). Scalar output only; deterministic values
+    asserted in tests/test_llm_ops.py."""
+    from callio_etl_spark.tables import spread
+
+    m = spread(media_table(spark, sf_dir).where(F.col("media_type") == "image"))
+    return resize_media(m)

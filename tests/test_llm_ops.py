@@ -300,3 +300,43 @@ def test_decode_image_real_gated_on_pillow(spark):
     )
     out = mm.extract_media_features(media, decoder=mm.decode_image_real).collect()
     assert out[0]["width"] == 8 and out[0]["height"] == 4
+
+
+def test_frame_sample_slices_match_local_recompute(spark):
+    """Every emitted frame_sig must equal the hex of the payload slice at
+    frame_idx*FRAME_BYTES, and indices must be the kept multiples of
+    FRAME_EVERY_N strictly inside the payload."""
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    m = mm.media_table(spark, SF_DIR).where(F.col("media_type") == "video")
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in m.collect()}
+    out = mm.frame_sample(spark, SF_DIR).collect()
+    assert out, "expected at least one sampled frame at sf0.001"
+    seen = {}
+    for r in out:
+        b = payloads[r["doc_id"]]
+        start = r["frame_idx"] * mm.FRAME_BYTES
+        assert r["frame_idx"] % mm.FRAME_EVERY_N == 0
+        assert start + mm.FRAME_BYTES <= len(b)  # tail partials dropped
+        expect = b[start : start + mm.FRAME_BYTES].hex().upper()[:16]
+        assert r["frame_sig"] == expect
+        seen.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # per doc: exactly the multiples of FRAME_EVERY_N below n_frames
+    for doc_id, idxs in seen.items():
+        n = len(payloads[doc_id]) // mm.FRAME_BYTES
+        assert sorted(idxs) == list(range(0, n, mm.FRAME_EVERY_N))
+
+
+def test_media_resize_fit_in_box(spark):
+    """Resize planning: aspect preserved, fits the box, never upscales."""
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    rows = mm.media_resize(spark, SF_DIR).collect()
+    assert rows
+    bw, bh = mm.RESIZE_BOX
+    for r in rows:
+        s = min(bw / r["width"], bh / r["height"], 1.0)
+        assert r["new_width"] == max(1, int(r["width"] * s))
+        assert r["new_height"] == max(1, int(r["height"] * s))
+        assert r["new_width"] <= bw and r["new_height"] <= bh
+        assert r["scale"] == round(s, 6)
