@@ -1,23 +1,20 @@
 """TPC-H classic query shapes over the driver's star schema.
 
 The reference's one analytical query (SURVEY.md section 3.3) is a two-branch
-join-aggregate; these three add the canonical multi-join analytics shapes a
-replacement engine gets asked for on day one, adapted to the columns the
-testdata actually has:
-
-- ``tpch_q1_pricing``   scan-heavy single-table aggregate (Q1): the widest
-  measure set, all map-side-combinable, one shuffle of 4 grouped rows per
-  partition. The classic whole-stage-codegen throughput test.
-- ``tpch_q3_topk``      3-way join + aggregate + top-k (Q3): selective dim
-  filter first, join order smallest-first, TakeOrderedAndProject for the
-  limit — never a global sort.
-- ``tpch_q5_volume``    5-way snowflake join (Q5): region -> nation ->
-  (customer, supplier) -> orders -> lineitem with the Q5 twist that the
-  customer and supplier must share a nation. Dims broadcast; only
-  orders⋈lineitem shuffles.
+join-aggregate; this module adapts ALL 22 canonical TPC-H shapes to the
+columns the testdata actually has — scan-heavy aggregate (Q1/Q6), join +
+top-k (Q3/Q10/Q18/Q21), snowflake joins (Q5/Q7/Q8/Q9), decorrelated
+correlated subqueries (Q2/Q4/Q11/Q15/Q17/Q20/Q22), disjunctive-predicate
+join (Q19), outer-join distribution (Q13), conditional shares (Q8/Q12/Q14),
+and distinct-count with NOT IN (Q16). Where the testdata lacks a column
+(partsupp table, l_shipmode, l_commitdate/l_receiptdate, c_phone,
+p_container) the query keeps the SHAPE and substitutes the nearest
+available semantics; each docstring names the substitution.
 
 Oracle parity: money sums through DECIMAL(38,6) (order-independent exact),
-top-k with unique-key tiebreakers (registry rules).
+top-k with unique-key tiebreakers, EXTRACT(year) cast BIGINT both sides,
+threshold compares in double with the identical expression on both engines
+(registry rules).
 """
 
 from __future__ import annotations
@@ -707,4 +704,600 @@ def tpch_q19_discounted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count("*").cast("long").alias("n_rows"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2/Q9/Q11/Q16/Q20 need TPC-H's partsupp table, which the testdata does not
+# ship. A deterministic stand-in is derived from lineitem: one row per
+# observed (partkey, suppkey) pair, supplycost = MIN(l_extendedprice) (exact
+# under parallel min — no accumulation-order issues, unlike avg). The oracle
+# derives the identical table in a CTE, so both engines see the same
+# "catalog". At 100 TB this derivation is one map-side-combinable grouped
+# aggregate, reused via localCheckpoint when a query needs it twice.
+# ---------------------------------------------------------------------------
+
+SUPPLY_CTE = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _supply_pairs(li: DataFrame) -> DataFrame:
+    """Derived partsupp: (partkey, suppkey, supplycost=min line price)."""
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min("l_extendedprice").alias("ps_supplycost"))
+
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "STANDARD"
+Q2_SIZE_LO, Q2_SIZE_HI = 10, 15
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH ps AS ({SUPPLY_CTE}),
+eligible AS (
+  SELECT ps.ps_partkey, ps.ps_supplycost, s.s_acctbal, s.s_name, n.n_name
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{Q2_REGION}'
+),
+best AS (
+  SELECT ps_partkey, MIN(ps_supplycost) AS min_cost FROM eligible GROUP BY 1
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.ps_partkey AS p_partkey,
+       e.ps_supplycost AS supplycost
+FROM eligible e
+JOIN best b ON b.ps_partkey = e.ps_partkey AND e.ps_supplycost = b.min_cost
+JOIN part p ON p.p_partkey = e.ps_partkey
+WHERE p.p_type = '{Q2_TYPE}' AND p.p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+""",
+    tags=["tpch", "subquery", "join"],
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier: the correlated MIN subquery decorrelated
+    into a grouped-min + equi-join-back — one shuffle of the derived supply
+    table, every dimension broadcast. The region filter lands BEFORE the
+    per-part min, so the min is taken over eligible suppliers only (the
+    spec's semantics). supplycost equality is exact (MIN of stored doubles,
+    no arithmetic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE)
+        & F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI)
+    )
+    eligible = (
+        _supply_pairs(li)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    ).localCheckpoint(eager=True)  # reused on both sides of the min-join
+    best = eligible.groupBy(F.col("ps_partkey").alias("b_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    e = eligible.alias("e")
+    return (
+        e.join(
+            best,
+            (F.col("e.ps_partkey") == F.col("b_partkey"))
+            & (F.col("e.ps_supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("e.ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("e.ps_partkey").alias("p_partkey"),
+            F.col("e.ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+Q8_SHARE_NATION = "NATION_2"
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{Q8_SHARE_NATION}'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+JOIN customer c ON c.c_custkey   = o.o_custkey
+JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+JOIN supplier s ON s.s_suppkey    = l.l_suppkey
+JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+JOIN part p     ON p.p_partkey    = l.l_partkey
+WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_TYPE}'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_year
+""",
+    tags=["tpch", "join", "aggregate"],
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one supplier nation's slice of regional
+    PROMO-part revenue per year. Seven-table star — every dimension
+    broadcast, so the only shuffle is the final ~2-row aggregate; the
+    conditional numerator and the total ride the SAME aggregate (no second
+    pass). Share = decimal-exact sums divided in double with the identical
+    expression on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == Q8_TYPE)
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == Q8_SHARE_NATION, vol).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q9_NAME_FRAGMENT = "red"
+Q9_COST_PER_UNIT = 0.1  # supplycost is a full-line price; scale to per-unit
+
+
+@register(
+    "tpch_q9_profit",
+    oracle=f"""
+WITH ps AS ({SUPPLY_CTE})
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - ps.ps_supplycost * {Q9_COST_PER_UNIT} * l.l_quantity
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN ps         ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+GROUP BY nation, o_year
+""",
+    tags=["tpch", "join", "aggregate"],
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit: revenue minus supply cost for parts whose
+    name contains a fragment, by supplier nation and order year. The
+    derived supply table joins back to lineitem on its (partkey, suppkey)
+    grain — at scale that is the one real shuffle (lineitem vs grouped
+    lineitem, same key, AQE-coalesced); part/supplier/nation broadcast and
+    the name LIKE prunes the part build side first. Profit is composed in
+    DECIMAL before summing so both engines agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_NAME_FRAGMENT)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    ps = _supply_pairs(li)
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * Q9_COST_PER_UNIT * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            ps,
+            (li.l_partkey == F.col("ps_partkey"))
+            & (li.l_suppkey == F.col("ps_suppkey")),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+Q11_NATIONS = ("NATION_2", "NATION_7")
+Q11_FRACTION = 0.001
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH val AS (
+  SELECT l.l_partkey AS partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS value_dec
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('{Q11_NATIONS[0]}', '{Q11_NATIONS[1]}')
+  GROUP BY 1
+)
+SELECT v.partkey, CAST(v.value_dec AS DOUBLE) AS part_value
+FROM val v, (SELECT SUM(value_dec) AS total FROM val) t
+WHERE CAST(v.value_dec AS DOUBLE) > CAST(t.total AS DOUBLE) * {Q11_FRACTION}
+ORDER BY part_value DESC, partkey
+""",
+    tags=["tpch", "subquery", "aggregate"],
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock: per-part inventory value within two supplier
+    nations, kept only where it exceeds a fraction of the GLOBAL total —
+    the HAVING-against-scalar-subquery shape. The per-part aggregate is
+    computed once (localCheckpoint), the global total is a 1-row
+    re-aggregate of it broadcast back via cross join — no second lineitem
+    scan. Threshold compare in double with the identical expression on
+    both engines (exact decimal sums underneath)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*Q11_NATIONS)
+    )
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("value_dec"))
+    ).localCheckpoint(eager=True)  # reused: per-part rows + global total
+    total = val.agg(F.sum("value_dec").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.col("total").cast("double") * Q11_FRACTION
+        )
+        .select("partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "partkey")
+    )
+
+
+Q12_LATE_DAYS = 90
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "tpch_q12_late_lines",
+    oracle=f"""
+SELECT l.l_returnflag AS ret_flag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY ret_flag
+""",
+    tags=["tpch", "join", "aggregate"],
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 late-shipment priority split, adapted to the available columns:
+    the testdata carries no l_shipmode/l_receiptdate, so 'mode' is
+    l_returnflag and 'late' is shipped > {Q12_LATE_DAYS} days after the
+    order date (a cross-table date comparison, evaluated post-join like
+    the spec's receipt/commit check). Both CASE counters ride one
+    aggregate; the orders year filter is pushed to parquet."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+        )
+        .groupBy(F.col("l_returnflag").alias("ret_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+Q16_EXCL_BRAND = "Brand#5"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+Q16_BAD_BAL = 500.0
+
+
+@register(
+    "tpch_q16_supplier_count",
+    oracle=f"""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs pr
+JOIN part p ON p.p_partkey = pr.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+  AND p.p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
+  AND p.p_size IN {Q16_SIZES}
+  AND pr.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_BAD_BAL}
+      )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=["tpch", "aggregate", "subquery"],
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 supplier count by part attributes: distinct (part, supplier)
+    pairs stand in for partsupp, the spec's complaints-supplier NOT IN
+    becomes a broadcast anti-join on a low-balance list (no s_comment in
+    the testdata). COUNT(DISTINCT suppkey) expands to the usual two-phase
+    partial-distinct aggregate; the excluded-supplier list is tiny and
+    broadcast, never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_EXCL_BRAND)
+        & ~F.col("p_type").startswith(Q16_EXCL_TYPE_PREFIX)
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < Q16_BAD_BAL
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q20_NATION = "NATION_3"
+Q20_NAME_PREFIX = "red"
+Q20_MIN_QTY = 50
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '{Q20_NAME_PREFIX}%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q20_NATION}'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM shipped WHERE qty > {Q20_MIN_QTY})
+ORDER BY s_name
+""",
+    tags=["tpch", "subquery"],
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 promotion-eligible suppliers: the nested-IN chain (suppliers →
+    heavy shippers of prefix-named parts in a year) as a broadcast semi
+    join. The grouped HAVING qty > {Q20_MIN_QTY} runs on the lineitem
+    side first — the semi join's build side is a few supplier keys, so
+    the 100-supplier dimension never shuffles. Quantity threshold in
+    exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q20_NATION)
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .where(F.col("qty") > Q20_MIN_QTY)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Q21_NATION = "NATION_1"
+Q21_LATE_DAYS = 60
+Q21_TOPK = 20
+
+
+@register(
+    "tpch_q21_waiting_orders",
+    oracle=f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q21_NATION}'
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT {Q21_TOPK}
+""",
+    tags=["tpch", "join", "subquery", "topk"],
+)
+def tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting: late lines (shipped >
+    {Q21_LATE_DAYS} days after ordering, finished orders) where ANOTHER
+    supplier shares the order (EXISTS → left_semi) but NO OTHER supplier
+    was also late (NOT EXISTS → left_anti). Lateness adapts the spec's
+    receipt-vs-commit check to the available dates. Both (in)equality
+    semi/anti joins are equi on l_orderkey with the supplier inequality
+    as a residual — hash joins, not nested loops; the late set is
+    localCheckpointed because it appears on both sides of the anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    ).localCheckpoint(eager=True)  # l1 and l3 are the same relation
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q21_NATION)
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(Q21_TOPK)
+    )
+
+
+Q22_CODES = ("00", "11", "22", "33", "44", "55", "66")
+Q22_INACTIVE_CUTOFF = "2000-01-01"
+
+
+@register(
+    "tpch_q22_opportunity",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, c_acctbal, right(c_name, 2) AS cntrycode
+  FROM customer
+  WHERE right(c_name, 2) IN {Q22_CODES}
+),
+avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a
+  FROM cust WHERE c_acctbal > 0.0
+)
+SELECT c.cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM cust c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{Q22_INACTIVE_CUTOFF} 00:00:00'
+      )
+GROUP BY c.cntrycode
+ORDER BY c.cntrycode
+""",
+    tags=["tpch", "subquery", "aggregate"],
+)
+def tpch_q22_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global sales opportunity: above-average-balance customers with
+    no RECENT orders (the testdata has no c_phone, so 'country code' is
+    the customer-name suffix, and — every customer having ordered at
+    least once — 'never ordered' becomes 'not since {Q22_INACTIVE_CUTOFF}').
+    Scalar-subquery average broadcast via cross join, anti join against
+    the pruned recent-orders scan; the customer scan happens once
+    (localCheckpoint) and feeds both the average and the output."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.right(F.col("c_name"), F.lit(2)).isin(*Q22_CODES))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            F.right(F.col("c_name"), F.lit(2)).alias("cntrycode"),
+        )
+    ).localCheckpoint(eager=True)  # feeds the average AND the final agg
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")
+        ).alias("a")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate")
+        >= F.lit(f"{Q22_INACTIVE_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )

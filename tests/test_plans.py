@@ -225,3 +225,33 @@ def test_table_diff_is_single_key_join(spark):
         if l.strip().startswith("Arguments: hashpartitioning")
     ]
     assert exchanges and all("o_orderkey" in l for l in exchanges), plan
+
+
+def test_q21_semi_anti_are_hash_joins(spark):
+    """Q21's EXISTS/NOT EXISTS (equi on orderkey + supplier inequality
+    residual) must plan as hash semi/anti joins, never nested loops."""
+    plan = _plan(spark, "tpch_q21_waiting_orders")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+
+def test_q2_min_cost_broadcasts_all_dims(spark):
+    """Q2: the part dim is broadcast and nothing degrades to a nested
+    loop. (The supplier/nation/region broadcasts live in the eligible
+    subtree, which is localCheckpointed — its lineage is truncated out of
+    this final plan; the min-join itself keys on ps_partkey.)"""
+    plan = _plan(spark, "tpch_q2_min_cost_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    """Q16's NOT IN excluded-supplier list must be a broadcast anti join
+    (tiny build side), and the distinct count a two-phase aggregate."""
+    plan = _plan(spark, "tpch_q16_supplier_count")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
