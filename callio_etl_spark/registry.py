@@ -93,33 +93,36 @@ DRIVER_PRIORITY: list[str] = [
     "chunk_overlap",
     "pack_sequences",
     "contamination_check",
-    # LLM ops: dedup (every variant + the end-to-end pipeline)
+    # LLM ops: dedup (every variant + the end-to-end pipeline;
+    # ngram_jaccard_pairs' verification join runs inside dedup_pipeline)
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",
-    "ngram_jaccard_pairs",
     "embedding_neardup",
     "embedding_neardup_bucketed",
     "dedup_cluster_assign",
     "dedup_survivors",
     "dedup_pipeline",
-    # LLM ops: sampling
+    # LLM ops: sampling + mixture
     "hash_split",
     "tfidf_top_terms",
+    "mixture_weights",
     # LLM ops: similarity
     "ann_topk_brute",
     "ann_topk_ivf",
     "embedding_quantize",
-    # LLM ops: text analysis
+    # LLM ops: text analysis (fingerprint/pii_scrub/quality_score are
+    # same-family siblings, locally oracle-checked beyond the cap)
     "text_stats",
-    "quality_score",
     "lang_id",
-    "fingerprint",
-    "pii_scrub",
     "corpus_filter",
     # LLM ops: multimodal
     "multimodal_meta",
     "media_features",
+    "frame_sample",
+    # CDC + data quality
+    "scd2_history",
+    "dq_checks",
 ]
 
 
