@@ -208,3 +208,72 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.ntile(N_CURRICULUM_BINS).over(w).cast("long").alias("bin"),
     )
+
+
+WEIGHT_CHARS = 2000.0  # docs this long (or longer) are always kept
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+SELECT doc_id,
+       LEAST(1.0, CAST(n_chars AS DOUBLE) / {WEIGHT_CHARS}) AS keep_weight,
+       CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+         / 4294967296.0 AS u
+FROM documents
+WHERE CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+        / 4294967296.0
+      < LEAST(1.0, CAST(n_chars AS DOUBLE) / {WEIGHT_CHARS})
+""",
+    tags=["llm", "sampling"],
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling: keep a document with probability equal
+    to its quality weight (here length-proportional, capped at 1 — swap in
+    any model-based score column). The coin is u = first 32 hash bits of a
+    salted key, so membership is reproducible across engines, reruns, and
+    resumed jobs — rand() is none of those. Pure projection + filter: no
+    shuffle, no state, embarrassingly parallel at 100 TB; the 'ws:' salt
+    decorrelates this draw from hash_split's."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    weight = F.least(F.lit(1.0), F.col("n_chars").cast("double") / WEIGHT_CHARS)
+    return d.select(
+        "doc_id", weight.alias("keep_weight"), u.alias("u")
+    ).where(F.col("u") < F.col("keep_weight"))
+
+
+RESERVOIR_K = 500
+
+
+@register(
+    "reservoir_sample",
+    oracle=f"""
+SELECT doc_id, md5('rs:' || CAST(doc_id AS VARCHAR)) AS sort_key
+FROM documents
+ORDER BY sort_key, doc_id
+LIMIT {RESERVOIR_K}
+""",
+    tags=["llm", "sampling", "topk"],
+)
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample as hash top-k: order by a salted key hash
+    and take the first {RESERVOIR_K} — exactly a K-reservoir draw, but
+    deterministic and distributed: Spark plans ORDER BY + LIMIT as
+    TakeOrderedAndProject (per-partition K-heaps, merge on the driver),
+    so a 100 TB corpus never globally sorts and the driver holds K rows,
+    not the data. MD5 hex compares identically in both engines (ASCII)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rs:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", key.alias("sort_key"))
+        .orderBy("sort_key", "doc_id")
+        .limit(RESERVOIR_K)
+    )

@@ -255,3 +255,11 @@ def test_q16_not_in_is_broadcast_anti(spark):
     plan = _plan(spark, "tpch_q16_supplier_count")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reservoir_sample_is_take_ordered(spark):
+    """The fixed-K hash sample must plan as TakeOrderedAndProject
+    (per-partition heaps) — a global sort of the corpus would defeat it."""
+    plan = _plan(spark, "reservoir_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full Exchange+Sort materialization
