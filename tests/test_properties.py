@@ -187,3 +187,58 @@ def test_star_cc_equals_baseline_on_random_graphs(spark, edges, seed):
         for r in connected_components_star(nodes, edf).collect()
     }
     assert star == base
+
+
+# (orderkey, suppkey, late?) pools tiny so multi-supplier orders and
+# multi-late orders are common — the Q21 edge cases.
+LINES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # orderkey
+        st.integers(min_value=0, max_value=3),   # suppkey
+        st.booleans(),                           # late line?
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(lines=LINES)
+def test_q21_semi_anti_shape_matches_bruteforce(spark, lines):
+    """The Q21 EXISTS/NOT-EXISTS composition (late line, some OTHER supplier
+    on the order, no OTHER supplier late) must equal the per-row brute-force
+    evaluation of those quantifiers for any line set."""
+    df = spark.createDataFrame(
+        [(o, s, l) for o, s, l in lines], "okey long, skey long, late boolean"
+    )
+    late = df.where(F.col("late")).select("okey", "skey").localCheckpoint()
+    l1, l2, l3 = late.alias("l1"), df.alias("l2"), late.alias("l3")
+    got = (
+        l1.join(
+            l2,
+            (F.col("l1.okey") == F.col("l2.okey"))
+            & (F.col("l1.skey") != F.col("l2.skey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.okey") == F.col("l3.okey"))
+            & (F.col("l1.skey") != F.col("l3.skey")),
+            "left_anti",
+        )
+        .groupBy("skey")
+        .count()
+    )
+    got_map = {r["skey"]: r["count"] for r in got.collect()}
+    # brute force over the raw tuples
+    expect: dict[int, int] = {}
+    for o, s, is_late in lines:
+        if not is_late:
+            continue
+        others = any(oo == o and ss != s for oo, ss, _ in lines)
+        other_late = any(
+            oo == o and ss != s and ll for oo, ss, ll in lines
+        )
+        if others and not other_late:
+            expect[s] = expect.get(s, 0) + 1
+    assert got_map == expect
