@@ -102,8 +102,11 @@ p AS (
 )
 SELECT source,
        -- // is floor division: DuckDB's CAST(double AS BIGINT) *rounds*,
-       -- Spark's truncates, so never compare through a float cast here
-       cum_before // {PACK_BUDGET}   AS pack_id,
+       -- Spark's truncates, so never compare through a float cast here.
+       -- The BIGINT cast matters too: the windowed SUM is HUGEINT, and
+       -- HUGEINT // x stays HUGEINT, which pandas widens to float64 while
+       -- Spark emits int64 — numerically equal but hash-different.
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST(COUNT(*) AS BIGINT)      AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
 FROM p
