@@ -2,11 +2,14 @@
 opaque ``binary`` payloads with typed metadata, processed by Arrow-batched
 Pandas UDFs over ``mapInPandas``.
 
-The container ships no media libraries, so the decode step is a clearly
-marked stub: ``decode_image_stub`` produces deterministic fake features (and
-``decode_image_real`` raises NotImplementedError behind an import-try for
-PIL). Everything Spark-side — schema, partitioning, UDF signature, Arrow
-batch shape — is real and tested.
+The container ships no media libraries, so dimension decode is done by a
+vendored pure-Python header parser (``parse_image_header``: PNG IHDR, JPEG
+SOFn segment walk, GIF screen descriptor) — real bytes in, real dimensions
+out, no Pillow. ``decode_media`` is the default decoder (header parse with
+``decode_image_stub`` as the deterministic fallback for unrecognized
+formats); ``decode_image_real`` adds full pixel statistics behind an
+import-try for PIL. Everything Spark-side — schema, partitioning, UDF
+signature, Arrow batch shape — is real and tested.
 
 Scale notes: payload bytes never hit the driver; mapInPandas streams Arrow
 batches through Python with spark.sql.execution.arrow.maxRecordsPerBatch
@@ -96,6 +99,113 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Header sizes of the synthesized payloads (see image_table): PNG magic(8) +
+#: IHDR chunk(4 len + 4 type + 13 data + 4 crc) = 33; JPEG SOI(2) + APP0(18) +
+#: SOF0 marker+length(2+17) = 39.
+PNG_HEADER_LEN = 33
+JPEG_HEADER_LEN = 39
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOF0..SOF15 minus DHT/JPG/DAC
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int] | None:
+    """Vendored pure-Python image dimension sniffer — no Pillow needed.
+    Reads (width, height) from real format headers: PNG IHDR (big-endian
+    at bytes 16-23), JPEG SOFn segments (scans the segment chain from SOI,
+    skipping APPn/COM/quant tables until a start-of-frame marker), and GIF
+    87a/89a logical screen descriptor (little-endian at bytes 6-9).
+    Returns None for anything unrecognized so callers can fall back to a
+    stub decoder. Only header bytes are touched — O(#segments), never the
+    pixel data — which is exactly what a 100 TB metadata pass wants."""
+    n = len(payload)
+    # PNG: magic, then IHDR must be the first chunk.
+    if n >= 24 and payload[:8] == _PNG_MAGIC and payload[12:16] == b"IHDR":
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        return (width, height) if width > 0 and height > 0 else None
+    # GIF: 6-byte signature then 2x little-endian u16.
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        return (width, height) if width > 0 and height > 0 else None
+    # JPEG: walk marker segments until a SOFn frame header.
+    if n >= 4 and payload[0] == 0xFF and payload[1] == 0xD8:
+        i = 2
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None  # desynced — not a well-formed segment chain
+            marker = payload[i + 1]
+            if marker == 0xD9 or marker == 0xDA:  # EOI / start-of-scan
+                return None
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF_MARKERS:
+                if i + 9 > n:
+                    return None
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return (width, height) if width > 0 and height > 0 else None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def _be_bytes(col, width_bytes: int):
+    """Big-endian fixed-width binary encoding of a non-negative int column,
+    built JVM-side: hex -> left-pad -> unhex."""
+    return F.unhex(F.lpad(F.hex(col), 2 * width_bytes, "0"))
+
+
+def _hex_byte(md5_col, pos: int):
+    """Integer value of the md5 hex pair starting at 1-based ``pos``."""
+    return F.conv(F.substring(md5_col, pos, 2), 16, 10).cast("int")
+
+
+def image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-typed documents with payloads carrying REAL format headers:
+    even doc_ids get a valid PNG signature + IHDR chunk, odd doc_ids a JPEG
+    SOI + APP0 + SOF0 chain, each followed by the document text as opaque
+    'pixel data'. Width/height are 64 + the first/second md5 byte of the
+    text, embedded as genuine big-endian header fields — so a decoder must
+    actually parse the bytes to recover them, and an SQL oracle can
+    recompute them independently from md5. Construction is entirely
+    JVM-side (concat of binary literals + unhex'd ints): one scan, zero
+    shuffles, no Python."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    body = F.encode(F.col("text"), "UTF-8")
+    mh = F.md5(body)
+    w = (F.lit(64) + _hex_byte(mh, 1)).cast("int")
+    h = (F.lit(64) + _hex_byte(mh, 3)).cast("int")
+    png = F.concat(
+        F.lit(_PNG_MAGIC),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be_bytes(w, 4),
+        _be_bytes(h, 4),
+        F.lit(b"\x08\x02\x00\x00\x00"),  # bit depth 8, truecolor, defaults
+        F.lit(b"\x00\x00\x00\x00"),  # CRC placeholder (parsers don't verify)
+        body,
+    )
+    jpeg = F.concat(
+        F.lit(b"\xff\xd8"),  # SOI
+        F.lit(b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+        F.lit(b"\xff\xc0\x00\x11\x08"),  # SOF0, length 17, precision 8
+        _be_bytes(h, 2),
+        _be_bytes(w, 2),
+        F.lit(b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"),
+        body,
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg").alias("format"),
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("payload"),
+        F.col("source").alias("uri"),
+    )
+
+
 def has_pillow() -> bool:
     """Probe for the optional real-decode dependency."""
     try:
@@ -147,15 +257,35 @@ def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, features
 
 
+def decode_media(payload: bytes) -> tuple[int, int, list[float]]:
+    """Default decoder: REAL header parse (PNG/JPEG/GIF via
+    parse_image_header) with the deterministic stub as fallback for
+    unrecognized formats. Dimensions come from the payload bytes; the
+    4-dim feature vector uses power-of-two denominators so the doubles are
+    exact and bit-identical across engines (oracle-checkable)."""
+    dims = parse_image_header(payload)
+    if dims is None:
+        return decode_image_stub(payload)
+    width, height = dims
+    n = len(payload)
+    features = [
+        width / 256.0,
+        height / 256.0,
+        n / 1024.0,
+        (width * height) / 65536.0,
+    ]
+    return width, height, features
+
+
 def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via mapInPandas.
 
     The UDF consumes (doc_id, payload, media_type) Arrow batches and yields
     MEDIA_FEATURES_SCHEMA batches. ``decoder`` is any
-    ``bytes -> (width, height, features)`` callable — ``decode_image_stub``
-    (default) or ``decode_image_real`` when Pillow is installed; swapping it
-    does not touch the plan."""
-    decoder = decoder or decode_image_stub
+    ``bytes -> (width, height, features)`` callable — ``decode_media``
+    (default: real header parse, stub fallback) or ``decode_image_real``
+    when Pillow is installed; swapping it does not touch the plan."""
+    decoder = decoder or decode_media
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,23 +313,59 @@ def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     )
 
 
-@register("media_features", oracle=None, tags=["llm", "multimodal"])
+@register(
+    "media_features",
+    oracle="""
+WITH img AS (
+  SELECT d.doc_id, md5(d.text) AS mh,
+         octet_length(encode(d.text)) AS text_len,
+         CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt
+  FROM documents d WHERE d.doc_id % 3 = 0
+), dims AS (
+  -- width/height = 64 + first/second md5 byte, recomputed here straight
+  -- from the hash; Spark instead embeds them as big-endian header fields
+  -- and the decoder re-reads them from the payload bytes, so any parser
+  -- offset/endianness bug breaks the match.
+  SELECT doc_id, fmt,
+         64 + (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) AS width,
+         64 + (strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1) AS height,
+         text_len + CASE WHEN fmt = 'png' THEN 33 ELSE 39 END AS byte_len
+  FROM img
+)
+SELECT doc_id, fmt AS media_type,
+       CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(width  AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       width / 256.0            AS f0,
+       height / 256.0           AS f1,
+       byte_len / 1024.0        AS f2,
+       (width * height) / 65536.0 AS f3
+FROM dims
+""",
+    tags=["llm", "multimodal"],
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode/feature-extract pass (stubbed decoder, real plumbing): binary
-    payloads -> mapInPandas -> typed features. No oracle — mapInPandas is not
-    SQL-expressible; the driver records a rows-only check, and
-    tests/test_llm_ops.py asserts the deterministic feature values.
+    """Decode/feature-extract pass with a REAL decoder: image_table payloads
+    carry genuine PNG IHDR / JPEG SOF0 headers, and decode_media
+    (parse_image_header) reads width/height out of the header bytes inside
+    the Arrow mapInPandas stage. The oracle recomputes the expected
+    dimensions independently (from the md5 the construction used), so the
+    parse itself is what's being checked. Features use power-of-two
+    denominators — exact doubles, bit-identical across engines.
 
     The input is spread to the session's parallelism first: a single-file
     scan would otherwise funnel every Arrow batch through one Python worker.
 
     Output is scalar-only: the 4-dim feature vector is projected to f0..f3
-    DOUBLE columns because the driver's rows-only canonicalizer cannot sort
-    array cells (pandas raises on numpy.ndarray). The array-typed plumbing
-    (extract_media_features / MEDIA_FEATURES_SCHEMA) is unchanged."""
+    DOUBLE columns because the driver's canonicalizer cannot sort array
+    cells. The array-typed plumbing (extract_media_features /
+    MEDIA_FEATURES_SCHEMA) is unchanged."""
     from callio_etl_spark.tables import spread
 
-    feats = extract_media_features(spread(media_table(spark, sf_dir)))
+    imgs = image_table(spark, sf_dir).withColumnRenamed("format", "media_type")
+    feats = extract_media_features(spread(imgs))
     return feats.select(
         "doc_id",
         "media_type",
@@ -288,7 +454,7 @@ def resize_media(media: DataFrame, box=RESIZE_BOX, decoder=None) -> DataFrame:
     decoder is decode_image_real and a real pipeline would also emit the
     re-encoded payload — the plan (scan -> Arrow batches -> Python -> Arrow
     out, payload never on the driver) is identical."""
-    decoder = decoder or decode_image_stub
+    decoder = decoder or decode_media
     bw, bh = box
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -296,12 +462,14 @@ def resize_media(media: DataFrame, box=RESIZE_BOX, decoder=None) -> DataFrame:
             ws, hs, nws, nhs, scales = [], [], [], [], []
             for payload in pdf["payload"]:
                 w, h, _ = decoder(bytes(payload))
+                # raw IEEE double (no rounding): min/div/mul are exactly
+                # rounded ops, so any engine reproduces the same bits
                 s = min(bw / float(w), bh / float(h), 1.0)
                 ws.append(w)
                 hs.append(h)
                 nws.append(max(1, int(w * s)))
                 nhs.append(max(1, int(h * s)))
-                scales.append(round(s, 6))
+                scales.append(s)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -316,13 +484,39 @@ def resize_media(media: DataFrame, box=RESIZE_BOX, decoder=None) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(run, MEDIA_RESIZE_SCHEMA)
 
 
-@register("media_resize", oracle=None, tags=["llm", "multimodal"])
+@register(
+    "media_resize",
+    oracle="""
+WITH img AS (
+  SELECT d.doc_id, md5(d.text) AS mh,
+         octet_length(encode(d.text)) AS text_len
+  FROM documents d WHERE d.doc_id % 3 = 0
+), dims AS (
+  SELECT doc_id,
+         64 + (strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1) AS w,
+         64 + (strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1) AS h
+  FROM img
+), fit AS (
+  SELECT doc_id, w, h, LEAST(32.0 / w, 32.0 / h, 1.0) AS s FROM dims
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       GREATEST(1, CAST(floor(w * s) AS BIGINT)) AS new_width,
+       GREATEST(1, CAST(floor(h * s) AS BIGINT)) AS new_height,
+       s AS scale
+FROM fit
+""",
+    tags=["llm", "multimodal"],
+)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize planning over image payloads (stub decoder,
-    real Arrow plumbing — rows-only like media_features: mapInPandas is
-    not SQL-expressible). Scalar output only; deterministic values
-    asserted in tests/test_llm_ops.py."""
+    """Aspect-preserving resize planning over image payloads with the real
+    header decoder (see media_features): dimensions parsed from PNG/JPEG
+    header bytes inside mapInPandas, fit-in-box math in raw IEEE doubles so
+    the SQL oracle reproduces scale bit-for-bit (division, min, multiply,
+    floor are all exactly-rounded ops in both engines)."""
     from callio_etl_spark.tables import spread
 
-    m = spread(media_table(spark, sf_dir).where(F.col("media_type") == "image"))
-    return resize_media(m)
+    return resize_media(spread(image_table(spark, sf_dir)))

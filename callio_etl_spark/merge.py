@@ -141,6 +141,13 @@ def schema_dynamic_spec(
     return MergeSpec(keys=keys, update_condition=cond, update_cols=common)
 
 
+#: Full-rewrite ceiling: the unwindowed path rewrites the ENTIRE target, so
+#: it is only ever correct for dimension-sized tables (the reference's
+#: staff/group). Above this row count the caller almost certainly forgot
+#: partition_col on a fact table — refuse instead of silently rewriting.
+FULL_REWRITE_MAX_ROWS = 10_000_000
+
+
 def merge_write(
     spark: SparkSession,
     target_path: str,
@@ -149,14 +156,18 @@ def merge_write(
     partition_col: str | None = None,
     part_min=None,
     part_max=None,
+    allow_full_rewrite: bool = False,
 ) -> None:
     """Physical upsert into a parquet table path via partition-scoped rewrite.
 
     With a partition_col + window, only rows in [part_min, part_max] are read
     from the target and only those partitions are overwritten (dynamic
     partition overwrite) — the reference's partition-bounded MERGE
-    (runner.py:174-176, 699-701). Without one, the whole table is rewritten
-    (small-dim path, like the reference's staff/group tables)."""
+    (runner.py:174-176, 699-701). Without one, the whole table is rewritten —
+    the small-dim path (reference's staff/group tables) — which is gated:
+    pass ``allow_full_rewrite=True`` to acknowledge it, and targets above
+    FULL_REWRITE_MAX_ROWS are refused outright so a forgotten
+    ``partition_col`` can't full-rewrite a fact table."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     target = spark.read.parquet(target_path)
     if partition_col and part_min is not None:
@@ -187,7 +198,24 @@ def merge_write(
             .parquet(target_path)
         )
     else:
-        # Full rewrite (small-dim path). localCheckpoint materializes the
-        # merge result so overwriting the path we read from is safe.
+        # Full rewrite (small-dim path). Explicit opt-in plus a row-count
+        # ceiling: parquet row-group metadata makes the count cheap (no
+        # full scan), and it turns "forgot partition_col on a fact table"
+        # into an error instead of a table-sized rewrite.
+        if not allow_full_rewrite:
+            raise ValueError(
+                "merge_write without partition_col rewrites the ENTIRE "
+                "target; pass allow_full_rewrite=True for dimension-sized "
+                "tables, or supply partition_col + part_min/part_max"
+            )
+        n = target.count()
+        if n > FULL_REWRITE_MAX_ROWS:
+            raise ValueError(
+                f"merge_write: target has {n} rows (> FULL_REWRITE_MAX_ROWS="
+                f"{FULL_REWRITE_MAX_ROWS}); full rewrite refused — use the "
+                f"partition-scoped path"
+            )
+        # localCheckpoint materializes the merge result so overwriting the
+        # path we read from is safe.
         merged = merge_upsert(target, source, spec).localCheckpoint()
         merged.write.mode("overwrite").parquet(target_path)

@@ -45,84 +45,74 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 
 #: The driver records correctness for only the FIRST 50 queries() entries
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
-#: operators get a hard driver signal. This list pins the 50 slots to cover
-#: every SURVEY §2 operator family (flagship fact queries, dedup, joins,
-#: merge, filters, scans/TVF, checkpoints, aggregates, sort/limit/union,
-#: scalars, subqueries, TPC-H) plus EVERY LLM-ops family end to end
-#: (chunking, all dedup variants incl. the full pipeline, sampling,
-#: similarity, text analysis, multimodal). Queries beyond slot 50 remain
-#: registered, tested, and locally oracle-checked via
-#: tools/check_correctness.py — they are representatives' siblings (e.g.
-#: row_hash/time_buckets behind scalar_suite), not uncovered families.
+#: operators get a hard driver signal. The window ROTATES each round so every
+#: registered query eventually earns a driver row (COVERAGE.md keeps the
+#: per-round slot ledger). Rounds 1-3 pinned the 50 family representatives;
+#: 80 of 124 queries now have driver rows. This round promotes the 42
+#: oracle-bearing queries that have NEVER been driver-checked (full TPC-H
+#: tail, window/sampling/text-analysis siblings, table_diff), keeping 8
+#: previously-green flagship/merge/LLM canaries as regression tripwires.
+#: Rows-only queries (ann_topk_gemm, media_resize, approx_sketch_stats) stay
+#: out of the window — they can never hash-match and would waste slots.
+#: Queries outside the window remain registered, pytest-covered, and locally
+#: oracle-checked via tools/check_correctness.py.
 DRIVER_PRIORITY: list[str] = [
-    # flagship (the reference's analytical core)
+    # --- canaries: green in r3, kept to detect regressions (8) ---
     "fact_staff_daily",
     "fact_status_pivot",
-    "fact_staff_daily_sql",
-    # dedup / window / sort / union (D1-D3, W1, O1-O2, U1)
     "latest_per_key",
-    "dedup_first_wins",
-    "topk_recent",
-    "union_tenants",
-    # joins (J1-J7)
-    "join_left_dim",
-    "join_fanout",
-    "join_full_outer",
-    # scans / ranges / TVF / checkpoints / extrema (S, T1, C1, A6-A7)
-    "window_range_scan",
-    "customer_in_range",
-    "checkpoint_warm",
-    "extrema",
-    # filters + aggregates (F1-F4, A1-A5)
-    "watermark_filter",
-    "conditional_agg",
-    # MERGE family (J8-J11)
-    "merge_upsert_full",
     "merge_upsert_conditional",
-    "merge_partial_keep_existing",
-    # scalar / projection family reps (P1-P18)
-    "scalar_suite",
-    "json_extract",
-    # subqueries + TPC-H rep
-    "exists_subquery",
-    "tpch_q1_pricing",
-    # sketches (rows-only; fixed scalar output this round)
-    "approx_sketch_stats",
-    # LLM ops: chunking + decontamination
-    "chunk_documents",
-    "chunk_overlap",
-    "pack_sequences",
-    "contamination_check",
-    # LLM ops: dedup (every variant + the end-to-end pipeline;
-    # ngram_jaccard_pairs' verification join runs inside dedup_pipeline)
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "simhash",
-    "embedding_neardup",
-    "embedding_neardup_bucketed",
-    "dedup_cluster_assign",
-    "dedup_survivors",
     "dedup_pipeline",
-    # LLM ops: sampling + mixture
-    "hash_split",
-    "tfidf_top_terms",
-    "mixture_weights",
-    # LLM ops: similarity
-    "ann_topk_brute",
-    "ann_topk_ivf",
-    "embedding_quantize",
-    # LLM ops: text analysis (fingerprint/pii_scrub/quality_score are
-    # same-family siblings, locally oracle-checked beyond the cap)
-    "text_stats",
-    "lang_id",
-    "corpus_filter",
-    # LLM ops: multimodal
-    "multimodal_meta",
-    "media_features",
-    "frame_sample",
-    # CDC + data quality
-    "scd2_history",
-    "dq_checks",
+    "minhash_lsh_pairs",
+    "pack_sequences",
+    "media_features",  # first oracle this round (real header decode)
+    # --- first-time driver rows: relational / CDC / scalar siblings (9) ---
+    "table_diff",
+    "nonblank_filter",
+    "time_buckets",
+    "row_hash",
+    "project_backfill",
+    "array_pick",
+    "string_norm",
+    "not_in_subquery",
+    "scalar_subquery",
+    # --- first-time driver rows: the TPC-H tail, q2-q22 (21) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_topk",
+    "tpch_q4_priority",
+    "tpch_q5_volume",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "tpch_q10_returned",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_opportunity",
+    # --- first-time driver rows: sampling (4) ---
+    "stratified_sample",
+    "weighted_sample",
+    "reservoir_sample",
+    "curriculum_bins",
+    # --- first-time driver rows: dedup/similarity siblings (4) ---
+    "ngram_jaccard_pairs",
+    "exact_substring_pairs",
+    "ann_recall_ivf",
+    "ivf_centroids",
+    # --- first-time driver rows: text analysis (4) ---
+    "quality_score",
+    "fingerprint",
+    "pii_scrub",
+    "repetition_stats",
 ]
 
 

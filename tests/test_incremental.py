@@ -200,6 +200,41 @@ def test_merge_write_rejects_out_of_window_source(spark, tmp_path):
     }
 
 
+def test_merge_write_full_rewrite_is_gated(spark, tmp_path):
+    """VERDICT r3 item 8: without partition_col merge_write rewrites the
+    whole target, so it must refuse unless allow_full_rewrite=True, and
+    refuse regardless above FULL_REWRITE_MAX_ROWS — a forgotten
+    partition_col must never silently full-rewrite a fact table."""
+    import pytest
+
+    from callio_etl_spark import merge as m
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.parquet(path)
+    spec = m.MergeSpec(keys=["k"])
+    src = spark.createDataFrame([(1, "A"), (3, "c")], "k long, v string")
+
+    with pytest.raises(ValueError, match="allow_full_rewrite"):
+        m.merge_write(spark, path, src, spec)
+    assert {r["v"] for r in spark.read.parquet(path).collect()} == {"a", "b"}
+
+    # explicit opt-in on a dim-sized table: merge applies
+    m.merge_write(spark, path, src, spec, allow_full_rewrite=True)
+    after = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert after == {1: "A", 2: "b", 3: "c"}
+
+    # even with opt-in, a fact-sized target is refused (ceiling check)
+    orig = m.FULL_REWRITE_MAX_ROWS
+    m.FULL_REWRITE_MAX_ROWS = 2
+    try:
+        with pytest.raises(ValueError, match="full rewrite refused"):
+            m.merge_write(spark, path, src, spec, allow_full_rewrite=True)
+    finally:
+        m.FULL_REWRITE_MAX_ROWS = orig
+
+
 def test_merge_upsert_null_key_rows_survive(spark):
     """ADVICE: side presence is detected via marker columns, not key
     nullness — a target-only row whose merge key is NULL must keep its data,

@@ -49,14 +49,22 @@ def test_predicate_pushdown_reaches_scan(spark):
 
 
 def test_watermark_cutoff_pushes_to_scan(spark):
-    # The cutoff must reach the parquet reader whichever physical type the
-    # events timestamp ships as: INT64-nanos scans push the raw-long form
-    # `GreaterThanOrEqual(ts, (cutoff_us+1)*1000)`, timestamp[us] scans push
-    # `GreaterThan(ts, cutoff)` directly. Either way it's a real PushedFilter.
+    # The cutoff must reach the parquet reader, and each physical type keeps
+    # its EXACT expected form (ADVICE r3): an INT64-nanos scan must push the
+    # raw-long `GreaterThanOrEqual(ts, (cutoff_us+1)*1000)` — the micro-
+    # truncation-exact boundary (tables.load_events_since) — while a
+    # timestamp scan must push a strict `GreaterThan(ts, ...)`. Accepting
+    # either on both paths would let the nanos branch silently regress to a
+    # strict GreaterThan on raw nanos (sub-microsecond boundary drift).
     plan = _plan(spark, "watermark_filter")
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed, plan
-    assert "GreaterThanOrEqual(ts" in pushed[0] or "GreaterThan(ts" in pushed[0], pushed
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":  # INT64 TIMESTAMP(NANOS)
+        cutoff_ns = (1705276800000 * 1000 + 1) * 1000  # watermark_filter's
+        assert f"GreaterThanOrEqual(ts,{cutoff_ns})" in pushed[0], pushed
+    else:
+        assert "GreaterThan(ts," in pushed[0], pushed
 
 
 def test_aggregate_is_partial_then_final(spark):
