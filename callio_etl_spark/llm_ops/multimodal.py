@@ -520,3 +520,169 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from callio_etl_spark.tables import spread
 
     return resize_media(spread(image_table(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------- audio
+
+#: Canonical 44-byte PCM WAV header: RIFF(12) + fmt chunk(8+16) + data
+#: chunk header(8).
+WAV_HEADER_LEN = 44
+
+
+def parse_audio_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Vendored pure-Python WAV/RIFF header parser — the audio twin of
+    ``parse_image_header``. Walks the RIFF chunk chain (skipping LIST/fact/
+    any non-fmt chunk, honoring the spec's even-byte padding) and returns
+    (channels, sample_rate, bits_per_sample, data_len) from the ``fmt `` and
+    ``data`` chunks, or None for non-WAV payloads. Only chunk headers are
+    read — O(#chunks), never the samples."""
+    n = len(payload)
+    if n < WAV_HEADER_LEN or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = data_len = None
+    i = 12
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = i + 8
+        if cid == b"fmt " and body + 16 <= n:
+            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+            rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            # declared size, clamped to the bytes actually present
+            data_len = min(size, n - body)
+            break
+        i = body + size + (size & 1)  # chunks are word-aligned
+    if channels and rate and bits and data_len is not None:
+        return channels, rate, bits, data_len
+    return None
+
+
+def _le_bytes(col, width_bytes: int):
+    """Little-endian fixed-width binary encoding of a non-negative int
+    column, built JVM-side: per-byte hex pairs concatenated in reverse."""
+    col = col.cast("long")
+    pairs = [
+        F.lpad(F.hex(F.shiftright(col, 8 * i).bitwiseAND(F.lit(0xFF))), 2, "0")
+        for i in range(width_bytes)
+    ]
+    return F.unhex(F.concat(*pairs))
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-typed documents with payloads carrying REAL 44-byte PCM WAV
+    headers: channels = 1 + (first md5 byte of the text & 1), sample_rate =
+    8000 + 128 * second md5 byte, 16-bit samples, followed by the text bytes
+    as the data chunk. All fields are genuine little-endian RIFF values
+    built JVM-side, so a decoder must parse the chunk chain to recover them
+    and the SQL oracle can recompute them from md5 independently."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    body = F.encode(F.col("text"), "UTF-8")
+    mh = F.md5(body)
+    channels = (_hex_byte(mh, 1) % 2 + 1).cast("int")
+    rate = (F.lit(8000) + _hex_byte(mh, 3) * 128).cast("int")
+    bits = F.lit(16)
+    data_len = F.octet_length(body)
+    block_align = (channels * bits / 8).cast("int")
+    byte_rate = (rate * block_align).cast("int")
+    payload = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(data_len + (WAV_HEADER_LEN - 8), 4),
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4),  # fmt chunk size
+        _le_bytes(F.lit(1), 2),  # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(bits, 2),
+        F.lit(b"data"),
+        _le_bytes(data_len, 4),
+        body,
+    )
+    return d.select(
+        "doc_id", payload.alias("payload"), F.col("source").alias("uri")
+    )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bits", LongType()),
+        StructField("data_len", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """Arrow-batched WAV metadata extraction over mapInPandas — same plumbing
+    shape as extract_media_features; unparseable payloads are dropped (a real
+    pipeline routes them to a quarantine sink)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_audio_header(bytes(payload))
+                if parsed is None:
+                    continue
+                ch, rate, bits, dlen = parsed
+                frames = dlen // (ch * bits // 8)
+                rows["doc_id"].append(doc_id)
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["bits"].append(bits)
+                rows["data_len"].append(dlen)
+                rows["n_frames"].append(frames)
+                # frames/rate then *1000: both ops exactly-rounded IEEE, so
+                # any engine evaluating this order reproduces the bits
+                rows["duration_ms"].append(frames / rate * 1000.0)
+            yield pd.DataFrame(rows)
+
+    return audio.select("doc_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+@register(
+    "audio_features",
+    oracle="""
+WITH aud AS (
+  SELECT d.doc_id, md5(d.text) AS mh,
+         octet_length(encode(d.text)) AS data_len
+  FROM documents d WHERE d.doc_id % 3 = 1
+), parsed AS (
+  SELECT doc_id, data_len,
+         ((strpos('0123456789abcdef', substr(mh, 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(mh, 2, 1)) - 1)) % 2 + 1 AS channels,
+         8000 + ((strpos('0123456789abcdef', substr(mh, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(mh, 4, 1)) - 1)) * 128 AS sample_rate
+  FROM aud
+)
+SELECT doc_id,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(data_len AS BIGINT) AS data_len,
+       CAST(data_len // (channels * 2) AS BIGINT) AS n_frames,
+       (data_len // (channels * 2)) / sample_rate * 1000.0 AS duration_ms
+FROM parsed
+""",
+    tags=["llm", "multimodal", "audio"],
+)
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata pass with a REAL decoder: audio_table payloads carry
+    genuine little-endian RIFF/WAV headers; parse_audio_header walks the
+    chunk chain inside the Arrow mapInPandas stage to recover channel
+    count, sample rate, bit depth, and data length; duration derives from
+    parsed values only. The oracle recomputes every field independently
+    from the md5 the construction used — chunk-walk or endianness bugs
+    break the match. Registered beyond the 50-slot driver window this
+    round; locally oracle-checked (tools/check_correctness.py) and slated
+    for the r5 rotation."""
+    from callio_etl_spark.tables import spread
+
+    return extract_audio_features(spread(audio_table(spark, sf_dir)))

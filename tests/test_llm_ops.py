@@ -394,3 +394,55 @@ def test_image_table_header_roundtrip(spark):
         assert feats == [
             w / 256.0, hh / 256.0, len(payload) / 1024.0, (w * hh) / 65536.0,
         ]
+
+
+def test_parse_audio_header_walks_riff_chunks():
+    """WAV parser: canonical 44-byte header, chunk chain with a LIST chunk
+    before fmt/data (word-aligned odd sizes), declared-size clamping, and
+    None for non-WAV / truncated payloads."""
+    import struct
+
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    def wav(channels, rate, bits, data, extra_chunks=b""):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                          rate * channels * bits // 8, channels * bits // 8, bits)
+        chunks = extra_chunks + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    assert mm.parse_audio_header(wav(2, 44100, 16, b"\x00" * 400)) == (2, 44100, 16, 400)
+    # LIST chunk with an ODD size first: parser must skip it word-aligned
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    assert mm.parse_audio_header(wav(1, 8000, 8, b"\x01" * 7, extra_chunks=lst)) == (1, 8000, 8, 7)
+    # declared data size larger than actual bytes -> clamped
+    truncated = wav(1, 16000, 16, b"\x00" * 100)[:-40]
+    got = mm.parse_audio_header(truncated)
+    assert got == (1, 16000, 16, 60)
+    assert mm.parse_audio_header(b"not audio at all, just text") is None
+    assert mm.parse_audio_header(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+
+
+def test_audio_table_header_roundtrip(spark):
+    """audio_table embeds md5-derived channels/rate as real little-endian
+    RIFF fields; parse_audio_header must recover them for every row and
+    audio_features' duration must derive from parsed values only."""
+    import hashlib
+
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    text = {r["doc_id"]: r["text"] for r in d.collect()}
+    rows = mm.audio_table(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        h = hashlib.md5(text[r["doc_id"]].encode()).digest()
+        body_len = len(text[r["doc_id"]].encode())
+        want = (h[0] % 2 + 1, 8000 + h[1] * 128, 16, body_len)
+        assert mm.parse_audio_header(bytes(r["payload"])) == want
+    feats = {r["doc_id"]: r for r in mm.audio_features(spark, SF_DIR).collect()}
+    assert set(feats) == {r["doc_id"] for r in rows}
+    for r in feats.values():
+        frames = r["data_len"] // (r["channels"] * 2)
+        assert r["n_frames"] == frames
+        assert r["duration_ms"] == frames / r["sample_rate"] * 1000.0
