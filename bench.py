@@ -60,6 +60,10 @@ def main() -> None:
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        # the ContextCleaner frees dead localCheckpoint blocks
+        # asynchronously after the GC notices them — give it a beat so a
+        # query isn't timed against its predecessors' eviction storm
+        time.sleep(0.2)
         best = float("inf")
         # Best-of-2, plus a third pass for sub-2s queries where scheduler/GC
         # jitter is the same order as the measurement (BASELINE.md documents

@@ -387,22 +387,23 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), n_win),
         lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
     )
-    sh = (
-        d.select("doc_id", F.explode(shingles).alias("s"))
-        .distinct()
-        # the shingle table feeds both the benchmark side and the corpus
-        # side — materialize the tokenize+shingle pass once
-        .localCheckpoint(eager=True)
-    )
+    # No materialization: shingling is a codegen projection, so recomputing
+    # it per branch is cheaper than a global distinct + checkpoint of the
+    # full (doc_id, shingle) table (which pins executor-memory blocks for
+    # the materialized table's lifetime — measurably hostile when the
+    # cluster is already memory-loaded, and pure overhead at 100 TB where
+    # the right shape is streaming partial aggregation). Per-doc
+    # distinctness moves into countDistinct (map-side partial distinct).
+    sh = d.select("doc_id", F.explode(shingles).alias("s"))
     bench = (
         sh.where(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
     )
     corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0)
-    tot = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    tot = corpus.groupBy("doc_id").agg(F.countDistinct("s").alias("n_sh"))
     hit = (
         corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
+        .agg(F.countDistinct("s").alias("n_hit"))
     )
     return tot.join(hit, "doc_id").select(
         "doc_id",

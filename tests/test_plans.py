@@ -276,3 +276,14 @@ def test_reservoir_sample_is_take_ordered(spark):
     plan = _plan(spark, "reservoir_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no full Exchange+Sort materialization
+
+
+def test_contamination_check_streams_without_materialization(spark):
+    """The decontamination join must be fully declarative: benchmark shingle
+    set broadcast, per-doc distinctness as partial-aggregate countDistinct,
+    and NO materialized intermediate (a localCheckpoint would surface as a
+    Scan ExistingRDD and pin executor blocks for the table's lifetime)."""
+    plan = _plan(spark, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
+    assert "SortMergeJoin" not in plan

@@ -39,10 +39,19 @@ def main() -> None:
     section = (
         "## Recorded local baseline (sf=0.1, local[32])\n\n"
         f"Total: **{bench['value']:.1f} s** across {len(timings)} queries\n"
-        "(`bench.py`, noop sink, best-of-2 passes per query after JVM/Python\n"
-        "warm-up, per-query GC isolation — steady-state plan execution;\n"
+        "(`bench.py`, noop sink, best-of-2 passes per query — best-of-3 for\n"
+        "sub-2 s queries — after JVM/Python warm-up, per-query GC isolation —\n"
+        "steady-state plan execution;\n"
         f"re-recorded: {note}). Subsequent rounds\n"
-        "guard at <=2x per the driver contract. Per-query seconds:\n\n"
+        "guard at <=2x per the driver contract.\n\n"
+        "### Accepted jitter band\n\n"
+        "Sub-2 s queries carry +-0.3-0.5 s scheduler/GC noise, and run ORDER\n"
+        "biases sub-second queries up to ~2x (head-of-run entries pay\n"
+        "residual JIT/page-cache warm-up), so per-query ratios are only\n"
+        "comparable between runs with the same registry order. Treat a\n"
+        "per-query ratio as signal only when the query exceeds ~2 s AND\n"
+        ">1.5x, or when the TOTAL moves >10%.\n\n"
+        "Per-query seconds:\n\n"
         "| query | sec |\n|---|---|\n" + table + "\n"
     )
 
