@@ -242,3 +242,92 @@ def test_q21_semi_anti_shape_matches_bruteforce(spark, lines):
         if others and not other_late:
             expect[s] = expect.get(s, 0) + 1
     assert got_map == expect
+
+
+@given(
+    w=st.integers(min_value=1, max_value=0xFFFFFFFF),
+    h=st.integers(min_value=1, max_value=0xFFFFFFFF),
+    tail=st.binary(max_size=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_gif_header_roundtrip_any_dims(w, h, tail):
+    """parse_image_header must recover ANY constructed dimensions, not just
+    the md5-derived range image_table uses: PNG big-endian u32, GIF
+    little-endian u16 (h,w capped), arbitrary trailing bytes ignored."""
+    import struct
+
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
+    assert mm.parse_image_header(png + tail) == (w, h)
+    gw, gh = (w - 1) % 0xFFFF + 1, (h - 1) % 0xFFFF + 1
+    gif = b"GIF87a" + struct.pack("<HH", gw, gh)
+    assert mm.parse_image_header(gif + tail) == (gw, gh)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=0xFFFF),
+    h=st.integers(min_value=1, max_value=0xFFFF),
+    n_skip=st.integers(min_value=0, max_value=4),
+    seg_sizes=st.lists(st.integers(min_value=0, max_value=40), max_size=4),
+    sof=st.sampled_from([0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA]),
+)
+@settings(max_examples=200, deadline=None)
+def test_jpeg_header_roundtrip_any_segment_chain(w, h, n_skip, seg_sizes, sof):
+    """JPEG SOFn scan: any number of APPn/COM segments of any size before
+    the frame header; every SOF marker variant parsed identically."""
+    import struct
+
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    payload = b"\xff\xd8"
+    for i in range(n_skip):
+        size = seg_sizes[i % len(seg_sizes)] if seg_sizes else 0
+        payload += bytes([0xFF, 0xE0 + (i % 15)]) + struct.pack(">H", size + 2) + b"\x00" * size
+    payload += bytes([0xFF, sof]) + b"\x00\x11\x08" + struct.pack(">HH", h, w)
+    payload += b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    assert mm.parse_image_header(payload) == (w, h)
+
+
+@given(
+    channels=st.integers(min_value=1, max_value=8),
+    rate=st.integers(min_value=1, max_value=384_000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    data=st.binary(max_size=128),
+    pre_chunks=st.lists(st.binary(min_size=4, max_size=20), max_size=3),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_header_roundtrip_any_chunk_chain(channels, rate, bits, data, pre_chunks):
+    """parse_audio_header: any fmt values survive a chunk chain with
+    arbitrary unknown chunks (word-aligned) before fmt/data."""
+    import struct
+
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    chunks = b""
+    for i, body in enumerate(pre_chunks):
+        cid = (b"LIST", b"fact", b"cue ")[i % 3]
+        chunks += cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert mm.parse_audio_header(wav) == (channels, rate, bits, len(data))
+
+
+@given(junk=st.binary(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_header_parsers_never_crash_on_garbage(junk):
+    """Arbitrary bytes: both parsers must return a tuple or None — never
+    raise — including inputs that start with valid magics then degenerate."""
+    import callio_etl_spark.llm_ops.multimodal as mm
+
+    for prefix in (b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"GIF89a"):
+        got_i = mm.parse_image_header(prefix + junk)
+        assert got_i is None or (len(got_i) == 2 and all(x > 0 for x in got_i))
+        got_a = mm.parse_audio_header(prefix + junk)
+        assert got_a is None or len(got_a) == 4
