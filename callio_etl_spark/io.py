@@ -51,13 +51,57 @@ def write_partitioned(
 
 
 def delete_rows_between(
-    spark: SparkSession, path: str, field: str, start, end
+    spark: SparkSession,
+    path: str,
+    field: str,
+    start,
+    end,
+    partition_col: str | None = None,
 ) -> None:
     """S11 — DELETE WHERE f BETWEEN s AND e (bigquery_service.py:322-330;
     staging cleanup runner.py:208-209). Parquet has no row deletes, so keep
-    the complement — with Delta this becomes a real `DELETE FROM`."""
-    kept = spark.read.parquet(path).where(~F.col(field).between(start, end)).localCheckpoint()
-    kept.write.mode("overwrite").parquet(path)
+    the complement — with Delta this becomes a real `DELETE FROM`.
+
+    With ``partition_col``, the rewrite is partition-scoped: only the
+    partitions that actually contain in-range rows are recomputed (dynamic
+    partition overwrite keeps siblings' files untouched and the table's
+    layout intact), and partitions the delete empties completely are
+    removed directly — dynamic overwrite can't replace a partition with
+    zero rows. Without it the whole table is rewritten flat — fine for the
+    reference's dim-sized staging cleanups, table-sized I/O on a fact table
+    (use the partitioned form there)."""
+    df = spark.read.parquet(path)
+    doomed = F.col(field).between(start, end)
+    if partition_col is None:
+        kept = df.where(~doomed).localCheckpoint()
+        kept.write.mode("overwrite").parquet(path)
+        return
+    # Affected-partition list: one scalar-sized collect, bounded by the
+    # partition count (the same budget as any partition-pruning planner).
+    affected = [
+        r[0] for r in df.where(doomed).select(partition_col).distinct().collect()
+    ]
+    if not affected:
+        return
+    in_affected = F.col(partition_col).isin(affected)
+    kept = df.where(in_affected & ~doomed).localCheckpoint(eager=True)
+    survivors = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    # Partitions whose every row was deleted: no rows were written for
+    # them, so their old files survive dynamic overwrite — drop the dirs.
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for value in set(affected) - survivors:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={value}")
+        fs = p.getFileSystem(conf)
+        fs.delete(p, True)
 
 
 def stage_temp_view(df: DataFrame, name: str) -> str:

@@ -1,0 +1,137 @@
+"""Sink-path roundtrip queries (SURVEY.md section 2.1, S8-S13): the physical
+write operators exercised end to end INSIDE an oracle-checked query, so the
+sink family can earn driver correctness rows, not just unit coverage.
+
+Each query writes deterministic slices of the testdata through the io.py
+sink operators into a per-invocation temp directory, reads the files back,
+and returns a compact aggregate whose oracle recomputes the expected state
+in pure SQL over the source tables. A wrong append mode, broken schema
+merge, mis-scoped delete, or partition clobber changes the aggregate and
+breaks the hash match.
+
+Scale notes: the writes are the same code paths production uses
+(append+mergeSchema, partitionBy+sortWithinPartitions, complement-rewrite
+delete); the roundtrip data here is sf-sized, and every aggregate is a
+map-combined hash agg over the read-back — nothing driver-side except the
+temp-dir bookkeeping.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.io import (
+    delete_rows_between,
+    load_append,
+    load_truncate,
+    stage_temp_view,
+    write_partitioned,
+)
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table
+
+
+def _tmp(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=f"callio_{prefix}_")
+
+
+@register(
+    "sink_append_evolve",
+    oracle="""
+WITH s1 AS (
+  SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+), s2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 1
+), u AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+)
+SELECT CAST(COUNT(*) AS BIGINT)              AS n_rows,
+       CAST(COUNT(o_totalprice) AS BIGINT)   AS n_evolved,
+       CAST(SUM(o_orderkey) AS BIGINT)       AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+FROM u
+""",
+    tags=["S8", "S9", "S10", "S13", "sink"],
+)
+def sink_append_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9 roundtrip + S13/S10 readback: bootstrap a table with the
+    truncate sink (2-column slice), append a second slice that ADDS the
+    o_totalprice column (schema evolution), read back with mergeSchema so
+    the evolved column surfaces (NULL for pre-evolution rows), stage the
+    readback as a temp view, and aggregate it through the SQL channel.
+    The oracle rebuilds the expected post-evolution table in SQL; an
+    append that overwrote, a merge that dropped the new column, or NULL
+    backfill applied to the wrong slice all break the hash."""
+    path = f"{_tmp('append')}/orders_t"
+    o = load_table(spark, sf_dir, "orders")
+    load_truncate(
+        o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey", "o_custkey"),
+        path,
+    )
+    load_append(
+        o.where(F.col("o_orderkey") % 7 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        path,
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    view = stage_temp_view(back, f"stg_sink_{uuid.uuid4().hex}")
+    return spark.sql(
+        f"""
+        SELECT CAST(COUNT(*) AS BIGINT)            AS n_rows,
+               CAST(COUNT(o_totalprice) AS BIGINT) AS n_evolved,
+               SUM(o_orderkey)                     AS key_sum,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                                   AS price_sum
+        FROM {view}
+        """
+    )
+
+
+#: S11 delete window on event_id (inclusive BETWEEN, as the reference's
+#: DELETE WHERE f BETWEEN s AND e).
+DELETE_LO, DELETE_HI = 100, 499
+
+
+@register(
+    "sink_partition_delete",
+    oracle=f"""
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT)      AS n,
+       CAST(SUM(e.event_id) AS BIGINT) AS id_sum
+FROM events e
+WHERE NOT (e.event_id BETWEEN {DELETE_LO} AND {DELETE_HI})
+GROUP BY 1
+""",
+    tags=["S11", "S12", "sink"],
+)
+def sink_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S11 roundtrip: write events day-partitioned with in-file
+    clustering sort (partitionBy + sortWithinPartitions), range-delete an
+    event_id window PARTITION-SCOPED (only affected day-partitions are
+    rewritten; emptied ones removed; layout preserved), read the table
+    back, and aggregate per event_type. The oracle filters the source
+    directly — a delete that touched the wrong rows, dropped a partition
+    wholesale, or resurrected deleted rows via a stale file breaks the
+    match."""
+    path = f"{_tmp('partdel')}/events_t"
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.to_date("ts").alias("d"),
+    )
+    write_partitioned(e, path, "d", cluster_cols=["event_type", "event_id"])
+    delete_rows_between(
+        spark, path, "event_id", DELETE_LO, DELETE_HI, partition_col="d"
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").alias("id_sum"),
+    )

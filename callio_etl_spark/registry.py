@@ -156,6 +156,7 @@ def _load_all() -> None:
         merge_queries,
         relational,
         scalars,
+        sinks,
         subqueries,
         tpch,
     )

@@ -233,3 +233,38 @@ def test_salted_join_rejects_right_preserving_types(spark):
             salted_join(left, right, "k", n_salts=4, how=how)
     # left-preserving types still work
     assert salted_join(left, right, "k", n_salts=4, how="left").count() == 1
+
+
+def test_delete_rows_between_partition_scoped(spark, tmp_path):
+    """Partition-scoped S11: only partitions containing in-range rows are
+    rewritten (sibling partition FILES are byte-identical afterwards), a
+    fully-emptied partition's directory is removed, and the surviving rows
+    are exactly the complement."""
+    import glob
+    import os
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"d{i // 10}", i * 2) for i in range(40)], "id long, d string, v long"
+    )
+    df.repartition(1).write.partitionBy("d").parquet(p)
+
+    def snapshot(part):
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(f"{p}/d={part}/*.parquet")
+        }
+
+    untouched_before = snapshot("d3")
+    assert untouched_before
+    # delete ids 10..24: empties d1 (10-19) entirely, trims d2 (20-24),
+    # leaves d0 and d3 alone
+    delete_rows_between(spark, p, "id", 10, 24, partition_col="d")
+    left = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert left == list(range(10)) + list(range(25, 40))
+    assert snapshot("d3") == untouched_before  # sibling files untouched
+    assert not os.path.exists(f"{p}/d=d1")  # emptied partition dir removed
+    assert os.path.exists(f"{p}/d=d2")  # trimmed partition still there
+    # layout preserved: the read still prunes on d
+    pruned = spark.read.parquet(p).where(F.col("d") == "d0")
+    assert sorted(r["id"] for r in pruned.collect()) == list(range(10))
