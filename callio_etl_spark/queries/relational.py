@@ -493,3 +493,43 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("disc_revenue"),
         F.max(F.unix_millis("l_shipdate")).alias("max_ship_ms"),
     )
+
+
+@register(
+    "salted_join_agg",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+    tags=["skew", "J1"],
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-mitigation operator (io.salted_join) under the
+    oracle gate: the fact side carries a row-hash salt splitting every hot
+    key across n_salts shuffle partitions, the dim side is exploded across
+    all salt values, and the result must be ROW-IDENTICAL to the plain
+    equi-join — which is exactly what the SQL oracle computes. At 100 TB
+    this is the manual fix for a single key too hot for one task even
+    after AQE skew-splitting (io.py:94 documents when to prefer which);
+    here the identity property is what the driver verifies."""
+    from callio_etl_spark.io import salted_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, "o_custkey", n_salts=8, how="inner")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )

@@ -52,10 +52,12 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: oracle-bearing queries that have NEVER been driver-checked (full TPC-H
 #: tail, window/sampling/text-analysis siblings, table_diff), keeping 8
 #: previously-green flagship/merge/LLM canaries as regression tripwires.
-#: Rows-only queries (ann_topk_gemm, media_resize, approx_sketch_stats) stay
-#: out of the window — they can never hash-match and would waste slots.
-#: Queries outside the window remain registered, pytest-covered, and locally
-#: oracle-checked via tools/check_correctness.py.
+#: Rows-only queries (ann_topk_gemm, approx_sketch_stats) stay out of the
+#: window — they can never hash-match and would waste slots. Queries outside
+#: the window remain registered, pytest-covered, and locally oracle-checked
+#: via tools/check_correctness.py; r4's new oracle-bearing registrations
+#: (media_resize, audio_features, sink_*, salted_join_agg) are r5 rotation
+#: candidates (see COVERAGE.md's slot ledger).
 DRIVER_PRIORITY: list[str] = [
     # --- canaries: green in r3, kept to detect regressions (8) ---
     "fact_staff_daily",

@@ -29,8 +29,12 @@ def main() -> None:
         text=True,
         check=True,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    bench = json.loads(line)
+    # bench.py prints the full per-query line first and a compact
+    # truncation-proof summary LAST — take the line that carries "queries".
+    candidates = [
+        json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")
+    ]
+    bench = next(b for b in candidates if "queries" in b)
     timings: dict[str, float] = bench["queries"]
 
     table = "\n".join(
