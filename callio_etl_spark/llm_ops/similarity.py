@@ -365,3 +365,83 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+# ---------------------------------------------------------------- sign LSH
+
+N_PLANES = 8  # hyperplanes -> 8-bit bucket signature (256 buckets)
+
+
+def _plane_sign(j: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in {+1.0, -1.0}: first
+    byte of md5("j,i"). The weights are materialized as LITERALS in both
+    the Spark expression and the SQL oracle (neither engine recomputes the
+    hash), so any well-mixed deterministic source works — a closed-form
+    parity of prime multiples does NOT (odd*odd keeps parity: every plane
+    degenerates to ±parity(i+j), i.e. one plane repeated 8 times).
+    ``i`` is the 1-based dimension."""
+    import hashlib
+
+    return 1.0 if hashlib.md5(f"{j},{i}".encode()).digest()[0] % 2 == 0 else -1.0
+
+
+def _lsh_oracle() -> str:
+    dots = []
+    for j in range(N_PLANES):
+        terms = " + ".join(
+            f"CAST(CAST(v[{i}] AS DOUBLE) * ({_plane_sign(j, i):.1f}) "
+            f"AS DECIMAL(28,10))"
+            for i in range(1, EMB_DIM + 1)
+        )
+        dots.append(f"CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END")
+    bits = " + ".join(dots)
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+SELECT vec_id, CAST({bits} AS BIGINT) AS bucket
+FROM e
+"""
+
+
+@register("embedding_lsh_buckets", oracle=_lsh_oracle(), tags=["llm", "similarity", "dedup"])
+def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH over the embedding column — the third
+    bucketing technique next to IVF coarse partitions (ann_topk_ivf) and
+    MinHash bands (minhash_lsh_pairs): each vector's bucket is the sign
+    pattern of dot products against N_PLANES fixed hyperplanes, so cosine-
+    similar vectors collide with probability 1 - theta/pi per plane
+    (Charikar'02 SimHash for real vectors). Downstream, near-dup candidate
+    pairs or ANN probes are equi-joins on (bucket), exactly like the IVF
+    and band joins.
+
+    Scale/plan: pure projection — one scan, zero shuffles, embarrassingly
+    parallel at any corpus size; the signature is 8 int bits per vector.
+    Determinism: each dot product accumulates per-term
+    DECIMAL(28,10) casts of (value * ±1) — exact, order-independent
+    addition, so the sign (and hence every bucket bit) is bit-identical
+    across engines; the oracle spells out the same expansion."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return e.select("vec_id", lsh_bucket_col(F.col("v")).alias("bucket"))
+
+
+def lsh_bucket_col(v: Column) -> Column:
+    """The sign-LSH signature as a Column over a double-array column —
+    reusable by any pipeline stage (and directly testable on constructed
+    vectors)."""
+    bucket = None
+    for j in range(N_PLANES):
+        signs = F.array(
+            *[F.lit(_plane_sign(j, i)) for i in range(1, EMB_DIM + 1)]
+        )
+        dot_j = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: (x * s).cast("decimal(28,10)")),
+            F.lit(0).cast("decimal(28,10)"),
+            # re-cast per step: decimal + decimal widens to (29,10) and the
+            # HOF accumulator type is strict; values are ~|v| <= 64 so the
+            # narrowing never rounds
+            lambda acc, x: (acc + x).cast("decimal(28,10)"),
+        )
+        bit = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")

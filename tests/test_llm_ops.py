@@ -446,3 +446,41 @@ def test_audio_table_header_roundtrip(spark):
         frames = r["data_len"] // (r["channels"] * 2)
         assert r["n_frames"] == frames
         assert r["duration_ms"] == frames / r["sample_rate"] * 1000.0
+
+
+def test_embedding_lsh_buckets_collide_similar_vectors(spark):
+    """Sign-LSH property on CONSTRUCTED vectors (the testdata embeddings are
+    direction-unstructured, so labels say nothing about cosine): a vector
+    and its slightly-perturbed copy share a bucket; its negation flips
+    every bit (bucket XOR 255); and the registered query plans as a pure
+    projection (zero exchanges) with all buckets in range."""
+    import random
+
+    from callio_etl_spark.llm_ops.similarity import (
+        EMB_DIM,
+        embedding_lsh_buckets,
+        lsh_bucket_col,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(EMB_DIM)] for _ in range(20)]
+    rows = []
+    for k, u in enumerate(base):
+        rows.append((3 * k, u))
+        rows.append((3 * k + 1, [x + rng.gauss(0, 1e-6) for x in u]))  # near-dup
+        rows.append((3 * k + 2, [-x for x in u]))  # antipode
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in df.select("vec_id", lsh_bucket_col(F.col("v")).alias("bucket")).collect()
+    }
+    for k in range(len(base)):
+        assert got[3 * k] == got[3 * k + 1], k  # near-dup collides
+        assert got[3 * k + 2] == got[3 * k] ^ 255, k  # negation flips all bits
+
+    out = embedding_lsh_buckets(spark, "/root/testdata/sf0.001")
+    assert all(0 <= r["bucket"] < 256 for r in out.collect())
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan  # one scan, zero shuffles
