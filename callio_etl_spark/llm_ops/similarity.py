@@ -445,3 +445,52 @@ def lsh_bucket_col(v: Column) -> Column:
         bit = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("long")
+
+
+def _lsh_pairs_oracle() -> str:
+    bits = _lsh_oracle().split("SELECT vec_id, CAST(")[1].split(" AS BIGINT)")[0]
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, v FROM e)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
+       list_cosine_similarity(a.v::DOUBLE[], c.v::DOUBLE[]) AS cosine
+FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id > a.vec_id
+"""
+
+
+@register(
+    "embedding_lsh_pairs",
+    oracle=_lsh_pairs_oracle(),
+    tags=["llm", "similarity", "dedup"],
+)
+def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup CANDIDATE PAIRS: self equi-join on the sign-LSH bucket
+    (never all-pairs — the join key is the 8-bit signature, so cost is
+    sum(bucket_size²) like the MinHash band join), each candidate verified
+    with the exact sequential cosine. This is the complete hyperplane-LSH
+    dedup path: signature -> bucket join -> verify, the embedding analog of
+    minhash_lsh_pairs -> ngram_jaccard verification.
+
+    Scale: bucket count grows 2^N_PLANES with more planes, shrinking
+    buckets; skewed buckets (mass around one direction) are the salting
+    case — add a plane or salt the bucket key. The verify join's cosine is
+    bit-identical to the oracle's list_cosine_similarity (sequential fold,
+    established parity)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b = e.select("vec_id", "v", lsh_bucket_col(F.col("v")).alias("bucket"))
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("c.bucket") == F.col("a.bucket"))
+            & (F.col("c.vec_id") > F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cosine(F.col("a.v"), F.col("c.v")).alias("cosine"),
+        )
+    )
