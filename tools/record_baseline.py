@@ -1,6 +1,6 @@
 """Re-record the local bench baseline into BASELINE.md.
 
-Runs ``bench.py`` (best-of-2 per query, noop sink) at sf0.1 and rewrites the
+Runs ``bench.py`` (best-of-3 per query, noop sink) at sf0.1 and rewrites the
 "Recorded local baseline" section of BASELINE.md with the fresh totals and
 per-query table. Run this whenever the registry's query count changes so the
 driver's 2x bench guard stays meaningful.
@@ -43,9 +43,8 @@ def main() -> None:
     section = (
         "## Recorded local baseline (sf=0.1, local[32])\n\n"
         f"Total: **{bench['value']:.1f} s** across {len(timings)} queries\n"
-        "(`bench.py`, noop sink, best-of-2 passes per query — best-of-3 for\n"
-        "sub-2 s queries — after JVM/Python warm-up, per-query GC isolation —\n"
-        "steady-state plan execution;\n"
+        "(`bench.py`, noop sink, best-of-3 passes per query after JVM/Python\n"
+        "warm-up, per-query GC isolation — steady-state plan execution;\n"
         f"re-recorded: {note}). Subsequent rounds\n"
         "guard at <=2x per the driver contract.\n\n"
         "### Accepted jitter band\n\n"
