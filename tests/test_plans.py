@@ -287,3 +287,15 @@ def test_contamination_check_streams_without_materialization(spark):
     assert "BroadcastHashJoin" in plan
     assert "ExistingRDD" not in plan and "LogicalRDD" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_pairs_is_bucket_equi_join(spark):
+    """The sign-LSH candidate join must plan as an equi-join on the bucket
+    signature — never the all-pairs nested loop its brute-force sibling
+    uses (sum(bucket_size^2) vs N^2 is the whole point)."""
+    plan = _plan(spark, "embedding_lsh_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
