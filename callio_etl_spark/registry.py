@@ -47,19 +47,20 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so every
 #: registered query eventually earns a driver row (COVERAGE.md keeps the
-#: per-round slot ledger). Rounds 1-3 pinned the 50 family representatives;
-#: 80 of 124 queries now have driver rows. This round promotes the 42
-#: oracle-bearing queries that have NEVER been driver-checked (full TPC-H
-#: tail, window/sampling/text-analysis siblings, table_diff), keeping 8
-#: previously-green flagship/merge/LLM canaries as regression tripwires.
-#: Rows-only queries (ann_topk_gemm, approx_sketch_stats) stay out of the
-#: window — they can never hash-match and would waste slots. Queries outside
-#: the window remain registered, pytest-covered, and locally oracle-checked
-#: via tools/check_correctness.py; r4's new oracle-bearing registrations
-#: (media_resize, audio_features, sink_*, salted_join_agg) are r5 rotation
-#: candidates (see COVERAGE.md's slot ledger).
+#: per-round slot ledger). After r4, 122/130 registered queries have a driver
+#: row; the r5 window promotes the 7 oracle-bearing queries that have NEVER
+#: been checked (the r4 registrations: sink roundtrips, salted join,
+#: sign-LSH pair, media/audio decode), re-checks the 30 queries whose latest
+#: row is r1 (three rounds stale), and re-checks 5 r3-latest queries whose
+#: code changed since (contamination_check was de-materialized in r4) or
+#: that anchor merge/CDC families. 8 previously-green flagship/merge/LLM
+#: canaries remain as regression tripwires. Rows-only queries
+#: (ann_topk_gemm, approx_sketch_stats) stay out of the window — they can
+#: never hash-match and would waste slots. Queries outside the window remain
+#: registered, pytest-covered, and locally oracle-checked every round via
+#: tools/check_correctness.py (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- canaries: green in r3, kept to detect regressions (8) ---
+    # --- canaries: green in r4, kept to detect regressions (8) ---
     "fact_staff_daily",
     "fact_status_pivot",
     "latest_per_key",
@@ -67,54 +68,52 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_pipeline",
     "minhash_lsh_pairs",
     "pack_sequences",
-    "media_features",  # first oracle this round (real header decode)
-    # --- first-time driver rows: relational / CDC / scalar siblings (9) ---
-    "table_diff",
-    "nonblank_filter",
-    "time_buckets",
-    "row_hash",
-    "project_backfill",
-    "array_pick",
-    "string_norm",
-    "not_in_subquery",
-    "scalar_subquery",
-    # --- first-time driver rows: the TPC-H tail, q2-q22 (21) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_topk",
-    "tpch_q4_priority",
-    "tpch_q5_volume",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "tpch_q10_returned",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_opportunity",
-    # --- first-time driver rows: sampling (4) ---
-    "stratified_sample",
-    "weighted_sample",
-    "reservoir_sample",
-    "curriculum_bins",
-    # --- first-time driver rows: dedup/similarity siblings (4) ---
-    "ngram_jaccard_pairs",
-    "exact_substring_pairs",
-    "ann_recall_ivf",
-    "ivf_centroids",
-    # --- first-time driver rows: text analysis (4) ---
-    "quality_score",
-    "fingerprint",
-    "pii_scrub",
-    "repetition_stats",
+    "media_features",
+    # --- first-time driver rows: r4 registrations, never checked (7) ---
+    "salted_join_agg",
+    "sink_append_evolve",
+    "sink_partition_delete",
+    "embedding_lsh_buckets",
+    "embedding_lsh_pairs",
+    "media_resize",
+    "audio_features",
+    # --- re-checks: latest driver row is r1, three rounds stale (30) ---
+    "asof_join_latest_order",
+    "sessionize",
+    "rollup_agg",
+    "cube_agg",
+    "window_frames",
+    "percentile_summary",
+    "set_intersect_except",
+    "pivot_event_types",
+    "posexplode_tokens",
+    "range_join_bucketed",
+    "window_rank_suite",
+    "date_fn_suite",
+    "string_fn_suite",
+    "tumbling_window_agg",
+    "hopping_window_agg",
+    "profile_columns",
+    "stat_moments",
+    "string_agg_suite",
+    "array_hof_suite",
+    "regexp_suite",
+    "unpivot_measures",
+    "json_map_suite",
+    "window_dist_suite",
+    "grouping_sets_explicit",
+    "null_semantics_suite",
+    "date_spine_fill",
+    "bitwise_agg_suite",
+    "distinct_rows",
+    "join_semi",
+    "join_anti",
+    # --- re-checks: r3-latest, code changed since or family anchors (5) ---
+    "contamination_check",  # de-materialized in r4 after its last row
+    "scd2_history",
+    "merge_upsert_full",
+    "dedup_exact",
+    "fact_staff_daily_sql",
 ]
 
 
