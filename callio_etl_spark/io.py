@@ -21,6 +21,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+#: Commit-protocol sibling dirs (next to the table path, never inside it —
+#: a dir inside the table would surface as a bogus partition to readers).
+STAGING_SUFFIX = ".__staging__"
+BACKUP_SUFFIX = ".__backup__"
+PBAK_SUFFIX = ".__pbak__"
+
 
 def load_append(df: DataFrame, path: str, merge_schema: bool = True) -> None:
     """S8 — WRITE_APPEND with ALLOW_FIELD_ADDITION/RELAXATION
@@ -30,8 +36,215 @@ def load_append(df: DataFrame, path: str, merge_schema: bool = True) -> None:
 
 
 def load_truncate(df: DataFrame, path: str) -> None:
-    """S9 — WRITE_TRUNCATE, no schema updates (bigquery_service.py:302-309)."""
-    df.write.mode("overwrite").parquet(path)
+    """S9 — WRITE_TRUNCATE, no schema updates (bigquery_service.py:302-309).
+    Atomic: the replacement is staged beside the table and committed by
+    rename, so a crashed truncate never leaves a half-written table (the
+    reference gets this from BigQuery's job atomicity for free)."""
+    atomic_overwrite(df.sparkSession, df, path)
+
+
+# --------------------------------------------------------------------------
+# Atomic commit protocol (staging + rename). The reference's sinks write to
+# BigQuery, whose load/query jobs are atomic; plain `mode("overwrite")` on a
+# parquet path is NOT — a mid-write crash leaves a truncated table. These
+# helpers restore the missing guarantee with the classic staging-directory
+# protocol (same shape as Hadoop's FileOutputCommitter v1 job commit):
+#
+#   write df -> <path>.__staging__      (crash here: target untouched)
+#   touch staging/__COMMIT_*__ marker   (proves staging complete + mode)
+#   rename <path> -> <path>.__backup__  (crash past here: recover_table
+#   rename staging -> <path>             rolls the commit forward)
+#   delete backup
+#
+# Rename is atomic on HDFS and on POSIX filesystems; on S3-like object
+# stores it is copy+delete, where the right answer is a real table format
+# (Delta/Iceberg) — merge.py already prefers Delta MERGE when importable.
+# `recover_table` repairs any crash point; readers of a mid-commit table see
+# either the old table, the new table, or a loud missing-path error — never
+# a torn mix.
+# --------------------------------------------------------------------------
+
+
+def _hadoop(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf), p
+
+
+def _rename(jvm, fs, src: str, dst: str) -> None:
+    ok = fs.rename(
+        jvm.org.apache.hadoop.fs.Path(src), jvm.org.apache.hadoop.fs.Path(dst)
+    )
+    if not ok:
+        raise IOError(f"atomic commit: rename failed: {src} -> {dst}")
+
+
+def _exists(jvm, fs, path: str) -> bool:
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(path))
+
+
+def _delete(jvm, fs, path: str) -> None:
+    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
+
+
+def _touch(jvm, fs, path: str) -> None:
+    fs.create(jvm.org.apache.hadoop.fs.Path(path)).close()
+
+
+#: Mode markers written INSIDE staging after the write completes, so
+#: recovery can tell a whole-table swap from a per-partition swap (the two
+#: roll forward differently). Underscore-prefixed => invisible to Spark's
+#: file index and partition discovery if one survives into a table dir.
+_TABLE_MARKER = "__COMMIT_TABLE__"
+_PARTS_MARKER = "__COMMIT_PARTS__"
+
+
+def atomic_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    cluster_cols: list[str] | None = None,
+) -> None:
+    """Replace the table at ``path`` with ``df`` atomically (whole-table
+    swap). Safe when df READS FROM ``path``: the staging write completes
+    against the old files before any rename touches them — no
+    localCheckpoint materialization needed, the old table itself is the
+    checkpoint until commit."""
+    path = path.rstrip("/")
+    staging, backup = path + STAGING_SUFFIX, path + BACKUP_SUFFIX
+    jvm, fs, _ = _hadoop(spark, path)
+    recover_table(spark, path)  # clear any leftovers from a crashed run
+    if cluster_cols:
+        df = df.sortWithinPartitions(*cluster_cols)
+    w = df.write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(staging)
+    _touch(jvm, fs, f"{staging}/{_TABLE_MARKER}")
+    had_old = _exists(jvm, fs, path)
+    if had_old:
+        _rename(jvm, fs, path, backup)
+    _rename(jvm, fs, staging, path)
+    if had_old:
+        _delete(jvm, fs, backup)
+    _delete(jvm, fs, f"{path}/{_TABLE_MARKER}")
+
+
+def atomic_partition_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    cluster_cols: list[str] | None = None,
+) -> None:
+    """Replace ONLY the partitions present in ``df`` (the atomic analog of
+    dynamic partition overwrite): df is staged partitioned beside the
+    table, then each affected partition directory is swapped in with a
+    backup-rename — so every individual partition is always either fully
+    old or fully new, and `recover_table` rolls any crash point forward.
+    Sibling partitions' files are never touched. Safe when df reads from
+    ``path`` (staging completes before any swap).
+
+    Scale: I/O is bounded by the affected partitions, exactly like the
+    dynamic-overwrite path it replaces; the swap itself is one rename pair
+    per partition — metadata ops, no data movement."""
+    path = path.rstrip("/")
+    staging, pbak = path + STAGING_SUFFIX, path + PBAK_SUFFIX
+    jvm, fs, _ = _hadoop(spark, path)
+    recover_table(spark, path)
+    if cluster_cols:
+        df = df.sortWithinPartitions(*cluster_cols)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    _touch(jvm, fs, f"{staging}/{_PARTS_MARKER}")
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pbak))
+    for leaf in _partition_leaves(jvm, fs, staging):
+        if _exists(jvm, fs, f"{path}/{leaf}"):
+            _rename(jvm, fs, f"{path}/{leaf}", f"{pbak}/{leaf}")
+        _rename(jvm, fs, f"{staging}/{leaf}", f"{path}/{leaf}")
+    _delete(jvm, fs, pbak)
+    _delete(jvm, fs, staging)
+
+
+def _partition_leaves(jvm, fs, table_dir: str) -> list[str]:
+    """First-level `col=value` directory names under a partitioned table."""
+    out = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(table_dir)):
+        name = st.getPath().getName()
+        if st.isDirectory() and "=" in name:
+            out.append(name)
+    return sorted(out)
+
+
+def recover_table(spark: SparkSession, path: str) -> str:
+    """Repair a table whose atomic_overwrite / atomic_partition_overwrite
+    crashed mid-commit. Decision key: the mode marker inside staging — it
+    is created only AFTER the staging write finishes, so its presence
+    proves staging is complete (and tells whole-table from per-partition
+    recovery); a marked staging rolls the commit FORWARD, an unmarked one
+    rolls BACK to the old table. Idempotent; returns what it did."""
+    path = path.rstrip("/")
+    staging, backup, pbak = (
+        path + STAGING_SUFFIX,
+        path + BACKUP_SUFFIX,
+        path + PBAK_SUFFIX,
+    )
+    jvm, fs, _ = _hadoop(spark, path)
+    actions: list[str] = []
+    table_mode = _exists(jvm, fs, f"{staging}/{_TABLE_MARKER}")
+    parts_mode = _exists(jvm, fs, f"{staging}/{_PARTS_MARKER}")
+
+    if _exists(jvm, fs, staging) and not (table_mode or parts_mode):
+        # Crashed during (or just after) the staging write, before the mode
+        # marker: no rename has happened, the target is the intact old
+        # table — roll back by dropping staging.
+        _delete(jvm, fs, staging)
+        actions.append("dropped incomplete staging")
+
+    if table_mode:
+        if _exists(jvm, fs, backup):
+            # Crashed after `path -> backup`: finish the swap.
+            if not _exists(jvm, fs, path):
+                _rename(jvm, fs, staging, path)
+                actions.append("rolled staging forward")
+            else:
+                _delete(jvm, fs, staging)  # swap already finished
+                actions.append("dropped committed staging")
+            _delete(jvm, fs, backup)
+            actions.append("dropped backup")
+        elif _exists(jvm, fs, path):
+            # Crashed before `path -> backup`: commit never started.
+            _delete(jvm, fs, staging)
+            actions.append("dropped pre-commit staging")
+        else:
+            # First write ever (no old table): just roll forward.
+            _rename(jvm, fs, staging, path)
+            actions.append("rolled staging forward")
+    elif _exists(jvm, fs, backup) and _exists(jvm, fs, path):
+        _delete(jvm, fs, backup)  # crash between final rename and cleanup
+        actions.append("dropped committed backup")
+
+    if parts_mode:
+        # Per-partition swap crashed mid-loop: roll every staged partition
+        # forward (each target partition is either old+unbacked, backed-up
+        # +missing, or already new — all three resolve to the new version).
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pbak))
+        for leaf in _partition_leaves(jvm, fs, staging):
+            tgt = f"{path}/{leaf}"
+            if _exists(jvm, fs, tgt) and not _exists(jvm, fs, f"{pbak}/{leaf}"):
+                _rename(jvm, fs, tgt, f"{pbak}/{leaf}")  # not yet backed up
+            if not _exists(jvm, fs, tgt):
+                _rename(jvm, fs, f"{staging}/{leaf}", tgt)
+                actions.append(f"rolled {leaf} forward")
+        _delete(jvm, fs, staging)
+        actions.append("dropped committed staging")
+    if _exists(jvm, fs, pbak):
+        _delete(jvm, fs, pbak)
+        actions.append("dropped partition backups")
+    if _exists(jvm, fs, f"{path}/{_TABLE_MARKER}"):
+        _delete(jvm, fs, f"{path}/{_TABLE_MARKER}")
+    return "; ".join(actions) or "clean"
 
 
 def write_partitioned(
@@ -69,12 +282,22 @@ def delete_rows_between(
     removed directly — dynamic overwrite can't replace a partition with
     zero rows. Without it the whole table is rewritten flat — fine for the
     reference's dim-sized staging cleanups, table-sized I/O on a fact table
-    (use the partitioned form there)."""
+    (use the partitioned form there).
+
+    Crash semantics (partition-scoped path): each partition's commit is an
+    atomic directory swap (atomic_partition_overwrite), so any individual
+    partition is always either fully-old or fully-new; a crash between the
+    swap and the emptied-dir removal can leave fully-deleted partitions
+    readable. RERUNNING THE SAME DELETE REPAIRS THIS: the stale rows are
+    still in-range, so the rerun re-lists their partitions as affected and
+    removes the dirs. Idempotent by construction — callers that need the
+    post-state immediately should rerun on failure (or call
+    recover_table first after a hard crash)."""
     df = spark.read.parquet(path)
     doomed = F.col(field).between(start, end)
     if partition_col is None:
-        kept = df.where(~doomed).localCheckpoint()
-        kept.write.mode("overwrite").parquet(path)
+        kept = df.where(~doomed)
+        atomic_overwrite(spark, kept, path)
         return
     # Affected-partition list: one scalar-sized collect, bounded by the
     # partition count (the same budget as any partition-pruning planner).
@@ -83,25 +306,46 @@ def delete_rows_between(
     ]
     if not affected:
         return
-    in_affected = F.col(partition_col).isin(affected)
-    kept = df.where(in_affected & ~doomed).localCheckpoint(eager=True)
+    # NULL partition values land in __HIVE_DEFAULT_PARTITION__ and never
+    # match isin() — membership must be null-safe or in-range rows with a
+    # NULL partition key would silently survive the delete.
+    non_null = [v for v in affected if v is not None]
+    in_affected = F.col(partition_col).isin(non_null)
+    if None in affected:
+        in_affected = in_affected | F.col(partition_col).isNull()
+    kept = df.where(in_affected & ~doomed)
     survivors = {
         r[0] for r in kept.select(partition_col).distinct().collect()
     }
-    (
-        kept.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
-    # Partitions whose every row was deleted: no rows were written for
-    # them, so their old files survive dynamic overwrite — drop the dirs.
+    if survivors:
+        atomic_partition_overwrite(spark, kept, path, partition_col)
+    # Partitions whose every row was deleted: kept has no rows for them,
+    # so no swap replaced their dirs — drop them directly.
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     for value in set(affected) - survivors:
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={value}")
+        # Build the dir name exactly as Spark's file committer does —
+        # Hive path escaping for special chars, the default-partition
+        # sentinel for NULL — or string values like "a/b" would miss the
+        # real directory and resurrect their deleted rows.
+        leaf = _hive_partition_dirname(spark, partition_col, value)
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
         fs = p.getFileSystem(conf)
         fs.delete(p, True)
+
+
+def _hive_partition_dirname(spark: SparkSession, col: str, value) -> str:
+    """The on-disk directory name Spark writes for one partition value:
+    ``escapePathName(col)=escapePathName(str(value))`` with NULL mapped to
+    the __HIVE_DEFAULT_PARTITION__ sentinel. Delegates to the SAME JVM
+    routine the write path uses (ExternalCatalogUtils.getPartitionPathString)
+    so read-side path construction can never drift from what was written."""
+    utils = (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    )
+    if value is None:
+        return f"{utils.escapePathName(col)}={utils.DEFAULT_PARTITION_NAME()}"
+    return utils.getPartitionPathString(col, str(value))
 
 
 def stage_temp_view(df: DataFrame, name: str) -> str:
@@ -233,12 +477,7 @@ def compact_partition(
     df = spark.read.parquet(path).where(F.col(partition_col) == partition_value)
     n = df.count()
     compacted = df.repartition(target_files)
-    if cluster_cols:
-        compacted = compacted.sortWithinPartitions(*cluster_cols)
-    (
-        compacted.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(path)
+    atomic_partition_overwrite(
+        spark, compacted, path, partition_col, cluster_cols=cluster_cols
     )
     return n

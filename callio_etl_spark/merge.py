@@ -7,9 +7,10 @@ container ships no Delta Lake, so the engine provides:
 - ``merge_upsert``       pure-compute merge: FULL OUTER join + per-column
   conditional selection; returns the post-merge DataFrame. Oracle-checkable.
 - ``merge_write``        physical upsert: partition-scoped rewrite — only the
-  date partitions the source touches are recomputed and overwritten
-  (dynamic partition overwrite), mirroring the reference's
-  `T.<date> BETWEEN part_min AND part_max` pruning conjunct in MERGE ON.
+  date partitions the source touches are recomputed and swapped in through
+  io.py's atomic staging+rename commit, mirroring the reference's
+  `T.<date> BETWEEN part_min AND part_max` pruning conjunct in MERGE ON
+  (and BigQuery's job atomicity, which plain parquet overwrite lacks).
 - Delta path: if delta-spark is importable, ``delta_merge`` uses real
   MERGE INTO (kept behind an import-try; same call signature).
 
@@ -30,6 +31,8 @@ from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
+
+from callio_etl_spark.io import atomic_overwrite, atomic_partition_overwrite
 
 
 def _delta_available() -> bool:
@@ -167,8 +170,12 @@ def merge_write(
     the small-dim path (reference's staff/group tables) — which is gated:
     pass ``allow_full_rewrite=True`` to acknowledge it, and targets above
     FULL_REWRITE_MAX_ROWS are refused outright so a forgotten
-    ``partition_col`` can't full-rewrite a fact table."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    ``partition_col`` can't full-rewrite a fact table.
+
+    Both paths commit through io.py's staging + atomic-rename protocol: a
+    crash at any point leaves the old table (per-partition: each old
+    partition) intact, and io.recover_table(target_path) rolls a completed
+    staging forward."""
     target = spark.read.parquet(target_path)
     if partition_col and part_min is not None:
         # Guard: a source row OUTSIDE [part_min, part_max] would be inserted
@@ -188,15 +195,15 @@ def merge_write(
                 f"clobber partitions excluded from the windowed target"
             )
         window_target = target.where(F.col(partition_col).between(part_min, part_max))
-        # localCheckpoint: materialize before overwriting files we read from
-        # (without it a task retry during the commit could re-read deleted
-        # input). The window is bounded, so this stays small by design.
-        merged = merge_upsert(window_target, source, spec).localCheckpoint()
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
+        # Atomic per-partition swap: the merged window is staged beside the
+        # table (reading the OLD files — no read-during-write, so no
+        # localCheckpoint materialization needed), then each affected
+        # partition dir is swapped in with a backup-rename. A mid-commit
+        # crash leaves every partition either fully-old or fully-new and
+        # io.recover_table rolls it forward — the atomicity the reference
+        # gets from BigQuery MERGE for free.
+        merged = merge_upsert(window_target, source, spec)
+        atomic_partition_overwrite(spark, merged, target_path, partition_col)
     else:
         # Full rewrite (small-dim path). Explicit opt-in plus a row-count
         # ceiling: parquet row-group metadata makes the count cheap (no
@@ -215,7 +222,8 @@ def merge_write(
                 f"{FULL_REWRITE_MAX_ROWS}); full rewrite refused — use the "
                 f"partition-scoped path"
             )
-        # localCheckpoint materializes the merge result so overwriting the
-        # path we read from is safe.
-        merged = merge_upsert(target, source, spec).localCheckpoint()
-        merged.write.mode("overwrite").parquet(target_path)
+        # atomic_overwrite stages the merge result beside the table, so the
+        # write streams from the old files and the swap is a rename pair —
+        # no localCheckpoint materialization, no torn table on crash.
+        merged = merge_upsert(target, source, spec)
+        atomic_overwrite(spark, merged, target_path)

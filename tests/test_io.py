@@ -268,3 +268,262 @@ def test_delete_rows_between_partition_scoped(spark, tmp_path):
     # layout preserved: the read still prunes on d
     pruned = spark.read.parquet(p).where(F.col("d") == "d0")
     assert sorted(r["id"] for r in pruned.collect()) == list(range(10))
+
+
+# ----------------------------------------------------- atomic commit protocol
+
+
+def _write_staging(spark, src_rows, staging, marker, partition_col=None):
+    """Simulate a COMPLETED staging write that crashed before any rename:
+    the parquet job finished and the mode marker was touched."""
+    df = spark.createDataFrame(src_rows, "id long, d string, v long")
+    w = df.repartition(1).write.mode("overwrite")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(staging)
+    open(f"{staging}/{marker}", "w").close()
+
+
+def test_atomic_overwrite_reads_own_target(spark, tmp_path):
+    """The classic self-overwrite: df is derived FROM the table it
+    replaces. No localCheckpoint needed — staging completes against the
+    old files before the swap — and no protocol dirs survive a clean
+    commit."""
+    from callio_etl_spark.io import atomic_overwrite
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "x", i) for i in range(20)], "id long, d string, v long"
+    ).write.parquet(p)
+    halved = spark.read.parquet(p).where(F.col("id") < 10)
+    atomic_overwrite(spark, halved, p)
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == list(range(10))
+    assert not os.path.exists(p + ".__staging__")
+    assert not os.path.exists(p + ".__backup__")
+    assert not os.path.exists(f"{p}/__COMMIT_TABLE__")
+
+
+def test_atomic_overwrite_crash_injection_keeps_old_table(spark, tmp_path, monkeypatch):
+    """Inject a failure into the FIRST rename of the commit (old -> backup):
+    the crashed table must still read as the old content after
+    recover_table."""
+    import callio_etl_spark.io as io
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, "x", i) for i in range(10)], "id long, d string, v long"
+    ).write.parquet(p)
+
+    real_rename = io._rename
+
+    def boom(jvm, fs, src, dst):
+        if dst.endswith(".__backup__"):
+            raise RuntimeError("injected crash mid-commit")
+        return real_rename(jvm, fs, src, dst)
+
+    monkeypatch.setattr(io, "_rename", boom)
+    new = spark.createDataFrame([(99, "y", 0)], "id long, d string, v long")
+    try:
+        io.atomic_overwrite(spark, new, p)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(io, "_rename", real_rename)
+    # Staging is complete+marked but commit never started: recover rolls
+    # BACK (the old table was never touched).
+    io.recover_table(spark, p)
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == list(range(10))
+    assert not os.path.exists(p + ".__staging__")
+
+
+def test_recover_drops_incomplete_staging(spark, tmp_path):
+    """Crash DURING the staging write (no mode marker): recovery must
+    delete the torn staging and leave the table untouched."""
+    from callio_etl_spark.io import recover_table
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1)], "id long, d string, v long"
+    ).write.parquet(p)
+    staging = p + ".__staging__"
+    os.makedirs(staging)
+    open(f"{staging}/part-00000.parquet", "w").write("torn")
+    assert "incomplete" in recover_table(spark, p)
+    assert not os.path.exists(staging)
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_recover_rolls_forward_after_backup_rename(spark, tmp_path):
+    """Crash between `path -> backup` and `staging -> path`: the table dir
+    is MISSING; recovery must finish the commit (new content visible,
+    protocol dirs gone)."""
+    from callio_etl_spark.io import recover_table
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1)], "id long, d string, v long"
+    ).write.parquet(p)
+    _write_staging(spark, [(2, "b", 2)], p + ".__staging__", "__COMMIT_TABLE__")
+    os.rename(p, p + ".__backup__")  # the crash point
+    recover_table(spark, p)
+    rows = spark.read.parquet(p).collect()
+    assert [r["id"] for r in rows] == [2]
+    assert not os.path.exists(p + ".__backup__")
+    assert not os.path.exists(p + ".__staging__")
+
+
+def test_recover_drops_committed_backup(spark, tmp_path):
+    """Crash between `staging -> path` and backup deletion: new table is
+    live; recovery just drops the backup."""
+    from callio_etl_spark.io import recover_table
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(2, "b", 2)], "id long, d string, v long"
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(1, "a", 1)], "id long, d string, v long"
+    ).write.parquet(p + ".__backup__")
+    recover_table(spark, p)
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == [2]
+    assert not os.path.exists(p + ".__backup__")
+
+
+def test_atomic_partition_overwrite_swaps_only_affected(spark, tmp_path):
+    """Only partitions present in df are replaced; sibling partition files
+    are byte-identical afterwards; protocol dirs are cleaned up."""
+    import glob
+
+    from callio_etl_spark.io import atomic_partition_overwrite
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"d{i % 3}", i) for i in range(30)], "id long, d string, v long"
+    ).repartition(1).write.partitionBy("d").parquet(p)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{p}/d=d2/*.parquet")
+    }
+    assert before
+    repl = spark.createDataFrame(
+        [(100, "d0", 0), (101, "d1", 0)], "id long, d string, v long"
+    )
+    atomic_partition_overwrite(spark, repl, p, "d")
+    got = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    d2_ids = sorted(i for i in range(30) if i % 3 == 2)
+    assert got == sorted([100, 101] + d2_ids)
+    after = {f: os.path.getmtime(f) for f in glob.glob(f"{p}/d=d2/*.parquet")}
+    assert after == before
+    assert not os.path.exists(p + ".__staging__")
+    assert not os.path.exists(p + ".__pbak__")
+
+
+def test_recover_partition_swap_mid_loop(spark, tmp_path):
+    """Crash halfway through the per-partition swap loop: one partition
+    already swapped (old dir in pbak), one not started. Recovery must roll
+    BOTH forward and drop the protocol dirs."""
+    from callio_etl_spark.io import recover_table
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2)], "id long, d string, v long"
+    ).repartition(1).write.partitionBy("d").parquet(p)
+    staging, pbak = p + ".__staging__", p + ".__pbak__"
+    _write_staging(
+        spark, [(10, "a", 0), (20, "b", 0)], staging, "__COMMIT_PARTS__",
+        partition_col="d",
+    )
+    # simulate: d=a fully swapped, d=b untouched
+    os.makedirs(pbak)
+    os.rename(f"{p}/d=a", f"{pbak}/d=a")
+    os.rename(f"{staging}/d=a", f"{p}/d=a")
+    recover_table(spark, p)
+    got = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert got == [10, 20]
+    assert not os.path.exists(staging)
+    assert not os.path.exists(pbak)
+
+
+def test_delete_rows_between_null_partition(spark, tmp_path):
+    """In-range rows whose partition value is NULL (the
+    __HIVE_DEFAULT_PARTITION__ dir) must be deleted too — isin() alone
+    never matches NULL — and an emptied default partition's dir removed."""
+    p = str(tmp_path / "t")
+    rows = [(i, None if i < 10 else "d1", i) for i in range(20)]
+    spark.createDataFrame(
+        rows, "id long, d string, v long"
+    ).repartition(1).write.partitionBy("d").parquet(p)
+    assert os.path.exists(f"{p}/d=__HIVE_DEFAULT_PARTITION__")
+    delete_rows_between(spark, p, "id", 0, 9, partition_col="d")
+    left = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert left == list(range(10, 20))
+    assert not os.path.exists(f"{p}/d=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_delete_rows_between_escaped_partition_value(spark, tmp_path):
+    """Partition values containing Hive-escaped characters (:, #, space)
+    must still have their emptied dirs removed — path construction goes
+    through the same escaping the writer used, so deleted rows cannot
+    resurrect from a missed directory."""
+    p = str(tmp_path / "t")
+    rows = [(i, "a:b #1" if i < 10 else "plain", i) for i in range(20)]
+    spark.createDataFrame(
+        rows, "id long, d string, v long"
+    ).repartition(1).write.partitionBy("d").parquet(p)
+    delete_rows_between(spark, p, "id", 0, 9, partition_col="d")
+    left = sorted(r["id"] for r in spark.read.parquet(p).collect())
+    assert left == list(range(10, 20))
+    # the escaped dir is gone: re-running the same delete is a no-op and
+    # nothing resurrects
+    delete_rows_between(spark, p, "id", 0, 9, partition_col="d")
+    assert spark.read.parquet(p).count() == 10
+
+
+def test_merge_write_crash_recovery_end_to_end(spark, tmp_path, monkeypatch):
+    """merge_write's partition path through an injected mid-swap crash:
+    after recover_table the merged state is exactly what an uncrashed
+    merge produces."""
+    import callio_etl_spark.io as io
+    from callio_etl_spark.merge import MergeSpec, merge_write
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "2024-01-01", "old"), (2, "2024-01-02", "old")],
+        "k long, d string, val string",
+    ).repartition(1).write.partitionBy("d").parquet(p)
+    src = spark.createDataFrame(
+        [(2, "2024-01-02", "new"), (3, "2024-01-02", "ins")],
+        "k long, d string, val string",
+    )
+    spec = MergeSpec(keys=["k"])
+
+    real_rename = io._rename
+    calls = {"n": 0}
+
+    def boom(jvm, fs, srcp, dstp):
+        # let the backup rename of the first partition through, then crash
+        # before its staging dir lands in the table
+        calls["n"] += 1
+        if ".__pbak__" not in dstp and ".__staging__" in srcp:
+            raise RuntimeError("injected crash mid-partition-swap")
+        return real_rename(jvm, fs, srcp, dstp)
+
+    monkeypatch.setattr(io, "_rename", boom)
+    try:
+        merge_write(
+            spark, p, src, spec,
+            partition_col="d", part_min="2024-01-02", part_max="2024-01-02",
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(io, "_rename", real_rename)
+    io.recover_table(spark, p)
+    # partition discovery infers d as DATE — stringify for the compare
+    got = sorted(
+        (r["k"], str(r["d"]), r["val"]) for r in spark.read.parquet(p).collect()
+    )
+    assert got == [
+        (1, "2024-01-01", "old"),
+        (2, "2024-01-02", "new"),
+        (3, "2024-01-02", "ins"),
+    ]
