@@ -385,7 +385,11 @@ def _plane_sign(j: int, i: int) -> float:
     return 1.0 if hashlib.md5(f"{j},{i}".encode()).digest()[0] % 2 == 0 else -1.0
 
 
-def _lsh_oracle() -> str:
+def _lsh_bits_sql() -> str:
+    """The sign-LSH bucket expression over a double-array column ``v`` —
+    the single source both oracles compose (the pairs oracle used to
+    string-split this out of the buckets oracle's text, which broke on any
+    benign reformat)."""
     dots = []
     for j in range(N_PLANES):
         terms = " + ".join(
@@ -394,10 +398,13 @@ def _lsh_oracle() -> str:
             for i in range(1, EMB_DIM + 1)
         )
         dots.append(f"CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END")
-    bits = " + ".join(dots)
+    return " + ".join(dots)
+
+
+def _lsh_oracle() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
-SELECT vec_id, CAST({bits} AS BIGINT) AS bucket
+SELECT vec_id, CAST({_lsh_bits_sql()} AS BIGINT) AS bucket
 FROM e
 """
 
@@ -428,7 +435,12 @@ def embedding_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_bucket_col(v: Column) -> Column:
     """The sign-LSH signature as a Column over a double-array column —
     reusable by any pipeline stage (and directly testable on constructed
-    vectors)."""
+    vectors).
+
+    Guarded: the hyperplane literals are EMB_DIM wide, and zip_with pads
+    the shorter side with NULLs — a vector of any other length would get a
+    NULL-poisoned dot product and a silently degenerate bucket. A
+    wrong-dimension vector now raises at execution instead."""
     bucket = None
     for j in range(N_PLANES):
         signs = F.array(
@@ -444,14 +456,74 @@ def lsh_bucket_col(v: Column) -> Column:
         )
         bit = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+    return (
+        F.when(F.size(v) == EMB_DIM, bucket.cast("long")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_bucket_col: expected {EMB_DIM}-dim vector, got "),
+                    F.size(v).cast("string"),
+                )
+            ).cast("long")
+        )
+    )
+
+
+def lsh_buckets_arrow(
+    df: DataFrame, vec_col: str = "v", dim: int = EMB_DIM, n_planes: int = N_PLANES
+):
+    """Sign-LSH signatures via one Arrow-vectorized matrix multiply — the
+    scale path for production dims. The codegen'd literal expression in
+    lsh_bucket_col is the bit-parity form the DuckDB oracle can mirror, but
+    its expression tree grows as n_planes*dim decimal casts: past a few
+    hundred dims it blows the JIT method limit. Here the planes become one
+    (dim, n_planes) float64 matrix (same _plane_sign weights), each Arrow
+    batch is one numpy sign(X @ P) GEMM, and the bucket is the packed sign
+    bitmask — identical buckets for well-conditioned data (exact-zero dot
+    products can tie-break differently across float vs decimal; production
+    bucketing tolerates that, bit-parity stays confined to the oracle
+    path). Per-batch work, zero shuffles, any dimension.
+
+    Returns a DataFrame with the non-vector columns preserved and
+    ``bucket`` appended."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [_plane_sign(j, i) for j in range(n_planes)]
+            for i in range(1, dim + 1)
+        ],
+        dtype=np.float64,
+    )
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != vec_col
+    ) + ", bucket long"
+
+    def batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"lsh_buckets_arrow: expected {dim}-dim vectors, "
+                    f"got {x.shape[1]}"
+                )
+            buckets = ((x @ planes) > 0) @ powers
+            out = pdf.drop(columns=[vec_col])
+            out["bucket"] = pd.Series(buckets, index=pdf.index)
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def _lsh_pairs_oracle() -> str:
-    bits = _lsh_oracle().split("SELECT vec_id, CAST(")[1].split(" AS BIGINT)")[0]
     return f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, v FROM e)
+b AS (SELECT vec_id, CAST({_lsh_bits_sql()} AS BIGINT) AS bucket, v FROM e)
 SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket,
        list_cosine_similarity(a.v::DOUBLE[], c.v::DOUBLE[]) AS cosine
 FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id > a.vec_id

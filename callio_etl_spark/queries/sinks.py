@@ -18,6 +18,7 @@ temp-dir bookkeeping.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -37,6 +38,17 @@ from callio_etl_spark.tables import load_table
 
 def _tmp(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=f"callio_{prefix}_")
+
+
+def _materialize_and_clean(result: DataFrame, tmp_root: str) -> DataFrame:
+    """Collect the (aggregate-sized) result, remove the roundtrip temp dir,
+    and return the rows as a local DataFrame with the identical schema.
+    Harness runs execute each query several times (warmup + best-of-3 +
+    oracle compare) — without this, every run leaked a full parquet copy of
+    the roundtrip table under /tmp."""
+    rows = result.collect()
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return result.sparkSession.createDataFrame(rows, result.schema)
 
 
 @register(
@@ -68,7 +80,8 @@ def sink_append_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle rebuilds the expected post-evolution table in SQL; an
     append that overwrote, a merge that dropped the new column, or NULL
     backfill applied to the wrong slice all break the hash."""
-    path = f"{_tmp('append')}/orders_t"
+    root = _tmp("append")
+    path = f"{root}/orders_t"
     o = load_table(spark, sf_dir, "orders")
     load_truncate(
         o.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey", "o_custkey"),
@@ -82,7 +95,7 @@ def sink_append_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = spark.read.option("mergeSchema", "true").parquet(path)
     view = stage_temp_view(back, f"stg_sink_{uuid.uuid4().hex}")
-    return spark.sql(
+    result = spark.sql(
         f"""
         SELECT CAST(COUNT(*) AS BIGINT)            AS n_rows,
                CAST(COUNT(o_totalprice) AS BIGINT) AS n_evolved,
@@ -92,6 +105,7 @@ def sink_append_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}
         """
     )
+    return _materialize_and_clean(result, root)
 
 
 #: S11 delete window on event_id (inclusive BETWEEN, as the reference's
@@ -120,7 +134,8 @@ def sink_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — a delete that touched the wrong rows, dropped a partition
     wholesale, or resurrected deleted rows via a stale file breaks the
     match."""
-    path = f"{_tmp('partdel')}/events_t"
+    root = _tmp("partdel")
+    path = f"{root}/events_t"
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
@@ -131,7 +146,8 @@ def sink_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, "event_id", DELETE_LO, DELETE_HI, partition_col="d"
     )
     back = spark.read.parquet(path)
-    return back.groupBy("event_type").agg(
+    result = back.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("event_id").alias("id_sum"),
     )
+    return _materialize_and_clean(result, root)

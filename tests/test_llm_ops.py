@@ -484,3 +484,47 @@ def test_embedding_lsh_buckets_collide_similar_vectors(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan  # one scan, zero shuffles
+
+
+def test_lsh_bucket_col_rejects_wrong_dimension(spark):
+    """A vector whose length differs from EMB_DIM must raise, not produce a
+    silently degenerate bucket (zip_with NULL-pads the shorter side)."""
+    import pytest
+
+    from callio_etl_spark.llm_ops.similarity import lsh_bucket_col
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], "vec_id long, v array<double>")
+    with pytest.raises(Exception, match="expected 64-dim"):
+        df.select(lsh_bucket_col(F.col("v")).alias("b")).collect()
+
+
+def test_lsh_buckets_arrow_matches_literal_path(spark):
+    """The Arrow GEMM path (production dims) must assign the same bucket as
+    the codegen'd decimal-literal path (oracle parity form) on the real
+    embeddings table — non-degenerate dot products, so float-vs-decimal
+    sign agreement holds."""
+    from callio_etl_spark.llm_ops.similarity import lsh_bucket_col, lsh_buckets_arrow
+    from callio_etl_spark.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    literal = {
+        r["vec_id"]: r["bucket"]
+        for r in e.select("vec_id", lsh_bucket_col(F.col("v")).alias("bucket")).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["bucket"] for r in lsh_buckets_arrow(e, "v").collect()
+    }
+    assert arrow == literal
+    assert len(arrow) > 0
+
+
+def test_lsh_buckets_arrow_rejects_wrong_dimension(spark):
+    import pytest
+
+    from callio_etl_spark.llm_ops.similarity import lsh_buckets_arrow
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], "vec_id long, v array<double>")
+    with pytest.raises(Exception, match="expected 64-dim"):
+        lsh_buckets_arrow(df, "v").collect()
