@@ -250,3 +250,79 @@ def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").cast("long") - start,
         ).alias("chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------- length batching
+
+N_BATCHES = 32
+
+
+@register(
+    "length_batching",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+binned AS (
+  SELECT doc_id, n_tokens,
+         NTILE(32) OVER (ORDER BY n_tokens DESC, doc_id) AS batch_id
+  FROM scored
+)
+SELECT CAST(batch_id AS BIGINT)        AS batch_id,
+       CAST(COUNT(*) AS BIGINT)        AS batch_size,
+       CAST(MAX(n_tokens) AS BIGINT)   AS max_len,
+       CAST(SUM(n_tokens) AS BIGINT)   AS sum_len,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+                                       AS padding_waste,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS DOUBLE)
+         / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE)  AS waste_frac
+FROM binned
+GROUP BY batch_id
+""",
+    tags=["llm", "chunking", "batching"],
+)
+def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching — the padding-minimizing batch assignment
+    used for training and batch inference: sort documents by token count
+    (unique doc_id tiebreak), NTILE into equal-size batches so each batch
+    holds near-equal lengths, and report the padding waste a dense
+    [batch_size x max_len] tensor would carry. The waste_frac column is
+    the metric length-grouped batching exists to minimize (random
+    batching at this corpus's length spread wastes 30-50%).
+
+    Plan/scale: one projection for token counts, then a global sort for
+    NTILE — Spark range-partitions the sort, so the 'global' window is
+    actually parallel: each executor ntiles its contiguous length range
+    after a single sample-based exchange. At 100 TB, swap NTILE for
+    width_bucket on the (known) length distribution and the sort
+    disappears entirely; the aggregate is map-side partial either way."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    scored = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    binned = scored.withColumn("batch_id", F.ntile(N_BATCHES).over(w))
+    dense = F.col("max_len") * F.col("batch_size")
+    return (
+        binned.groupBy(F.col("batch_id").cast("long").alias("batch_id"))
+        .agg(
+            F.count("*").cast("long").alias("batch_size"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_len"),
+        )
+        .select(
+            "batch_id",
+            "batch_size",
+            "max_len",
+            "sum_len",
+            (dense - F.col("sum_len")).cast("long").alias("padding_waste"),
+            (
+                (dense - F.col("sum_len")).cast("double") / dense.cast("double")
+            ).alias("waste_frac"),
+        )
+    )

@@ -566,3 +566,77 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("a.v"), F.col("c.v")).alias("cosine"),
         )
     )
+
+
+# ------------------------------------------------------- centroid outliers
+
+
+@register(
+    "embedding_outliers",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM e, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY label, i
+),
+cvec AS (
+  SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       list_cosine_similarity(e.v, cv.cv) AS centroid_cos,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY e.label
+         ORDER BY list_cosine_similarity(e.v, cv.cv) ASC, e.vec_id
+       ) AS BIGINT) AS outlier_rank
+FROM e JOIN cvec cv ON cv.label = e.label
+""",
+    tags=["llm", "similarity", "quality"],
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier scoring — the SemDeDup-family prune
+    signal: each vector's cosine to its cluster (label) centroid, plus its
+    outlier rank within the cluster (rank 1 = farthest from the centroid).
+    Low-cos vectors are either mislabeled, noise, or novel — exactly the
+    rows a curation pipeline routes to review or drops; the complementary
+    head (cos ~ 1) is the semantic-duplicate candidate set.
+
+    Plan/scale: centroids via the same posexplode + (label, dim) DECIMAL
+    hash aggregate as ivf_centroids (reduce side never sees raw vectors),
+    re-assembled into |labels| arrays and BROADCAST back; scoring is one
+    map-side cosine per row, and the rank is a window over each label
+    partition. One explode-shuffle + one window sort — no all-pairs
+    anything. Parity: centroid components are decimal-mean doubles
+    (established), the cosine is the sequential fold both engines share,
+    and the rank ordering carries the vec_id tiebreak."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", F.col("pos").alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = e.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        cosine(F.col("v"), F.col("cv")).alias("centroid_cos"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_cos").asc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn(
+        "outlier_rank", F.row_number().over(w).cast("long")
+    )

@@ -500,3 +500,275 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cnt").cast("double")
         ).alias("dup_bigram_frac"),
     )
+
+
+# ------------------------------------------------------------- unigram rarity
+
+@register(
+    "unigram_rarity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT)        AS n_tokens,
+       CAST(SUM(v.freq) AS BIGINT)     AS sum_freq,
+       CAST(MIN(v.freq) AS BIGINT)     AS min_freq,
+       CAST(SUM(v.freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                                       AS mean_token_freq
+FROM toks t JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+""",
+    tags=["llm", "text", "quality"],
+)
+def unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality score — the deterministic stand-in for the
+    CCNet/KenLM perplexity filter: score each document by the corpus-wide
+    frequency of its own tokens (a document of globally rare tokens is
+    high-perplexity; machine-generated keyword spam scores anomalously
+    common). Emits per-doc token count, summed and minimum corpus
+    frequency, and the mean — thresholding on mean_token_freq is the
+    perplexity-bucket split used for quality-tiered sampling.
+
+    Plan/scale: one explode + two hash aggregates plus a join back from the
+    Zipf-shaped vocabulary table. The vocab aggregate is map-side partial
+    (combiner absorbs the head of the distribution); the join-back side is
+    vocabulary-sized, orders of magnitude smaller than the corpus — at
+    100 TB it stays a few hundred MB and broadcasts, making the whole score
+    one scan + one explode-shuffle. All counts are exact integers; the only
+    double op is one final division — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("w"),
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("freq"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            "min_freq",
+            (F.col("sum_freq").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("mean_token_freq"),
+        )
+    )
+
+
+# ------------------------------------------------------- boilerplate n-grams
+
+BOILER_N = 2  # n-gram width for cross-document boilerplate detection
+BOILER_MIN_DOCS = 2  # an n-gram in >= this many docs of a source is boilerplate
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(t[i:i+{BOILER_N - 1}], ' ') AS g
+  FROM (
+    SELECT doc_id, source, t,
+           unnest(range(1, greatest(len(t) - {BOILER_N - 1}, 0) + 1)) AS i
+    FROM toks
+  )
+),
+df_per_source AS (
+  SELECT source, g, COUNT(*) AS n_docs FROM sh GROUP BY source, g
+)
+SELECT s.doc_id,
+       s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN d.n_docs >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+FROM sh s JOIN df_per_source d ON s.source = d.source AND s.g = d.g
+GROUP BY s.doc_id, s.source
+""",
+    tags=["llm", "text", "quality"],
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: an n-gram that appears in
+    multiple documents of the SAME source (site headers, license footers,
+    nav text) is boilerplate; each document is scored by the fraction of
+    its distinct n-grams that are source-boilerplate. This is the
+    repeated-across-documents complement of repetition_stats'
+    repeated-within-document signals, and the per-source grouping mirrors
+    how CommonCrawl pipelines de-boilerplate per domain.
+
+    Plan/scale: per-doc-distinct n-grams (one explode + distinct), a
+    (source, gram) document-frequency aggregate, and a join back on the
+    same (source, gram) key — the shuffle partitioning from the aggregate
+    is REUSED by the join (no extra exchange), so the whole op is one
+    explode shuffle at any corpus size. Counts exact; one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    n_win = F.greatest(F.size(toks) - (BOILER_N - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_join(F.slice(toks, i, BOILER_N), " "),
+    )
+    sh = (
+        d.select("doc_id", "source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    df_per_source = sh.groupBy("source", "g").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        sh.join(df_per_source, ["source", "g"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") >= BOILER_MIN_DOCS, 1).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_grams").cast("double"))
+            .alias("boiler_frac"),
+        )
+    )
+
+
+# -------------------------------------------------- bloom-filter prefiltered
+# decontamination
+
+BLOOM_WORDS = 1024  # bitmap size: 1024 longs = 64 Kibit
+BLOOM_K = 3  # hash functions per item
+
+
+def _bloom_positions(col: Column) -> list[Column]:
+    """BLOOM_K bit positions for a string: independent xxhash64 seeds, each
+    reduced mod the bitmap width. Pure JVM expressions."""
+    m = BLOOM_WORDS * 64
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(BLOOM_K)
+    ]
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_N - 1}], ' ') AS s
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(1, greatest(len(t) - {SHINGLE_N - 1}, 0) + 1)) AS i
+    FROM toks
+  )
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+corpus AS (
+  SELECT sh.doc_id, sh.s, d.source FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id
+  WHERE sh.doc_id % {BENCH_MOD} <> 0
+),
+hits AS (
+  SELECT c.doc_id, c.source, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench b ON c.s = b.s
+  GROUP BY c.doc_id, c.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs_contaminated,
+       CAST(SUM(n_hit) AS BIGINT)    AS n_hit_shingles
+FROM hits
+GROUP BY source
+""",
+    tags=["llm", "text", "decontamination"],
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a BLOOM-FILTER prefilter — the 100 TB shape of
+    contamination_check: the benchmark shingle set is folded into a
+    {BLOOM_WORDS}-word bitmap (bit positions from {BLOOM_K} seeded
+    xxhash64s, OR-ed with one bit_or aggregate), the bitmap is embedded in
+    the corpus scan as an array literal, and membership is a pure
+    projection — corpus shingles that miss ANY of their {BLOOM_K} bits are
+    dropped map-side before the exact verify join. False positives are
+    removed by the verify join, so the result is EXACTLY the exact-join
+    answer (bloom has no false negatives) and the oracle is plain SQL.
+
+    Plan/scale: the bitmap is 8 KiB regardless of benchmark size (vs
+    broadcasting the full shingle set in contamination_check) and the
+    prefilter eliminates the shuffle for the overwhelmingly-clean corpus:
+    only bloom-positive shingles reach the join. The bitmap collect is
+    metadata-sized (1024 longs), same budget as a checkpoint stat read.
+    Spark's own runtime InSubqueryExec bloom pruning does this implicitly
+    for joins; here it is explicit so the filter survives into ANY
+    downstream plan shape."""
+    from callio_etl_spark.tables import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    n_win = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
+    )
+    sh = d.select(
+        "doc_id", "source", F.explode_outer(shingles).alias("s")
+    ).where(F.col("s").isNotNull()).dropDuplicates(["doc_id", "s"])
+    bench = sh.where(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+
+    # Build the bitmap: position -> (word, bit), bit_or per word, collect
+    # the (word -> mask) pairs driver-side (8 KiB) into a dense literal.
+    pos = bench.select(
+        F.explode(F.array(*_bloom_positions(F.col("s")))).alias("p")
+    )
+    words = (
+        # SQL expr: pyspark's shiftleft() wrapper only takes a literal
+        # shift amount, the SQL function accepts a column
+        pos.selectExpr(
+            "CAST(p DIV 64 AS LONG) AS w",
+            "shiftleft(1L, CAST(p % 64 AS INT)) AS m",
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * BLOOM_WORDS
+    for r in words:
+        bitmap[int(r["w"])] = int(r["mask"])
+    bloom_lit = F.array(*[F.lit(x).cast("long") for x in bitmap])
+
+    corpus = sh.where(F.col("doc_id") % BENCH_MOD != 0)
+    maybe = corpus.withColumn("__bloom", bloom_lit)
+    for i, p in enumerate(_bloom_positions(F.col("s"))):
+        maybe = maybe.withColumn(f"__p{i}", p).where(
+            F.expr(
+                f"(element_at(__bloom, CAST(__p{i} DIV 64 AS INT) + 1)"
+                f" & shiftleft(1L, CAST(__p{i} % 64 AS INT))) != 0"
+            )
+        )
+    maybe = maybe.drop("__bloom", *[f"__p{i}" for i in range(BLOOM_K)])
+    hits = (
+        maybe.join(F.broadcast(bench), "s")  # exact verify: kills the FPs
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return hits.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_contaminated"),
+        F.sum("n_hit").alias("n_hit_shingles"),
+    )
