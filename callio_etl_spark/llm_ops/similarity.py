@@ -548,10 +548,19 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     case — add a plane or salt the bucket key. The verify join's cosine is
     bit-identical to the oracle's list_cosine_similarity (sequential fold,
     established parity)."""
+    from callio_etl_spark.tables import spread
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    b = e.select("vec_id", "v", lsh_bucket_col(F.col("v")).alias("bucket"))
+    # Materialize the signature table once (SCALE.md self-join doctrine):
+    # without this the 8-plane guarded signature is re-evaluated on BOTH
+    # sides of the self-join — measured ~2x the query time at sf0.1.
+    b = (
+        spread(e)
+        .select("vec_id", "v", lsh_bucket_col(F.col("v")).alias("bucket"))
+        .localCheckpoint()
+    )
     a, c = b.alias("a"), b.alias("c")
     return (
         a.join(

@@ -299,3 +299,77 @@ def test_lsh_pairs_is_bucket_equi_join(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_unigram_rarity_vocab_broadcasts(spark):
+    """The vocab join-back must be a broadcast hash join (the vocabulary is
+    Zipf-small relative to the corpus) with partial aggregation on both
+    the vocab count and the per-doc rollup."""
+    plan = _plan(spark, "unigram_rarity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_boilerplate_join_reuses_aggregate_partitioning(spark):
+    """The (source, gram) doc-frequency join-back happens on the SAME key
+    the frequency aggregate grouped on, so the join must not introduce an
+    extra shuffle beyond the aggregate's own exchanges: the gram explode
+    side is exchanged once and the aggregated side flows into the join
+    without a second repartition of the big side."""
+    plan = _plan(spark, "boilerplate_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Exchange is hashpartitioning on a key set containing doc/source
+    # keys; count stays at the minimum for explode -> distinct -> agg ->
+    # join -> agg on aligned keys
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange <= 3, f"{n_exchange} hash exchanges:\n{plan}"
+
+
+def test_bloom_prefilter_runs_before_verify_join(spark):
+    """The bloom membership test must appear as a Filter BELOW the verify
+    join (map-side pruning ahead of the shuffle/broadcast), and the verify
+    join itself must be the broadcast of the small benchmark set."""
+    plan = _plan(spark, "bloom_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "shiftleft" in plan  # the bitmap probe survives into the plan
+    # the Filter containing the bloom probe must be a child of the join:
+    # in formatted explain, operators are numbered bottom-up; find ids
+    import re
+
+    probe_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter", plan)
+        if "shiftleft" in _op_detail(plan, int(m.group(1)))
+    ]
+    join_ids = [
+        int(m.group(1)) for m in re.finditer(r"\((\d+)\) BroadcastHashJoin", plan)
+    ]
+    assert probe_ids and join_ids
+    assert min(probe_ids) < max(join_ids)
+
+
+def _op_detail(plan: str, op_id: int) -> str:
+    """The detail block for one operator id in a formatted explain."""
+    import re
+
+    m = re.search(rf"^\({op_id}\) .*?(?=^\(\d+\) |\Z)", plan, re.M | re.S)
+    return m.group(0) if m else ""
+
+
+def test_length_batching_single_sort_for_ntile(spark):
+    """NTILE needs one global sort; the batch aggregate afterwards must be
+    partial (map-side) and add at most one more exchange."""
+    plan = _plan(spark, "length_batching")
+    assert plan.count("Sort ") <= 2  # range-partitioned sort (+AQE variant)
+    assert "Window" in plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    """Centroid table joins back by broadcast; no nested loop anywhere; the
+    (label, dim) centroid aggregate is partial-before-shuffle."""
+    plan = _plan(spark, "embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
