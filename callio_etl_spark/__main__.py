@@ -48,8 +48,15 @@ JOB_TABLES = {
 
 
 def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: str) -> None:
+    from callio_etl_spark.io import atomic_overwrite, recover_table
+
     table, prepare = JOB_TABLES[job]
     path = os.path.join(cfg.work_dir, table.name)
+    # Roll forward/back any commit a previous run crashed in the middle of
+    # BEFORE reading the target — the checkpoint only advances after a
+    # durable table swap, so recovery + overlap re-read keeps replays
+    # idempotent whichever side of the swap the crash landed on.
+    recover_table(spark, path)
     target = None
     if os.path.isdir(path):
         target = spark.read.parquet(path)
@@ -58,17 +65,22 @@ def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: s
         batch = batch.orderBy(F.col(table.time_col_ms).desc()).limit(cfg.limit_records)
     merged, new_ck = run_tick(spark, store, table, batch, target, TENANT)
     if new_ck is not None:
-        merged.localCheckpoint().write.mode("overwrite").parquet(path)
+        # Atomic staging+rename swap (reads the old files while staging, so
+        # no localCheckpoint materialization): a crash here leaves the old
+        # table readable and the next tick's recover_table finishes or
+        # discards the commit.
+        atomic_overwrite(spark, merged, path)
     commit(store, table, TENANT, new_ck)
 
 
 def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
+    from callio_etl_spark.io import atomic_overwrite
     from callio_etl_spark.registry import all_queries
 
     qs = all_queries()
     for name in ("fact_staff_daily", "fact_status_pivot"):
         out = os.path.join(cfg.work_dir, name)
-        qs[name](spark, cfg.sf_dir).write.mode("overwrite").parquet(out)
+        atomic_overwrite(spark, qs[name](spark, cfg.sf_dir), out)
 
 
 def main(argv: list[str] | None = None) -> int:
