@@ -527,3 +527,127 @@ def test_merge_write_crash_recovery_end_to_end(spark, tmp_path, monkeypatch):
         (2, "2024-01-02", "new"),
         (3, "2024-01-02", "ins"),
     ]
+
+
+def test_atomic_overwrite_crash_sweep_every_step(spark, tmp_path):
+    """Exhaustive crash-point sweep: abort the whole-table commit at the
+    Nth filesystem mutation (rename/delete/marker-touch) for every N, run
+    recover_table, and require the table to read back as EITHER the
+    complete old state or the complete new state — never torn, never
+    missing. This is the protocol's actual guarantee, tested at every
+    reachable crash point."""
+    import itertools
+
+    import callio_etl_spark.io as io
+
+    old_rows = {(i, i * 2) for i in range(10)}
+    new_rows = {(i, i * 3) for i in range(5)}
+
+    real = {"rename": io._rename, "delete": io._delete, "touch": io._touch}
+
+    for crash_at in itertools.count(1):
+        p = str(tmp_path / f"t{crash_at}")
+        spark.createDataFrame(
+            sorted(old_rows), "id long, v long"
+        ).write.parquet(p)
+        new_df = spark.createDataFrame(sorted(new_rows), "id long, v long")
+
+        calls = {"n": 0}
+
+        def make_boom(fn):
+            def wrapped(*args, **kw):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    raise RuntimeError(f"crash at fs-op {crash_at}")
+                return fn(*args, **kw)
+
+            return wrapped
+
+        for name, fn in real.items():
+            setattr(io, f"_{name}", make_boom(fn))
+        try:
+            io.atomic_overwrite(spark, new_df, p)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            for name, fn in real.items():
+                setattr(io, f"_{name}", fn)
+
+        io.recover_table(spark, p)
+        got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+        assert got in (old_rows, new_rows), (
+            f"crash at op {crash_at}: torn table {got}"
+        )
+        assert not os.path.exists(p + ".__staging__")
+        assert not os.path.exists(p + ".__backup__")
+        if not crashed:
+            assert got == new_rows
+            break  # no injection fired: every crash point swept
+
+
+def test_atomic_partition_overwrite_crash_sweep_every_step(spark, tmp_path):
+    """Same exhaustive sweep for the per-partition swap: after recovery,
+    every partition must be fully old or fully new — and once the staging
+    marker exists, recovery rolls FORWARD, so swapped/unswapped mixes
+    resolve to the new state per partition."""
+    import itertools
+
+    import callio_etl_spark.io as io
+
+    def read_state(p):
+        out = {}
+        for r in spark.read.parquet(p).collect():
+            out.setdefault(r["d"], set()).add((r["id"], r["v"]))
+        return out
+
+    old = {"a": {(1, 10), (2, 20)}, "b": {(3, 30)}, "c": {(9, 90)}}
+    new = {"a": {(1, 11)}, "b": {(3, 33), (4, 44)}}  # c untouched
+
+    real = {"rename": io._rename, "delete": io._delete, "touch": io._touch}
+
+    for crash_at in itertools.count(1):
+        p = str(tmp_path / f"pt{crash_at}")
+        rows = [(i, d, v) for d, s in old.items() for i, v in s]
+        spark.createDataFrame(
+            rows, "id long, d string, v long"
+        ).repartition(1).write.partitionBy("d").parquet(p)
+        repl = spark.createDataFrame(
+            [(i, d, v) for d, s in new.items() for i, v in s],
+            "id long, d string, v long",
+        )
+
+        calls = {"n": 0}
+
+        def make_boom(fn):
+            def wrapped(*args, **kw):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    raise RuntimeError(f"crash at fs-op {crash_at}")
+                return fn(*args, **kw)
+
+            return wrapped
+
+        for name, fn in real.items():
+            setattr(io, f"_{name}", make_boom(fn))
+        try:
+            io.atomic_partition_overwrite(spark, repl, p, "d")
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            for name, fn in real.items():
+                setattr(io, f"_{name}", fn)
+
+        io.recover_table(spark, p)
+        got = read_state(p)
+        for d in got:
+            assert got[d] in (old.get(d), new.get(d)), (
+                f"crash at op {crash_at}: partition {d} torn: {got[d]}"
+            )
+        assert got["c"] == old["c"]  # untouched sibling always intact
+        assert not os.path.exists(p + ".__staging__")
+        assert not os.path.exists(p + ".__pbak__")
+        if not crashed:
+            assert got == {**old, **new}
+            break
