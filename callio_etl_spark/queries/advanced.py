@@ -655,3 +655,166 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("w_start"), "n", "total_value")
     )
+
+
+# ------------------------------------------------- incremental aggregation
+
+AGG_SPLIT_DATE = "1997-01-01"  # orders before this date are the "base" run
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       CAST(MIN(o_orderdate) AS DATE)   AS first_order,
+       CAST(MAX(o_orderdate) AS DATE)   AS last_order
+FROM orders
+GROUP BY o_custkey
+""",
+    tags=["advanced", "incremental"],
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIEW MAINTENANCE for a per-key aggregate: the base run's
+    aggregate STATE (count / decimal sum / min / max per customer) is kept
+    as a table, and a delta batch updates it by aggregating ONLY the delta
+    and combining states (sum-of-counts, sum-of-sums, min-of-mins,
+    max-of-maxes) — the base FACTS are never rescanned. The oracle
+    recomputes the aggregate from scratch over the full table: combining
+    states must be indistinguishable from recomputation (count/sum/min/max
+    are all commutative monoids; DECIMAL sums make the merge
+    order-independent bit-exactly).
+
+    Plan/scale: this is THE pattern for maintaining 100 TB rollups — cost
+    per tick is O(delta) + O(|keys|) merge, not O(history). The combine is
+    a groupBy over base-state ∪ delta-state, i.e. one shuffle of |keys| +
+    |delta keys| rows; at cluster scale the state table is bucketed by key
+    so even that shuffle disappears. AVG-class metrics derive from
+    (sum, count) at read; only algebraic states are stored — the same
+    decomposition Spark's own partial aggregation performs within a query,
+    applied ACROSS runs."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    split = F.lit(AGG_SPLIT_DATE).cast("date")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend_state"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    # Base state as a prior run would have persisted it; the delta tick
+    # aggregates only its own rows, then merges states.
+    base_state = state(o.where(F.col("o_orderdate") < split))
+    delta_state = state(o.where(F.col("o_orderdate") >= split))
+    return (
+        base_state.unionByName(delta_state)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("spend_state").alias("spend_merged"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.col("spend_merged").cast("decimal(18,2)").cast("double").alias("total_spend"),
+            "first_order",
+            "last_order",
+        )
+    )
+
+
+# ----------------------------------------------------------- z-order layout
+
+ZORDER_BITS = 10  # bits per dimension -> 20-bit interleaved key
+
+
+def zorder_key_col(x, y, bits: int = ZORDER_BITS):
+    """Morton (z-order) key: interleave the low ``bits`` of two non-negative
+    int columns — bit i of x lands at 2i, bit i of y at 2i+1. Pure integer
+    arithmetic (division/mod by powers of two), so the same formula runs
+    unchanged on any SQL engine. Sorting a table by this key clusters BOTH
+    dimensions at once, giving parquet row-group min/max pruning on either
+    column — the multi-column answer where sortWithinPartitions on one
+    column only prunes that column."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit TESTS, not division: integer/integer division semantics
+        # differ across engines (float-divide + rounding cast vs
+        # truncation) — x & (1 << i) is exact everywhere
+        xbit = F.when(x.cast("long").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+        ybit = F.when(y.cast("long").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(0)
+        key = key + xbit * (1 << (2 * i)) + ybit * (1 << (2 * i + 1))
+    return key
+
+
+def _zorder_oracle() -> str:
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(
+            f"(CASE WHEN (xk & {1 << i}) != 0 THEN 1 ELSE 0 END) * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"(CASE WHEN (yk & {1 << i}) != 0 THEN 1 ELSE 0 END) * {1 << (2 * i + 1)}"
+        )
+    zkey = " + ".join(terms)
+    return f"""
+WITH p AS (
+  SELECT l_partkey % 1024 AS xk, l_suppkey % 1024 AS yk
+  FROM lineitem
+),
+z AS (SELECT xk, yk, CAST({zkey} AS BIGINT) AS zkey FROM p)
+SELECT CAST(FLOOR(zkey / 4096.0) AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT)           AS n,
+       CAST(MIN(xk) AS BIGINT)            AS x_min,
+       CAST(MAX(xk) AS BIGINT)            AS x_max,
+       CAST(MIN(yk) AS BIGINT)            AS y_min,
+       CAST(MAX(yk) AS BIGINT)            AS y_max
+FROM z
+GROUP BY 1
+"""
+
+
+@register(
+    "zorder_layout",
+    oracle=_zorder_oracle(),
+    tags=["advanced", "layout"],
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering layout audit: compute the Morton key over the
+    lineitem (partkey, suppkey) pair, group rows into zkey ranges ("row groups"),
+    and report each group's min/max envelope on BOTH source dimensions.
+    The envelopes are what parquet row-group statistics store — small
+    per-group spans on both x AND y are exactly why a z-sorted table
+    prunes selective filters on either column, which linear sort can only
+    do for its leading column. (Write-side: pass the key to
+    io.write_partitioned's cluster_cols / sortWithinPartitions.)
+
+    Plan/scale: the key is ~4*bits integer ops per row inside codegen
+    (zero shuffle); the audit aggregate is one partial-then-final hash
+    agg on the bucket. Z-ordering 100 TB is therefore a sort problem, not
+    a compute problem — same cost class as any clustering rewrite."""
+    ps = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 1024).alias("xk"),
+        (F.col("l_suppkey") % 1024).alias("yk"),
+    )
+    z = ps.select("xk", "yk", zorder_key_col(F.col("xk"), F.col("yk")).alias("zkey"))
+    return (
+        z.groupBy(F.floor(F.col("zkey") / 4096).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("xk").alias("x_min"),
+            F.max("xk").alias("x_max"),
+            F.min("yk").alias("y_min"),
+            F.max("yk").alias("y_max"),
+        )
+    )
