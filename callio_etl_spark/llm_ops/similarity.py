@@ -367,6 +367,226 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2  # coarse cells searched per query in the multi-probe path
+
+
+def _cvec(e: DataFrame) -> DataFrame:
+    """Per-label centroid vectors (label, cv: array<double>) — the decimal-
+    mean aggregate of ivf_centroids re-assembled into arrays. One posexplode
+    + (label, pos) hash aggregate; the reduce side never sees raw vectors,
+    and the |labels| output rows broadcast everywhere they're consumed."""
+    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
+    cent = ex.groupBy("label", F.col("pos").alias("pos")).agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    return cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+
+
+@register(
+    "ann_topk_ivf_probe",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+cent AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM e, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY label, i
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+probe AS (
+  SELECT vec_id AS query_id, label FROM q
+  UNION ALL
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, cv.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, cv.cv) DESC, cv.label ASC
+           ) AS pr
+    FROM q JOIN cvec cv ON cv.label <> q.label
+  ) WHERE pr <= {N_PROBE - 1}
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS bucket,
+         list_cosine_similarity(q.v, c.v) AS cosine
+  FROM q
+  JOIN probe p ON p.query_id = q.vec_id
+  JOIN e c ON c.label = p.label AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, bucket, cosine,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_K}
+""",
+    tags=["llm", "similarity"],
+)
+def ann_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k: each query searches its own coarse cell PLUS
+    its {N_PROBE}-1 nearest OTHER cells by centroid cosine — the standard
+    recall/cost dial of an IVF index (FAISS nprobe). Probing the own cell
+    unconditionally makes the candidate set a strict superset of
+    ann_topk_ivf's, so recall@k is monotone in N_PROBE by construction.
+
+    Plan/scale: centroids come from the same (label, pos) decimal hash
+    aggregate as ivf_centroids (one shuffle of |labels| x dim rows, corpus
+    size irrelevant); the probe-selection join is queries x labels — both
+    broadcast-tiny; the candidate join stays an equi-join on the cell label,
+    now with N_PROBE probe rows per query, so cost is N_PROBE x the single-
+    probe bucket scan. Nothing here is all-pairs; the 100 TB shape is
+    unchanged from ann_topk_ivf."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    cvec = _cvec(e)
+    own = q.select("query_id", "qv", F.col("qlabel").alias("plabel"))
+    ranked = (
+        q.join(F.broadcast(cvec), F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("label").alias("plabel"),
+            cosine(F.col("qv"), F.col("cv")).alias("ccos"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("plabel").asc()
+    )
+    near = (
+        ranked.withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= N_PROBE - 1)
+        .select("query_id", "qv", "plabel")
+    )
+    probe = own.unionByName(near)
+    scored = (
+        F.broadcast(probe)
+        .join(
+            e,
+            (F.col("label") == F.col("plabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("bucket"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    return _topk_window(scored)
+
+
+@register(
+    "ann_recall_ivf_probe",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+cent AS (
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM e, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY label, i
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+probe AS (
+  SELECT vec_id AS query_id, label FROM q
+  UNION ALL
+  SELECT query_id, label FROM (
+    SELECT q.vec_id AS query_id, cv.label,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, cv.cv) DESC, cv.label ASC
+           ) AS pr
+    FROM q JOIN cvec cv ON cv.label <> q.label
+  ) WHERE pr <= {N_PROBE - 1}
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+single AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+multi AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q
+    JOIN probe p ON p.query_id = q.vec_id
+    JOIN e c ON c.label = p.label AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT b.query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(s.neighbor_id) AS BIGINT) AS hits_single,
+       CAST(COUNT(m.neighbor_id) AS BIGINT) AS hits_probe,
+       CAST(COUNT(s.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_single,
+       CAST(COUNT(m.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_probe
+FROM brute b
+LEFT JOIN single s
+  ON s.query_id = b.query_id AND s.neighbor_id = b.neighbor_id
+LEFT JOIN multi m
+  ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+    tags=["llm", "similarity", "metric"],
+)
+def ann_recall_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of single-probe AND multi-probe IVF against exact brute
+    force, side by side — the curve an IVF deployment reads to pick nprobe.
+    Because the multi-probe candidate set is a superset of the single-probe
+    set (own cell always probed), hits_probe >= hits_single per query;
+    tests assert the aggregate improvement is strict on the shipped data.
+
+    Plan: three top-k pipelines over the same broadcast query set; the
+    recall joins are queries x k rows — driver-free, corpus-size-free."""
+    brute = ann_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    single = ann_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("sq"), F.col("neighbor_id").alias("snb")
+    )
+    multi = ann_topk_ivf_probe(spark, sf_dir).select(
+        F.col("query_id").alias("mq"), F.col("neighbor_id").alias("mnb")
+    )
+    return (
+        brute.join(
+            single,
+            (F.col("query_id") == F.col("sq")) & (F.col("neighbor_id") == F.col("snb")),
+            "left",
+        )
+        .join(
+            multi,
+            (F.col("query_id") == F.col("mq")) & (F.col("neighbor_id") == F.col("mnb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("snb").cast("long").alias("hits_single"),
+            F.count("mnb").cast("long").alias("hits_probe"),
+            (F.count("snb").cast("double") / TOP_K).alias("recall_single"),
+            (F.count("mnb").cast("double") / TOP_K).alias("recall_probe"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- sign LSH
 
 N_PLANES = 8  # hyperplanes -> 8-bit bucket signature (256 buckets)
@@ -620,24 +840,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (established), the cosine is the sequential fold both engines share,
     and the rank ordering carries the vec_id tiebreak."""
     e = _emb(spark, sf_dir)
-    ex = e.select("label", F.posexplode("v").alias("pos", "val"))
-    cent = (
-        ex.groupBy("label", F.col("pos").alias("pos"))
-        .agg(
-            (
-                F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
-                / F.count("*")
-            ).alias("c")
-        )
-    )
-    cvec = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda s: s.getField("c"),
-        ).alias("cv")
-    )
-    from pyspark.sql import Window
-
+    cvec = _cvec(e)
     scored = e.join(F.broadcast(cvec), "label").select(
         "vec_id",
         "label",

@@ -627,3 +627,45 @@ def test_unigram_rarity_bounds(spark):
         assert r["min_freq"] >= 1
         assert r["sum_freq"] >= r["n_tokens"]
         assert r["mean_token_freq"] == r["sum_freq"] / r["n_tokens"]
+
+
+def test_multi_probe_recall_monotone_and_strictly_better(spark):
+    """Multi-probe IVF searches the query's own cell plus its nearest other
+    cell, so its candidate set is a superset of single-probe's: recall@k
+    must be per-query monotone, and on the shipped embeddings the total
+    improvement is strict (the nprobe dial actually buys recall)."""
+    from callio_etl_spark.llm_ops.similarity import ann_recall_ivf_probe
+
+    rows = ann_recall_ivf_probe(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["hits_probe"] >= r["hits_single"], r
+        assert r["recall_probe"] == r["hits_probe"] / r["k"]
+    assert sum(r["hits_probe"] for r in rows) > sum(r["hits_single"] for r in rows)
+
+
+def test_multi_probe_candidates_superset_of_single_probe(spark):
+    """Every (query, neighbor) the single-probe IVF returns at rank <= k is
+    scored by the multi-probe run too — and where both rank a neighbor, the
+    multi-probe rank can only be equal or worse-numbered (more candidates
+    compete), never missing."""
+    from callio_etl_spark.llm_ops.similarity import ann_topk_ivf, ann_topk_ivf_probe
+
+    single = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in ann_topk_ivf(spark, SF_DIR).collect()
+    }
+    multi_all = ann_topk_ivf_probe(spark, SF_DIR).collect()
+    multi_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in multi_all}
+    # single-probe's top-k all came from the own cell, which multi-probe
+    # also scans — any of them absent from multi's top-k must have been
+    # displaced by a strictly-better candidate from the probed cell
+    per_query_min = {}
+    for r in multi_all:
+        q = r["query_id"]
+        per_query_min[q] = min(per_query_min.get(q, float("inf")), r["cosine"])
+    for (q, n), cos in single.items():
+        if (q, n) in multi_cos:
+            assert multi_cos[(q, n)] == cos
+        else:
+            assert per_query_min[q] >= cos
