@@ -1,0 +1,149 @@
+"""Skew demonstration bench: salted_join vs plain join on a hot-key input.
+
+The correctness identity (`salted_join_agg`) proves salting changes no rows;
+this artifact proves it changes the RUNTIME shape: with one key holding 95%
+of the big side and runtime mitigations off (AQE disabled, broadcast
+disabled — isolating the explicit fix), the plain shuffle join serializes
+the stage behind the single hot-key task, while salted_join splits that task
+n_salts ways. Reports wall-clock AND per-task maxima (duration + input
+rows) from the Spark status REST API, so the max-task claim is measured,
+not inferred from wall-clock.
+
+Writes SKEW_BENCH.json at the repo root:
+  {"rows": N, "hot_frac": f, "n_salts": s,
+   "plain":  {"wall_s": w, "max_task_s": m, "task_skew": m / median},
+   "salted": {...},
+   "speedup_wall": ..., "speedup_max_task": ...}
+
+Usage: python tools/bench_skew.py [n_rows] (default 4_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+
+def _rest(base: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def _task_stats(spark, base: str, job_group: str) -> dict:
+    """Max/median task duration (seconds) across all stages of the jobs in
+    ``job_group``, plus the max task input/shuffle-read record count."""
+    app = _rest(base, "applications")[0]["id"]
+    tracker = spark.sparkContext.statusTracker()
+    stage_ids = set()
+    for job_id in tracker.getJobIdsForGroup(job_group):
+        info = tracker.getJobInfo(job_id)
+        if info:
+            stage_ids.update(info.stageIds)
+    durations: list[float] = []
+    max_records = 0
+    for sid in sorted(stage_ids):
+        try:
+            tasks = _rest(
+                base,
+                f"applications/{app}/stages/{sid}/0/taskList?length=5000",
+            )
+        except urllib.error.HTTPError:
+            continue  # skipped stage: never ran
+        for t in tasks:
+            durations.append(t.get("duration", 0) / 1000.0)
+            tm = t.get("taskMetrics") or {}
+            rec = (tm.get("inputMetrics") or {}).get("recordsRead", 0) + (
+                tm.get("shuffleReadMetrics") or {}
+            ).get("recordsRead", 0)
+            max_records = max(max_records, rec)
+    durations.sort()
+    return {
+        "max_task_s": round(durations[-1], 3) if durations else 0.0,
+        "median_task_s": round(durations[len(durations) // 2], 3)
+        if durations
+        else 0.0,
+        "max_task_records": max_records,
+        "n_tasks": len(durations),
+    }
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from pyspark.sql import SparkSession
+
+    from callio_etl_spark.io import salted_join
+    from callio_etl_spark.session import configure
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    hot_frac, n_salts = 0.95, 16
+    hot_n = int(n * hot_frac)
+
+    spark = configure(
+        SparkSession.builder.appName("bench-skew")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")  # status REST API source
+        .getOrCreate()
+    )
+    base = spark.sparkContext.uiWebUrl
+    # Isolate the explicit fix: no AQE skew split, no broadcast rescue.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    big = (
+        spark.range(n, numPartitions=32)
+        .select(
+            F.when(F.col("id") < hot_n, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 32), F.col("id")).alias("pad"),
+        )
+        .localCheckpoint()  # pre-materialize: measure the join, not the gen
+    )
+    small = (
+        spark.range(200_000)
+        .select(F.col("id").alias("k"), F.col("id").alias("w"))
+        .localCheckpoint()
+    )
+
+    def run(tag: str, df) -> dict:
+        spark.sparkContext.setJobGroup(tag, tag)
+        t0 = time.monotonic()
+        # hash agg on top so the join output is consumed, not collected
+        df.groupBy().agg(F.count("*"), F.sum(F.length("pad"))).collect()
+        wall = time.monotonic() - t0
+        spark.sparkContext.setJobGroup("", "")
+        stats = _task_stats(spark, base, tag)
+        stats["wall_s"] = round(wall, 3)
+        if stats["median_task_s"]:
+            stats["task_skew"] = round(
+                stats["max_task_s"] / stats["median_task_s"], 1
+            )
+        return stats
+
+    plain = run("plain-join", big.join(small, "k"))
+    salted = run("salted-join", salted_join(big, small, "k", n_salts=n_salts))
+
+    out = {
+        "rows": n,
+        "hot_frac": hot_frac,
+        "n_salts": n_salts,
+        "plain": plain,
+        "salted": salted,
+        "speedup_wall": round(plain["wall_s"] / salted["wall_s"], 2),
+        "speedup_max_task": round(
+            plain["max_task_s"] / max(salted["max_task_s"], 1e-9), 2
+        ),
+    }
+    print(json.dumps(out, indent=2))
+    with open("SKEW_BENCH.json", "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
