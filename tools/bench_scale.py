@@ -1,0 +1,165 @@
+"""Two-point-plus scale curve for the heaviest queries.
+
+The per-round bench (bench.py) measures every query at one scale; this tool
+measures HOW the heavy ones scale. It times the heaviest registered queries
+at the two largest shipped scales (sf0.01, sf0.1) and at a synthetic sf1 —
+a 10x replication of sf0.1 built with pyarrow (types preserved bit-exactly,
+fact keys shifted per replica so joins keep their selectivity; dimension
+tables unchanged, as a real 10x corpus would behave). Emits per-query
+times and the observed scale exponent between consecutive decades:
+
+    exponent = log10(t_bigger / t_smaller)   (1.0 = perfectly linear)
+
+Small-scale times carry fixed session/planning overhead, so exponents from
+sf0.01 are understated; the sf0.1 -> sf1 column is the honest one. Known
+super-linear operators get a ``cause`` note — candidate-pair generators
+(embedding_lsh_pairs, embedding_neardup_bucketed) cost sum(bucket_size^2):
+with the plane/cell count FIXED, 10x rows per bucket means ~100x pairs. In
+production the bucket count grows with the corpus (more hyperplanes / IVF
+cells) precisely to hold occupancy, and hence this term, constant.
+
+Writes SCALE_CURVE.json at the repo root.
+
+Usage: python tools/bench_scale.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SF1_DIR = "/tmp/callio_scale_sf1"
+REPLICAS = 10
+KEY_OFFSET = 100_000_000  # far above any real key at sf0.1
+
+# table -> columns shifted by replica * KEY_OFFSET (fact/entity keys; FK
+# pairs shift together so per-replica joins match exactly like the original)
+SHIFT: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "part", "supplier"]
+
+# the heaviest queries of BENCH_r04 (>= ~0.7 s at sf0.1), minus
+# ann/brute baselines that are documented as within-bucket scorers
+HEAVY = [
+    "stat_moments",
+    "tpch_q1_pricing",
+    "fact_staff_daily_sql",
+    "contamination_check",
+    "corpus_filter",
+    "join_fanout",
+    "sink_partition_delete",
+    "embedding_lsh_buckets",
+    "embedding_lsh_pairs",
+    "embedding_neardup_bucketed",
+    "exists_subquery",
+    "profile_columns",
+]
+
+CAUSES = {
+    "embedding_lsh_pairs": (
+        "candidate-pair generator: cost is sum(bucket^2); plane count fixed "
+        "at 8 for oracle parity, so 10x rows/bucket -> ~100x pairs. "
+        "Production adds planes as the corpus grows to hold occupancy."
+    ),
+    "embedding_neardup_bucketed": (
+        "same sum(bucket^2) law over the 10 IVF labels; production grows "
+        "the cell count with the corpus."
+    ),
+}
+
+
+def build_sf1(src: str = "/root/testdata/sf0.1", dst: str = SF1_DIR) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in COPY:
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet")
+    for t, keys in SHIFT.items():
+        base = pq.read_table(f"{src}/{t}.parquet")
+        parts = []
+        for r in range(REPLICAS):
+            rep = base
+            if r:
+                for k in keys:
+                    i = rep.schema.get_field_index(k)
+                    shifted = pc.add(rep.column(k), pa.scalar(r * KEY_OFFSET))
+                    rep = rep.set_column(
+                        i, rep.schema.field(i), shifted.cast(rep.schema.field(i).type)
+                    )
+            parts.append(rep)
+        pq.write_table(pa.concat_tables(parts), f"{dst}/{t}.parquet")
+
+
+def main() -> None:
+    from callio_etl_spark.registry import all_queries
+    from callio_etl_spark.session import get_spark
+
+    if "--rebuild" in sys.argv or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+        print("building synthetic sf1 ...", file=sys.stderr)
+        build_sf1()
+
+    spark = get_spark("bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen + Arrow-worker warm-up, unmeasured
+    for warm in ("fact_staff_daily", "media_features"):
+        queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    scales = [
+        ("0.01", "/root/testdata/sf0.01", 3),
+        ("0.1", "/root/testdata/sf0.1", 3),
+        ("1", SF1_DIR, 2),
+    ]
+    results: dict[str, dict] = {name: {} for name in HEAVY}
+    for sf, sf_dir, passes in scales:
+        for name in HEAVY:
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.2)
+            best = float("inf")
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            results[name][sf] = round(best, 3)
+            print(f"sf{sf} {name}: {results[name][sf]}s", file=sys.stderr)
+
+    out = {"replicas": REPLICAS, "queries": {}}
+    for name in HEAVY:
+        r = results[name]
+        row: dict = dict(r)
+        if r.get("0.1") and r.get("0.01"):
+            row["exp_001_to_01"] = round(math.log10(r["0.1"] / r["0.01"]), 2)
+        if r.get("1") and r.get("0.1"):
+            row["exp_01_to_1"] = round(math.log10(r["1"] / r["0.1"]), 2)
+        if name in CAUSES:
+            row["cause"] = CAUSES[name]
+        out["queries"][name] = row
+    print(json.dumps(out, indent=2))
+    with open("SCALE_CURVE.json", "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
