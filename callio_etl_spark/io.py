@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 STAGING_SUFFIX = ".__staging__"
 BACKUP_SUFFIX = ".__backup__"
 PBAK_SUFFIX = ".__pbak__"
+VERSIONS_SUFFIX = ".__versions__"
 
 
 def load_append(df: DataFrame, path: str, merge_schema: bool = True) -> None:
@@ -98,6 +99,10 @@ def _touch(jvm, fs, path: str) -> None:
 #: file index and partition discovery if one survives into a table dir.
 _TABLE_MARKER = "__COMMIT_TABLE__"
 _PARTS_MARKER = "__COMMIT_PARTS__"
+#: Variant of _TABLE_MARKER written by versioned commits: tells recovery the
+#: displaced table must be ARCHIVED as a version, not deleted (the marker is
+#: the only live state in the crash window between swap and archival).
+_TABLE_KEEP_MARKER = "__COMMIT_TABLE_KEEP__"
 
 
 def atomic_overwrite(
@@ -106,12 +111,22 @@ def atomic_overwrite(
     path: str,
     partition_col: str | None = None,
     cluster_cols: list[str] | None = None,
+    keep_versions: int = 0,
 ) -> None:
     """Replace the table at ``path`` with ``df`` atomically (whole-table
     swap). Safe when df READS FROM ``path``: the staging write completes
     against the old files before any rename touches them — no
     localCheckpoint materialization needed, the old table itself is the
-    checkpoint until commit."""
+    checkpoint until commit.
+
+    With ``keep_versions`` > 0, the displaced table is ARCHIVED under
+    ``<path>.__versions__/v<k>`` instead of deleted, and the archive is
+    pruned to the newest ``keep_versions`` entries — snapshot time travel,
+    the capability the reference gets from BigQuery for free (`FOR
+    SYSTEM_TIME AS OF`, 7-day window). Read archived snapshots with
+    ``read_table_version``; roll back with ``restore_table_version``. The
+    archival is one directory rename — metadata-only, no data copy, any
+    table size."""
     path = path.rstrip("/")
     staging, backup = path + STAGING_SUFFIX, path + BACKUP_SUFFIX
     jvm, fs, _ = _hadoop(spark, path)
@@ -122,14 +137,20 @@ def atomic_overwrite(
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(staging)
-    _touch(jvm, fs, f"{staging}/{_TABLE_MARKER}")
+    marker = _TABLE_KEEP_MARKER if keep_versions > 0 else _TABLE_MARKER
+    _touch(jvm, fs, f"{staging}/{marker}")
     had_old = _exists(jvm, fs, path)
     if had_old:
         _rename(jvm, fs, path, backup)
     _rename(jvm, fs, staging, path)
     if had_old:
-        _delete(jvm, fs, backup)
-    _delete(jvm, fs, f"{path}/{_TABLE_MARKER}")
+        if keep_versions > 0:
+            _archive_backup(jvm, fs, path, backup)
+        else:
+            _delete(jvm, fs, backup)
+    _delete(jvm, fs, f"{path}/{marker}")
+    if keep_versions > 0:
+        vacuum_table_versions(spark, path, keep=keep_versions)
 
 
 def atomic_partition_overwrite(
@@ -192,8 +213,24 @@ def recover_table(spark: SparkSession, path: str) -> str:
     )
     jvm, fs, _ = _hadoop(spark, path)
     actions: list[str] = []
-    table_mode = _exists(jvm, fs, f"{staging}/{_TABLE_MARKER}")
+    # keep-mode (versioned commit): the displaced table is archived, not
+    # deleted. The marker is the only durable record of the writer's intent
+    # across the crash window — staging carries it pre-swap, the new live
+    # table carries it post-swap.
+    keep_mode = _exists(jvm, fs, f"{staging}/{_TABLE_KEEP_MARKER}") or _exists(
+        jvm, fs, f"{path}/{_TABLE_KEEP_MARKER}"
+    )
+    table_mode = _exists(jvm, fs, f"{staging}/{_TABLE_MARKER}") or _exists(
+        jvm, fs, f"{staging}/{_TABLE_KEEP_MARKER}"
+    )
     parts_mode = _exists(jvm, fs, f"{staging}/{_PARTS_MARKER}")
+
+    def _dispose_backup() -> str:
+        if keep_mode:
+            _archive_backup(jvm, fs, path, backup)
+            return "archived backup as version"
+        _delete(jvm, fs, backup)
+        return "dropped backup"
 
     if _exists(jvm, fs, staging) and not (table_mode or parts_mode):
         # Crashed during (or just after) the staging write, before the mode
@@ -211,8 +248,7 @@ def recover_table(spark: SparkSession, path: str) -> str:
             else:
                 _delete(jvm, fs, staging)  # swap already finished
                 actions.append("dropped committed staging")
-            _delete(jvm, fs, backup)
-            actions.append("dropped backup")
+            actions.append(_dispose_backup())
         elif _exists(jvm, fs, path):
             # Crashed before `path -> backup`: commit never started.
             _delete(jvm, fs, staging)
@@ -222,8 +258,8 @@ def recover_table(spark: SparkSession, path: str) -> str:
             _rename(jvm, fs, staging, path)
             actions.append("rolled staging forward")
     elif _exists(jvm, fs, backup) and _exists(jvm, fs, path):
-        _delete(jvm, fs, backup)  # crash between final rename and cleanup
-        actions.append("dropped committed backup")
+        # crash between final rename and backup disposal
+        actions.append(_dispose_backup())
 
     if parts_mode:
         # Per-partition swap crashed mid-loop: roll every staged partition
@@ -242,9 +278,104 @@ def recover_table(spark: SparkSession, path: str) -> str:
     if _exists(jvm, fs, pbak):
         _delete(jvm, fs, pbak)
         actions.append("dropped partition backups")
-    if _exists(jvm, fs, f"{path}/{_TABLE_MARKER}"):
-        _delete(jvm, fs, f"{path}/{_TABLE_MARKER}")
+    for m in (_TABLE_MARKER, _TABLE_KEEP_MARKER):
+        if _exists(jvm, fs, f"{path}/{m}"):
+            _delete(jvm, fs, f"{path}/{m}")
     return "; ".join(actions) or "clean"
+
+
+# --------------------------------------------------------------------------
+# Snapshot versions / time travel. Versioned commits (atomic_overwrite with
+# keep_versions > 0) archive each displaced table whole under
+# <path>.__versions__/v<k> via a single directory rename. Reference parity:
+# BigQuery time travel (`FOR SYSTEM_TIME AS OF`) which the reference's
+# MERGE targets enjoy implicitly. At 100 TB an archived version costs zero
+# data movement (rename) and storage equal to the snapshot it preserves —
+# the same bill Delta/Iceberg pay until VACUUM.
+# --------------------------------------------------------------------------
+
+
+def _versions_dir(path: str) -> str:
+    return path.rstrip("/") + VERSIONS_SUFFIX
+
+
+def _archive_backup(jvm, fs, path: str, backup: str) -> int:
+    """Move the displaced table (already renamed to ``backup``) into the
+    version archive as the next version. One rename; returns the version."""
+    vdir = _versions_dir(path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(vdir))
+    k = (max(_version_numbers(jvm, fs, vdir), default=0)) + 1
+    _rename(jvm, fs, backup, f"{vdir}/v{k:06d}")
+    return k
+
+
+def _version_numbers(jvm, fs, vdir: str) -> list[int]:
+    if not _exists(jvm, fs, vdir):
+        return []
+    out = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(vdir)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def list_table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Archived snapshot versions available for time travel, oldest first.
+    The live table is always newer than every listed version."""
+    jvm, fs, _ = _hadoop(spark, path)
+    return _version_numbers(jvm, fs, _versions_dir(path))
+
+
+def read_table_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: the archived snapshot ``version`` (as listed by
+    ``list_table_versions``), or the live table when ``version`` is None.
+    Snapshots are plain parquet directories — full pushdown/pruning apply."""
+    if version is None:
+        return spark.read.parquet(path)
+    jvm, fs, _ = _hadoop(spark, path)
+    vpath = f"{_versions_dir(path)}/v{version:06d}"
+    if not _exists(jvm, fs, vpath):
+        raise FileNotFoundError(
+            f"no archived version {version} for {path}; have "
+            f"{_version_numbers(jvm, fs, _versions_dir(path))}"
+        )
+    return spark.read.parquet(vpath)
+
+
+def restore_table_version(
+    spark: SparkSession, path: str, version: int, keep_versions: int = 3
+) -> None:
+    """Roll the live table back to an archived snapshot — itself a
+    versioned commit, so the pre-restore live table is archived too and the
+    restore is undoable. The snapshot is read from the archive dir (not the
+    live path), so the staged write never races its own input."""
+    atomic_overwrite(
+        spark,
+        read_table_version(spark, path, version),
+        path,
+        keep_versions=keep_versions,
+    )
+
+
+def vacuum_table_versions(
+    spark: SparkSession, path: str, keep: int = 3
+) -> list[int]:
+    """Drop archived snapshots beyond the newest ``keep`` (storage
+    reclamation, Delta VACUUM's role). Returns the versions removed.
+    Deletion order is oldest-first so a crash mid-vacuum leaves a
+    contiguous newest-K suffix."""
+    jvm, fs, _ = _hadoop(spark, path)
+    vdir = _versions_dir(path)
+    nums = _version_numbers(jvm, fs, vdir)
+    doomed = nums[:-keep] if keep > 0 else nums
+    for k in doomed:
+        _delete(jvm, fs, f"{vdir}/v{k:06d}")
+    if not _version_numbers(jvm, fs, vdir) and _exists(jvm, fs, vdir):
+        _delete(jvm, fs, vdir)
+    return doomed
 
 
 def write_partitioned(

@@ -151,3 +151,58 @@ def sink_partition_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").alias("id_sum"),
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_versioned_restore",
+    oracle="""
+WITH g1 AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 5 = 0
+), g2 AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 5 <= 1
+)
+SELECT CAST((SELECT COUNT(*) FROM g1) AS BIGINT)          AS n_live,
+       CAST((SELECT SUM(o_orderkey) FROM g1) AS BIGINT)   AS key_sum_live,
+       CAST((SELECT COUNT(*) FROM g2) AS BIGINT)          AS n_archived,
+       CAST((SELECT SUM(o_orderkey) FROM g2) AS BIGINT)   AS key_sum_archived
+""",
+    tags=["S9", "sink", "versioning"],
+)
+def sink_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioning roundtrip (BigQuery time-travel parity, which
+    the reference's MERGE targets get implicitly): commit generation 1,
+    overwrite with generation 2 under keep_versions, time-travel-read the
+    archived gen-1, RESTORE it as the live table (archiving gen-2), then
+    aggregate the post-restore live table and the archived gen-2 snapshot.
+    The oracle recomputes both generations from the source — a restore
+    that reads the wrong snapshot, loses the displaced table, or leaves a
+    torn directory breaks the hash."""
+    from callio_etl_spark.io import (
+        atomic_overwrite,
+        list_table_versions,
+        read_table_version,
+        restore_table_version,
+    )
+
+    root = _tmp("versioned")
+    path = f"{root}/orders_v"
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    atomic_overwrite(
+        spark, o.where(F.col("o_orderkey") % 5 == 0), path, keep_versions=2
+    )
+    atomic_overwrite(
+        spark, o.where(F.col("o_orderkey") % 5 <= 1), path, keep_versions=2
+    )
+    restore_table_version(spark, path, 1, keep_versions=2)  # back to gen 1
+    live = spark.read.parquet(path)
+    archived = read_table_version(spark, path, list_table_versions(spark, path)[-1])
+    result = live.agg(
+        F.count("*").cast("long").alias("n_live"),
+        F.sum("o_orderkey").alias("key_sum_live"),
+    ).crossJoin(
+        archived.agg(
+            F.count("*").cast("long").alias("n_archived"),
+            F.sum("o_orderkey").alias("key_sum_archived"),
+        )
+    )
+    return _materialize_and_clean(result, root)

@@ -706,3 +706,119 @@ def test_salted_join_balances_hot_key_across_tasks(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_versioned_overwrite_time_travel_and_restore(spark, tmp_path):
+    """Versioned commits archive each displaced table as a readable
+    snapshot: after three generations, both priors time-travel back
+    bit-identically, and restore_table_version rolls the live table back
+    while archiving the pre-restore state (restore is undoable)."""
+    import callio_etl_spark.io as io
+
+    p = str(tmp_path / "vt")
+    gen = lambda k: {(i, i * k) for i in range(5)}
+    df = lambda k: spark.createDataFrame(sorted(gen(k)), "id long, v long")
+
+    io.atomic_overwrite(spark, df(1), p, keep_versions=3)
+    assert io.list_table_versions(spark, p) == []  # first write: no prior
+    io.atomic_overwrite(spark, df(2), p, keep_versions=3)
+    io.atomic_overwrite(spark, df(3), p, keep_versions=3)
+    assert io.list_table_versions(spark, p) == [1, 2]
+
+    read = lambda ver: {
+        (r["id"], r["v"])
+        for r in io.read_table_version(spark, p, ver).collect()
+    }
+    assert read(None) == gen(3)
+    assert read(1) == gen(1)
+    assert read(2) == gen(2)
+
+    io.restore_table_version(spark, p, 1, keep_versions=3)
+    assert read(None) == gen(1)
+    # pre-restore live table (gen 3) was archived as version 3
+    assert io.list_table_versions(spark, p) == [1, 2, 3]
+    assert read(3) == gen(3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        io.read_table_version(spark, p, 99)
+
+
+def test_versioned_overwrite_vacuum_prunes_oldest(spark, tmp_path):
+    """keep_versions bounds the archive: the newest K snapshots survive as
+    a contiguous suffix, older ones are vacuumed by the next commit."""
+    import callio_etl_spark.io as io
+
+    p = str(tmp_path / "vv")
+    for k in range(1, 6):
+        df = spark.createDataFrame([(i, i * k) for i in range(3)], "id long, v long")
+        io.atomic_overwrite(spark, df, p, keep_versions=2)
+    # 5 commits -> 4 displaced tables; only the newest 2 remain
+    assert io.list_table_versions(spark, p) == [3, 4]
+    removed = io.vacuum_table_versions(spark, p, keep=1)
+    assert removed == [3]
+    assert io.list_table_versions(spark, p) == [4]
+
+
+def test_versioned_overwrite_crash_sweep_never_loses_snapshot(
+    spark, tmp_path
+):
+    """Crash-point sweep for the VERSIONED commit: abort at the Nth fs
+    mutation, recover, and require (a) the live table reads complete-old
+    or complete-new, and (b) whenever the new table is live, the displaced
+    old table is present in the version archive — a crash can never both
+    commit the replacement and lose the snapshot it displaced."""
+    import itertools
+
+    import callio_etl_spark.io as io
+
+    old_rows = {(i, i * 2) for i in range(8)}
+    new_rows = {(i, i * 3) for i in range(4)}
+    real = {"rename": io._rename, "delete": io._delete, "touch": io._touch}
+
+    for crash_at in itertools.count(1):
+        p = str(tmp_path / f"vc{crash_at}")
+        spark.createDataFrame(sorted(old_rows), "id long, v long").write.parquet(p)
+        new_df = spark.createDataFrame(sorted(new_rows), "id long, v long")
+
+        calls = {"n": 0}
+
+        def make_boom(fn):
+            def wrapped(*args, **kw):
+                calls["n"] += 1
+                if calls["n"] == crash_at:
+                    raise RuntimeError(f"crash at fs-op {crash_at}")
+                return fn(*args, **kw)
+
+            return wrapped
+
+        for name, fn in real.items():
+            setattr(io, f"_{name}", make_boom(fn))
+        try:
+            io.atomic_overwrite(spark, new_df, p, keep_versions=3)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            for name, fn in real.items():
+                setattr(io, f"_{name}", fn)
+
+        io.recover_table(spark, p)
+        got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+        assert got in (old_rows, new_rows), (
+            f"crash at op {crash_at}: torn table {got}"
+        )
+        if got == new_rows:
+            vers = io.list_table_versions(spark, p)
+            assert vers, f"crash at op {crash_at}: committed but snapshot lost"
+            archived = {
+                (r["id"], r["v"])
+                for r in io.read_table_version(spark, p, vers[-1]).collect()
+            }
+            assert archived == old_rows
+        assert not os.path.exists(p + ".__staging__")
+        assert not os.path.exists(p + ".__backup__")
+        if not crashed:
+            assert got == new_rows
+            break
