@@ -277,3 +277,107 @@ def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sort_key", "doc_id")
         .limit(RESERVOIR_K)
     )
+
+
+# -------------------------------------------------- budgeted corpus select
+
+TOKEN_BUDGET = 25_000  # tokens the selected sub-corpus may total
+
+
+def prefix_sum_ordered(
+    df: DataFrame, value_col: str, order_cols: list, out_col: str
+) -> DataFrame:
+    """Distributed EXACT running total in a global order — without the
+    single-task global window Spark plans for ``SUM() OVER (ORDER BY ...)``
+    with no PARTITION BY (one partition holds the whole table: the classic
+    scale cliff). Three-step prefix sum instead:
+
+    1. range-partition on the order keys (global order across partitions,
+       local disorder within) and window WITHIN each range partition;
+    2. aggregate one total per partition — |partitions| scalars;
+    3. add each partition's prefix offset back as a literal map lookup.
+
+    Two shuffles + one partition-count-sized collect, any table size.
+    ``order_cols`` must be a total order (include a unique tiebreaker) so
+    the running total is well-defined regardless of where range bounds
+    fall."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__cum", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["__pid"], r["t"])
+        for r in ranged.groupBy("__pid").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    return local.withColumn(
+        out_col,
+        (F.col("__cum") + F.coalesce(omap[F.col("__pid")], F.lit(0))).cast("long"),
+    ).drop("__pid", "__cum")
+
+
+@register(
+    "corpus_select_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+           AS tokens,
+         CAST(n_chars AS DOUBLE)
+           / (len(regexp_extract_all(lower(text), '{TOKEN_RE}')) + 1)
+           AS quality
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tokens, quality,
+         CAST(SUM(tokens) OVER (
+           ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, tokens, quality, cum_tokens
+FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+""",
+    tags=["llm", "sampling", "selection"],
+)
+def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained corpus selection: rank documents by a
+    quality score (chars-per-token density here; any scorer slots in) and
+    keep the greedy best-first prefix whose cumulative token count fits
+    TOKEN_BUDGET — the standard "best N billion tokens" curation step.
+
+    The running total uses prefix_sum_ordered, NOT a bare global window:
+    `SUM() OVER (ORDER BY quality)` with no partition key plans as a
+    single-task sort at any scale — this is the distributed prefix-sum
+    form (range partition -> local window -> offset add). Quality is a
+    ratio of exact integers in double — engine-identical, and doc_id
+    breaks ties so the prefix is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+    t = d.select(
+        "doc_id",
+        toks.cast("long").alias("tokens"),
+        (F.col("n_chars").cast("double") / (toks + 1)).alias("quality"),
+    )
+    c = prefix_sum_ordered(
+        t,
+        "tokens",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "cum_tokens",
+    )
+    return c.where(F.col("cum_tokens") <= TOKEN_BUDGET)

@@ -797,6 +797,65 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- semantic dedup
+
+SEM_TAU = 0.25  # duplicate threshold; see docstring for why 0.25 here
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT e.vec_id, e.label,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM e p
+         WHERE p.label = e.label AND p.vec_id < e.vec_id
+           AND list_cosine_similarity(p.v, e.v) > {SEM_TAU}
+       ) AS BIGINT) AS keep
+FROM e
+""",
+    tags=["llm", "similarity", "dedup"],
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each coarse cluster
+    (label), a vector is a duplicate iff some LOWER-id vector in the same
+    cluster exceeds cosine SEM_TAU — lowest-id-wins survivor selection,
+    the pairwise (non-transitive) form that both engines can express
+    exactly (the greedy-sequential variant is order-dependent; the
+    transitive variant is dedup_cluster_assign's connected components).
+
+    tau=0.25 because the synthetic embeddings are near-orthogonal (within-
+    label cosine p99 ~ 0.30): production corpora use ~0.95+; the threshold
+    is the knob, the plan is not. Plan/scale: the only join is the within-
+    cluster pair join (label equi-join, sum(bucket^2) — same law and same
+    mitigation as every candidate generator here: grow the cluster count
+    with the corpus); the dup-id set is distinct vec_ids, and the final
+    flag join is on the unique vec_id. Cosine is the sequential fold with
+    established cross-engine bit-parity."""
+    e = _emb(spark, sf_dir)
+    prior = e.select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("v").alias("pv"),
+    )
+    dup_ids = (
+        e.join(
+            prior,
+            (F.col("plabel") == F.col("label"))
+            & (F.col("pid") < F.col("vec_id"))
+            & (cosine(F.col("pv"), F.col("v")) > SEM_TAU),
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return e.select("vec_id", "label").join(dup_ids, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+    )
+
+
 # ------------------------------------------------------- centroid outliers
 
 

