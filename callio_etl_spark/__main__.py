@@ -68,8 +68,9 @@ def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: s
         # Atomic staging+rename swap (reads the old files while staging, so
         # no localCheckpoint materialization): a crash here leaves the old
         # table readable and the next tick's recover_table finishes or
-        # discards the commit.
-        atomic_overwrite(spark, merged, path)
+        # discards the commit. With keep_versions set, the displaced table
+        # is archived for `--mode versions/restore` time travel.
+        atomic_overwrite(spark, merged, path, keep_versions=cfg.keep_versions)
     commit(store, table, TENANT, new_ck)
 
 
@@ -80,15 +81,31 @@ def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
     qs = all_queries()
     for name in ("fact_staff_daily", "fact_status_pivot"):
         out = os.path.join(cfg.work_dir, name)
-        atomic_overwrite(spark, qs[name](spark, cfg.sf_dir), out)
+        atomic_overwrite(
+            spark, qs[name](spark, cfg.sf_dir), out, keep_versions=cfg.keep_versions
+        )
 
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="callio_etl_spark")
-    p.add_argument("--mode", choices=["once", "daemon"], default="once")
+    p.add_argument(
+        "--mode", choices=["once", "daemon", "versions", "restore"], default="once"
+    )
     p.add_argument("--job", choices=["all", "customer", "call"], default="all")
     p.add_argument("--sf-dir", default=None)
     p.add_argument("--work-dir", default=None)
+    p.add_argument(
+        "--keep-versions",
+        type=int,
+        default=None,
+        help="archived snapshots kept per warehouse table (time travel)",
+    )
+    p.add_argument(
+        "--restore-version",
+        type=int,
+        default=None,
+        help="with --mode restore: snapshot version to roll the table back to",
+    )
     args = p.parse_args(argv)
 
     cfg = EngineConfig.from_env()
@@ -96,6 +113,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg.sf_dir = args.sf_dir
     if args.work_dir:
         cfg.work_dir = args.work_dir
+    if args.keep_versions is not None:
+        cfg.keep_versions = args.keep_versions
     os.makedirs(cfg.work_dir, exist_ok=True)
 
     from callio_etl_spark.session import get_spark
@@ -116,7 +135,24 @@ def main(argv: list[str] | None = None) -> int:
             _tick(spark, cfg, store, job)
         _refresh_reports(spark, cfg)  # post-run hook (runner.py:1004-1008)
 
-    if args.mode == "once":
+    if args.mode == "versions":
+        from callio_etl_spark.io import list_table_versions
+
+        for job in jobs:
+            path = os.path.join(cfg.work_dir, JOB_TABLES[job][0].name)
+            print(f"{JOB_TABLES[job][0].name}: {list_table_versions(spark, path)}")
+    elif args.mode == "restore":
+        if args.restore_version is None:
+            p.error("--mode restore requires --restore-version")
+        if args.job == "all":
+            p.error("--mode restore requires a single --job")
+        from callio_etl_spark.io import restore_table_version
+
+        path = os.path.join(cfg.work_dir, JOB_TABLES[args.job][0].name)
+        restore_table_version(
+            spark, path, args.restore_version, keep_versions=max(cfg.keep_versions, 1)
+        )
+    elif args.mode == "once":
         run_once()
     else:
         from callio_etl_spark.scheduler import run_daemon

@@ -50,6 +50,10 @@ class EngineConfig:
     sf_dir: str = "/root/testdata/sf0.001"
     work_dir: str = "./_engine_work"
     cpus: int = 32
+    #: archived snapshots kept per warehouse table (0 = off). The engine's
+    #: stand-in for BigQuery's implicit time travel on the reference's
+    #: MERGE targets; lets `--mode restore` roll a bad tick back.
+    keep_versions: int = 0
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -67,4 +71,5 @@ class EngineConfig:
             sf_dir=os.environ.get("SPARK_GRAFT_SF_DIR", cls.sf_dir),
             work_dir=os.environ.get("SPARK_GRAFT_WORK_DIR", cls.work_dir),
             cpus=_int_env("SPARK_GRAFT_CPUS", cls.cpus),
+            keep_versions=_int_env("SPARK_GRAFT_KEEP_VERSIONS", cls.keep_versions),
         )

@@ -118,3 +118,46 @@ def F_table(name):
     import pyspark.sql.functions as F
 
     return F.col("table_name") == name
+
+
+def test_cli_versioned_tick_and_restore(tmp_path, monkeypatch):
+    """CLI time travel: ticks with --keep-versions archive the displaced
+    warehouse tables; --mode versions lists them; --mode restore rolls a
+    table back to a snapshot (and --mode restore guards its arguments)."""
+    import pytest
+
+    monkeypatch.setenv("DAYS_TO_FETCH_IF_EMPTY", "100000")
+    from callio_etl_spark.__main__ import main
+
+    wd = str(tmp_path / "work")
+    base = ["--sf-dir", "/root/testdata/sf0.001", "--work-dir", wd,
+            "--keep-versions", "2"]
+    # tick 1 bootstraps (no prior table -> no version); tick 2 re-merges the
+    # overlap tail and archives the displaced generation
+    assert main(["--mode", "once", "--job", "call", *base]) == 0
+    assert main(["--mode", "once", "--job", "call", *base]) == 0
+
+    from callio_etl_spark.io import list_table_versions, read_table_version
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("cli-version-test")
+    vers = list_table_versions(spark, f"{wd}/call_log")
+    assert vers, "second tick should have archived the first generation"
+    live = spark.read.parquet(f"{wd}/call_log").count()
+    snap = read_table_version(spark, f"{wd}/call_log", vers[-1]).count()
+    assert snap == live  # idempotent ticks: same rows, different generation
+
+    assert main(["--mode", "versions", "--job", "call", *base]) == 0
+    assert (
+        main(["--mode", "restore", "--job", "call",
+              "--restore-version", str(vers[-1]), *base])
+        == 0
+    )
+    assert spark.read.parquet(f"{wd}/call_log").count() == snap
+    # restore is itself versioned: the pre-restore live table was archived
+    assert len(list_table_versions(spark, f"{wd}/call_log")) >= 1
+
+    with pytest.raises(SystemExit):
+        main(["--mode", "restore", "--job", "call", *base])  # no version
+    with pytest.raises(SystemExit):
+        main(["--mode", "restore", "--restore-version", "1", *base])  # job=all
