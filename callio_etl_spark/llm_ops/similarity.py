@@ -329,8 +329,8 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT label,
        CAST(i AS BIGINT) AS dim,
-       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,10)))
-            AS DOUBLE) / COUNT(*) AS centroid
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e10)
+                     AS DECIMAL(38,0))) AS DOUBLE) / 1e10 / COUNT(*) AS centroid
 FROM embeddings, range(1, {EMB_DIM} + 1) t(i)
 GROUP BY label, i
 """,
@@ -345,9 +345,14 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: posexplode the vectors once, one hash aggregate on (label, dim)
     — map-side partial sums make this a single shuffle of |labels| x dim
     rows regardless of corpus size, which is why the assign/update loop
-    scales to 100 TB (the reduce side never sees raw vectors). Sums
-    accumulate in DECIMAL (exact, order-independent); the final divide is
-    double — bit-identical in both engines."""
+    scales to 100 TB (the reduce side never sees raw vectors).
+
+    Bit-parity: each value is floor-quantized at 1e-10 IN DOUBLE (the same
+    IEEE op on both engines) and summed as an exact integer DECIMAL — a
+    raw double->DECIMAL(p,10) cast instead rounds via the shortest string
+    repr in Spark but the full binary expansion in DuckDB, and a tie at
+    the 10th decimal puts the two engines one quantum apart. The scaled
+    sum stays inside DECIMAL(38,0) for any corpus (|v|<=4 -> 4e10/row)."""
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "val")
@@ -356,11 +361,12 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
         .agg(
             (
-                # float -> DOUBLE -> decimal on both engines: a direct
-                # float->decimal cast rounds differently (Spark goes via the
-                # short string repr, DuckDB via the double expansion)
-                F.sum(F.col("val").cast("double").cast("decimal(28,10)"))
-                .cast("double")
+                F.sum(
+                    F.floor(F.col("val").cast("double") * F.lit(1e10)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e10)
                 / F.count("*")
             ).alias("centroid")
         )
@@ -370,15 +376,31 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # coarse cells searched per query in the multi-probe path
 
 
+#: Shared oracle fragment: per-label centroid components, floor-quantized
+#: at 1e-10 in double then summed as exact integer DECIMAL (same parity
+#: rationale as ivf_centroids — a raw double->decimal cast rounds ties
+#: differently across engines).
+_CENT_SQL = f"""
+  SELECT label, CAST(i AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM e, range(1, {EMB_DIM} + 1) t(i)
+  GROUP BY label, i
+"""
+
+
 def _cvec(e: DataFrame) -> DataFrame:
-    """Per-label centroid vectors (label, cv: array<double>) — the decimal-
-    mean aggregate of ivf_centroids re-assembled into arrays. One posexplode
-    + (label, pos) hash aggregate; the reduce side never sees raw vectors,
-    and the |labels| output rows broadcast everywhere they're consumed."""
+    """Per-label centroid vectors (label, cv: array<double>) — the exact
+    scaled-integer mean of ivf_centroids re-assembled into arrays. One
+    posexplode + (label, pos) hash aggregate; the reduce side never sees
+    raw vectors, and the |labels| output rows broadcast everywhere they're
+    consumed. Mirrors _CENT_SQL term for term."""
     ex = e.select("label", F.posexplode("v").alias("pos", "val"))
     cent = ex.groupBy("label", F.col("pos").alias("pos")).agg(
         (
-            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            F.sum(F.floor(F.col("val") * F.lit(1e10)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e10)
             / F.count("*")
         ).alias("c")
     )
@@ -395,12 +417,7 @@ def _cvec(e: DataFrame) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
-cent AS (
-  SELECT label, CAST(i AS BIGINT) AS dim,
-         CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
-  FROM e, range(1, {EMB_DIM} + 1) t(i)
-  GROUP BY label, i
-),
+cent AS ({_CENT_SQL}),
 cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
 probe AS (
   SELECT vec_id AS query_id, label FROM q
@@ -490,12 +507,7 @@ def ann_topk_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
-cent AS (
-  SELECT label, CAST(i AS BIGINT) AS dim,
-         CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
-  FROM e, range(1, {EMB_DIM} + 1) t(i)
-  GROUP BY label, i
-),
+cent AS ({_CENT_SQL}),
 cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
 probe AS (
   SELECT vec_id AS query_id, label FROM q
@@ -797,6 +809,52 @@ def embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.label AS neg_label,
+         list_cosine_similarity(q.v, c.v) AS cosine
+  FROM q JOIN e c ON c.label <> q.label
+)
+SELECT query_id, neighbor_id, neg_label, cosine,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_K}
+""",
+    tags=["llm", "similarity", "training"],
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar vectors whose label DIFFERS — the examples a contrastive
+    loss learns most from (high-cosine, wrong class). Same plan shape as
+    ann_topk_brute with the label-inequality predicate replacing the
+    self-exclusion; at corpus scale the candidate side is the ANN index
+    (IVF cells of foreign labels), so mining stays a bucketed scan, and
+    the per-query state is a k-heap (window top-k), never the corpus."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    return _topk_window(scored)
+
+
 # ----------------------------------------------------------- semantic dedup
 
 SEM_TAU = 0.25  # duplicate threshold; see docstring for why 0.25 here
@@ -863,12 +921,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_outliers",
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-cent AS (
-  SELECT label, CAST(i AS BIGINT) AS dim,
-         CAST(SUM(CAST(v[i] AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS c
-  FROM e, range(1, {EMB_DIM} + 1) t(i)
-  GROUP BY label, i
-),
+cent AS ({_CENT_SQL}),
 cvec AS (
   SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label
 )

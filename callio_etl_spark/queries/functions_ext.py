@@ -37,10 +37,10 @@ WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)                    AS sx,
-         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)       AS sxx,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_quantity * 1e6) AS DECIMAL(38,0))) AS DOUBLE) / 1e6       AS sxx,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)               AS sy,
-         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)  AS sxy
+         CAST(SUM(CAST(FLOOR(l_extendedprice * l_extendedprice * 1e6) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS syy,
+         CAST(SUM(CAST(FLOOR(l_quantity * l_extendedprice * 1e6) AS DECIMAL(38,0))) AS DOUBLE) / 1e6  AS sxy
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -63,13 +63,27 @@ def stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combined shuffle of six numbers per group."""
     li = load_table(spark, sf_dir, "lineitem")
     q, p = F.col("l_quantity"), F.col("l_extendedprice")
+
+    # Second moments floor-quantize the PRODUCT in double before the exact
+    # decimal sum: a raw double->DECIMAL(38,6) cast of a 17-digit product
+    # rounds through the shortest string repr in Spark but the full binary
+    # expansion in DuckDB, and a tie at the 6th decimal flips the two one
+    # quantum apart (observed as a last-ulp corr drift under the strict
+    # bit-exact gate). floor(x*1e6) is the same double op on both engines,
+    # its result is integer-valued (exact in DECIMAL(38,0) — nothing left
+    # to round), and the sums stay associative/exact.
+    def q6(x):
+        return F.sum(F.floor(x * F.lit(1e6)).cast("decimal(38,0)")).cast(
+            "double"
+        ) / F.lit(1e6)
+
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q.cast(DEC)).cast("double").alias("sx"),
-        F.sum((q * q).cast(DEC)).cast("double").alias("sxx"),
+        q6(q * q).alias("sxx"),
         F.sum(p.cast(DEC)).cast("double").alias("sy"),
-        F.sum((p * p).cast(DEC)).cast("double").alias("syy"),
-        F.sum((q * p).cast(DEC)).cast("double").alias("sxy"),
+        q6(p * p).alias("syy"),
+        q6(q * p).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sxx = F.col("sx"), F.col("sxx")

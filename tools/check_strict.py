@@ -36,6 +36,24 @@ TABLES = [
 
 def _canon_frame(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
+    # Temporal representation canonicalization (NOT a value tolerance):
+    # Spark DATE surfaces as object-dtype datetime.date, DuckDB DATE as
+    # datetime64[us] — the same calendar day in two containers. Normalize
+    # every temporal column to datetime64[us] so the dtype-kind check and
+    # cell compare see representation-free values; a genuinely different
+    # day/instant still fails exactly.
+    import datetime as _dt
+
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "M":
+            df[c] = col.astype("datetime64[us]")
+        elif col.dtype == object:
+            sample = col.dropna()
+            if len(sample) and all(
+                isinstance(v, (_dt.date, _dt.datetime)) for v in sample.head(20)
+            ):
+                df[c] = pd.to_datetime(col).astype("datetime64[us]")
     # Canonical row order: stringified tuple sort (mirrors an
     # order-insensitive hash; both sides sort identically).
     if len(df):
