@@ -822,3 +822,32 @@ def test_versioned_overwrite_crash_sweep_never_loses_snapshot(
         if not crashed:
             assert got == new_rows
             break
+
+
+def test_restore_with_minimal_retention(spark, tmp_path):
+    """restore_table_version with keep_versions=1: the restore reads the
+    snapshot from the archive BEFORE the commit prunes it, so rolling back
+    works even when retention immediately evicts the source version."""
+    import callio_etl_spark.io as io
+
+    p = str(tmp_path / "vr")
+    gen = lambda k: {(i, i * k) for i in range(4)}
+    for k in (1, 2):
+        io.atomic_overwrite(
+            spark,
+            spark.createDataFrame(sorted(gen(k)), "id long, v long"),
+            p,
+            keep_versions=1,
+        )
+    assert io.list_table_versions(spark, p) == [1]
+    io.restore_table_version(spark, p, 1, keep_versions=1)
+    got = {(r["id"], r["v"]) for r in spark.read.parquet(p).collect()}
+    assert got == gen(1)
+    # retention kept only the newest snapshot (the displaced gen-2 table)
+    vers = io.list_table_versions(spark, p)
+    assert len(vers) == 1
+    archived = {
+        (r["id"], r["v"])
+        for r in io.read_table_version(spark, p, vers[0]).collect()
+    }
+    assert archived == gen(2)

@@ -713,3 +713,36 @@ def test_semantic_dedup_lowest_id_survives(spark):
     assert any(k == 0 for vs in by_label.values() for _, k in vs), (
         "threshold marks no duplicates at this sf — test is vacuous"
     )
+
+
+def test_hard_negatives_exclude_own_label_and_rank_by_cosine(spark):
+    """Every mined negative carries a label different from its query's, and
+    per query the k rows are the GLOBAL top-k over foreign-label vectors
+    (spot-checked against a local recompute for one query)."""
+    import numpy as np
+
+    from callio_etl_spark.llm_ops.similarity import TOP_K, ann_hard_negatives
+
+    emb = {
+        r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float64))
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    rows = ann_hard_negatives(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        assert r["neg_label"] != emb[r["query_id"]][0]
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == TOP_K for v in per_q.values())
+    # local recompute for query 0
+    qlab, qv = emb[0]
+    qv = qv / np.linalg.norm(qv)
+    scored = sorted(
+        (
+            (-float(np.dot(qv, v / np.linalg.norm(v))), nid)
+            for nid, (lab, v) in emb.items()
+            if lab != qlab
+        ),
+    )[:TOP_K]
+    want_ids = [nid for _, nid in scored]
+    got = sorted(per_q[0], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in got] == want_ids

@@ -331,3 +331,36 @@ def test_header_parsers_never_crash_on_garbage(junk):
         assert got_i is None or (len(got_i) == 2 and all(x > 0 for x in got_i))
         got_a = mm.parse_audio_header(prefix + junk)
         assert got_a is None or len(got_a) == 4
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-3, max_value=3),   # order key (many ties)
+            st.integers(min_value=-50, max_value=50), # value (neg + zero)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_prefix_sum_ordered_property(spark, rows):
+    """prefix_sum_ordered must equal the single-partition global window on
+    ANY multiset of (order-key, value) rows — heavy ties, negatives, and
+    zeros included — because the unique id tiebreaker totalizes the order."""
+    from pyspark.sql import Window
+
+    from callio_etl_spark.llm_ops.sampling import prefix_sum_ordered
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long")
+    order = [F.col("k").asc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["cum"]
+        for r in prefix_sum_ordered(df, "v", order, "cum").collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
