@@ -381,3 +381,64 @@ def corpus_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
     )
     return c.where(F.col("cum_tokens") <= TOKEN_BUDGET)
+
+
+SHARD_TOKENS = 6_000  # token capacity per output shard
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT)
+           AS tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, tokens,
+         CAST(SUM(tokens) OVER (
+           ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM t
+),
+s AS (
+  SELECT doc_id, tokens,
+         CAST(FLOOR((cum - tokens) / {SHARD_TOKENS}.0) AS BIGINT) AS shard
+  FROM c
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT)      AS n_docs,
+       CAST(SUM(tokens) AS BIGINT)   AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT)   AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT)   AS last_doc
+FROM s
+GROUP BY shard
+""",
+    tags=["llm", "sampling", "layout"],
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment + manifest — the dataset-layout step
+    that writes a corpus as N output files of ~equal TOKEN mass (not row
+    count), so every downstream reader/trainer gets uniform work per
+    shard. A document's shard is its starting token offset divided by the
+    shard capacity (greedy fill in document order), computed with the
+    distributed prefix sum — no single-task window. Shards are contiguous
+    doc-id ranges (first_doc/last_doc in the manifest), which is what
+    makes the physical write one range-partitioned pass; every shard's
+    token total lands within one document of the capacity."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+    t = d.select("doc_id", toks.cast("long").alias("tokens"))
+    c = prefix_sum_ordered(t, "tokens", [F.col("doc_id").asc()], "cum")
+    s = c.withColumn(
+        "shard",
+        F.floor((F.col("cum") - F.col("tokens")) / float(SHARD_TOKENS)).cast("long"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("shard_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

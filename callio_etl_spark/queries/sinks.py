@@ -206,3 +206,74 @@ def sink_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_version_diff",
+    oracle="""
+WITH g1 AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 3 = 0
+), g2 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+  FROM orders WHERE o_orderkey % 3 <= 1
+),
+d AS (
+  SELECT COALESCE(g2.k, g1.k) AS k,
+         CASE WHEN g1.k IS NULL THEN 'added'
+              WHEN g2.k IS NULL THEN 'removed'
+              WHEN g2.p <> g1.p THEN 'changed'
+              ELSE 'same' END AS change
+  FROM g1 FULL OUTER JOIN g2 ON g2.k = g1.k
+)
+SELECT change,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT)   AS key_sum
+FROM d GROUP BY change
+""",
+    tags=["sink", "versioning", "cdc"],
+)
+def sink_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: commit generation 1 under versioning, overwrite with a
+    generation that adds, removes, and mutates rows, then DIFF THE LIVE
+    TABLE AGAINST ITS ARCHIVED SNAPSHOT (full outer on the key,
+    added/removed/changed/same classification) — the audit query time
+    travel exists for ('what changed since yesterday's commit?'), the
+    same shape BigQuery users run against FOR SYSTEM_TIME AS OF. The
+    oracle recomputes both generations from source; a restore that reads
+    the wrong snapshot or a diff that misclassifies breaks the hash."""
+    from callio_etl_spark.io import atomic_overwrite, read_table_version
+
+    root = _tmp("vdiff")
+    path = f"{root}/orders_d"
+    o = load_table(spark, sf_dir, "orders")
+    g1 = o.where(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+    )
+    g2 = o.where(F.col("o_orderkey") % 3 <= 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p"),
+    )
+    atomic_overwrite(spark, g1, path, keep_versions=1)
+    atomic_overwrite(spark, g2, path, keep_versions=1)
+    live = spark.read.parquet(path).select(
+        F.col("k").alias("lk"), F.col("p").alias("lp")
+    )
+    snap = read_table_version(spark, path, 1).select(
+        F.col("k").alias("sk"), F.col("p").alias("sp")
+    )
+    d = live.join(snap, F.col("lk") == F.col("sk"), "full_outer").select(
+        F.coalesce(F.col("lk"), F.col("sk")).alias("k"),
+        F.when(F.col("sk").isNull(), "added")
+        .when(F.col("lk").isNull(), "removed")
+        .when(F.col("lp") != F.col("sp"), "changed")
+        .otherwise("same")
+        .alias("change"),
+    )
+    result = d.groupBy("change").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").alias("key_sum"),
+    )
+    return _materialize_and_clean(result, root)

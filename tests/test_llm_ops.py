@@ -746,3 +746,36 @@ def test_hard_negatives_exclude_own_label_and_rank_by_cosine(spark):
     want_ids = [nid for _, nid in scored]
     got = sorted(per_q[0], key=lambda r: r["rank"])
     assert [r["neighbor_id"] for r in got] == want_ids
+
+
+def test_shard_manifest_balanced_and_complete(spark):
+    """Shards partition the corpus exactly (doc counts and token totals sum
+    to the corpus), are contiguous doc-id ranges, and every shard except
+    possibly the last stays within one document of the token capacity."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.sampling import SHARD_TOKENS, TOKEN_RE, shard_manifest
+    from callio_etl_spark.tables import load_table
+
+    rows = sorted(
+        shard_manifest(spark, SF_DIR).collect(), key=lambda r: r["shard"]
+    )
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
+    total = d.select(
+        F.count("*").alias("n"), F.sum(toks.cast("long")).alias("t")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == total["n"]
+    assert sum(r["shard_tokens"] for r in rows) == total["t"]
+    # contiguous, ordered, non-overlapping doc-id ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] < b["first_doc"]
+    # balance: every non-final shard is within ONE document of capacity in
+    # both directions — it can overshoot by the boundary-crossing doc, and
+    # undershoot by the previous shard's overshoot, never more
+    max_tok = d.select(F.max(toks.cast("long"))).collect()[0][0]
+    for r in rows[:-1]:
+        assert r["shard_tokens"] + max_tok > SHARD_TOKENS, r
+        assert r["shard_tokens"] < SHARD_TOKENS + max_tok, r
+    for r in rows:
+        assert r["n_docs"] >= 1
