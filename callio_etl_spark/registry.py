@@ -47,8 +47,10 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so every
 #: registered query eventually earns a driver row (COVERAGE.md keeps the
-#: per-round slot ledger). After r4, 122/130 registered queries have a driver
-#: row; the r5 window promotes the 7 oracle-bearing queries that have NEVER
+#: per-round slot ledger). After r4, 122 of the 130 then-registered queries
+#: had a driver row (the registry has since grown to 145; the r5
+#: registrations queue for the r6 window). The r5 window promotes the 7
+#: oracle-bearing queries that had NEVER
 #: been checked (the r4 registrations: sink roundtrips, salted join,
 #: sign-LSH pair, media/audio decode), re-checks the 30 queries whose latest
 #: row is r1 (three rounds stale), and re-checks 5 r3-latest queries whose
