@@ -50,28 +50,36 @@ JOB_TABLES = {
 def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: str) -> None:
     from callio_etl_spark.io import atomic_overwrite, recover_table
 
+    from callio_etl_spark.logging_utils import job_stage
+
     table, prepare = JOB_TABLES[job]
     path = os.path.join(cfg.work_dir, table.name)
     # Roll forward/back any commit a previous run crashed in the middle of
     # BEFORE reading the target — the checkpoint only advances after a
     # durable table swap, so recovery + overlap re-read keeps replays
     # idempotent whichever side of the swap the crash landed on.
-    recover_table(spark, path)
-    target = None
-    if os.path.isdir(path):
-        target = spark.read.parquet(path)
-    batch = prepare(spark, cfg.sf_dir)
-    if cfg.limit_records:
-        batch = batch.orderBy(F.col(table.time_col_ms).desc()).limit(cfg.limit_records)
-    merged, new_ck = run_tick(spark, store, table, batch, target, TENANT)
-    if new_ck is not None:
-        # Atomic staging+rename swap (reads the old files while staging, so
-        # no localCheckpoint materialization): a crash here leaves the old
-        # table readable and the next tick's recover_table finishes or
-        # discards the commit. With keep_versions set, the displaced table
-        # is archived for `--mode versions/restore` time travel.
-        atomic_overwrite(spark, merged, path, keep_versions=cfg.keep_versions)
-    commit(store, table, TENANT, new_ck)
+    # job_stage labels every Spark job of this tick in the UI/history
+    # server (the reference's per-step progress bars, runner.py:356-567,
+    # rendered the cluster way) and gives operators a cancellable group.
+    with job_stage(spark, f"tick:{table.name}"):
+        recover_table(spark, path)
+        target = None
+        if os.path.isdir(path):
+            target = spark.read.parquet(path)
+        batch = prepare(spark, cfg.sf_dir)
+        if cfg.limit_records:
+            batch = batch.orderBy(F.col(table.time_col_ms).desc()).limit(
+                cfg.limit_records
+            )
+        merged, new_ck = run_tick(spark, store, table, batch, target, TENANT)
+        if new_ck is not None:
+            # Atomic staging+rename swap (reads the old files while staging,
+            # so no localCheckpoint materialization): a crash here leaves the
+            # old table readable and the next tick's recover_table finishes
+            # or discards the commit. With keep_versions set, the displaced
+            # table is archived for `--mode versions/restore` time travel.
+            atomic_overwrite(spark, merged, path, keep_versions=cfg.keep_versions)
+        commit(store, table, TENANT, new_ck)
 
 
 def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
@@ -130,8 +138,12 @@ def main(argv: list[str] | None = None) -> int:
 
     jobs = list(JOB_TABLES) if args.job == "all" else [args.job]
 
+    from callio_etl_spark.logging_utils import configure_logging, track_progress
+
+    log = configure_logging(os.environ.get("LOG_LEVEL", "INFO"))
+
     def run_once() -> None:
-        for job in jobs:
+        for job in track_progress(jobs, "jobs", logger=log):
             _tick(spark, cfg, store, job)
         _refresh_reports(spark, cfg)  # post-run hook (runner.py:1004-1008)
 

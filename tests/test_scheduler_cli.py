@@ -161,3 +161,47 @@ def test_cli_versioned_tick_and_restore(tmp_path, monkeypatch):
         main(["--mode", "restore", "--job", "call", *base])  # no version
     with pytest.raises(SystemExit):
         main(["--mode", "restore", "--restore-version", "1", *base])  # job=all
+
+
+def test_track_progress_yields_all_and_logs_endpoints(caplog):
+    """track_progress is transparent (yields every item, in order) and
+    always logs the first and final item even when the loop finishes
+    inside one rate-limit window."""
+    import logging
+
+    from callio_etl_spark.logging_utils import track_progress
+
+    caplog.set_level(logging.INFO, logger="callio_etl_spark")
+    items = list(track_progress(["a", "b", "c"], "steps"))
+    assert items == ["a", "b", "c"]
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(m.startswith("steps: 1/3") for m in msgs)
+    assert any(m.startswith("steps: 3/3") for m in msgs)
+
+
+def test_progress_task_completion_line(caplog):
+    import logging
+
+    from callio_etl_spark.logging_utils import progress_task
+
+    caplog.set_level(logging.INFO, logger="callio_etl_spark")
+    with progress_task("merge", total=2) as advance:
+        advance()
+        advance()
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any(m.startswith("merge: 2/2") for m in msgs)
+    assert any(m.startswith("merge: done, 2/2") for m in msgs)
+
+
+def test_job_stage_sets_and_clears_description():
+    """Inside job_stage the Spark jobs carry the step description (what the
+    UI/history server shows); on exit the scope is cleared."""
+    from callio_etl_spark.logging_utils import job_stage
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("job-stage-test")
+    sc = spark.sparkContext
+    with job_stage(spark, "tick:call_log"):
+        assert sc.getLocalProperty("spark.job.description") == "tick:call_log"
+        assert sc.getLocalProperty("spark.jobGroup.id") == "tick:call_log"
+    assert not sc.getLocalProperty("spark.job.description")
