@@ -851,3 +851,65 @@ def test_restore_with_minimal_retention(spark, tmp_path):
         for r in io.read_table_version(spark, p, vers[0]).collect()
     }
     assert archived == gen(2)
+
+
+def test_versioning_model_based_random_sequences(spark, tmp_path):
+    """Model-based check of the versioned table lifecycle: drive random
+    sequences of commit / restore / vacuum against a pure-Python model of
+    (live generation, archived generation list) and require the real
+    table to agree after every step — the whole-subsystem invariant the
+    single-scenario tests can't sweep."""
+    import random
+
+    import callio_etl_spark.io as io
+
+    KEEP = 3
+
+    def df_for(gen):
+        return spark.createDataFrame(
+            [(i, gen) for i in range(3)], "id long, gen long"
+        )
+
+    def live_gen(p):
+        rows = spark.read.parquet(p).collect()
+        gens = {r["gen"] for r in rows}
+        assert len(gens) == 1, f"torn table: {gens}"
+        return gens.pop()
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"model{seed}")
+        # model state: live generation + dict version-number -> generation
+        next_gen = 1
+        io.atomic_overwrite(spark, df_for(next_gen), p, keep_versions=KEEP)
+        live, archive, next_v = next_gen, {}, 1
+        for _ in range(12):
+            op = rng.choice(["commit", "commit", "restore", "vacuum"])
+            if op == "commit":
+                next_gen += 1
+                io.atomic_overwrite(spark, df_for(next_gen), p, keep_versions=KEEP)
+                archive[next_v] = live
+                next_v += 1
+                live = next_gen
+                for v in sorted(archive)[:-KEEP]:
+                    del archive[v]
+            elif op == "restore" and archive:
+                v = rng.choice(sorted(archive))
+                io.restore_table_version(spark, p, v, keep_versions=KEEP)
+                target = archive[v]
+                archive[next_v] = live
+                next_v += 1
+                live = target
+                for w in sorted(archive)[:-KEEP]:
+                    del archive[w]
+            elif op == "vacuum":
+                k = rng.randint(1, KEEP)
+                io.vacuum_table_versions(spark, p, keep=k)
+                for w in sorted(archive)[:-k]:
+                    del archive[w]
+            # real state must equal the model after every operation
+            assert live_gen(p) == live
+            assert io.list_table_versions(spark, p) == sorted(archive)
+            for v, gen in archive.items():
+                got = {r["gen"] for r in io.read_table_version(spark, p, v).collect()}
+                assert got == {gen}, (v, gen, got)
