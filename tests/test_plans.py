@@ -392,3 +392,30 @@ def test_budget_select_avoids_single_partition_window(spark):
     plan = _plan(spark, "corpus_select_budget")
     assert "Window" in plan  # the per-range-partition local window
     assert "SinglePartition" not in plan, plan
+
+
+def test_semantic_dedup_pair_join_is_label_equi_join(spark):
+    """The within-cluster pair join must plan as a hash/sort-merge
+    equi-join on the label (cosine threshold as a post-join filter) —
+    never a nested-loop over all pairs."""
+    plan = _plan(spark, "semantic_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_hard_negatives_broadcasts_query_set(spark):
+    """The tiny query side must broadcast; the corpus side never shuffles
+    for the scoring join."""
+    plan = _plan(spark, "ann_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_avoids_single_partition_window(spark):
+    """shard_manifest's cumulative offset must use the distributed prefix
+    sum — no Exchange SinglePartition anywhere in the plan."""
+    plan = _plan(spark, "shard_manifest")
+    assert "SinglePartition" not in plan, plan
