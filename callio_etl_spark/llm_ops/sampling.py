@@ -303,8 +303,16 @@ def prefix_sum_ordered(
     fall."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Materialize the range-partitioned frame ONCE: both the per-partition
+    # totals job and the final output read the checkpoint blocks instead of
+    # re-running the upstream scan twice, and the partition assignment the
+    # offsets were computed from is frozen rather than re-derived (SCALE.md
+    # self-join doctrine — same reason embedding_lsh_pairs checkpoints its
+    # signature table).
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = (
         Window.partitionBy("__pid")
