@@ -64,9 +64,18 @@ HEAVY = [
     "embedding_neardup_bucketed",
     "exists_subquery",
     "profile_columns",
+    # r5 additions: the cumulative/pair-join operators worth a curve
+    "corpus_select_budget",
+    "shard_manifest",
+    "semantic_dedup",
+    "ann_topk_ivf_probe",
 ]
 
 CAUSES = {
+    "semantic_dedup": (
+        "within-cluster pair join: sum(cluster^2) with the 10 labels fixed; "
+        "production grows the cluster count with the corpus."
+    ),
     "embedding_lsh_pairs": (
         "candidate-pair generator: cost is sum(bucket^2); plane count fixed "
         "at 8 for oracle parity, so 10x rows/bucket -> ~100x pairs. "
@@ -107,6 +116,11 @@ def main() -> None:
     from callio_etl_spark.registry import all_queries
     from callio_etl_spark.session import get_spark
 
+    # optional positional query names: measure only that subset and MERGE
+    # into an existing SCALE_CURVE.json (incremental curve extension)
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    heavy = only or HEAVY
+
     if "--rebuild" in sys.argv or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
         print("building synthetic sf1 ...", file=sys.stderr)
         build_sf1()
@@ -124,11 +138,14 @@ def main() -> None:
     scales = [
         ("0.01", "/root/testdata/sf0.01", 3),
         ("0.1", "/root/testdata/sf0.1", 3),
-        ("1", SF1_DIR, 2),
+        # subset (incremental) runs take one sf1 pass: the quadratic
+        # pair-join entries are minutes per pass there, and best-of-N is a
+        # small-noise refinement the big point doesn't need
+        ("1", SF1_DIR, 1 if only else 2),
     ]
-    results: dict[str, dict] = {name: {} for name in HEAVY}
+    results: dict[str, dict] = {name: {} for name in heavy}
     for sf, sf_dir, passes in scales:
-        for name in HEAVY:
+        for name in heavy:
             import gc
 
             gc.collect()
@@ -145,7 +162,10 @@ def main() -> None:
             print(f"sf{sf} {name}: {results[name][sf]}s", file=sys.stderr)
 
     out = {"replicas": REPLICAS, "queries": {}}
-    for name in HEAVY:
+    if only and os.path.exists("SCALE_CURVE.json"):
+        with open("SCALE_CURVE.json") as f:
+            out["queries"] = json.load(f).get("queries", {})
+    for name in heavy:
         r = results[name]
         row: dict = dict(r)
         if r.get("0.1") and r.get("0.01"):
