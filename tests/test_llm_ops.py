@@ -779,3 +779,27 @@ def test_shard_manifest_balanced_and_complete(spark):
         assert r["shard_tokens"] < SHARD_TOKENS + max_tok, r
     for r in rows:
         assert r["n_docs"] >= 1
+
+
+def test_semantic_dedup_arrow_matches_sequential(spark):
+    """The GEMM fast path must produce flag-identical results to the
+    oracle-checked sequential operator on the fixture embeddings (and
+    actually drop something, so the equality isn't vacuous)."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.similarity import (
+        _emb,
+        semantic_dedup,
+        semantic_dedup_arrow,
+    )
+
+    want = {
+        (r["vec_id"], r["label"]): r["keep"]
+        for r in semantic_dedup(spark, SF_DIR).collect()
+    }
+    got = {
+        (r["vec_id"], r["label"]): r["keep"]
+        for r in semantic_dedup_arrow(_emb(spark, SF_DIR)).collect()
+    }
+    assert got == want
+    assert 0 in set(want.values())
