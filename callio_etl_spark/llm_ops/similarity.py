@@ -45,7 +45,22 @@ def dot(u: Column, w: Column) -> Column:
 
 
 def cosine(u: Column, w: Column) -> Column:
-    return dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
+    """Guarded like lsh_bucket_col: zip_with pads the shorter side with
+    NULLs, so a dimension mismatch would NULL-poison the dot product and
+    silently DROP the row from every ranking/filter downstream — raise at
+    execution instead (one size comparison per row; the branch keeps the
+    oracle-parity expression untouched for well-formed data)."""
+    cos = dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
+    return F.when(F.size(u) == F.size(w), cos).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cosine: dimension mismatch "),
+                F.size(u).cast("string"),
+                F.lit(" vs "),
+                F.size(w).cast("string"),
+            )
+        ).cast("double")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -803,3 +803,27 @@ def test_semantic_dedup_arrow_matches_sequential(spark):
     }
     assert got == want
     assert 0 in set(want.values())
+
+
+def test_cosine_raises_on_dimension_mismatch(spark):
+    """A mismatched vector pair must raise at execution, never silently
+    drop out of rankings via a NULL-poisoned dot product."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.utils import AnalysisException
+
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.similarity import cosine
+
+    ok = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0])], "u array<double>, w array<double>"
+    )
+    assert ok.select(cosine(F.col("u"), F.col("w")).alias("c")).collect()[0]["c"] == 0.0
+
+    bad = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0, 0.0])], "u array<double>, w array<double>"
+    )
+    with pytest.raises(Exception) as ei:
+        bad.select(cosine(F.col("u"), F.col("w"))).collect()
+    assert "dimension mismatch" in str(ei.value)
