@@ -965,3 +965,137 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_shared_windows"))
     )
+
+
+# ------------------------------------------------------------ span removal
+
+#: Occurrences are totally ordered by doc_id * POS_BASE + pos — a single
+#: BIGINT both engines MIN() identically (struct/tuple MIN is not portable).
+#: POS_BASE bounds in-doc token positions; docs here are ~60 tokens, and at
+#: 1e6 the key stays far inside BIGINT for any realistic doc_id.
+POS_BASE = 1_000_000
+
+
+@register(
+    "dedup_span_removal",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+),
+win AS (
+  SELECT doc_id, g AS pos,
+         md5(array_to_string(tokens[g : g + {SUBSTR_K} - 1], ' ')) AS h
+  FROM toks CROSS JOIN UNNEST(range(1, len(tokens) - {SUBSTR_K} + 2)) u(g)
+  WHERE len(tokens) >= {SUBSTR_K}
+),
+occ AS (
+  SELECT h, MIN(doc_id * {POS_BASE} + pos) AS first_occ, COUNT(*) AS cnt
+  FROM win GROUP BY h
+),
+marked AS (
+  SELECT w.doc_id, w.pos
+  FROM win w JOIN occ o ON o.h = w.h
+  WHERE o.cnt > 1 AND w.doc_id * {POS_BASE} + w.pos <> o.first_occ
+),
+covered AS (
+  SELECT DISTINCT m.doc_id, m.pos + t.o AS pos
+  FROM marked m CROSS JOIN UNNEST(range(0, {SUBSTR_K})) t(o)
+),
+tok AS (
+  SELECT doc_id, u.p AS pos, tokens[u.p] AS tok
+  FROM toks CROSS JOIN UNNEST(range(1, len(tokens) + 1)) u(p)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  ANTI JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS new_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.tokens) AS BIGINT) AS n_tokens,
+       CAST(len(d.tokens) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.new_text, '') AS new_text
+FROM toks d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+""",
+    tags=["llm", "dedup"],
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SPAN REMOVAL — the second half of Lee et al.'s
+    dedup (exact_substring_pairs finds the duplicated windows; this
+    operator edits the corpus): every verbatim {SUBSTR_K}-token window
+    keeps exactly its first occurrence (smallest (doc_id, position)) and
+    every later occurrence has its tokens cut, then each document is
+    rebuilt from its surviving tokens. Overlapping duplicated windows
+    union their covered positions, so a long copied passage disappears
+    once, not K times.
+
+    Shape — linear end to end, NO pair join anywhere (contrast the
+    pairs query, whose cost is sum(freq²) per window hash):
+      1. windows built in-row and md5'd (32-byte shuffle keys);
+      2. first-occurrence = MIN(doc_id * {POS_BASE} + pos) — a plain
+         map-combinable aggregate on h, so a boilerplate window occurring
+         in 10^6 docs costs one partial per map task, not a single-reducer
+         window sort (the skew cliff a ROW_NUMBER() OVER (PARTITION BY h)
+         formulation would hit at 100 TB);
+      3. marked occurrences explode to {SUBSTR_K} covered positions
+         (linear), deduped per (doc, pos);
+      4. anti-join tokens against covered positions — both sides hash on
+         doc_id — and reassemble with one sort_array per doc (in-row).
+    Production note: Lee et al. use K=50 over a suffix array to recover
+    MAXIMAL spans; the distributed mark-and-cut here is the part that has
+    to scale, and the union-of-positions step subsumes maximality for
+    removal purposes (adjacent duplicated windows merge into one cut)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    win = toks.where(F.size("tokens") >= SUBSTR_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - SUBSTR_K + 1),
+                lambda g: F.md5(F.concat_ws(" ", F.slice("tokens", g, SUBSTR_K))),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    okey = F.col("doc_id") * POS_BASE + F.col("pos")
+    occ = win.groupBy("h").agg(
+        F.min(okey).alias("first_occ"), F.count("*").alias("cnt")
+    )
+    marked = (
+        win.join(occ, "h")
+        .where((F.col("cnt") > 1) & (okey != F.col("first_occ")))
+        .select("doc_id", "pos")
+    )
+    covered = marked.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + SUBSTR_K - 1)
+        ).alias("pos"),
+    ).distinct()
+    tok = toks.select(
+        "doc_id", F.posexplode("tokens").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return (
+        toks.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("n_tokens"),
+            (F.size("tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )

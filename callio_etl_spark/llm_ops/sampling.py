@@ -450,3 +450,166 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------- DSIR importance
+
+DSIR_BUCKETS = 256  # hashed bigram feature buckets (10^4-10^6 in production)
+DSIR_KEEP = 100     # documents resampled into the target-matched subset
+DSIR_TARGET_LANG = "en"  # the target distribution: English documents
+_DSIR_Q = 1e12      # per-gram ratio floor-quantum (exact DECIMAL summation)
+
+
+@register(
+    "dsir_importance",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+         string_split(text, ' ') AS tokens
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(tokens[i] || ' ' || tokens[i + 1]), 1, 8))::BIGINT
+           % {DSIR_BUCKETS} AS b
+  FROM toks CROSS JOIN UNNEST(range(1, len(tokens))) u(i)
+  WHERE len(tokens) >= 2
+),
+stats AS (
+  SELECT b, COUNT(*) AS cnt_r,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+  FROM g GROUP BY b
+),
+tot AS (
+  SELECT COUNT(*) AS t_r,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_t
+  FROM g
+),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CAST(FLOOR(
+             ((s.cnt_t + 1) * (tot.t_r + {DSIR_BUCKETS}))
+           / ((s.cnt_r + 1) * (tot.t_t + {DSIR_BUCKETS}))
+           * {_DSIR_Q}) AS DECIMAL(38,0))) AS DOUBLE) / {_DSIR_Q} / COUNT(*)
+           AS importance
+  FROM g JOIN stats s USING (b) CROSS JOIN tot
+  GROUP BY g.doc_id
+),
+ranked AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+         COALESCE(p.importance, 0.0) AS importance,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY COALESCE(p.importance, 0.0) DESC, d.doc_id ASC
+         ) AS BIGINT) AS imp_rank
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, n_grams, importance, imp_rank,
+       imp_rank <= {DSIR_KEEP} AS selected
+FROM ranked
+""",
+    tags=["llm", "sampling", "selection"],
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how much its hashed-bigram distribution
+    looks like a target distribution (here: the English sub-corpus), then
+    resample the top-{DSIR_KEEP}. The importance of a bucket b is the
+    smoothed likelihood ratio p_target(b)/p_raw(b); a document's score is
+    the mean ratio over its bigram occurrences (DSIR sums log-ratios — the
+    monotone rational form keeps the oracle engine-exact, since libm log
+    differs in the last ulp across engines).
+
+    Shape: bigrams are built in-row and hashed to {DSIR_BUCKETS} buckets
+    (md5-based — engine-independent, unlike xxhash); the bucket stats
+    table is AT MOST {DSIR_BUCKETS} rows, so both the per-bucket counts
+    and the corpus totals broadcast back onto the gram stream — the
+    per-doc score is one map-side join plus one doc_id hash aggregate.
+    Nothing global materializes beyond two broadcast-scalar tables. The
+    final rank uses prefix_sum_ordered (range partition -> local window ->
+    offset add), not a single-task global window; at 100 TB you'd replace
+    the exact rank with a score threshold from a quantile sketch and skip
+    the ordering entirely.
+
+    Parity: bucket ratios are products/quotients of exact integers in
+    double (exactly rounded, engine-identical); per-gram ratios are
+    floor-quantized at {_DSIR_Q:.0e} and summed as exact integer DECIMAL
+    (the ivf_centroids rationale — a raw double SUM is order-dependent)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
+        F.split("text", " ").alias("tokens"),
+    )
+    g = (
+        toks.where(F.size("tokens") >= 2)
+        .select(
+            "doc_id",
+            "is_t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tokens", i),
+                        F.element_at("tokens", i + 1),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    stats = g.groupBy("b").agg(
+        F.count("*").alias("cnt_r"),
+        F.sum(F.col("is_t").cast("long")).alias("cnt_t"),
+    )
+    tot = g.agg(
+        F.count("*").alias("t_r"),
+        F.sum(F.col("is_t").cast("long")).alias("t_t"),
+    )
+    ratio = (
+        (F.col("cnt_t") + 1) * (F.col("t_r") + DSIR_BUCKETS)
+    ).cast("double") / (
+        (F.col("cnt_r") + 1) * (F.col("t_t") + DSIR_BUCKETS)
+    ).cast("double")
+    per_doc = (
+        g.join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            (
+                F.sum(
+                    F.floor(ratio * F.lit(_DSIR_Q)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(_DSIR_Q)
+                / F.count("*")
+            ).alias("importance"),
+        )
+    )
+    alld = (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("importance", F.lit(0.0)).alias("importance"),
+            F.lit(1).alias("__one"),
+        )
+    )
+    ranked = prefix_sum_ordered(
+        alld,
+        "__one",
+        [F.col("importance").desc(), F.col("doc_id").asc()],
+        "imp_rank",
+    ).drop("__one")
+    return ranked.withColumn("selected", F.col("imp_rank") <= DSIR_KEEP)
