@@ -1021,3 +1021,351 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "outlier_rank", F.row_number().over(w).cast("long")
     )
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 4      # subspaces (the 64-dim vector splits into 4 x 16)
+PQ_DSUB = EMB_DIM // PQ_M
+PQ_K = 8      # codewords per subspace -> PQ_M * log2(PQ_K) = 12 bits/vector
+_PQ_DOT_Q = 1e12  # per-subspace dot floor-quantum (exact DECIMAL summation)
+
+#: Shared oracle chain: subvectors -> seeded spherical assignment -> decimal
+#: codebook means -> final assignment. Mirrors the DataFrame ops term for
+#: term (same quantize constants as _CENT_SQL; list_cosine_similarity ==
+#: the sequential zip_with fold, verified bit-identical).
+_PQ_SQL = f"""
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id, label, m,
+         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS sv
+  FROM e, range(0, {PQ_M}) t(m)
+),
+seeds AS (
+  SELECT m, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {PQ_K}
+),
+a0 AS (
+  SELECT vec_id, m, code, sv FROM (
+    SELECT s.vec_id, s.m, sd.code, s.sv,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_cosine_similarity(s.sv, sd.cv) DESC, sd.code ASC
+           ) AS rn
+    FROM sub s JOIN seeds sd ON sd.m = s.m
+  ) WHERE rn = 1
+),
+cb AS (
+  SELECT m, code, i AS dim,
+         CAST(SUM(CAST(FLOOR(sv[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM a0, range(1, {PQ_DSUB} + 1) t(i)
+  GROUP BY m, code, i
+),
+cbv AS (SELECT m, code, list(c ORDER BY dim) AS cv FROM cb GROUP BY m, code),
+a1 AS (
+  SELECT vec_id, label, m, code FROM (
+    SELECT s.vec_id, s.label, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_cosine_similarity(s.sv, c.cv) DESC, c.code ASC
+           ) AS rn
+    FROM sub s JOIN cbv c ON c.m = s.m
+  ) WHERE rn = 1
+)
+"""
+
+
+def _pq_sub(e: DataFrame) -> DataFrame:
+    """(vec_id, label, m, sv): the PQ_M subvectors of every embedding —
+    built in-row (slice over a literal subspace sequence), zero shuffle."""
+    return e.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.cast("int").alias("m"),
+                    F.slice("v", m * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame, keep_sv: bool) -> DataFrame:
+    """Nearest-codeword assignment per (vector, subspace): broadcast the
+    codebook (PQ_M x PQ_K rows), score by spherical (cosine) similarity,
+    keep the arg-max with code as tiebreak. The window partitions on
+    (vec_id, m) — bounded at PQ_K rows each, no skew surface."""
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "label",
+        "m",
+        "code",
+        *(["sv"] if keep_sv else []),
+        cosine(F.col("sv"), F.col("cv")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("ccos").desc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "ccos")
+    )
+
+
+def _pq_codebook_and_codes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One spherical k-means iteration from deterministic seeds (the
+    subvectors of vec_id 0..PQ_K-1): assign -> decimal-mean update ->
+    re-assign. Returns (codebook (m, code, cv), codes (vec_id, label, m,
+    code)). Every stage is a broadcast join or a (m, code, dim) hash
+    aggregate — the reduce side never sees more than PQ_M * PQ_K * PQ_DSUB
+    rows regardless of corpus size."""
+    sub = _pq_sub(e)
+    seeds = sub.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    a0 = _pq_assign(sub, seeds, keep_sv=True)
+    cb = (
+        a0.select("m", "code", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "code", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("val") * F.lit(1e10)).cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(1e10)
+                / F.count("*")
+            ).alias("c")
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+    )
+    codes = _pq_assign(sub, cb, keep_sv=False)
+    return cb, codes
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+WITH {_PQ_SQL}
+SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+FROM a1
+""",
+    tags=["llm", "similarity"],
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jegou et al., "Product Quantization
+    for Nearest Neighbor Search"): each {EMB_DIM}-dim vector becomes
+    {PQ_M} codes of log2({PQ_K}) bits — the 20-100x compression that lets
+    a 100 TB embedding corpus serve ANN from memory. Codebooks come from
+    one spherical k-means step off deterministic seeds (production loops
+    the same assign/update pair; each extra iteration is one more
+    broadcast join + tiny aggregate, no new plan shape).
+
+    Shape: subvectors are in-row slices; assignment is a broadcast join
+    against the {PQ_M}x{PQ_K}-row codebook with a bounded (vec_id, m)
+    window; the codebook update is a (m, code, dim) decimal hash
+    aggregate ({PQ_M * PQ_K * PQ_DSUB} output rows, corpus-size-free) —
+    the exact ivf_centroids parity recipe."""
+    cb, codes = _pq_codebook_and_codes(_emb(spark, sf_dir))
+    return codes.select(
+        "vec_id", F.col("m").cast("long").alias("m"), F.col("code").cast("long").alias("code")
+    )
+
+
+@register(
+    "ann_topk_ivfpq",
+    oracle=f"""
+WITH {_PQ_SQL},
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
+qsub AS (
+  SELECT vec_id AS query_id, m,
+         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
+  FROM q, range(0, {PQ_M}) t(m)
+),
+lut AS (
+  SELECT qs.query_id, qs.m, c.code,
+         list_inner_product(qs.qv, c.cv) AS dd
+  FROM qsub qs JOIN cbv c ON c.m = qs.m
+),
+scored AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.label AS bucket,
+         CAST(SUM(CAST(FLOOR(l.dd * {_PQ_DOT_Q}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {_PQ_DOT_Q} AS adc_dot
+  FROM q
+  JOIN a1 a ON a.label = q.label AND a.vec_id <> q.vec_id
+  JOIN lut l ON l.query_id = q.vec_id AND l.m = a.m AND l.code = a.code
+  GROUP BY 1, 2, 3
+)
+SELECT query_id, neighbor_id, bucket, adc_dot,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM scored
+WINDOW w AS (PARTITION BY query_id ORDER BY adc_dot DESC, neighbor_id ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_K}
+""",
+    tags=["llm", "similarity"],
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the canonical web-scale ANN serving shape (FAISS
+    IVFx,PQy): coarse cells bound the candidate set (the IVF half), and
+    candidates are ranked by ASYMMETRIC DISTANCE (ADC): the full-precision
+    query scores each candidate as the sum over subspaces of
+    dot(query_sub, codeword[candidate's code]) — candidates are never
+    decompressed.
+
+    Shape: the ADC lookup table is queries x {PQ_M} x {PQ_K} dots against
+    the broadcast codebook (tiny); candidate code rows join the broadcast
+    query set on the coarse label (equi-join, |bucket|-bounded) then the
+    broadcast LUT on (query, m, code) — a map-side lookup, exactly how a
+    PQ scanner reads its distance tables. The ONLY shuffle is the final
+    (query, neighbor) aggregate over {PQ_M}-row groups. Per-subspace dots
+    are floor-quantized and summed as exact integer DECIMAL so the
+    {PQ_M}-term sum is order-free (hash aggregates don't promise an
+    accumulation order on either engine)."""
+    e = _emb(spark, sf_dir)
+    cb, codes = _pq_codebook_and_codes(e)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    qsub = _pq_sub(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label"), F.col("qv").alias("v"))
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", dot(F.col("qv"), F.col("cv")).alias("dd")
+    )
+    scored = (
+        codes.join(
+            F.broadcast(q.select("query_id", "qlabel")),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("bucket"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("dd") * F.lit(_PQ_DOT_Q)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(_PQ_DOT_Q)
+            ).alias("adc_dot")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_recall_pq",
+    oracle=f"""
+WITH {_PQ_SQL},
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
+qsub AS (
+  SELECT vec_id AS query_id, m,
+         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
+  FROM q, range(0, {PQ_M}) t(m)
+),
+lut AS (
+  SELECT qs.query_id, qs.m, c.code,
+         list_inner_product(qs.qv, c.cv) AS dd
+  FROM qsub qs JOIN cbv c ON c.m = qs.m
+),
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_dot DESC, neighbor_id ASC) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(SUM(CAST(FLOOR(l.dd * {_PQ_DOT_Q}) AS DECIMAL(38,0)))
+               AS DOUBLE) / {_PQ_DOT_Q} AS adc_dot
+      FROM q
+      JOIN a1 a ON a.label = q.label AND a.vec_id <> q.vec_id
+      JOIN lut l ON l.query_id = q.vec_id AND l.m = a.m AND l.code = a.code
+      GROUP BY 1, 2
+    )
+  ) WHERE rnk <= {TOP_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT b.query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(x.neighbor_id) AS BIGINT) AS hits_exact_ivf,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits_pq,
+       CAST(COUNT(x.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_exact_ivf,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_pq
+FROM brute b
+LEFT JOIN exact x
+  ON x.query_id = b.query_id AND x.neighbor_id = b.neighbor_id
+LEFT JOIN pq p
+  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+    tags=["llm", "similarity", "metric"],
+)
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of IVF-PQ against exact brute force, with same-bucket
+    EXACT-cosine search (ann_topk_ivf) alongside — separating the two
+    losses an IVF-PQ deployment tunes independently: coarse-cell pruning
+    (recall_exact_ivf caps what any in-bucket ranking can reach) and
+    quantization error (recall_pq <= recall_exact_ivf; closing that gap
+    means more codewords/subspaces or an exact re-rank of the PQ top-C).
+
+    Plan: three top-k pipelines over the same broadcast query set; the
+    recall joins are queries x k rows — driver-free, corpus-size-free."""
+    brute = ann_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = ann_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("xq"), F.col("neighbor_id").alias("xnb")
+    )
+    pq = ann_topk_ivfpq(spark, sf_dir).select(
+        F.col("query_id").alias("pq_q"), F.col("neighbor_id").alias("pnb")
+    )
+    return (
+        brute.join(
+            exact,
+            (F.col("query_id") == F.col("xq")) & (F.col("neighbor_id") == F.col("xnb")),
+            "left",
+        )
+        .join(
+            pq,
+            (F.col("query_id") == F.col("pq_q")) & (F.col("neighbor_id") == F.col("pnb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("xnb").cast("long").alias("hits_exact_ivf"),
+            F.count("pnb").cast("long").alias("hits_pq"),
+            (F.count("xnb").cast("double") / TOP_K).alias("recall_exact_ivf"),
+            (F.count("pnb").cast("double") / TOP_K).alias("recall_pq"),
+        )
+    )
