@@ -537,6 +537,21 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     double (exactly rounded, engine-identical); per-gram ratios are
     floor-quantized at {_DSIR_Q:.0e} and summed as exact integer DECIMAL
     (the ivf_centroids rationale — a raw double SUM is order-dependent)."""
+    ranked = prefix_sum_ordered(
+        _dsir_scored(spark, sf_dir),
+        "__one",
+        [F.col("importance").desc(), F.col("doc_id").asc()],
+        "imp_rank",
+    ).drop("__one")
+    return ranked.withColumn("selected", F.col("imp_rank") <= DSIR_KEEP)
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-rank scoring stage of dsir_importance: (doc_id, n_grams,
+    importance, __one) for every document — kept separate so the plan of
+    the broadcast score join is assertable (the ranking wrapper's
+    prefix_sum_ordered materializes a localCheckpoint, which truncates
+    explain output past it)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -606,10 +621,4 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("__one"),
         )
     )
-    ranked = prefix_sum_ordered(
-        alld,
-        "__one",
-        [F.col("importance").desc(), F.col("doc_id").asc()],
-        "imp_rank",
-    ).drop("__one")
-    return ranked.withColumn("selected", F.col("imp_rank") <= DSIR_KEEP)
+    return alld

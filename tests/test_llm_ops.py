@@ -827,3 +827,173 @@ def test_cosine_raises_on_dimension_mismatch(spark):
     with pytest.raises(Exception) as ei:
         bad.select(cosine(F.col("u"), F.col("w"))).collect()
     assert "dimension mismatch" in str(ei.value)
+
+
+# ------------------------------------------------------- span removal
+
+
+def test_span_removal_cuts_copied_span_keeps_first(spark, tmp_path):
+    """A verbatim K-token span copied from doc 0 into doc 1 must vanish
+    from doc 1 (the later occurrence) and survive untouched in doc 0;
+    an unrelated doc loses nothing."""
+    from callio_etl_spark.llm_ops.dedup_ops import SUBSTR_K, dedup_span_removal
+
+    span = " ".join(f"s{i}" for i in range(SUBSTR_K))
+    rows = [
+        (0, f"{span} alpha beta gamma delta", "en", "src0", 0),
+        (1, f"prefix one two {span} suffix", "en", "src0", 0),
+        (2, "totally unrelated words only here", "en", "src1", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_span_removal(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_removed"] == 0 and span in out[0]["new_text"]
+    assert span not in out[1]["new_text"]
+    assert out[1]["n_removed"] == SUBSTR_K
+    assert out[1]["new_text"] == "prefix one two suffix"
+    assert out[2]["n_removed"] == 0
+
+
+def test_span_removal_overlapping_windows_union(spark, tmp_path):
+    """A copied passage LONGER than K produces K+ overlapping duplicated
+    windows; their covered positions must union into one cut (the passage
+    disappears once — tokens are not removed K times or double-counted)."""
+    from callio_etl_spark.llm_ops.dedup_ops import SUBSTR_K, dedup_span_removal
+
+    passage = " ".join(f"p{i}" for i in range(SUBSTR_K + 5))  # K+5 tokens
+    rows = [
+        (0, passage, "en", "src0", 0),
+        (1, f"head {passage} tail", "en", "src0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in dedup_span_removal(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_removed"] == 0
+    assert out[1]["n_removed"] == SUBSTR_K + 5
+    assert out[1]["new_text"] == "head tail"
+
+
+def test_span_removal_token_conservation(spark):
+    """On the real corpus: token counts must reconcile — the rebuilt text
+    has exactly n_tokens - n_removed tokens, and removal never exceeds
+    the document."""
+    from callio_etl_spark.llm_ops.dedup_ops import dedup_span_removal
+    import pyspark.sql.functions as F
+
+    out = dedup_span_removal(spark, SF_DIR)
+    bad = out.where(
+        (F.col("n_removed") < 0)
+        | (F.col("n_removed") > F.col("n_tokens"))
+        | (
+            F.when(F.col("new_text") == "", 0).otherwise(
+                F.size(F.split("new_text", " "))
+            )
+            != F.col("n_tokens") - F.col("n_removed")
+        )
+    ).count()
+    assert bad == 0
+
+
+# ------------------------------------------------------------ DSIR
+
+
+def test_dsir_target_language_scores_higher(spark):
+    """The importance weight must separate the target distribution from
+    the rest: English documents (the target) average a strictly higher
+    importance than non-English ones, and rank/selection are consistent."""
+    from callio_etl_spark.llm_ops.sampling import dsir_importance, DSIR_KEEP
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    out = dsir_importance(spark, SF_DIR).join(docs, "doc_id")
+    stats = (
+        out.groupBy(F.col("lang") == "en")
+        .agg(F.avg("importance").alias("imp"))
+        .collect()
+    )
+    by_target = {r[0]: r["imp"] for r in stats}
+    assert by_target[True] > by_target[False]
+    rows = out.select("imp_rank", "selected").collect()
+    n = len(rows)
+    assert sorted(r["imp_rank"] for r in rows) == list(range(1, n + 1))
+    assert all(r["selected"] == (r["imp_rank"] <= DSIR_KEEP) for r in rows)
+
+
+# ------------------------------------------------------------ PQ
+
+
+def test_pq_codes_cover_every_subspace_in_range(spark):
+    """Every vector gets exactly PQ_M codes, each in [0, PQ_K)."""
+    from callio_etl_spark.llm_ops.similarity import PQ_K, PQ_M, pq_codes
+    import pyspark.sql.functions as F
+
+    codes = pq_codes(spark, SF_DIR)
+    n_vec = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert codes.count() == n_vec * PQ_M
+    assert codes.groupBy("vec_id").count().where(F.col("count") != PQ_M).count() == 0
+    mm = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi"), F.countDistinct("m").alias("ms")
+    ).collect()[0]
+    assert mm["lo"] >= 0 and mm["hi"] < PQ_K and mm["ms"] == PQ_M
+
+
+def test_pq_update_step_tightens_assignment(spark):
+    """k-means monotonicity, spherical flavor: after the codebook update,
+    the mean best-codeword cosine over all (vector, subspace) pairs must
+    not decrease vs the seeded assignment — one numeric check that the
+    update step actually trains."""
+    from callio_etl_spark.llm_ops.similarity import (
+        PQ_K,
+        _emb,
+        _pq_assign,
+        _pq_codebook_and_codes,
+        _pq_sub,
+        cosine,
+    )
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    e = _emb(spark, SF_DIR)
+    sub = _pq_sub(e)
+    seeds = sub.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
+    )
+    cb, _codes = _pq_codebook_and_codes(e)
+
+    def mean_best(cbdf):
+        scored = sub.join(F.broadcast(cbdf), "m").select(
+            "vec_id", "m", cosine(F.col("sv"), F.col("cv")).alias("c")
+        )
+        best = scored.groupBy("vec_id", "m").agg(F.max("c").alias("b"))
+        return best.agg(F.avg("b")).collect()[0][0]
+
+    assert mean_best(cb) >= mean_best(seeds)
+
+
+def test_pq_quantization_loss_bounded_on_shipped_data(spark):
+    """Data-pinned: IVF-PQ recall trails exact same-bucket search by at
+    most the quantization loss — aggregate hits_pq <= hits_exact_ivf on
+    the shipped embeddings (they share the identical candidate set), and
+    both are <= k per query."""
+    from callio_etl_spark.llm_ops.similarity import ann_recall_pq
+    import pyspark.sql.functions as F
+
+    r = ann_recall_pq(spark, "/root/testdata/sf0.01")
+    agg = r.agg(
+        F.sum("hits_pq").alias("pq"),
+        F.sum("hits_exact_ivf").alias("ex"),
+        F.max("hits_pq").alias("mx"),
+        F.max("k").alias("k"),
+    ).collect()[0]
+    assert agg["pq"] <= agg["ex"]
+    assert agg["mx"] <= agg["k"]

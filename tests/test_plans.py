@@ -419,3 +419,44 @@ def test_shard_manifest_avoids_single_partition_window(spark):
     sum — no Exchange SinglePartition anywhere in the plan."""
     plan = _plan(spark, "shard_manifest")
     assert "SinglePartition" not in plan, plan
+
+
+def test_span_removal_has_no_pair_join(spark):
+    """dedup_span_removal's scale claim: linear end to end — first
+    occurrence via a map-combinable MIN aggregate (never a per-hash
+    ROW_NUMBER window, the skew cliff), and NO self-join of window
+    occurrences anywhere (contrast exact_substring_pairs, whose cost is
+    sum(freq^2) per hash)."""
+    plan = _plan(spark, "dedup_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan  # the first-occurrence MIN map-combines
+
+
+def test_dsir_bucket_stats_broadcast(spark):
+    """dsir_importance joins the gram stream to bucket stats and corpus
+    totals — both bounded by DSIR_BUCKETS rows, so both must broadcast;
+    the gram side must never shuffle for the score join. Asserted on the
+    scoring stage (the registered query's prefix_sum_ordered rank
+    materializes a localCheckpoint, which truncates explain output)."""
+    from callio_etl_spark.llm_ops.sampling import _dsir_scored
+
+    df = _dsir_scored(spark, "/root/testdata/sf0.001")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    # the 1-row totals table rides a broadcast nested-loop (cross) join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_is_broadcast_lookup_plus_equi_join(spark):
+    """ann_topk_ivfpq's candidate path: code rows join the broadcast query
+    set on the coarse label and the broadcast ADC lookup table on
+    (query, m, code) — all broadcast hash joins on the big side, no
+    sort-merge exchange of the code stream, no nested loop."""
+    plan = _plan(spark, "ann_topk_ivfpq")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
