@@ -1369,3 +1369,118 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("pnb").cast("double") / TOP_K).alias("recall_pq"),
         )
     )
+
+
+PQ_SHORTLIST = 20  # ADC candidates per query fed to the exact re-rank
+
+
+@register(
+    "ann_topk_pq_rerank",
+    oracle=f"""
+WITH {_PQ_SQL},
+q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
+qsub AS (
+  SELECT vec_id AS query_id, m,
+         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
+  FROM q, range(0, {PQ_M}) t(m)
+),
+lut AS (
+  SELECT qs.query_id, qs.m, c.code,
+         list_inner_product(qs.qv, c.cv) AS dd
+  FROM qsub qs JOIN cbv c ON c.m = qs.m
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_dot DESC, neighbor_id ASC) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             CAST(SUM(CAST(FLOOR(l.dd * {_PQ_DOT_Q}) AS DECIMAL(38,0)))
+               AS DOUBLE) / {_PQ_DOT_Q} AS adc_dot
+      FROM q
+      JOIN a1 a ON a.label = q.label AND a.vec_id <> q.vec_id
+      JOIN lut l ON l.query_id = q.vec_id AND l.m = a.m AND l.code = a.code
+      GROUP BY 1, 2
+    )
+  ) WHERE rnk <= {PQ_SHORTLIST}
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank
+FROM (
+  SELECT s.query_id, s.neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cosine
+  FROM shortlist s
+  JOIN q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+)
+WINDOW w AS (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+QUALIFY ROW_NUMBER() OVER w <= {TOP_K}
+""",
+    tags=["llm", "similarity"],
+)
+def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving — the production IVF-PQ recipe end to end:
+    ADC ranks the coarse-cell candidates from compressed codes (cheap,
+    approximate), the top-{PQ_SHORTLIST} shortlist is re-scored with
+    EXACT cosine against the full-precision vectors, and the final top-k
+    comes from the re-rank. Quantization error only costs recall when a
+    true neighbor falls outside the shortlist — widening the shortlist
+    (not the codebook) is the cheap recall dial, which is why FAISS
+    deployments re-rank the top 10-100x k.
+
+    Shape: the shortlist stage is ann_topk_ivfpq's plan verbatim; the
+    re-rank touches {PQ_SHORTLIST} full vectors per query — the ONLY
+    stage that reads raw vectors, and it reads queries x {PQ_SHORTLIST}
+    of them (row-bounded, corpus-size-free). The re-rank vector fetch is
+    an equi-join on vec_id against the (tiny, broadcast) shortlist — at
+    100 TB that join prunes to one bucketed lookup per candidate."""
+    e = _emb(spark, sf_dir)
+    cb, codes = _pq_codebook_and_codes(e)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    qsub = _pq_sub(
+        q.select(F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label"), F.col("qv").alias("v"))
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", dot(F.col("qv"), F.col("cv")).alias("dd")
+    )
+    adc = (
+        codes.join(
+            F.broadcast(q.select("query_id", "qlabel")),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("dd") * F.lit(_PQ_DOT_Q)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(_PQ_DOT_Q)
+            ).alias("adc_dot")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dot").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        adc.withColumn("rnk", F.row_number().over(ws))
+        .where(F.col("rnk") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    rerank = (
+        F.broadcast(shortlist)
+        .join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .join(e, F.col("vec_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+    )
+    return _topk_window(rerank)

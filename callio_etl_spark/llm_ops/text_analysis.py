@@ -13,7 +13,7 @@ identical expression trees on both engines — bit-identical without rounding.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from callio_etl_spark.registry import register
 from callio_etl_spark.tables import load_table
@@ -771,4 +771,216 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs_contaminated"),
         F.sum("n_hit").alias("n_hit_shingles"),
+    )
+
+
+# ----------------------------------------------- tokenizer-training prep
+
+BPE_TOP_PAIRS = 25  # merge candidates surfaced per run (one BPE iteration)
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+  GROUP BY w
+),
+pairs AS (
+  SELECT word[i : i] AS left_sym, word[i + 1 : i + 1] AS right_sym,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM words CROSS JOIN UNNEST(range(1, len(word))) t(i)
+  GROUP BY 1, 2
+)
+SELECT left_sym, right_sym, pair_count,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+       ) AS BIGINT) AS merge_rank
+FROM pairs
+QUALIFY ROW_NUMBER() OVER (
+  ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+) <= {BPE_TOP_PAIRS}
+""",
+    tags=["llm", "text", "tokenizer"],
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed inner loop of BPE tokenizer training (Sennrich et
+    al.): corpus-weighted adjacent-symbol pair counts, ranked — the top
+    pair IS the next merge rule. What makes BPE training a big-data
+    problem is exactly this statistic: pair counts over the word-frequency
+    table, re-run after every merge (the merge application itself touches
+    only the tiny vocab table).
+
+    Shape: the corpus collapses to the DISTINCT-word frequency table
+    first (one hash aggregate with map-side combine — the classic
+    word-count shuffle), then symbol pairs explode from the vocab rows
+    only, weighted by frequency: pair extraction cost scales with |vocab|,
+    not corpus tokens, which is why a 100 TB corpus trains a tokenizer at
+    all. The final ranking is a single-partition window over pair rows
+    bounded by |alphabet|^2 (~1.3k for [a-z0-9]) — scalar-sized by
+    construction, never corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    pairs = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.struct(
+                        F.col("word").substr(i, F.lit(1)).alias("left_sym"),
+                        F.col("word").substr(i + 1, F.lit(1)).alias("right_sym"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+    )
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
+    )
+    return (
+        pairs.withColumn("merge_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("merge_rank") <= BPE_TOP_PAIRS)
+    )
+
+
+PMI_WINDOW = 3    # co-occurrence window: tokens within +-3 positions
+PMI_MIN_CO = 5    # drop pairs rarer than this before scoring
+PMI_TOP = 50      # strongest associations surfaced
+
+
+@register(
+    "pmi_cooccurrence",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+pr AS (
+  SELECT least(t[i], t[i + o]) AS w1, greatest(t[i], t[i + o]) AS w2
+  FROM toks
+  CROSS JOIN UNNEST(range(1, len(t))) u(i)
+  CROSS JOIN UNNEST(range(1, {PMI_WINDOW} + 1)) v(o)
+  WHERE i + o <= len(t)
+),
+co AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS co FROM pr GROUP BY w1, w2
+),
+uni AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN UNNEST(t) s(w)
+  GROUP BY w
+),
+p AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs FROM pr),
+scored AS (
+  SELECT c.w1, c.w2, c.co,
+         CAST(c.co * p.total_pairs AS DOUBLE)
+           / CAST(a.cnt * b.cnt AS DOUBLE) AS pmi_lin
+  FROM co c
+  JOIN uni a ON a.word = c.w1
+  JOIN uni b ON b.word = c.w2
+  CROSS JOIN p
+  WHERE c.co >= {PMI_MIN_CO}
+)
+SELECT w1, w2, co, pmi_lin,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY pmi_lin DESC, w1 ASC, w2 ASC
+       ) AS BIGINT) AS assoc_rank
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY pmi_lin DESC, w1 ASC, w2 ASC) <= {PMI_TOP}
+""",
+    tags=["llm", "text"],
+)
+def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence statistics with PMI association scoring —
+    the corpus statistic under word2vec/GloVe-style embedding training
+    and collocation mining: token pairs within +-{PMI_WINDOW} positions,
+    counted symmetrically (pair normalized lexicographically), scored by
+    pointwise mutual information in LINEAR form co * total / (cnt_a *
+    cnt_b) — the same ranking as log-PMI (log is monotone) without the
+    cross-engine last-ulp drift of libm; every score is one IEEE division
+    of exact integer products.
+
+    Shape: pairs are built IN-ROW (a bounded {PMI_WINDOW}-wide nested
+    transform — linear in tokens, no self-join of the token stream, which
+    is the naive formulation's quadratic trap); co-occurrence and unigram
+    counts are map-combinable hash aggregates; the unigram join-back
+    broadcasts (vocab is Zipf-small); the final ranking windows only
+    pairs that survive the co >= {PMI_MIN_CO} support filter — vocab-
+    bounded, not corpus-bounded. Production swaps the global rank for a
+    per-word top-k (partitionBy w1) at billion-pair vocabularies."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.filter(
+                        F.transform(
+                            F.sequence(F.lit(1), F.lit(PMI_WINDOW)),
+                            lambda o: F.when(
+                                i + o <= F.size("t"),
+                                F.struct(
+                                    F.least(
+                                        F.element_at("t", i),
+                                        F.element_at("t", i + o),
+                                    ).alias("w1"),
+                                    F.greatest(
+                                        F.element_at("t", i),
+                                        F.element_at("t", i + o),
+                                    ).alias("w2"),
+                                ),
+                            ),
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    co = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("co"))
+    uni = (
+        toks.select(F.explode("t").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    p = pairs.agg(F.count("*").cast("long").alias("total_pairs"))
+    scored = (
+        co.where(F.col("co") >= PMI_MIN_CO)
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w1"), F.col("cnt").alias("ca"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("word").alias("w2"), F.col("cnt").alias("cb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(p))
+        .select(
+            "w1",
+            "w2",
+            "co",
+            (
+                (F.col("co") * F.col("total_pairs")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("pmi_lin"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_lin").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("assoc_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("assoc_rank") <= PMI_TOP)
     )
