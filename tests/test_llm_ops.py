@@ -997,3 +997,71 @@ def test_pq_quantization_loss_bounded_on_shipped_data(spark):
     ).collect()[0]
     assert agg["pq"] <= agg["ex"]
     assert agg["mx"] <= agg["k"]
+
+
+def test_pq_rerank_recall_at_least_raw_pq(spark):
+    """The exact re-rank can only help: for every query, the re-ranked
+    top-k's brute-force hit count must be >= the raw ADC top-k's (both
+    draw from the same candidate pool; rerank orders a superset shortlist
+    by TRUE cosine)."""
+    from callio_etl_spark.llm_ops.similarity import (
+        ann_topk_brute,
+        ann_topk_ivfpq,
+        ann_topk_pq_rerank,
+    )
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_brute(spark, sf).collect()
+    }
+    raw = {}
+    for r in ann_topk_ivfpq(spark, sf).collect():
+        raw[r["query_id"]] = raw.get(r["query_id"], 0) + (
+            (r["query_id"], r["neighbor_id"]) in brute
+        )
+    rr = {}
+    for r in ann_topk_pq_rerank(spark, sf).collect():
+        rr[r["query_id"]] = rr.get(r["query_id"], 0) + (
+            (r["query_id"], r["neighbor_id"]) in brute
+        )
+    assert set(raw) == set(rr)
+    assert all(rr[q] >= raw[q] for q in raw)
+
+
+def test_bpe_pair_counts_match_manual_recount(spark, duck):
+    """Cross-check the top pair against a direct Python recount over the
+    corpus word frequencies."""
+    from collections import Counter
+    from callio_etl_spark.llm_ops.text_analysis import bpe_pair_counts
+
+    top = bpe_pair_counts(spark, SF_DIR).orderBy("merge_rank").first()
+    words = Counter()
+    for (txt,) in duck.execute("SELECT text FROM documents").fetchall():
+        for w in txt.split(" "):
+            if w:
+                words[w] += 1
+    pairs = Counter()
+    for w, f in words.items():
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += f
+    best = max(pairs.items(), key=lambda kv: (kv[1], ))
+    assert top["pair_count"] == max(pairs.values())
+    assert pairs[(top["left_sym"], top["right_sym"])] == top["pair_count"]
+
+
+def test_pmi_pairs_are_normalized_and_supported(spark):
+    """Pair normalization (w1 <= w2), the support floor, and rank
+    contiguity must hold on the shipped corpus."""
+    from callio_etl_spark.llm_ops.text_analysis import (
+        PMI_MIN_CO,
+        PMI_TOP,
+        pmi_cooccurrence,
+    )
+
+    rows = pmi_cooccurrence(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= PMI_TOP
+    assert all(r["w1"] <= r["w2"] for r in rows)
+    assert all(r["co"] >= PMI_MIN_CO for r in rows)
+    assert sorted(r["assoc_rank"] for r in rows) == list(range(1, len(rows) + 1))
