@@ -102,7 +102,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands_oracle() -> str:
+def _bands_union_sql() -> str:
+    """The (doc_id, band, band_key) table as SQL — shared by every oracle
+    that consumes banded min-hash keys (composed, not string-parsed)."""
     band_selects = []
     for b in range(N_BANDS):
         parts = " || ".join(
@@ -111,10 +113,13 @@ def _minhash_bands_oracle() -> str:
         band_selects.append(
             f"SELECT d.doc_id, {b} AS band, ({parts}) AS band_key FROM documents d"
         )
-    bands = "\nUNION ALL\n".join(band_selects)
+    return "\nUNION ALL\n".join(band_selects)
+
+
+def _minhash_bands_oracle() -> str:
     return f"""
 WITH bands AS (
-{bands}
+{_bands_union_sql()}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
@@ -1098,4 +1103,62 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
             F.coalesce("new_text", F.lit("")).alias("new_text"),
         )
+    )
+
+
+# ------------------------------------------------------ incremental LSH
+
+DELTA_MOD = 10  # docs with doc_id % 10 == 0 play the "newly arrived" batch
+
+
+@register(
+    "minhash_incremental_pairs",
+    oracle=f"""
+WITH bands AS (
+{_bands_union_sql()}
+),
+delta AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                GREATEST(a.doc_id, b.doc_id) AS doc_b
+FROM delta a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id <> b.doc_id
+""",
+    tags=["llm", "dedup", "incremental"],
+)
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup — the production form: a newly
+    arrived batch (here: doc_id % {DELTA_MOD} == 0 plays the delta) is
+    checked against the already-indexed corpus AND against itself,
+    without ever re-pairing the index with the index. Emits every
+    candidate pair touching a delta doc, pair-normalized.
+
+    Scale shape — why incremental beats re-running minhash_lsh_pairs per
+    tick: the band-signature table is the persisted index (the same
+    localCheckpoint'd table _band_table materializes; in production a
+    bucketed parquet table keyed on (band, band_key)); each tick computes
+    signatures for |delta| docs only and probes with a delta-to-index
+    equi-join, so the join cost is sum over buckets of
+    |delta_bucket| x |bucket| — linear in the delta for stable bucket
+    occupancy — instead of sum(|bucket|^2) for the full self-join. The
+    full-corpus pair set is the union of every tick's output, which is
+    exactly how the C4/RefinedWeb dedup services run their rolling index.
+    Composes downstream like any pair source: verify with
+    ngram_jaccard_pairs' exact Jaccard, then connected_components_star."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    bands = _band_table(d)
+    delta = bands.where(F.col("doc_id") % DELTA_MOD == 0)
+    a, b = delta.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
     )

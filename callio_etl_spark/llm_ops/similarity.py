@@ -1484,3 +1484,105 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk_window(rerank)
+
+
+# ------------------------------------------------- covariance / whitening
+
+COV_DIMS = 16  # leading sub-block demonstrated (one PQ subspace); see docstring
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+mu AS (
+  SELECT i AS dim,
+         CAST(SUM(CAST(FLOOR(v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS mu
+  FROM e, range(1, {COV_DIMS} + 1) t(i)
+  GROUP BY i
+),
+xp AS (
+  SELECT i, j,
+         CAST(SUM(CAST(FLOOR(v[i] * v[j] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS exy
+  FROM e, range(1, {COV_DIMS} + 1) t(i), range(1, {COV_DIMS} + 1) u(j)
+  WHERE j >= i
+  GROUP BY i, j
+)
+SELECT CAST(xp.i AS BIGINT) AS i, CAST(xp.j AS BIGINT) AS j,
+       xp.exy - a.mu * b.mu AS cov
+FROM xp JOIN mu a ON a.dim = xp.i JOIN mu b ON b.dim = xp.j
+""",
+    tags=["llm", "similarity", "metric"],
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance sub-block — the statistic under PCA whitening,
+    OPQ rotation, and Mahalanobis re-ranking of an embedding corpus:
+    cov(i,j) = E[x_i x_j] - mu_i mu_j over the leading {COV_DIMS} dims
+    (one PQ subspace; upper triangle, {COV_DIMS * (COV_DIMS + 1) // 2}
+    output rows).
+
+    Shape: the cross-moment explode emits dims^2/2 products PER ROW
+    map-side, but the hash aggregate combines partially, so the shuffle
+    and reduce see exactly {COV_DIMS * (COV_DIMS + 1) // 2} + {COV_DIMS}
+    rows no matter the corpus size — a covariance matrix is the textbook
+    map-combinable statistic. The in-plan explode prices the same FLOPs
+    as the X^T X GEMM; at full production dims you'd compute per-batch
+    X^T X with numpy under mapInPandas and merge the {COV_DIMS}^2
+    partials with this exact decimal-sum aggregate (the
+    semantic_dedup_arrow split: Arrow for arithmetic, exact DECIMAL for
+    the merge).
+
+    Parity: products of doubles are exactly rounded (engine-identical);
+    each product is floor-quantized at 1e-10 and summed as exact integer
+    DECIMAL (the ivf_centroids recipe), and the final cov is the same
+    two IEEE ops on identical doubles in both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def dmean(val: Column) -> Column:
+        return (
+            F.sum(F.floor(val * F.lit(1e10)).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e10)
+            / F.count("*")
+        )
+
+    mu = (
+        e.select(
+            F.posexplode(F.slice("v", 1, COV_DIMS)).alias("pos", "x")
+        )
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(dmean(F.col("x")).alias("mu"))
+    )
+    pairs = e.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(COV_DIMS)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(COV_DIMS)),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("v", i) * F.element_at("v", j)
+                            ).alias("xy"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy"))
+    xp = pairs.groupBy("i", "j").agg(dmean(F.col("xy")).alias("exy"))
+    return (
+        xp.join(F.broadcast(mu.select(F.col("dim").alias("i"), F.col("mu").alias("mu_i"))), "i")
+        .join(F.broadcast(mu.select(F.col("dim").alias("j"), F.col("mu").alias("mu_j"))), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            (F.col("exy") - F.col("mu_i") * F.col("mu_j")).alias("cov"),
+        )
+    )

@@ -1065,3 +1065,52 @@ def test_pmi_pairs_are_normalized_and_supported(spark):
     assert all(r["w1"] <= r["w2"] for r in rows)
     assert all(r["co"] >= PMI_MIN_CO for r in rows)
     assert sorted(r["assoc_rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_incremental_pairs_equal_delta_slice_of_full_pairs(spark):
+    """Exactness of the incremental contract: the delta-vs-index pairs
+    must be PRECISELY the subset of the full self-join's pairs that touch
+    a delta doc — nothing missed (no index-index pair sneaks in, no
+    delta pair dropped)."""
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        DELTA_MOD,
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    expected = {
+        (a, b) for a, b in full if a % DELTA_MOD == 0 or b % DELTA_MOD == 0
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_incremental_pairs(spark, SF_DIR).collect()
+    }
+    assert inc == expected and len(inc) > 0
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The decimal-quantized covariance must track numpy's float64
+    covariance to quantization precision, diagonal entries (variances)
+    must be non-negative, and the output is exactly the upper triangle."""
+    import numpy as np
+    from callio_etl_spark.llm_ops.similarity import COV_DIMS, embedding_covariance
+
+    rows = embedding_covariance(spark, SF_DIR).collect()
+    assert len(rows) == COV_DIMS * (COV_DIMS + 1) // 2
+    assert all(r["i"] <= r["j"] for r in rows)
+    assert all(r["cov"] >= 0 for r in rows if r["i"] == r["j"])
+    X = np.array(
+        [
+            r["embedding"][:COV_DIMS]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)  # population covariance, as the op
+    for r in rows:
+        assert abs(r["cov"] - C[r["i"] - 1, r["j"] - 1]) < 1e-8

@@ -69,6 +69,11 @@ HEAVY = [
     "shard_manifest",
     "semantic_dedup",
     "ann_topk_ivf_probe",
+    # r5 late additions: the explode-heavy / multi-stage curation operators
+    "dedup_span_removal",
+    "dsir_importance",
+    "ann_topk_pq_rerank",
+    "pmi_cooccurrence",
 ]
 
 CAUSES = {
