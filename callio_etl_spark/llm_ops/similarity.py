@@ -1586,3 +1586,66 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("exy") - F.col("mu_i") * F.col("mu_j")).alias("cov"),
         )
     )
+
+
+@register(
+    "embedding_standardize",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mu AS (
+  SELECT i AS dim,
+         CAST(SUM(CAST(FLOOR(v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS mu,
+         CAST(SUM(CAST(FLOOR(v[i] * v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS exx
+  FROM e, range(1, {COV_DIMS} + 1) t(i)
+  GROUP BY i
+)
+SELECT e.vec_id, CAST(t.i AS BIGINT) AS dim,
+       (e.v[i] - m.mu) / SQRT(m.exx - m.mu * m.mu) AS z
+FROM e, range(1, {COV_DIMS} + 1) t(i)
+JOIN mu m ON m.dim = t.i
+""",
+    tags=["llm", "similarity"],
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening) of the leading
+    {COV_DIMS} dims: z = (x - mu) / sigma with mu/var from the same
+    decimal-exact moment aggregate as embedding_covariance — the cheap
+    preconditioning step before PQ/OPQ training or Mahalanobis-ish
+    re-ranking when the full rotation is overkill.
+
+    Shape: one (dim) moment aggregate ({COV_DIMS} rows, map-combined,
+    corpus-size-free reduce) broadcast back onto a map-side projection —
+    the corpus is touched twice, shuffled never. Parity: mu/var come from
+    floor-quantized integer-DECIMAL sums; subtraction, division, and SQRT
+    are all exactly-rounded IEEE ops, so z is bit-identical across
+    engines with no further quantization."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dmean(val: Column) -> Column:
+        return (
+            F.sum(F.floor(val * F.lit(1e10)).cast("decimal(38,0)")).cast("double")
+            / F.lit(1e10)
+            / F.count("*")
+        )
+
+    mu = (
+        e.select(F.posexplode(F.slice("v", 1, COV_DIMS)).alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(dmean(F.col("x")).alias("mu"), dmean(F.col("x") * F.col("x")).alias("exx"))
+    )
+    ex = e.select(
+        "vec_id", F.posexplode(F.slice("v", 1, COV_DIMS)).alias("pos", "x")
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "x")
+    return ex.join(F.broadcast(mu), "dim").select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        (
+            (F.col("x") - F.col("mu"))
+            / F.sqrt(F.col("exx") - F.col("mu") * F.col("mu"))
+        ).alias("z"),
+    )

@@ -1114,3 +1114,19 @@ def test_embedding_covariance_matches_numpy(spark):
     C = np.cov(X, rowvar=False, bias=True)  # population covariance, as the op
     for r in rows:
         assert abs(r["cov"] - C[r["i"] - 1, r["j"] - 1]) < 1e-8
+
+
+def test_standardized_dims_are_zero_mean_unit_var(spark):
+    """Each standardized dimension must come out ~N(0,1): mean ~0 and
+    population std ~1 (up to the 1e-10 moment quantization)."""
+    import pyspark.sql.functions as F
+    from callio_etl_spark.llm_ops.similarity import embedding_standardize
+
+    z = embedding_standardize(spark, SF_DIR)
+    stats = (
+        z.groupBy("dim")
+        .agg(F.avg("z").alias("m"), (F.avg(F.col("z") * F.col("z"))).alias("m2"))
+        .collect()
+    )
+    assert all(abs(r["m"]) < 1e-6 for r in stats)
+    assert all(abs(r["m2"] - 1.0) < 1e-6 for r in stats)
