@@ -481,16 +481,14 @@ stats AS (
   FROM g GROUP BY b
 ),
 tot AS (
-  SELECT COUNT(*) AS t_r,
-         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_t
-  FROM g
+  SELECT SUM(cnt_r) AS t_r, SUM(cnt_t) AS t_t FROM stats
 ),
 per_doc AS (
   SELECT g.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_grams,
          CAST(SUM(CAST(FLOOR(
-             ((s.cnt_t + 1) * (tot.t_r + {DSIR_BUCKETS}))
-           / ((s.cnt_r + 1) * (tot.t_t + {DSIR_BUCKETS}))
+             (CAST(s.cnt_t + 1 AS DOUBLE) * CAST(tot.t_r + {DSIR_BUCKETS} AS DOUBLE))
+           / (CAST(s.cnt_r + 1 AS DOUBLE) * CAST(tot.t_t + {DSIR_BUCKETS} AS DOUBLE))
            * {_DSIR_Q}) AS DECIMAL(38,0))) AS DOUBLE) / {_DSIR_Q} / COUNT(*)
            AS importance
   FROM g JOIN stats s USING (b) CROSS JOIN tot
@@ -587,15 +585,22 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt_r"),
         F.sum(F.col("is_t").cast("long")).alias("cnt_t"),
     )
-    tot = g.agg(
-        F.count("*").alias("t_r"),
-        F.sum(F.col("is_t").cast("long")).alias("t_t"),
+    # corpus totals fold out of the 256-row stats table — never a second
+    # scan/explode of the corpus
+    tot = stats.agg(
+        F.sum("cnt_r").alias("t_r"),
+        F.sum("cnt_t").alias("t_t"),
     )
+    # each factor cast to double BEFORE multiplying: a BIGINT product of
+    # corpus-scale counts overflows int64 (ANSI mode raises); double
+    # products are exactly rounded identically on both engines
     ratio = (
-        (F.col("cnt_t") + 1) * (F.col("t_r") + DSIR_BUCKETS)
-    ).cast("double") / (
-        (F.col("cnt_r") + 1) * (F.col("t_t") + DSIR_BUCKETS)
-    ).cast("double")
+        (F.col("cnt_t") + 1).cast("double")
+        * (F.col("t_r") + DSIR_BUCKETS).cast("double")
+    ) / (
+        (F.col("cnt_r") + 1).cast("double")
+        * (F.col("t_t") + DSIR_BUCKETS).cast("double")
+    )
     per_doc = (
         g.join(F.broadcast(stats), "b")
         .crossJoin(F.broadcast(tot))

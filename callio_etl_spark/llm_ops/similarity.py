@@ -63,6 +63,21 @@ def cosine(u: Column, w: Column) -> Column:
     )
 
 
+def _dmean(val: Column) -> Column:
+    """Floor-quantized decimal-exact mean — THE cross-engine parity
+    recipe for aggregated doubles (see ivf_centroids): each value is
+    floor-quantized at 1e-10 IN DOUBLE (the same IEEE op on both
+    engines) and summed as exact integer DECIMAL, so the mean is
+    bit-identical regardless of accumulation order. One definition so
+    the quantum cannot drift between the centroid, codebook, covariance,
+    and whitening operators."""
+    return (
+        F.sum(F.floor(val * F.lit(1e10)).cast("decimal(38,0)")).cast("double")
+        / F.lit(1e10)
+        / F.count("*")
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1030,6 +1045,21 @@ PQ_DSUB = EMB_DIM // PQ_M
 PQ_K = 8      # codewords per subspace -> PQ_M * log2(PQ_K) = 12 bits/vector
 _PQ_DOT_Q = 1e12  # per-subspace dot floor-quantum (exact DECIMAL summation)
 
+#: Shared oracle fragment: the query set, its subvectors, and the ADC
+#: lookup table (query x subspace x codeword inner products against the
+#: trained codebook) — composed by every PQ search oracle.
+_PQ_QLUT_SQL = f"""q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
+qsub AS (
+  SELECT vec_id AS query_id, m,
+         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
+  FROM q, range(0, {PQ_M}) t(m)
+),
+lut AS (
+  SELECT qs.query_id, qs.m, c.code,
+         list_inner_product(qs.qv, c.cv) AS dd
+  FROM qsub qs JOIN cbv c ON c.m = qs.m
+)"""
+
 #: Shared oracle chain: subvectors -> seeded spherical assignment -> decimal
 #: codebook means -> final assignment. Mirrors the DataFrame ops term for
 #: term (same quantize constants as _CENT_SQL; list_cosine_similarity ==
@@ -1132,6 +1162,61 @@ def _pq_trained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return cb, codes
 
 
+def _pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC-scored coarse-cell candidates (query_id, neighbor_id, bucket,
+    adc_dot) — the shared core of ann_topk_ivfpq and ann_topk_pq_rerank
+    (one definition so the scoring expression, join shape, and
+    quantization constant cannot drift between them).
+
+    Plan: the lookup table is queries x PQ_M x PQ_K dots against the
+    broadcast codebook; candidate code rows join the broadcast query set
+    on the coarse label (equi-join, |bucket|-bounded) then the broadcast
+    LUT on (query, m, code) — a map-side lookup, exactly how a PQ scanner
+    reads its distance tables. The ONLY shuffle is the final
+    (query, neighbor) aggregate over PQ_M-row groups; per-subspace dots
+    are floor-quantized and summed as exact integer DECIMAL so the sum is
+    order-free (hash aggregates don't promise accumulation order on
+    either engine)."""
+    e = _emb(spark, sf_dir)
+    cb, codes = _pq_trained(spark, sf_dir)
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    qsub = _pq_sub(
+        q.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            F.col("qv").alias("v"),
+        )
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "code", dot(F.col("qv"), F.col("cv")).alias("dd")
+    )
+    return (
+        codes.join(
+            F.broadcast(q.select("query_id", "qlabel")),
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("bucket"),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("dd") * F.lit(_PQ_DOT_Q)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(_PQ_DOT_Q)
+            ).alias("adc_dot")
+        )
+    )
+
+
 def _pq_codebook(sub: DataFrame) -> DataFrame:
     """One spherical k-means iteration from deterministic seeds (the
     subvectors of vec_id 0..PQ_K-1): assign -> decimal-mean update.
@@ -1145,14 +1230,7 @@ def _pq_codebook(sub: DataFrame) -> DataFrame:
     return (
         a0.select("m", "code", F.posexplode("sv").alias("pos", "val"))
         .groupBy("m", "code", "pos")
-        .agg(
-            (
-                F.sum(F.floor(F.col("val") * F.lit(1e10)).cast("decimal(38,0)"))
-                .cast("double")
-                / F.lit(1e10)
-                / F.count("*")
-            ).alias("c")
-        )
+        .agg(_dmean(F.col("val")).alias("c"))
         .groupBy("m", "code")
         .agg(
             F.transform(
@@ -1196,17 +1274,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_topk_ivfpq",
     oracle=f"""
 WITH {_PQ_SQL},
-q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
-qsub AS (
-  SELECT vec_id AS query_id, m,
-         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
-  FROM q, range(0, {PQ_M}) t(m)
-),
-lut AS (
-  SELECT qs.query_id, qs.m, c.code,
-         list_inner_product(qs.qv, c.cv) AS dd
-  FROM qsub qs JOIN cbv c ON c.m = qs.m
-),
+{_PQ_QLUT_SQL},
 scored AS (
   SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.label AS bucket,
          CAST(SUM(CAST(FLOOR(l.dd * {_PQ_DOT_Q}) AS DECIMAL(38,0))) AS DOUBLE)
@@ -1241,40 +1309,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     are floor-quantized and summed as exact integer DECIMAL so the
     {PQ_M}-term sum is order-free (hash aggregates don't promise an
     accumulation order on either engine)."""
-    e = _emb(spark, sf_dir)
-    cb, codes = _pq_trained(spark, sf_dir)
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-    )
-    qsub = _pq_sub(
-        q.select(F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label"), F.col("qv").alias("v"))
-    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
-    lut = qsub.join(F.broadcast(cb), "m").select(
-        "query_id", "m", "code", dot(F.col("qv"), F.col("cv")).alias("dd")
-    )
-    scored = (
-        codes.join(
-            F.broadcast(q.select("query_id", "qlabel")),
-            (F.col("label") == F.col("qlabel"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("bucket"),
-        )
-        .agg(
-            (
-                F.sum(
-                    F.floor(F.col("dd") * F.lit(_PQ_DOT_Q)).cast("decimal(38,0)")
-                ).cast("double")
-                / F.lit(_PQ_DOT_Q)
-            ).alias("adc_dot")
-        )
-    )
+    scored = _pq_adc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("neighbor_id").asc()
     )
@@ -1288,17 +1323,7 @@ def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_recall_pq",
     oracle=f"""
 WITH {_PQ_SQL},
-q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
-qsub AS (
-  SELECT vec_id AS query_id, m,
-         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
-  FROM q, range(0, {PQ_M}) t(m)
-),
-lut AS (
-  SELECT qs.query_id, qs.m, c.code,
-         list_inner_product(qs.qv, c.cv) AS dd
-  FROM qsub qs JOIN cbv c ON c.m = qs.m
-),
+{_PQ_QLUT_SQL},
 pq AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -1392,17 +1417,7 @@ PQ_SHORTLIST = 20  # ADC candidates per query fed to the exact re-rank
     "ann_topk_pq_rerank",
     oracle=f"""
 WITH {_PQ_SQL},
-q AS (SELECT vec_id, label, v FROM e WHERE vec_id < {N_QUERIES}),
-qsub AS (
-  SELECT vec_id AS query_id, m,
-         v[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS qv
-  FROM q, range(0, {PQ_M}) t(m)
-),
-lut AS (
-  SELECT qs.query_id, qs.m, c.code,
-         list_inner_product(qs.qv, c.cv) AS dd
-  FROM qsub qs JOIN cbv c ON c.m = qs.m
-),
+{_PQ_QLUT_SQL},
 shortlist AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,
@@ -1450,35 +1465,10 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join on vec_id against the (tiny, broadcast) shortlist — at
     100 TB that join prunes to one bucketed lookup per candidate."""
     e = _emb(spark, sf_dir)
-    cb, codes = _pq_trained(spark, sf_dir)
     q = e.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    qsub = _pq_sub(
-        q.select(F.col("query_id").alias("vec_id"), F.col("qlabel").alias("label"), F.col("qv").alias("v"))
-    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
-    lut = qsub.join(F.broadcast(cb), "m").select(
-        "query_id", "m", "code", dot(F.col("qv"), F.col("cv")).alias("dd")
-    )
-    adc = (
-        codes.join(
-            F.broadcast(q.select("query_id", "qlabel")),
-            (F.col("label") == F.col("qlabel"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            (
-                F.sum(
-                    F.floor(F.col("dd") * F.lit(_PQ_DOT_Q)).cast("decimal(38,0)")
-                ).cast("double")
-                / F.lit(_PQ_DOT_Q)
-            ).alias("adc_dot")
-        )
-    )
+    adc = _pq_adc(spark, sf_dir)
     ws = Window.partitionBy("query_id").orderBy(
         F.col("adc_dot").desc(), F.col("neighbor_id").asc()
     )
@@ -1509,7 +1499,6 @@ COV_DIMS = 16  # leading sub-block demonstrated (one PQ subspace); see docstring
     "embedding_covariance",
     oracle=f"""
 WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
 mu AS (
   SELECT i AS dim,
          CAST(SUM(CAST(FLOOR(v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
@@ -1557,19 +1546,12 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
 
-    def dmean(val: Column) -> Column:
-        return (
-            F.sum(F.floor(val * F.lit(1e10)).cast("decimal(38,0)")).cast("double")
-            / F.lit(1e10)
-            / F.count("*")
-        )
-
     mu = (
         e.select(
             F.posexplode(F.slice("v", 1, COV_DIMS)).alias("pos", "x")
         )
         .groupBy((F.col("pos") + 1).alias("dim"))
-        .agg(dmean(F.col("x")).alias("mu"))
+        .agg(_dmean(F.col("x")).alias("mu"))
     )
     pairs = e.select(
         F.explode(
@@ -1590,7 +1572,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.i").alias("i"), F.col("p.j").alias("j"), F.col("p.xy").alias("xy"))
-    xp = pairs.groupBy("i", "j").agg(dmean(F.col("xy")).alias("exy"))
+    xp = pairs.groupBy("i", "j").agg(_dmean(F.col("xy")).alias("exy"))
     return (
         xp.join(F.broadcast(mu.select(F.col("dim").alias("i"), F.col("mu").alias("mu_i"))), "i")
         .join(F.broadcast(mu.select(F.col("dim").alias("j"), F.col("mu").alias("mu_j"))), "j")
@@ -1640,17 +1622,10 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
 
-    def dmean(val: Column) -> Column:
-        return (
-            F.sum(F.floor(val * F.lit(1e10)).cast("decimal(38,0)")).cast("double")
-            / F.lit(1e10)
-            / F.count("*")
-        )
-
     mu = (
         e.select(F.posexplode(F.slice("v", 1, COV_DIMS)).alias("pos", "x"))
         .groupBy((F.col("pos") + 1).alias("dim"))
-        .agg(dmean(F.col("x")).alias("mu"), dmean(F.col("x") * F.col("x")).alias("exx"))
+        .agg(_dmean(F.col("x")).alias("mu"), _dmean(F.col("x") * F.col("x")).alias("exx"))
     )
     ex = e.select(
         "vec_id", F.posexplode(F.slice("v", 1, COV_DIMS)).alias("pos", "x")

@@ -883,11 +883,11 @@ uni AS (
   FROM toks CROSS JOIN UNNEST(t) s(w)
   GROUP BY w
 ),
-p AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_pairs FROM pr),
+p AS (SELECT CAST(SUM(co) AS BIGINT) AS total_pairs FROM co),
 scored AS (
   SELECT c.w1, c.w2, c.co,
-         CAST(c.co * p.total_pairs AS DOUBLE)
-           / CAST(a.cnt * b.cnt AS DOUBLE) AS pmi_lin
+         (CAST(c.co AS DOUBLE) * CAST(p.total_pairs AS DOUBLE))
+           / (CAST(a.cnt AS DOUBLE) * CAST(b.cnt AS DOUBLE)) AS pmi_lin
   FROM co c
   JOIN uni a ON a.word = c.w1
   JOIN uni b ON b.word = c.w2
@@ -923,7 +923,10 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word top-k (partitionBy w1) at billion-pair vocabularies."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.split("text", " ").alias("t"))
-    pairs = toks.select(
+    # size >= 2 guard: F.sequence(1, 0) yields the DESCENDING [1, 0] for a
+    # single-token doc and element_at(t, 0) raises — unlike the oracle's
+    # range(1, 1), which is simply empty.
+    pairs = toks.where(F.size("t") >= 2).select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -957,7 +960,9 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    p = pairs.agg(F.count("*").cast("long").alias("total_pairs"))
+    # total pairs from the vocab-bounded co table (sum BEFORE the support
+    # filter == count of pair rows) — never a second corpus-wide explode
+    p = co.agg(F.sum("co").cast("long").alias("total_pairs"))
     scored = (
         co.where(F.col("co") >= PMI_MIN_CO)
         .join(
@@ -974,8 +979,12 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w2",
             "co",
             (
-                (F.col("co") * F.col("total_pairs")).cast("double")
-                / (F.col("ca") * F.col("cb")).cast("double")
+                # cast BEFORE multiplying: a BIGINT co * total_pairs
+                # overflows int64 at corpus scale (ANSI mode raises);
+                # double products are exactly rounded identically on
+                # both engines, so parity is unchanged
+                (F.col("co").cast("double") * F.col("total_pairs").cast("double"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double"))
             ).alias("pmi_lin"),
         )
     )
