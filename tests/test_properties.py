@@ -364,3 +364,65 @@ def test_prefix_sum_ordered_property(spark, rows):
         r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+# --------------------------------------------------------- span removal
+
+# Tiny vocab + short docs so duplicated windows (cross-doc AND within-doc)
+# are common; doc lengths straddle SUBSTR_K so the too-short path is hit.
+_SPAN_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _span_removal_model(docs: list[list[str]], k: int):
+    """Direct Python mirror of dedup_span_removal's definition: windows of
+    k tokens keyed by content; the smallest (doc_id, pos) occurrence of
+    each window survives; every other occurrence marks its k positions;
+    docs are rebuilt from unmarked tokens."""
+    occ: dict[tuple, tuple] = {}
+    wins = []
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            key = tuple(toks[p : p + k])
+            wins.append((d, p, key))
+            if key not in occ or (d, p) < occ[key]:
+                occ[key] = (d, p)
+    counts: dict[tuple, int] = {}
+    for _, _, key in wins:
+        counts[key] = counts.get(key, 0) + 1
+    covered: set[tuple] = set()
+    for d, p, key in wins:
+        if counts[key] > 1 and (d, p) != occ[key]:
+            covered.update((d, p + o) for o in range(k))
+    out = {}
+    for d, toks in enumerate(docs):
+        kept = [t for i, t in enumerate(toks) if (d, i) not in covered]
+        out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=_SPAN_DOCS)
+def test_span_removal_matches_python_model(spark, tmp_path_factory, docs):
+    """The distributed mark-and-cut must agree with a direct sequential
+    implementation of the same definition on random tiny corpora —
+    including within-doc repeats, overlapping duplicated windows, and
+    docs shorter than the window."""
+    from callio_etl_spark.llm_ops.dedup_ops import SUBSTR_K, dedup_span_removal
+
+    tmp = tmp_path_factory.mktemp("span")
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["new_text"])
+        for r in dedup_span_removal(spark, str(tmp)).collect()
+    }
+    assert got == _span_removal_model(docs, SUBSTR_K)
