@@ -90,6 +90,12 @@ CAUSES = {
         "same sum(bucket^2) law over the 10 IVF labels; production grows "
         "the cell count with the corpus."
     ),
+    "ann_topk_pq_rerank": (
+        "subset runs take ONE sf1 pass, which pays the one-time PQ index "
+        "training/encode (session-memoized otherwise: train once, serve "
+        "many); the serving path itself is linear in bucket size with the "
+        "10 cells held fixed."
+    ),
 }
 
 
