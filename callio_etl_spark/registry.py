@@ -48,19 +48,23 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so every
 #: registered query eventually earns a driver row (COVERAGE.md keeps the
 #: per-round slot ledger). After r4, 122 of the 130 then-registered queries
-#: had a driver row (the registry has since grown to 145; the r5
-#: registrations queue for the r6 window). The r5 window promotes the 7
-#: oracle-bearing queries that had NEVER
-#: been checked (the r4 registrations: sink roundtrips, salted join,
-#: sign-LSH pair, media/audio decode), re-checks the 30 queries whose latest
-#: row is r1 (three rounds stale), and re-checks 5 r3-latest queries whose
-#: code changed since (contamination_check was de-materialized in r4) or
-#: that anchor merge/CDC families. 8 previously-green flagship/merge/LLM
-#: canaries remain as regression tripwires. Rows-only queries
-#: (ann_topk_gemm, approx_sketch_stats) stay out of the window — they can
-#: never hash-match and would waste slots. Queries outside the window remain
-#: registered, pytest-covered, and locally oracle-checked every round via
-#: tools/check_correctness.py (stricter value compare than the driver hash).
+#: had a driver row. The registry grew to 156 during r5, so the r5 window
+#: prioritizes FIRST-TIME driver rows: the 7 r4 registrations that had
+#: never been checked (sink roundtrips, salted join, sign-LSH pair,
+#: media/audio decode) and ALL 26 r5 registrations (versioning, budget
+#: selection, multi-probe IVF, the PQ family, DSIR, span removal,
+#: incremental LSH, BPE/PMI, covariance/whitening, ...) — every one
+#: locally green under both the tolerant and the strict bit-exact mirror
+#: before taking a slot. With these, every oracle-bearing query in the
+#: registry has held a driver row at least once. 8 previously-green
+#: flagship/merge/LLM canaries remain as regression tripwires, and the
+#: remaining 9 slots re-check the most load-bearing stale rows
+#: (contamination_check changed in r4; merge/CDC/SQL-channel anchors).
+#: Rows-only queries (ann_topk_gemm, approx_sketch_stats) stay out of the
+#: window — they can never hash-match and would waste slots. Queries
+#: outside the window remain registered, pytest-covered, and locally
+#: oracle-checked every round via tools/check_correctness.py (stricter
+#: value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
     # --- canaries: green in r4, kept to detect regressions (8) ---
     "fact_staff_daily",
@@ -79,43 +83,43 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_lsh_pairs",
     "media_resize",
     "audio_features",
-    # --- re-checks: latest driver row is r1, three rounds stale (30) ---
-    "asof_join_latest_order",
-    "sessionize",
-    "rollup_agg",
-    "cube_agg",
-    "window_frames",
-    "percentile_summary",
-    "set_intersect_except",
-    "pivot_event_types",
-    "posexplode_tokens",
-    "range_join_bucketed",
-    "window_rank_suite",
-    "date_fn_suite",
-    "string_fn_suite",
-    "tumbling_window_agg",
-    "hopping_window_agg",
-    "profile_columns",
-    "stat_moments",
-    "string_agg_suite",
-    "array_hof_suite",
-    "regexp_suite",
-    "unpivot_measures",
-    "json_map_suite",
-    "window_dist_suite",
-    "grouping_sets_explicit",
-    "null_semantics_suite",
-    "date_spine_fill",
-    "bitwise_agg_suite",
-    "distinct_rows",
-    "join_semi",
-    "join_anti",
-    # --- re-checks: r3-latest, code changed since or family anchors (5) ---
+    # --- first-time driver rows: r5 registrations, never checked (26) ---
+    "unigram_rarity",
+    "boilerplate_ngrams",
+    "bloom_decontaminate",
+    "length_batching",
+    "embedding_outliers",
+    "incremental_agg_maintenance",
+    "zorder_layout",
+    "semantic_dedup",
+    "corpus_select_budget",
+    "ann_topk_ivf_probe",
+    "ann_recall_ivf_probe",
+    "ann_hard_negatives",
+    "sink_versioned_restore",
+    "shard_manifest",
+    "sink_version_diff",
+    "dedup_span_removal",
+    "dsir_importance",
+    "pq_codes",
+    "ann_topk_ivfpq",
+    "ann_recall_pq",
+    "ann_topk_pq_rerank",
+    "bpe_pair_counts",
+    "pmi_cooccurrence",
+    "minhash_incremental_pairs",
+    "embedding_covariance",
+    "embedding_standardize",
+    # --- re-checks: stale rows on load-bearing families (9) ---
     "contamination_check",  # de-materialized in r4 after its last row
     "scd2_history",
     "merge_upsert_full",
     "dedup_exact",
     "fact_staff_daily_sql",
+    "asof_join_latest_order",
+    "sessionize",
+    "stat_moments",
+    "profile_columns",
 ]
 
 
