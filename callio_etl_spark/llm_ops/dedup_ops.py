@@ -128,14 +128,13 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 """
 
 
-def _band_table(
+def band_projection(
     d: DataFrame, rows_per_band: int = ROWS_PER_BAND, n_bands: int = N_BANDS
 ) -> DataFrame:
-    """Banded LSH key table: one row per (doc, band) with the concatenated
-    min-hash slice as the bucket key. Materialized once (localCheckpoint): a
-    self-join evaluates its input subtree on BOTH sides, which would run the
-    whole tokenize->minhash signature pass twice. At scale this is the
-    signature table you'd persist anyway before pair generation."""
+    """(doc_id, band, band_key) rows as a PURE projection — signature fold
+    + in-row band explode, no shuffle, no materialization. Works on batch
+    AND streaming DataFrames (streaming.neardup_stream applies it per
+    micro-batch; a localCheckpoint would be illegal there)."""
     sig = d.select("doc_id", _minhash_sig(_words(F.col("text"))).alias("mins"))
     band_structs = [
         F.struct(
@@ -149,15 +148,21 @@ def _band_table(
         )
         for b in range(n_bands)
     ]
-    return (
-        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
-        .select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.band_key").alias("band_key"),
-        )
-        .localCheckpoint(eager=True)
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
     )
+
+
+def _band_table(
+    d: DataFrame, rows_per_band: int = ROWS_PER_BAND, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Banded LSH key table, materialized once (localCheckpoint): a
+    self-join evaluates its input subtree on BOTH sides, which would run
+    the whole tokenize->minhash signature pass twice. At scale this is the
+    signature table you'd persist anyway before pair generation."""
+    return band_projection(d, rows_per_band, n_bands).localCheckpoint(eager=True)
 
 
 def _band_pairs(bands: DataFrame) -> DataFrame:

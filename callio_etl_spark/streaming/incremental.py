@@ -235,3 +235,63 @@ def join_event_streams(
     ).select(
         "user_id", "l_event_id", "l_type", "l_ts", "r_event_id", "r_type", "r_ts"
     )
+
+
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_docs_stream(
+    spark: SparkSession, source_dir: str, schema: StructType = DOCS_STREAM_SCHEMA
+) -> DataFrame:
+    """New document batches as a file-source stream (landing-zone parquet;
+    new files == new crawl snapshots)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def neardup_stream(docs: DataFrame, index_bands: DataFrame) -> DataFrame:
+    """minhash_incremental_pairs as a LIVE stream — the rolling dedup
+    service shape: each micro-batch of newly arrived documents computes
+    its MinHash band signatures IN-PROJECTION (band_projection — pure
+    map-side, stream-legal) and stream-static joins the persisted band
+    index, emitting (new_doc_id, index_doc_id, band) candidate rows.
+
+    Scale: the static index side is re-read per micro-batch (so an index
+    refreshed by a compaction job stays current without restarting the
+    query), the join is an equi-join on (band, band_key), and per-batch
+    cost is |delta| signatures + delta-to-index bucket probes — the same
+    linear-in-the-delta contract as the batch operator, proven by the
+    parity test (tests/test_streaming.py): streamed candidate pairs ==
+    the batch delta-vs-index pairs for the same inputs. Self-pairs within
+    one micro-batch are the batch job's next-tick delta-delta pairs; run
+    the batch operator over each landed batch (or widen the index with
+    the batch's own bands via union) to pick those up — the service does
+    both, which is why outputs here carry the band for downstream dedup."""
+    from callio_etl_spark.llm_ops.dedup_ops import band_projection
+
+    delta = band_projection(docs).withColumnRenamed("doc_id", "new_doc_id")
+    idx = index_bands.select(
+        F.col("doc_id").alias("index_doc_id"),
+        F.col("band").alias("i_band"),
+        F.col("band_key").alias("i_band_key"),
+    )
+    return (
+        delta.join(
+            idx,
+            (F.col("band") == F.col("i_band"))
+            & (F.col("band_key") == F.col("i_band_key"))
+            & (F.col("new_doc_id") != F.col("index_doc_id")),
+        )
+        .select("new_doc_id", "index_doc_id", "band")
+        # no dropDuplicates: (new_doc, index_doc, band) is already unique —
+        # the delta has one row per (doc, band) and the index one per
+        # (doc, band) — and streaming dedup state without a watermark
+        # would grow unboundedly. Cross-band collapse belongs downstream.
+    )

@@ -310,3 +310,64 @@ def test_stream_crash_resume_merge_checkpoint_parity(spark, tmp_path):
     merged_counts = sorted(r["rows_loaded"] for r in log.collect())
     assert merged_counts == [15, 60]
     assert {r["mode"] for r in log.collect()} == {"MERGED"}
+
+
+def test_neardup_stream_matches_batch_incremental(spark, tmp_path):
+    """Streamed delta-vs-index candidate pairs must equal the batch
+    operator's delta-to-index join for the same inputs — the streaming
+    form inherits the incremental contract, not an approximation of it."""
+    from callio_etl_spark.llm_ops.dedup_ops import band_projection
+    from callio_etl_spark.streaming.incremental import (
+        neardup_stream,
+        read_docs_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0", 0),
+        (1, "one two three four five six", "en", "s0", 0),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "s1", 0),  # dup of 0
+    ]
+    delta = [
+        (10, "alpha beta gamma delta epsilon zeta", "en", "s2", 0),  # dup of 0/2
+        (11, "totally novel words appear here only", "en", "s2", 0),
+    ]
+    index_bands = band_projection(spark.createDataFrame(base, schema)).localCheckpoint()
+    src = f"{tmp_path}/docs_src"
+    spark.createDataFrame(delta, schema).write.mode("overwrite").parquet(src)
+
+    stream = neardup_stream(read_docs_stream(spark, src), index_bands)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("neardup_t")
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["new_doc_id"], r["index_doc_id"], r["band"])
+        for r in spark.sql("select * from neardup_t").collect()
+    }
+
+    import pyspark.sql.functions as F
+
+    delta_bands = band_projection(spark.createDataFrame(delta, schema))
+    batch = {
+        (r["new_doc_id"], r["index_doc_id"], r["band"])
+        for r in delta_bands.withColumnRenamed("doc_id", "new_doc_id")
+        .join(
+            index_bands.select(
+                F.col("doc_id").alias("index_doc_id"),
+                F.col("band").alias("i_band"),
+                F.col("band_key").alias("i_band_key"),
+            ),
+            (F.col("band") == F.col("i_band"))
+            & (F.col("band_key") == F.col("i_band_key"))
+            & (F.col("new_doc_id") != F.col("index_doc_id")),
+        )
+        .collect()
+    }
+    assert streamed == batch
+    assert {(p[0], p[1]) for p in streamed} >= {(10, 0), (10, 2)}
+    assert all(p[0] != 11 for p in streamed)  # novel doc matches nothing
