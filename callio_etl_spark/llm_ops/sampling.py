@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from callio_etl_spark.registry import register
-from callio_etl_spark.tables import load_table
+from callio_etl_spark.tables import load_table, spread as _spread
 
 TOKEN_RE = "[a-z0-9]+"
 TRAIN_FRAC, VALID_FRAC = 0.8, 0.1  # remainder = test
@@ -551,7 +551,9 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_sum_ordered materializes a localCheckpoint, which truncates
     explain output past it)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
+    # single-file fixture -> one scan partition; round-robin ahead of the
+    # gram explode (see tables.spread — production layouts arrive pre-split)
+    toks = _spread(d).select(
         "doc_id",
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_t"),
         F.split("text", " ").alias("tokens"),

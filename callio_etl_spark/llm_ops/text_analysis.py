@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from callio_etl_spark.registry import register
-from callio_etl_spark.tables import load_table
+from callio_etl_spark.tables import load_table, spread as _spread
 
 TOKEN_RE = "[a-z0-9]+"
 PUNCT_RE = r"[.,;:!?'\"()\-]"
@@ -823,7 +823,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, never corpus-sized."""
     d = load_table(spark, sf_dir, "documents")
     words = (
-        d.select(F.explode(F.split("text", " ")).alias("word"))
+        _spread(d).select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -922,7 +922,7 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded, not corpus-bounded. Production swaps the global rank for a
     per-word top-k (partitionBy w1) at billion-pair vocabularies."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.split("text", " ").alias("t"))
+    toks = _spread(d).select(F.split("text", " ").alias("t"))
     # size >= 2 guard: F.sequence(1, 0) yields the DESCENDING [1, 0] for a
     # single-token doc and element_at(t, 0) raises — unlike the oracle's
     # range(1, 1), which is simply empty.
