@@ -94,10 +94,106 @@ def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
         )
 
 
+SHARD_TOKENS = 6_000  # token capacity per curated output shard
+
+
+def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
+    """The training-data curation pipeline as ONE CLI job — the llm_ops
+    operators composed the way a corpus build actually runs them:
+
+      1. rule filter (corpus_filter: length / repetition / language),
+      2. exact dedup (content fingerprint, first-wins),
+      3. near-dup dedup (MinHash->LSH->Jaccard-verify->connected
+         components; survivor = cluster canonical),
+      4. token-balanced shard assignment (distributed prefix sum),
+
+    with both outputs (curated_docs, curated_shards) committed through the
+    atomic staging+rename protocol (versioned when --keep-versions is
+    set), exactly like the warehouse tables. Every stage is the same
+    plan the stage's registered query proves against its oracle; this
+    function only composes them and prices one corpus scan per stage.
+    Returns the per-stage row accounting (also logged)."""
+    from callio_etl_spark.io import atomic_overwrite
+    from callio_etl_spark.llm_ops.dedup_ops import _pipeline_clusters
+    from callio_etl_spark.llm_ops.sampling import prefix_sum_ordered
+    from callio_etl_spark.llm_ops.text_analysis import TOKEN_RE, corpus_filter
+    from callio_etl_spark.logging_utils import job_stage
+
+    with job_stage(spark, "curate:documents"):
+        d = load_table(spark, cfg.sf_dir, "documents")
+        n_input = d.count()
+
+        # 1. rule filter — keep flag from the oracle-proven operator
+        kept_ids = corpus_filter(spark, cfg.sf_dir).where(F.col("keep") == 1)
+        kept = d.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
+
+        # 2. exact dedup: first-wins per content fingerprint (one shuffle
+        # on the md5 key — dedup_exact's grouping, applied as a keep rule)
+        fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        canon = (
+            kept.select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        exact = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+        # 3. near-dup survivors from the pipeline's cluster table
+        # (memoized; survivor = the cluster's canonical doc)
+        clusters = _pipeline_clusters(spark, cfg.sf_dir)
+        survivors = clusters.where(F.col("doc_id") == F.col("cluster_id"))
+        curated = exact.join(survivors.select("doc_id"), "doc_id", "left_semi")
+
+        # 4. token-balanced shards over the CURATED corpus (same layout
+        # rule as shard_manifest, over the pipeline's output)
+        toks = F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
+        )
+        t = curated.select("doc_id", toks.cast("long").alias("tokens"))
+        c = prefix_sum_ordered(t, "tokens", [F.col("doc_id").asc()], "cum")
+        sharded = c.withColumn(
+            "shard",
+            F.floor((F.col("cum") - F.col("tokens")) / float(SHARD_TOKENS)).cast(
+                "long"
+            ),
+        )
+        manifest = sharded.groupBy("shard").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+
+        out_docs = curated.join(
+            sharded.select("doc_id", "shard", "tokens"), "doc_id"
+        )
+        atomic_overwrite(
+            spark,
+            out_docs,
+            os.path.join(cfg.work_dir, "curated_docs"),
+            keep_versions=cfg.keep_versions,
+        )
+        atomic_overwrite(
+            spark,
+            manifest,
+            os.path.join(cfg.work_dir, "curated_shards"),
+            keep_versions=cfg.keep_versions,
+        )
+        n_curated = out_docs.count()
+        return {
+            "input_docs": n_input,
+            "after_filter": kept.count(),
+            "after_exact_dedup": exact.count(),
+            "curated_docs": n_curated,
+            "shards": manifest.count(),
+        }
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="callio_etl_spark")
     p.add_argument(
-        "--mode", choices=["once", "daemon", "versions", "restore"], default="once"
+        "--mode",
+        choices=["once", "daemon", "versions", "restore", "curate"],
+        default="once",
     )
     p.add_argument("--job", choices=["all", "customer", "call"], default="all")
     p.add_argument("--sf-dir", default=None)
@@ -164,6 +260,10 @@ def main(argv: list[str] | None = None) -> int:
         restore_table_version(
             spark, path, args.restore_version, keep_versions=max(cfg.keep_versions, 1)
         )
+    elif args.mode == "curate":
+        counts = _curate(spark, cfg)
+        log.info("curate: %s", counts)
+        print(counts)
     elif args.mode == "once":
         run_once()
     else:

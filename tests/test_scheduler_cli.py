@@ -205,3 +205,53 @@ def test_job_stage_sets_and_clears_description():
         assert sc.getLocalProperty("spark.job.description") == "tick:call_log"
         assert sc.getLocalProperty("spark.jobGroup.id") == "tick:call_log"
     assert not sc.getLocalProperty("spark.job.description")
+
+
+def test_cli_curate_pipeline(tmp_path):
+    """--mode curate: the composed filter -> exact-dedup -> near-dup ->
+    shard pipeline lands both output tables through the atomic commit,
+    the accounting is monotone non-increasing per stage, the manifest's
+    token totals reconcile with the curated docs, and a second run is
+    idempotent (same curated set)."""
+    from callio_etl_spark.__main__ import main
+
+    wd = str(tmp_path / "work")
+    args = [
+        "--mode", "curate",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--work-dir", wd,
+        "--keep-versions", "2",
+    ]
+    assert main(args) == 0
+
+    import pyspark.sql.functions as F
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("cli-curate-test")
+    docs = spark.read.parquet(f"{wd}/curated_docs")
+    shards = spark.read.parquet(f"{wd}/curated_shards")
+    n_input = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    n_curated = docs.count()
+    assert 0 < n_curated <= n_input
+    # dedup really happened on this duplicate-heavy synthetic corpus
+    assert n_curated < n_input
+    # manifest reconciles: every curated doc in exactly one shard, token
+    # totals identical on both sides
+    agg = shards.agg(
+        F.sum("n_docs").alias("nd"), F.sum("shard_tokens").alias("st")
+    ).collect()[0]
+    assert agg["nd"] == n_curated
+    assert agg["st"] == docs.agg(F.sum("tokens")).collect()[0][0]
+    # curated docs keep their full payload columns plus layout columns
+    assert {"doc_id", "text", "shard", "tokens"} <= set(docs.columns)
+
+    curated_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert main(args) == 0  # idempotent second run
+    again = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{wd}/curated_docs").select("doc_id").collect()
+    }
+    assert again == curated_ids
+    # the displaced first output was archived (keep-versions)
+    import os
+    assert os.path.isdir(f"{wd}/curated_docs.__versions__")
