@@ -1638,3 +1638,107 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("exx") - F.col("mu") * F.col("mu"))
         ).alias("z"),
     )
+
+
+@register(
+    "ann_recall_pq_rerank",
+    oracle=f"""
+WITH {_PQ_SQL},
+{_PQ_QLUT_SQL},
+adc AS (
+  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(SUM(CAST(FLOOR(l.dd * {_PQ_DOT_Q}) AS DECIMAL(38,0)))
+           AS DOUBLE) / {_PQ_DOT_Q} AS adc_dot
+  FROM q
+  JOIN a1 a ON a.label = q.label AND a.vec_id <> q.vec_id
+  JOIN lut l ON l.query_id = q.vec_id AND l.m = a.m AND l.code = a.code
+  GROUP BY 1, 2
+),
+pq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_dot DESC, neighbor_id ASC) AS rnk
+    FROM adc
+  ) WHERE rnk <= {TOP_K}
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY adc_dot DESC, neighbor_id ASC) AS rnk
+    FROM adc
+  ) WHERE rnk <= {PQ_SHORTLIST}
+),
+rr AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.query_id, s.neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY s.query_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                      s.neighbor_id ASC) AS rnk
+    FROM short s
+    JOIN q ON q.vec_id = s.query_id
+    JOIN e c ON c.vec_id = s.neighbor_id
+  ) WHERE rnk <= {TOP_K}
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rnk
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT b.query_id,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS hits_pq,
+       CAST(COUNT(r.neighbor_id) AS BIGINT) AS hits_rerank,
+       CAST(COUNT(p.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_pq,
+       CAST(COUNT(r.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_rerank
+FROM brute b
+LEFT JOIN pq p
+  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+LEFT JOIN rr r
+  ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+GROUP BY b.query_id
+""",
+    tags=["llm", "similarity", "metric"],
+)
+def ann_recall_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall dial of two-stage serving, measured: recall@k of the raw
+    ADC top-k vs the shortlist-then-exact-rerank top-k, both against
+    brute force. Per query, hits_rerank >= hits_pq whenever the true
+    neighbors the ADC misranked were still inside the top-{PQ_SHORTLIST}
+    shortlist — the number a deployment watches when tuning shortlist
+    width (it converges to the coarse-cell ceiling measured by
+    ann_recall_pq's recall_exact_ivf as the shortlist widens).
+
+    Plan: both rankings derive from the SAME _pq_adc frame (one candidate
+    scan); the recall joins are queries x k rows — corpus-size-free."""
+    brute = ann_topk_brute(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = ann_topk_ivfpq(spark, sf_dir).select(
+        F.col("query_id").alias("pq_q"), F.col("neighbor_id").alias("pnb")
+    )
+    rr = ann_topk_pq_rerank(spark, sf_dir).select(
+        F.col("query_id").alias("rr_q"), F.col("neighbor_id").alias("rnb")
+    )
+    return (
+        brute.join(
+            pq,
+            (F.col("query_id") == F.col("pq_q")) & (F.col("neighbor_id") == F.col("pnb")),
+            "left",
+        )
+        .join(
+            rr,
+            (F.col("query_id") == F.col("rr_q")) & (F.col("neighbor_id") == F.col("rnb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(TOP_K).cast("long").alias("k"),
+            F.count("pnb").cast("long").alias("hits_pq"),
+            F.count("rnb").cast("long").alias("hits_rerank"),
+            (F.count("pnb").cast("double") / TOP_K).alias("recall_pq"),
+            (F.count("rnb").cast("double") / TOP_K).alias("recall_rerank"),
+        )
+    )

@@ -993,3 +993,126 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("assoc_rank", F.row_number().over(w).cast("long"))
         .where(F.col("assoc_rank") <= PMI_TOP)
     )
+
+
+# ------------------------------------------------------------- retrieval
+
+BM25_QUERY = ["hash", "join", "table", "scan"]  # the retrieval query terms
+BM25_K1, BM25_B = 1.2, 0.75  # standard Okapi constants
+BM25_TOP = 20
+_BM25_Q = 1e10  # per-term score floor-quantum (exact DECIMAL summation)
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+             for i, t in enumerate(BM25_QUERY)
+         )}
+  FROM t
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(FLOOR(
+           CASE WHEN tf.cnt > 0 THEN
+             (CAST(s.n + 1 AS DOUBLE) / CAST(tf.df + 1 AS DOUBLE))
+             * (CAST(tf.cnt AS DOUBLE) * ({BM25_K1} + 1.0))
+             / (CAST(tf.cnt AS DOUBLE)
+                + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(t.dl AS DOUBLE) / s.avgdl)))
+           ELSE 0.0 END * {_BM25_Q}) AS DECIMAL(38,0))) AS DOUBLE) / {_BM25_Q}
+           AS bm25
+  FROM t
+  CROSS JOIN stats s
+  CROSS JOIN LATERAL (
+    {" UNION ALL ".join(
+        f"SELECT CAST(len(list_filter(t.toks, w -> w = '{t}')) AS BIGINT) AS cnt, s.df_{i} AS df"
+        for i, t in enumerate(BM25_QUERY)
+    )}
+  ) tf
+  GROUP BY t.doc_id
+)
+SELECT doc_id, bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM scored
+QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) <= {BM25_TOP}
+""",
+    tags=["llm", "text", "retrieval"],
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval over the corpus for a fixed term query — the
+    lexical scorer under RAG corpus search and hybrid (BM25 + dense)
+    retrieval. Linear idf ((N+1)/(df+1), same monotone-rational choice as
+    tfidf_top_terms — libm log drifts in the last ulp across engines);
+    k1={BM25_K1}, b={BM25_B}.
+
+    Shape: per-term tf is computed IN-ROW against the literal query terms
+    (size(filter(...)) per term — no explode, no shuffle); the df/N/avgdl
+    statistics are ONE map-combined aggregate emitting a single broadcast
+    row; scoring is a pure projection over the corpus scan. Per-term
+    scores are floor-quantized and summed as exact integer DECIMAL so the
+    |query|-term sum is order-free. The final top-{BM25_TOP} is a global
+    rank over scored docs — at retrieval scale, per-shard top-k +
+    TakeOrdered merge (reservoir_sample's plan) replaces it."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    )
+    stats = t.agg(
+        F.count("*").cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(
+                F.when(F.array_contains("toks", term), 1).otherwise(0)
+            ).cast("long").alias(f"df_{i}")
+            for i, term in enumerate(BM25_QUERY)
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+
+    def _eq(term: str):
+        # NOTE: a two-parameter lambda (w, _t=term) would flip F.filter
+        # into its (element, index) form and bind _t to the INDEX column
+        lit = F.lit(term)
+        return lambda w: w == lit
+
+    per_term = [
+        (
+            F.size(F.filter("toks", _eq(term))).cast("long"),
+            F.col(f"df_{i}"),
+        )
+        for i, term in enumerate(BM25_QUERY)
+    ]
+
+    def term_score(cnt, df):
+        idf = (F.col("n") + 1).cast("double") / (df + 1).cast("double")
+        tfd = cnt.cast("double")
+        denom = tfd + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(cnt > 0, idf * (tfd * (BM25_K1 + 1.0)) / denom).otherwise(0.0)
+
+    total = None
+    for cnt, df in per_term:
+        q = F.floor(term_score(cnt, df) * F.lit(_BM25_Q)).cast("decimal(38,0)")
+        total = q if total is None else total + q
+    scored = scored.select(
+        "doc_id", (total.cast("double") / F.lit(_BM25_Q)).alias("bm25")
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= BM25_TOP)
+    )

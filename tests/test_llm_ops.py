@@ -1154,3 +1154,53 @@ def test_pmi_survives_single_token_docs(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     out = pmi_cooccurrence(spark, str(tmp_path)).collect()
     assert len(out) > 0  # the repeated bigram clears the support floor
+
+
+def test_bm25_matches_python_reference(spark, duck):
+    """BM25 scores cross-checked against a direct Python Okapi
+    implementation (same linear idf, same constants) — ranks and scores
+    must agree to the quantization precision."""
+    from callio_etl_spark.llm_ops.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        bm25_topk,
+    )
+
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(spark, SF_DIR).collect()}
+    docs = {
+        i: txt.split(" ")
+        for i, txt in duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY}
+    import math
+
+    def score(toks):
+        s = 0.0
+        for q in BM25_QUERY:
+            tf = toks.count(q)
+            if tf:
+                idf = (n + 1) / (df[q] + 1)
+                s += math.floor(
+                    idf * tf * (BM25_K1 + 1)
+                    / (tf + BM25_K1 * (1 - BM25_B + BM25_B * len(toks) / avgdl))
+                    * 1e10
+                ) / 1e10
+        return s
+    ref = sorted(((score(t), -i) for i, t in docs.items()), reverse=True)
+    top = {-i for s, i in ref[: len(got)]}
+    assert set(got) == top
+    for i in got:
+        assert abs(got[i] - score(docs[i])) < 1e-9
+
+
+def test_rerank_recall_never_below_pq(spark):
+    """On the shipped data the reranked recall must be >= raw-PQ recall
+    for every query (the shortlist is a superset of the ADC top-k)."""
+    from callio_etl_spark.llm_ops.similarity import ann_recall_pq_rerank
+
+    rows = ann_recall_pq_rerank(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    assert all(r["hits_rerank"] >= r["hits_pq"] for r in rows)
