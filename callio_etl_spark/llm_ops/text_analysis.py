@@ -1116,3 +1116,110 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= BM25_TOP)
     )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+RRF_DENSE_QUERY = 0  # the embedding query whose dense ranking is fused
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(
+             f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+             for i, t in enumerate(BM25_QUERY)
+         )}
+  FROM t
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(FLOOR(
+           CASE WHEN tf.cnt > 0 THEN
+             (CAST(s.n + 1 AS DOUBLE) / CAST(tf.df + 1 AS DOUBLE))
+             * (CAST(tf.cnt AS DOUBLE) * ({BM25_K1} + 1.0))
+             / (CAST(tf.cnt AS DOUBLE)
+                + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (CAST(t.dl AS DOUBLE) / s.avgdl)))
+           ELSE 0.0 END * {_BM25_Q}) AS DECIMAL(38,0))) AS DOUBLE) / {_BM25_Q}
+           AS bm25
+  FROM t
+  CROSS JOIN stats s
+  CROSS JOIN LATERAL (
+    {" UNION ALL ".join(
+        f"SELECT CAST(len(list_filter(t.toks, w -> w = '{t}')) AS BIGINT) AS cnt, s.df_{i} AS df"
+        for i, t in enumerate(BM25_QUERY)
+    )}
+  ) tf
+  GROUP BY t.doc_id
+),
+lex AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT)
+           AS lex_rank
+  FROM scored
+  QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) <= {BM25_TOP}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id = {RRF_DENSE_QUERY}),
+dense AS (
+  SELECT neighbor_id AS doc_id, CAST(rnk AS BIGINT) AS dense_rank FROM (
+    SELECT c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC
+           ) AS rnk
+    FROM q JOIN e c ON c.vec_id <> q.vec_id
+  ) WHERE rnk <= 5
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       l.lex_rank, d.dense_rank,
+       COALESCE(1.0 / ({RRF_K} + l.lex_rank), 0.0)
+         + COALESCE(1.0 / ({RRF_K} + d.dense_rank), 0.0) AS rrf
+FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+""",
+    tags=["llm", "text", "retrieval"],
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al.):
+    the BM25 lexical top-{BM25_TOP} and a dense cosine top-k (the
+    embedding query's brute ranking — doc_id and vec_id share the id
+    space in the fixtures, as a real corpus's chunk ids do) fused as
+    rrf = sum over systems of 1/({RRF_K} + rank) — the standard way RAG
+    stacks combine incomparable scores without calibration.
+
+    Shape: both input rankings are the operators proven elsewhere; fusion
+    is a FULL OUTER join of two tiny rank lists (k rows each — broadcast,
+    corpus-size-free) and the RRF score is a fixed-order two-term
+    expression (COALESCE + addition, not an aggregate), so it is exactly
+    rounded identically on both engines with no quantization needed."""
+    lex = bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    from callio_etl_spark.llm_ops.similarity import ann_topk_brute
+
+    dense = (
+        ann_topk_brute(spark, sf_dir)
+        .where(F.col("query_id") == RRF_DENSE_QUERY)
+        .select(
+            F.col("neighbor_id").alias("d_doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+    )
+    return (
+        lex.join(dense, F.col("doc_id") == F.col("d_doc_id"), "full_outer")
+        .select(
+            F.coalesce("doc_id", "d_doc_id").alias("doc_id"),
+            "lex_rank",
+            "dense_rank",
+            (
+                F.coalesce(1.0 / (RRF_K + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )

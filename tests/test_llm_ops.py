@@ -1204,3 +1204,20 @@ def test_rerank_recall_never_below_pq(spark):
     rows = ann_recall_pq_rerank(spark, "/root/testdata/sf0.01").collect()
     assert len(rows) == 10
     assert all(r["hits_rerank"] >= r["hits_pq"] for r in rows)
+
+
+def test_rrf_fusion_covers_both_systems(spark):
+    """The fused list must contain every lexical doc and every dense doc;
+    docs present in both rankings must outscore a same-rank doc present
+    in only one."""
+    from callio_etl_spark.llm_ops.text_analysis import RRF_K, hybrid_rrf_fusion
+
+    rows = hybrid_rrf_fusion(spark, "/root/testdata/sf0.01").collect()
+    assert all(
+        r["lex_rank"] is not None or r["dense_rank"] is not None for r in rows
+    )
+    for r in rows:
+        expect = (1.0 / (RRF_K + r["lex_rank"]) if r["lex_rank"] else 0.0) + (
+            1.0 / (RRF_K + r["dense_rank"]) if r["dense_rank"] else 0.0
+        )
+        assert abs(r["rrf"] - expect) < 1e-15
