@@ -1495,10 +1495,11 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 COV_DIMS = 16  # leading sub-block demonstrated (one PQ subspace); see docstring
 
 
-@register(
-    "embedding_covariance",
-    oracle=f"""
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+#: Shared oracle fragment: the upper-triangle covariance sub-block as a
+#: CTE chain ending in cov_ut(i, j, cov) — composed by the covariance
+#: query and the PCA power-iteration query.
+_COV_SQL = f"""
+e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
 mu AS (
   SELECT i AS dim,
          CAST(SUM(CAST(FLOOR(v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
@@ -1513,10 +1514,19 @@ xp AS (
   FROM e, range(1, {COV_DIMS} + 1) t(i), range(1, {COV_DIMS} + 1) u(j)
   WHERE j >= i
   GROUP BY i, j
-)
-SELECT CAST(xp.i AS BIGINT) AS i, CAST(xp.j AS BIGINT) AS j,
-       xp.exy - a.mu * b.mu AS cov
-FROM xp JOIN mu a ON a.dim = xp.i JOIN mu b ON b.dim = xp.j
+),
+cov_ut AS (
+  SELECT CAST(xp.i AS BIGINT) AS i, CAST(xp.j AS BIGINT) AS j,
+         xp.exy - a.mu * b.mu AS cov
+  FROM xp JOIN mu a ON a.dim = xp.i JOIN mu b ON b.dim = xp.j
+)"""
+
+
+@register(
+    "embedding_covariance",
+    oracle=f"""
+WITH {_COV_SQL}
+SELECT i, j, cov FROM cov_ut
 """,
     tags=["llm", "similarity", "metric"],
 )
@@ -1740,5 +1750,129 @@ def ann_recall_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("rnb").cast("long").alias("hits_rerank"),
             (F.count("pnb").cast("double") / TOP_K).alias("recall_pq"),
             (F.count("rnb").cast("double") / TOP_K).alias("recall_rerank"),
+        )
+    )
+
+
+PCA_ITERS = 2    # power-iteration steps (each is one 16x16 matvec)
+_PCA_Q = 1e12    # matvec / projection product quantum
+_PCA_NQ = 1e18   # squared-norm product quantum (m^2 is ~1e-6-scale)
+
+#: One power-iteration round as SQL: v_in(dim, vv) -> v_out(dim, vv).
+_PCA_STEP_SQL = """
+m{k} AS (
+  SELECT c.i AS dim,
+         CAST(SUM(CAST(FLOOR(c.cov * v.vv * {q}) AS DECIMAL(38,0)))
+           AS DOUBLE) / {q} AS m
+  FROM cfull c JOIN v{prev} v ON v.dim = c.j
+  GROUP BY c.i
+),
+n{k} AS (
+  SELECT SQRT(CAST(SUM(CAST(FLOOR(m * m * {nq}) AS DECIMAL(38,0)))
+    AS DOUBLE) / {nq}) AS n
+  FROM m{k}
+),
+v{k} AS (SELECT dim, m / n AS vv FROM m{k} CROSS JOIN n{k})"""
+
+
+@register(
+    "embedding_pca_project",
+    oracle=f"""
+WITH {_COV_SQL},
+cfull AS (
+  SELECT i, j, cov FROM cov_ut
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cov_ut WHERE i < j
+),
+v0 AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS vv
+  FROM range(1, {COV_DIMS} + 1) t(i)
+),{",".join(_PCA_STEP_SQL.format(k=k, prev=k - 1, q=_PCA_Q, nq=_PCA_NQ) for k in range(1, PCA_ITERS + 1))},
+ee AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT ee.vec_id,
+       CAST(SUM(CAST(FLOOR(ee.v[a.dim] * a.vv * {_PCA_Q}) AS DECIMAL(38,0)))
+         AS DOUBLE) / {_PCA_Q} AS pc1
+FROM ee CROSS JOIN v{PCA_ITERS} a
+GROUP BY ee.vec_id
+""",
+    tags=["llm", "similarity"],
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-component projection with the PCA training INSIDE the
+    plan: the covariance sub-block (embedding_covariance's aggregate)
+    feeds {PCA_ITERS} power-iteration rounds (matvec + normalize over the
+    {COV_DIMS}x{COV_DIMS} broadcast matrix — the dominant-eigenvector
+    recursion), and every vector is projected onto the resulting axis —
+    the dimensionality-reduction / whitening-rotation step ahead of OPQ
+    or visualization.
+
+    Shape: the ONLY corpus-scale stages are the covariance aggregate
+    (reduce side sees dims^2 rows, map-combined) and the final projection
+    (map-side against the broadcast {COV_DIMS}-row axis); the iteration
+    itself touches {COV_DIMS}^2-row frames — free at any corpus size, and
+    each extra iteration is one more tiny join, no new plan shape
+    (the IVF assign/update loop's argument, applied to linear algebra).
+
+    Parity: matvec products, squared norms, and projection products are
+    floor-quantized and summed as exact integer DECIMAL; division and
+    SQRT are exactly-rounded IEEE ops — bit-identical across engines at
+    every iteration, so the eigenvector sign/values cannot drift."""
+    cov = embedding_covariance(spark, sf_dir)
+    cfull = cov.unionByName(
+        cov.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    v = spark.range(1, COV_DIMS + 1).select(
+        F.col("id").alias("dim"),
+        F.when(F.col("id") == 1, 1.0).otherwise(0.0).alias("vv"),
+    )
+    for _ in range(PCA_ITERS):
+        m = (
+            cfull.join(F.broadcast(v), F.col("dim") == F.col("j"))
+            .groupBy(F.col("i").alias("mdim"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("cov") * F.col("vv") * F.lit(_PCA_Q)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.lit(_PCA_Q)
+                ).alias("m")
+            )
+        )
+        n = m.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(F.col("m") * F.col("m") * F.lit(_PCA_NQ)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(_PCA_NQ)
+            ).alias("n")
+        )
+        v = m.crossJoin(F.broadcast(n)).select(
+            F.col("mdim").alias("dim"), (F.col("m") / F.col("n")).alias("vv")
+        )
+    ee = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(
+            F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, COV_DIMS)
+        ).alias("pos", "x"),
+    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
+    return (
+        ee.join(F.broadcast(v), "dim")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.col("vv") * F.lit(_PCA_Q)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(_PCA_Q)
+            ).alias("pc1")
         )
     )

@@ -1221,3 +1221,42 @@ def test_rrf_fusion_covers_both_systems(spark):
             1.0 / (RRF_K + r["dense_rank"]) if r["dense_rank"] else 0.0
         )
         assert abs(r["rrf"] - expect) < 1e-15
+
+
+def test_pca_projection_tracks_numpy_power_iteration(spark):
+    """The in-plan power iteration must agree with numpy running the
+    identical recursion (same start vector, same iteration count) to
+    quantization precision — and the projection variance along the found
+    axis must dominate the variance along the start axis (the iteration
+    moved TOWARD the principal direction)."""
+    import numpy as np
+    from callio_etl_spark.llm_ops.similarity import (
+        COV_DIMS,
+        PCA_ITERS,
+        embedding_pca_project,
+    )
+
+    X = np.array(
+        [
+            r["embedding"][:COV_DIMS]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    C = np.cov(X, rowvar=False, bias=True)
+    v = np.zeros(COV_DIMS)
+    v[0] = 1.0
+    for _ in range(PCA_ITERS):
+        m = C @ v
+        v = m / np.sqrt((m * m).sum())
+    got = {
+        r["vec_id"]: r["pc1"] for r in embedding_pca_project(spark, SF_DIR).collect()
+    }
+    ids = sorted(got)
+    ref = {i: float(X[i] @ v) for i in ids}
+    assert all(abs(got[i] - ref[i]) < 1e-6 for i in ids)
+    var_axis = np.var([got[i] for i in ids])
+    var_e1 = np.var(X[:, 0])
+    assert var_axis > var_e1
