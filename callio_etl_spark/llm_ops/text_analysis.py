@@ -1223,3 +1223,81 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rrf"),
         )
     )
+
+
+VOCAB_TOP_K = 20  # learned-vocab size for the coverage audit
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, w
+  FROM documents CROSS JOIN UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w ASC) AS rnk
+    FROM tok GROUP BY w
+  ) WHERE rnk <= {VOCAB_TOP_K}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_vocab
+  FROM tok t LEFT JOIN vocab v ON v.w = t.w
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_in_vocab,
+       CAST(n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage,
+       CAST(n_tokens - n_in_vocab AS BIGINT) AS n_oov
+FROM per_doc
+""",
+    tags=["llm", "text", "tokenizer"],
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: learn a top-{VOCAB_TOP_K}
+    frequency vocabulary from the corpus itself (the greedy unigram
+    baseline every BPE/WordPiece vocab is measured against), then score
+    every document's in-vocab token fraction and OOV count — the metric
+    that decides whether a tokenizer needs retraining before a corpus is
+    ingested, and the per-doc form that lets curation DROP
+    pathologically-OOV documents (binary junk, wrong-script text).
+
+    Shape: one word-count aggregate (map-combined) -> a vocab of
+    {VOCAB_TOP_K} rows that BROADCASTS back onto the token stream (left
+    join, map-side; missing = OOV) -> one doc_id aggregate. The global
+    vocab ranking windows |vocab| rows, corpus-size-free. Coverage is one
+    IEEE division of exact integers — engine-identical."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    wv = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(wv))
+        .where(F.col("rnk") <= VOCAB_TOP_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("long").alias("n_in_vocab"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_in_vocab",
+            (
+                F.col("n_in_vocab").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("coverage"),
+            (F.col("n_tokens") - F.col("n_in_vocab")).cast("long").alias("n_oov"),
+        )
+    )
