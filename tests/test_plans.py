@@ -460,3 +460,33 @@ def test_ivfpq_is_broadcast_lookup_plus_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_stats_are_one_broadcast_row(spark):
+    """bm25_topk's df/N/avgdl statistics must reach the scoring projection
+    as a broadcast nested-loop of ONE aggregated row — never a shuffle of
+    the corpus against itself — and per-term tf must stay in-row (no
+    explode-based join for term counting)."""
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_vocab_broadcasts(spark):
+    """The learned vocab (VOCAB_TOP_K rows) must broadcast back onto the
+    token stream; the token side must not sort-merge."""
+    plan = _plan(spark, "vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_projection_axis_broadcasts(spark):
+    """embedding_pca_project's only corpus-scale join is the final
+    projection against the COV_DIMS-row axis — broadcast, never a
+    sort-merge of the embedding stream."""
+    plan = _plan(spark, "embedding_pca_project")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
