@@ -426,3 +426,126 @@ def test_span_removal_matches_python_model(spark, tmp_path_factory, docs):
         for r in dedup_span_removal(spark, str(tmp)).collect()
     }
     assert got == _span_removal_model(docs, SUBSTR_K)
+
+
+# ----------------------------------------------------- PMI / DSIR models
+
+_SMALL_CORPUS = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        st.sampled_from(["en", "de"]),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _write_docs(spark, tmp, docs):
+    rows = [
+        (i, " ".join(toks), lang, "src0", len(" ".join(toks)))
+        for i, (toks, lang) in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=_SMALL_CORPUS)
+def test_pmi_matches_python_model(spark, tmp_path_factory, docs):
+    """pmi_cooccurrence vs a direct sequential model: windowed pair
+    counts, unigram counts, linear-PMI scores, and the deterministic
+    ranking must all agree on random tiny corpora (including docs
+    shorter than the window and single-token docs)."""
+    from callio_etl_spark.llm_ops.text_analysis import (
+        PMI_MIN_CO,
+        PMI_TOP,
+        PMI_WINDOW,
+        pmi_cooccurrence,
+    )
+
+    tmp = tmp_path_factory.mktemp("pmi")
+    _write_docs(spark, tmp, docs)
+
+    co: dict = {}
+    uni: dict = {}
+    for toks, _lang in docs:
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for i in range(len(toks)):
+            for o in range(1, PMI_WINDOW + 1):
+                if i + o < len(toks):
+                    k = tuple(sorted((toks[i], toks[i + o])))
+                    co[k] = co.get(k, 0) + 1
+    total = sum(co.values())
+    scored = [
+        (co[k] * total / (uni[k[0]] * uni[k[1]]), k[0], k[1], co[k])
+        for k in co
+        if co[k] >= PMI_MIN_CO
+    ]
+    expect = sorted(scored, key=lambda r: (-r[0], r[1], r[2]))[:PMI_TOP]
+
+    got = [
+        (r["pmi_lin"], r["w1"], r["w2"], r["co"])
+        for r in pmi_cooccurrence(spark, str(tmp))
+        .orderBy("assoc_rank")
+        .collect()
+    ]
+    assert [(g[1], g[2], g[3]) for g in got] == [(e[1], e[2], e[3]) for e in expect]
+    assert all(abs(g[0] - e[0]) < 1e-12 for g, e in zip(got, expect))
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=_SMALL_CORPUS)
+def test_dsir_matches_python_model(spark, tmp_path_factory, docs):
+    """dsir_importance vs a direct sequential model of the hashed-bigram
+    likelihood-ratio score (same md5 bucketing, same smoothing, same
+    quantization) on random bilingual corpora."""
+    import hashlib
+    from callio_etl_spark.llm_ops.sampling import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        _DSIR_Q,
+        dsir_importance,
+    )
+    import math
+
+    tmp = tmp_path_factory.mktemp("dsir")
+    _write_docs(spark, tmp, docs)
+
+    def bucket(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    grams = []  # (doc_id, bucket, is_target)
+    for i, (toks, lang) in enumerate(docs):
+        for a, b in zip(toks, toks[1:]):
+            grams.append((i, bucket(f"{a} {b}"), lang == DSIR_TARGET_LANG))
+    cnt_r: dict = {}
+    cnt_t: dict = {}
+    for _i, bk, is_t in grams:
+        cnt_r[bk] = cnt_r.get(bk, 0) + 1
+        if is_t:
+            cnt_t[bk] = cnt_t.get(bk, 0) + 1
+    t_r = len(grams)
+    t_t = sum(1 for *_x, is_t in grams if is_t)
+
+    def ratio(bk: int) -> float:
+        return ((cnt_t.get(bk, 0) + 1) * (t_r + DSIR_BUCKETS)) / (
+            (cnt_r[bk] + 1) * (t_t + DSIR_BUCKETS)
+        )
+
+    expect: dict = {}
+    for i, (toks, _lang) in enumerate(docs):
+        bks = [g[1] for g in grams if g[0] == i]
+        if bks:
+            q = sum(math.floor(ratio(b) * _DSIR_Q) for b in bks)
+            expect[i] = q / _DSIR_Q / len(bks)
+        else:
+            expect[i] = 0.0
+
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in dsir_importance(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(expect)
+    assert all(abs(got[i] - expect[i]) < 1e-9 for i in got)
