@@ -74,6 +74,12 @@ HEAVY = [
     "dsir_importance",
     "ann_topk_pq_rerank",
     "pmi_cooccurrence",
+    # r5 closing additions: moment aggregates, delta-vs-index probe, retrieval
+    "embedding_covariance",
+    "embedding_pca_project",
+    "minhash_incremental_pairs",
+    "bm25_topk",
+    "vocab_coverage",
 ]
 
 CAUSES = {
@@ -95,6 +101,14 @@ CAUSES = {
         "training/encode (session-memoized otherwise: train once, serve "
         "many); the serving path itself is linear in bucket size with the "
         "10 cells held fixed."
+    ),
+    "minhash_incremental_pairs": (
+        "delta-to-index probe cost is sum(|delta_bucket| x |bucket|): with "
+        "the 4 bands FIXED for oracle parity on this vocabulary-degenerate "
+        "corpus, 10x rows per bucket grows the product ~100x in hot "
+        "buckets — the sum(bucket^2) family law. Production holds bucket "
+        "occupancy constant by adding bands/rows-per-band as the index "
+        "grows, restoring the linear-in-the-delta contract."
     ),
 }
 
