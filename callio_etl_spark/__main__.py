@@ -94,28 +94,34 @@ def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
         )
 
 
-SHARD_TOKENS = 6_000  # token capacity per curated output shard
-
-
 def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
     """The training-data curation pipeline as ONE CLI job — the llm_ops
     operators composed the way a corpus build actually runs them:
 
       1. rule filter (corpus_filter: length / repetition / language),
-      2. exact dedup (content fingerprint, first-wins),
-      3. near-dup dedup (MinHash->LSH->Jaccard-verify->connected
-         components; survivor = cluster canonical),
-      4. token-balanced shard assignment (distributed prefix sum),
+      2. exact dedup (content_fp fingerprint, first-wins AMONG SURVIVORS
+         of stage 1),
+      3. near-dup dedup (the MinHash->LSH->Jaccard->connected-components
+         cluster table; each cluster keeps its smallest doc_id STILL
+         ALIVE after stages 1-2 — picking the global canonical instead
+         would silently delete all copies of any content whose canonical
+         was itself filtered out),
+      4. token-balanced shard assignment (sampling.assign_shards — the
+         same layout rule shard_manifest proves against its oracle),
 
-    with both outputs (curated_docs, curated_shards) committed through the
-    atomic staging+rename protocol (versioned when --keep-versions is
-    set), exactly like the warehouse tables. Every stage is the same
-    plan the stage's registered query proves against its oracle; this
-    function only composes them and prices one corpus scan per stage.
-    Returns the per-stage row accounting (also logged)."""
+    with both outputs (curated_docs, curated_shards) committed through
+    the atomic staging+rename protocol (versioned when --keep-versions
+    is set). The curated frame is localCheckpointed once, so the write,
+    the manifest, and the accounting all read the materialized stage
+    instead of re-running the filter/dedup lineage per action. Returns
+    the per-stage row accounting (also logged)."""
     from callio_etl_spark.io import atomic_overwrite
-    from callio_etl_spark.llm_ops.dedup_ops import _pipeline_clusters
-    from callio_etl_spark.llm_ops.sampling import prefix_sum_ordered
+    from callio_etl_spark.llm_ops.dedup_ops import _pipeline_clusters, content_fp
+    from callio_etl_spark.llm_ops.sampling import (
+        SHARD_TOKENS,
+        assign_shards,
+        shard_summary,
+    )
     from callio_etl_spark.llm_ops.text_analysis import TOKEN_RE, corpus_filter
     from callio_etl_spark.logging_utils import job_stage
 
@@ -127,45 +133,35 @@ def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
         kept_ids = corpus_filter(spark, cfg.sf_dir).where(F.col("keep") == 1)
         kept = d.join(kept_ids.select("doc_id"), "doc_id", "left_semi")
 
-        # 2. exact dedup: first-wins per content fingerprint (one shuffle
-        # on the md5 key — dedup_exact's grouping, applied as a keep rule)
-        fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        # 2. exact dedup among stage-1 survivors: first-wins per
+        # content fingerprint (one shuffle on the shared md5 identity)
         canon = (
-            kept.select("doc_id", fp.alias("fp"))
+            kept.select("doc_id", content_fp().alias("fp"))
             .groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"))
         )
         exact = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
 
-        # 3. near-dup survivors from the pipeline's cluster table
-        # (memoized; survivor = the cluster's canonical doc)
+        # 3. near-dup: keep each cluster's smallest doc_id STILL ALIVE
+        # (clusters come from the full corpus — the memoized table a
+        # production pipeline persists — but the representative must be
+        # chosen among current survivors, not the global canonical)
         clusters = _pipeline_clusters(spark, cfg.sf_dir)
-        survivors = clusters.where(F.col("doc_id") == F.col("cluster_id"))
-        curated = exact.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        alive = exact.select("doc_id").join(clusters, "doc_id")
+        reps = alive.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+        curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
 
-        # 4. token-balanced shards over the CURATED corpus (same layout
-        # rule as shard_manifest, over the pipeline's output)
+        # 4. token-balanced shards over the curated corpus, then ONE
+        # materialization that the write, manifest, and counts all read
         toks = F.size(
             F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))
         )
         t = curated.select("doc_id", toks.cast("long").alias("tokens"))
-        c = prefix_sum_ordered(t, "tokens", [F.col("doc_id").asc()], "cum")
-        sharded = c.withColumn(
-            "shard",
-            F.floor((F.col("cum") - F.col("tokens")) / float(SHARD_TOKENS)).cast(
-                "long"
-            ),
-        )
-        manifest = sharded.groupBy("shard").agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("tokens").cast("long").alias("shard_tokens"),
-            F.min("doc_id").cast("long").alias("first_doc"),
-            F.max("doc_id").cast("long").alias("last_doc"),
-        )
-
+        sharded = assign_shards(t, SHARD_TOKENS)
         out_docs = curated.join(
             sharded.select("doc_id", "shard", "tokens"), "doc_id"
-        )
+        ).localCheckpoint(eager=True)
+        manifest = shard_summary(out_docs.select("doc_id", "tokens", "shard"))
         atomic_overwrite(
             spark,
             out_docs,
@@ -178,12 +174,11 @@ def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
             os.path.join(cfg.work_dir, "curated_shards"),
             keep_versions=cfg.keep_versions,
         )
-        n_curated = out_docs.count()
         return {
             "input_docs": n_input,
             "after_filter": kept.count(),
             "after_exact_dedup": exact.count(),
-            "curated_docs": n_curated,
+            "curated_docs": out_docs.count(),
             "shards": manifest.count(),
         }
 

@@ -73,6 +73,14 @@ def _minhash_sql(i: int) -> str:
     )
 
 
+def content_fp() -> "F.Column":
+    """The exact-dedup content identity: md5 over whitespace-normalized
+    lowercased text. ONE definition — dedup_exact, the curate CLI
+    pipeline, and any future consumer must agree on the normalization or
+    their dedup contracts silently diverge."""
+    return F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -93,9 +101,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical, report duplicate clusters. One shuffle on the md5 key; at
     100 TB this is the cheapest and first dedup pass."""
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
     return (
-        d.select("doc_id", fp.alias("fp"))
+        d.select("doc_id", content_fp().alias("fp"))
         .groupBy("fp")
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
         .where(F.col("n_dups") > 1)

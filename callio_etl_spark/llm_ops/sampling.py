@@ -439,11 +439,23 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)))
     t = d.select("doc_id", toks.cast("long").alias("tokens"))
+    return shard_summary(assign_shards(t))
+
+
+def assign_shards(t: DataFrame, capacity: int = SHARD_TOKENS) -> DataFrame:
+    """(doc_id, tokens) -> (doc_id, tokens, cum, shard): greedy token-fill
+    in doc_id order via the distributed prefix sum. ONE definition of the
+    layout rule — shard_manifest (the oracle-proven query) and the curate
+    CLI pipeline must agree or shards silently drift."""
     c = prefix_sum_ordered(t, "tokens", [F.col("doc_id").asc()], "cum")
-    s = c.withColumn(
+    return c.withColumn(
         "shard",
-        F.floor((F.col("cum") - F.col("tokens")) / float(SHARD_TOKENS)).cast("long"),
+        F.floor((F.col("cum") - F.col("tokens")) / float(capacity)).cast("long"),
     )
+
+
+def shard_summary(s: DataFrame) -> DataFrame:
+    """Per-shard manifest rows from an assign_shards frame."""
     return s.groupBy("shard").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("tokens").cast("long").alias("shard_tokens"),

@@ -1853,9 +1853,19 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(_PCA_NQ)
             ).alias("n")
         )
-        v = m.crossJoin(F.broadcast(n)).select(
-            F.col("mdim").alias("dim"), (F.col("m") / F.col("n")).alias("vv")
-        )
+        # COLLECT the COV_DIMS-row eigenvector each round and restart the
+        # next iteration from literals: leaving it as a lazy frame embeds
+        # the covariance subtree ~2x per round (m appears in both the
+        # matvec and its own norm), so plan size grows 2^ITERS — whereas a
+        # 16-double collect is free and makes every iteration O(1) plan.
+        # Parity is untouched: the collected values ARE the iteration's
+        # exactly-computed doubles, re-entering as literals on both
+        # engines' recursions (the oracle's CTE chain computes the same
+        # values without materialization, which DuckDB handles fine at
+        # this CTE depth).
+        nval = n.collect()[0]["n"]
+        rows = [(r["mdim"], r["m"] / nval) for r in m.collect()]
+        v = spark.createDataFrame(rows, "dim long, vv double")
     ee = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.posexplode(

@@ -1118,6 +1118,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from callio_etl_spark.llm_ops.similarity import TOP_K as _RRF_DENSE_K
+
 RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 RRF_DENSE_QUERY = 0  # the embedding query whose dense ranking is fused
 
@@ -1175,7 +1177,7 @@ dense AS (
              ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC
            ) AS rnk
     FROM q JOIN e c ON c.vec_id <> q.vec_id
-  ) WHERE rnk <= 5
+  ) WHERE rnk <= {_RRF_DENSE_K}
 )
 SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
        l.lex_rank, d.dense_rank,

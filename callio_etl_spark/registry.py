@@ -48,17 +48,18 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so every
 #: registered query eventually earns a driver row (COVERAGE.md keeps the
 #: per-round slot ledger). After r4, 122 of the 130 then-registered queries
-#: had a driver row. The registry grew to 156 during r5, so the r5 window
+#: had a driver row. The registry grew to 161 during r5, so the r5 window
 #: prioritizes FIRST-TIME driver rows: the 7 r4 registrations that had
 #: never been checked (sink roundtrips, salted join, sign-LSH pair,
-#: media/audio decode) and ALL 26 r5 registrations (versioning, budget
-#: selection, multi-probe IVF, the PQ family, DSIR, span removal,
-#: incremental LSH, BPE/PMI, covariance/whitening, ...) — every one
-#: locally green under both the tolerant and the strict bit-exact mirror
-#: before taking a slot. With these, every oracle-bearing query in the
-#: registry has held a driver row at least once. 8 previously-green
+#: media/audio decode) and ALL 31 r5 registrations (versioning, budget
+#: selection, multi-probe IVF, the PQ family incl. rerank + recall, DSIR,
+#: span removal, incremental LSH, BPE/PMI, BM25/RRF retrieval,
+#: covariance/whitening/PCA, vocab coverage, ...) — every one locally
+#: green under both the tolerant and the strict bit-exact mirror before
+#: taking a slot. With these, every oracle-bearing query in the registry
+#: has held a driver row at least once. 8 previously-green
 #: flagship/merge/LLM canaries remain as regression tripwires, and the
-#: remaining 9 slots re-check the most load-bearing stale rows
+#: remaining 4 slots re-check the most load-bearing stale rows
 #: (contamination_check changed in r4; merge/CDC/SQL-channel anchors).
 #: Rows-only queries (ann_topk_gemm, approx_sketch_stats) stay out of the
 #: window — they can never hash-match and would waste slots. Queries
@@ -110,16 +111,17 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_incremental_pairs",
     "embedding_covariance",
     "embedding_standardize",
-    # --- re-checks: stale rows on load-bearing families (9) ---
+    # --- first-time driver rows: the 5 round-closing registrations ---
+    "ann_recall_pq_rerank",
+    "bm25_topk",
+    "hybrid_rrf_fusion",
+    "embedding_pca_project",
+    "vocab_coverage",
+    # --- re-checks: stale rows on load-bearing families (4) ---
     "contamination_check",  # de-materialized in r4 after its last row
     "scd2_history",
     "merge_upsert_full",
-    "dedup_exact",
     "fact_staff_daily_sql",
-    "asof_join_latest_order",
-    "sessionize",
-    "stat_moments",
-    "profile_columns",
 ]
 
 

@@ -255,3 +255,44 @@ def test_cli_curate_pipeline(tmp_path):
     # the displaced first output was archived (keep-versions)
     import os
     assert os.path.isdir(f"{wd}/curated_docs.__versions__")
+
+
+def test_curate_keeps_alive_representative_when_canonical_filtered(tmp_path):
+    """Regression (review finding): when a near-dup cluster's GLOBAL
+    canonical is removed by an earlier stage (here: language filter),
+    the cluster must keep its smallest SURVIVING member — not lose all
+    copies of the content."""
+    from callio_etl_spark.__main__ import _curate
+    from callio_etl_spark.config import EngineConfig
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("curate-regression", cpus=8)
+    body = " ".join(f"w{i} x{i} y{i}" for i in range(8))  # 24 distinct tokens
+    rows = [
+        # doc 0: near-dup canonical, but Italian -> dropped by the filter
+        (0, body, "it", "s0", len(body)),
+        # doc 1: English copy of the same content -> must SURVIVE
+        (1, body, "en", "s0", len(body)),
+        # doc 2: unrelated English doc
+        (2, " ".join(f"z{i} q{i} r{i}" for i in range(8)), "en", "s1", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    cfg = EngineConfig.from_env()
+    cfg.sf_dir = sf
+    cfg.work_dir = str(tmp_path / "work")
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    counts = _curate(spark, cfg)
+    docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/curated_docs").collect()
+    }
+    assert 1 in docs, f"surviving copy lost: {docs} counts={counts}"
+    assert 0 not in docs  # the filtered canonical stays out
+    assert 2 in docs
