@@ -1819,11 +1819,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQRT are exactly-rounded IEEE ops — bit-identical across engines at
     every iteration, so the eigenvector sign/values cannot drift."""
     cov = embedding_covariance(spark, sf_dir)
+    # Materialize the dims^2-row covariance ONCE: every iteration's matvec
+    # action would otherwise re-run the corpus-scale aggregate per collect.
     cfull = cov.unionByName(
         cov.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
-    )
+    ).localCheckpoint(eager=True)
     v = spark.range(1, COV_DIMS + 1).select(
         F.col("id").alias("dim"),
         F.when(F.col("id") == 1, 1.0).otherwise(0.0).alias("vv"),
@@ -1843,28 +1845,21 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
         )
-        n = m.agg(
-            F.sqrt(
-                F.sum(
-                    F.floor(F.col("m") * F.col("m") * F.lit(_PCA_NQ)).cast(
-                        "decimal(38,0)"
-                    )
-                ).cast("double")
-                / F.lit(_PCA_NQ)
-            ).alias("n")
-        )
-        # COLLECT the COV_DIMS-row eigenvector each round and restart the
-        # next iteration from literals: leaving it as a lazy frame embeds
-        # the covariance subtree ~2x per round (m appears in both the
-        # matvec and its own norm), so plan size grows 2^ITERS — whereas a
-        # 16-double collect is free and makes every iteration O(1) plan.
-        # Parity is untouched: the collected values ARE the iteration's
-        # exactly-computed doubles, re-entering as literals on both
-        # engines' recursions (the oracle's CTE chain computes the same
-        # values without materialization, which DuckDB handles fine at
-        # this CTE depth).
-        nval = n.collect()[0]["n"]
-        rows = [(r["mdim"], r["m"] / nval) for r in m.collect()]
+        # COLLECT the COV_DIMS-row matvec each round and restart the next
+        # iteration from literals: leaving it as a lazy frame embeds the
+        # covariance subtree ~2x per round (plan grows 2^ITERS). The norm
+        # is computed driver-side with the SAME op sequence the oracle's
+        # n{{k}} CTE runs — floor(m*m*quantum) summed as exact integers
+        # (Python ints == the DECIMAL(38,0) sum), int->double conversion
+        # == the decimal->double cast (both correctly rounded), then one
+        # exactly-rounded division and sqrt — so every iterate stays
+        # bit-identical across all three computations.
+        import math
+
+        mrows = sorted(m.collect(), key=lambda r: r["mdim"])
+        qsum = sum(int(math.floor(r["m"] * r["m"] * _PCA_NQ)) for r in mrows)
+        nval = math.sqrt(float(qsum) / _PCA_NQ)
+        rows = [(r["mdim"], r["m"] / nval) for r in mrows]
         v = spark.createDataFrame(rows, "dim long, vv double")
     ee = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
