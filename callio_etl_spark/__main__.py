@@ -112,9 +112,11 @@ def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
     with both outputs (curated_docs, curated_shards) committed through
     the atomic staging+rename protocol (versioned when --keep-versions
     is set). The curated frame is localCheckpointed once, so the write,
-    the manifest, and the accounting all read the materialized stage
-    instead of re-running the filter/dedup lineage per action. Returns
-    the per-stage row accounting (also logged)."""
+    the manifest, and the curated/shard counts read the materialized
+    stage; the after_filter / after_exact_dedup accounting deliberately
+    re-runs its own (shorter) lineage once each — drop those two counts
+    in a deployment that doesn't want the extra passes. Returns the
+    per-stage row accounting (also logged)."""
     from callio_etl_spark.io import atomic_overwrite
     from callio_etl_spark.llm_ops.dedup_ops import _pipeline_clusters, content_fp
     from callio_etl_spark.llm_ops.sampling import (

@@ -22,6 +22,8 @@ set when small (hinted) — at 1000 executors the big side never shuffles.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
@@ -1854,10 +1856,14 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         # == the decimal->double cast (both correctly rounded), then one
         # exactly-rounded division and sqrt — so every iterate stays
         # bit-identical across all three computations.
-        import math
-
         mrows = sorted(m.collect(), key=lambda r: r["mdim"])
         qsum = sum(int(math.floor(r["m"] * r["m"] * _PCA_NQ)) for r in mrows)
+        if qsum == 0:
+            raise ValueError(
+                "embedding_pca_project: power iteration collapsed — zero "
+                "covariance along the current iterate (a constant start "
+                "dimension); start from a different unit vector"
+            )
         nval = math.sqrt(float(qsum) / _PCA_NQ)
         rows = [(r["mdim"], r["m"] / nval) for r in mrows]
         v = spark.createDataFrame(rows, "dim long, vv double")

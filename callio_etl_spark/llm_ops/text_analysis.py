@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from callio_etl_spark.llm_ops.similarity import TOP_K as _RRF_DENSE_K
 from callio_etl_spark.registry import register
 from callio_etl_spark.tables import load_table, spread as _spread
 
@@ -1117,8 +1118,6 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= BM25_TOP)
     )
 
-
-from callio_etl_spark.llm_ops.similarity import TOP_K as _RRF_DENSE_K
 
 RRF_K = 60  # standard reciprocal-rank-fusion damping constant
 RRF_DENSE_QUERY = 0  # the embedding query whose dense ranking is fused
