@@ -371,3 +371,55 @@ def test_neardup_stream_matches_batch_incremental(spark, tmp_path):
     assert streamed == batch
     assert {(p[0], p[1]) for p in streamed} >= {(10, 0), (10, 2)}
     assert all(p[0] != 11 for p in streamed)  # novel doc matches nothing
+
+
+def test_neardup_stream_two_ticks_processes_only_new_batch(spark, tmp_path):
+    """Two availableNow runs over the same checkpoint: the second tick
+    must probe the index with ONLY the newly landed batch (no replay of
+    tick 1's docs) — the rolling dedup service's incremental contract."""
+    from callio_etl_spark.llm_ops.dedup_ops import band_projection
+    from callio_etl_spark.streaming.incremental import (
+        neardup_stream,
+        read_docs_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = [(0, "alpha beta gamma delta epsilon zeta", "en", "s0", 0)]
+    index_bands = band_projection(
+        spark.createDataFrame(base, schema)
+    ).localCheckpoint()
+    src = f"{tmp_path}/src"
+    ck = f"{tmp_path}/ck"
+    out = f"{tmp_path}/out"
+
+    def run_tick():
+        # parquet sink: the memory sink refuses checkpoint recovery, and a
+        # real rolling dedup service lands pairs durably anyway
+        q = (
+            neardup_stream(read_docs_stream(spark, src), index_bands)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["new_doc_id"], r["index_doc_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # tick 1: doc 10 duplicates the indexed doc 0
+    spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta", "en", "s1", 0)], schema
+    ).write.mode("append").parquet(src)
+    first = run_tick()
+    assert {p[:2] for p in first} == {(10, 0)}
+
+    # tick 2: doc 20 also duplicates doc 0; doc 10's pairs must NOT re-emit
+    spark.createDataFrame(
+        [(20, "alpha beta gamma delta epsilon zeta", "en", "s2", 0)], schema
+    ).write.mode("append").parquet(src)
+    both = run_tick()
+    assert both == {(10, 0), (20, 0)}  # sink accumulates; no replays
