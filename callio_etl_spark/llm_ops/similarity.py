@@ -1887,3 +1887,113 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pc1")
         )
     )
+
+
+# ------------------------------------------------ iterative IVF training
+
+IVF_ROUNDS = 2  # measured k-means rounds (assign -> update per round)
+
+#: One training round as SQL: centroids from assignment a{prev} ->
+#: reassignment a{k} by best centroid cosine (label asc tiebreak).
+_IVF_ROUND_SQL = """
+cent{k} AS (
+  SELECT label, i AS dim,
+         CAST(SUM(CAST(FLOOR(v[i] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM a{prev}, range(1, {dims} + 1) t(i)
+  GROUP BY label, i
+),
+cvec{k} AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent{k} GROUP BY label),
+a{k} AS (
+  SELECT vec_id, v, label, best_cos FROM (
+    SELECT x.vec_id, x.v, c.label,
+           list_cosine_similarity(x.v, c.cv) AS best_cos,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY list_cosine_similarity(x.v, c.cv) DESC, c.label ASC
+           ) AS rn
+    FROM a{prev} x CROSS JOIN cvec{k} c
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "ivf_train_rounds",
+    oracle=f"""
+WITH a0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+),{",".join(_IVF_ROUND_SQL.format(k=k, prev=k - 1, dims=EMB_DIM) for k in range(1, IVF_ROUNDS + 1))}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f'''SELECT CAST({k} AS BIGINT) AS round,
+         CAST(SUM(CASE WHEN n.label <> p.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reassigned,
+         CAST(SUM(CAST(FLOOR(n.best_cos * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS mean_best_cos
+      FROM a{k} n JOIN a{k - 1} p ON p.vec_id = n.vec_id'''
+      for k in range(1, IVF_ROUNDS + 1)
+  )}
+)
+""",
+    tags=["llm", "similarity", "metric", "iterative"],
+)
+def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer training, MEASURED per round: {IVF_ROUNDS}
+    full k-means rounds (decimal-mean centroid update -> spherical
+    reassignment) starting from the shipped label assignment, reporting
+    per round how many vectors moved cells and the mean best-centroid
+    cosine — the convergence curve an IVF build watches to decide when to
+    stop (ivf_centroids is one update step; this is the loop around it).
+
+    Shape per round: the centroid update is the (label, dim) decimal hash
+    aggregate (|cells| x dim reduce rows, corpus-size-free); reassignment
+    joins every vector against the BROADCAST centroid table with a
+    bounded (vec_id) window — the same assign plan ann_topk_ivf_probe
+    uses. Each round's assignment is collect-free and localCheckpointed
+    so round k+1's lineage starts from materialized cells rather than
+    re-running every earlier round (the PCA-iteration lesson; here the
+    frame is corpus-sized, exactly what a real trainer persists between
+    passes). Parity: centroid means and the fit statistic use the
+    floor-quantized integer-DECIMAL recipe; cosine ranking is the
+    verified bit-identical sequential fold."""
+    a_prev = _emb(spark, sf_dir).localCheckpoint(eager=True)
+    out_rows = []
+    for k in range(1, IVF_ROUNDS + 1):
+        cvec = _cvec(a_prev)
+        scored = a_prev.select(
+            "vec_id", "v", F.col("label").alias("old_label")
+        ).crossJoin(F.broadcast(cvec.withColumnRenamed("label", "new_label")))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("bc").desc(), F.col("new_label").asc()
+        )
+        a_next = (
+            scored.withColumn("bc", cosine(F.col("v"), F.col("cv")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "vec_id",
+                "v",
+                F.col("new_label").alias("label"),
+                F.col("old_label"),
+                F.col("bc").alias("best_cos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = a_next.agg(
+            F.lit(k).cast("long").alias("round"),
+            F.sum(
+                F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
+            ).cast("long").alias("n_reassigned"),
+            (
+                F.sum(
+                    F.floor(F.col("best_cos") * F.lit(1e10)).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1e10)
+                / F.count("*")
+            ).alias("mean_best_cos"),
+        )
+        out_rows.append(stats)
+        a_prev = a_next.select("vec_id", "v", "label")
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -1260,3 +1260,19 @@ def test_pca_projection_tracks_numpy_power_iteration(spark):
     var_axis = np.var([got[i] for i in ids])
     var_e1 = np.var(X[:, 0])
     assert var_axis > var_e1
+
+
+def test_ivf_training_converges(spark):
+    """Across the measured rounds: the mean best-centroid cosine must not
+    decrease (k-means improvement, spherical flavor — data-pinned like
+    the PQ update test) and reassignment churn must not grow."""
+    from callio_etl_spark.llm_ops.similarity import ivf_train_rounds
+
+    rows = sorted(
+        ivf_train_rounds(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["round"],
+    )
+    assert len(rows) == 2
+    assert rows[1]["mean_best_cos"] >= rows[0]["mean_best_cos"]
+    assert rows[1]["n_reassigned"] <= rows[0]["n_reassigned"]
+    assert rows[0]["n_reassigned"] > 0  # round 1 actually moves vectors
