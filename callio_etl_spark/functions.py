@@ -191,3 +191,26 @@ def dedup_column_names(columns: list[str]) -> list[str]:
             seen[c] = 0
             out.append(c)
     return out
+
+
+def ranked_topk(df: DataFrame, order_cols: list, k: int, out_col: str = "rank") -> DataFrame:
+    """Global top-k WITH rank numbers, without ranking the whole input in
+    one task: a bare ``row_number() OVER (ORDER BY ...)`` plans as a
+    single-partition WindowExec that sorts the entire table in one task —
+    the classic scale cliff. Instead:
+
+    1. ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject —
+       per-partition k-heaps merged on the driver (reservoir_sample's
+       shape), so no task ever holds more than k rows;
+    2. ranks are then assigned by a window over the surviving k rows only.
+       That window's input is bounded by the design constant ``k`` (not by
+       the data), and the partition key is an explicit literal so the
+       single partition is declared, not accidental.
+
+    ``order_cols`` must be a total order (unique tiebreaker) for the ranks
+    to be deterministic."""
+    from pyspark.sql import Window
+
+    top = df.orderBy(*order_cols).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    return top.withColumn(out_col, F.row_number().over(w).cast("long"))

@@ -292,21 +292,26 @@ def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric length-grouped batching exists to minimize (random
     batching at this corpus's length spread wastes 30-50%).
 
-    Plan/scale: one projection for token counts, then a global sort for
-    NTILE — Spark range-partitions the sort, so the 'global' window is
-    actually parallel: each executor ntiles its contiguous length range
-    after a single sample-based exchange. At 100 TB, swap NTILE for
-    width_bucket on the (known) length distribution and the sort
-    disappears entirely; the aggregate is map-side partial either way."""
-    d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    Plan/scale: one projection for token counts, then NTILE computed
+    DISTRIBUTED via ntile_ordered (prefix-sum global rank + closed-form
+    tile) — a bare ``ntile() OVER (ORDER BY ...)`` would drag the whole
+    corpus through one WindowExec task; here the widest task holds one
+    range partition. At 100 TB, swap NTILE for width_bucket on the
+    (known) length distribution and even the rank's shuffles disappear;
+    the aggregate is map-side partial either way."""
+    from callio_etl_spark.llm_ops.sampling import ntile_ordered
 
+    d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    w = Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-    binned = scored.withColumn("batch_id", F.ntile(N_BATCHES).over(w))
+    binned = ntile_ordered(
+        scored,
+        [F.col("n_tokens").desc(), F.col("doc_id")],
+        N_BATCHES,
+        "batch_id",
+    )
     dense = F.col("max_len") * F.col("batch_size")
     return (
         binned.groupBy(F.col("batch_id").cast("long").alias("batch_id"))

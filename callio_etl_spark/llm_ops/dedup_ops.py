@@ -988,8 +988,13 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Occurrences are totally ordered by doc_id * POS_BASE + pos — a single
 #: BIGINT both engines MIN() identically (struct/tuple MIN is not portable).
-#: POS_BASE bounds in-doc token positions; docs here are ~60 tokens, and at
-#: 1e6 the key stays far inside BIGINT for any realistic doc_id.
+#: POS_BASE bounds in-doc token positions: a document with >= POS_BASE
+#: tokens would bleed into the next doc_id's key range and silently corrupt
+#: first-occurrence selection, so the operator GUARDS the bound at runtime
+#: (raise_error on any over-long document — loud failure, never wrong
+#: survivors). At 1e6 the key stays far inside BIGINT for any realistic
+#: doc_id; raise POS_BASE (or pre-chunk with chunk_documents) for corpora
+#: with million-token documents.
 POS_BASE = 1_000_000
 
 
@@ -1066,7 +1071,23 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     to scale, and the union-of-positions step subsumes maximality for
     removal purposes (adjacent duplicated windows merge into one cut)."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.split("text", " ").alias("tokens"))
+    tokens = F.split("text", " ")
+    # runtime guard for the POS_BASE key-packing bound: an over-long doc
+    # fails the job loudly instead of corrupting first-occurrence keys
+    guarded = F.when(
+        F.size(tokens) >= POS_BASE,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"dedup_span_removal: document exceeds POS_BASE={POS_BASE}"
+                    " tokens (doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit("); raise POS_BASE or pre-chunk the corpus"),
+            )
+        ),
+    ).otherwise(tokens)
+    toks = d.select("doc_id", guarded.alias("tokens"))
     win = toks.where(F.size("tokens") >= SUBSTR_K).select(
         "doc_id",
         F.posexplode(

@@ -196,17 +196,56 @@ def curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-batching prep. The unique doc_id tiebreak makes the global
     order total, so bin edges are engine-deterministic.
 
-    Scale note: a single-partition global sort is the textbook NTILE
-    hazard; production replaces it with approx quantile edges (one pass,
-    percentile_approx) + a map-side bin lookup — percentile_summary in
-    this repo demonstrates that path. Registered with the exact NTILE so
-    the two variants can be diffed."""
+    Plan: NTILE computed DISTRIBUTED — global rank via the prefix sum
+    (range partition -> local window -> offset add) and the closed-form
+    tile from (rank, n), bit-identical to the oracle's NTILE (ntile_
+    ordered). The naive ``ntile() OVER (ORDER BY ...)`` form moves the
+    whole corpus through one WindowExec task; this plan's widest single
+    task holds one range partition. curriculum_bins_approx is the
+    one-pass sketch variant for when even the rank's two shuffles are
+    too much."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.ntile(N_CURRICULUM_BINS).over(w).cast("long").alias("bin"),
+    return ntile_ordered(
+        d.select("doc_id", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        N_CURRICULUM_BINS,
+        "bin",
+    )
+
+
+@register("curriculum_bins_approx", oracle=None, tags=["llm", "sampling"])
+def curriculum_bins_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning via approx quantile edges — the sketch path for
+    corpora where even the exact rank's two shuffles are unwanted: ONE
+    map-combined percentile_approx aggregate produces the
+    {N_CURRICULUM_BINS}-1 bin edges (a single broadcast row), and bin
+    assignment is a pure map-side lookup (count of edges below the value)
+    — no sort, no window, no second shuffle anywhere.
+
+    No SQL oracle: the edges come from Spark's Greenwald-Khanna sketch,
+    whose estimates DuckDB's quantile sketch does not reproduce — the
+    driver records rows-only (row count == corpus size), and
+    tests/test_llm_ops.py asserts >=99% per-row bin agreement with the
+    exact curriculum_bins at fixture scale plus monotonicity of the
+    edges."""
+    d = load_table(spark, sf_dir, "documents")
+    probs = [i / N_CURRICULUM_BINS for i in range(1, N_CURRICULUM_BINS)]
+    edges = d.agg(
+        F.percentile_approx("n_chars", probs, 10_000).alias("edges")
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                1
+                + F.size(
+                    F.filter("edges", lambda e: F.col("n_chars") > e)
+                )
+            ).cast("long").alias("bin"),
+        )
     )
 
 
@@ -336,6 +375,39 @@ def prefix_sum_ordered(
         out_col,
         (F.col("__cum") + F.coalesce(omap[F.col("__pid")], F.lit(0))).cast("long"),
     ).drop("__pid", "__cum")
+
+
+def ntile_ordered(
+    df: DataFrame, order_cols: list, n_tiles: int, out_col: str
+) -> DataFrame:
+    """Exact SQL NTILE over a global order WITHOUT the single-task window
+    Spark plans for ``ntile() OVER (ORDER BY ...)`` with no PARTITION BY:
+    the global rank comes from the distributed prefix sum (range partition
+    -> local window -> offset add, prefix_sum_ordered), and the tile is the
+    closed-form NTILE formula over (rank, n): with ``n`` rows and ``k``
+    tiles, the first ``n % k`` tiles hold ``floor(n/k) + 1`` rows and the
+    rest ``floor(n/k)`` — bit-identical to both engines' NTILE for any
+    total order. The row count joins in as one broadcast scalar; the
+    double divisions are exact for n < 2^52 rows (comfortably past 100 TB
+    of documents). ``order_cols`` must include a unique tiebreaker."""
+    ranked = prefix_sum_ordered(
+        df.withColumn("__one", F.lit(1)), "__one", order_cols, "__rank"
+    )
+    tot = ranked.agg(F.count("*").cast("long").alias("__n"))
+    r, n = F.col("__rank"), F.col("__n")
+    base = F.floor(n / n_tiles).cast("long")  # small-tile row count
+    rem = (n % n_tiles).cast("long")          # how many tiles get one extra
+    big_span = rem * (base + 1)               # rows covered by the big tiles
+    tile = F.when(r <= big_span, F.floor((r - 1) / (base + 1))).otherwise(
+        # greatest() guards the n < k case (base = 0): that branch is then
+        # unreachable (big_span = n covers every rank) but still compiled
+        rem + F.floor((r - big_span - 1) / F.greatest(base, F.lit(1)))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(out_col, (tile + 1).cast("long"))
+        .drop("__one", "__rank", "__n")
+    )
 
 
 @register(

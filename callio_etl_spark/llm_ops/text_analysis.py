@@ -13,9 +13,10 @@ identical expression trees on both engines — bit-identical without rounding.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from callio_etl_spark.llm_ops.similarity import TOP_K as _RRF_DENSE_K
+from callio_etl_spark.functions import ranked_topk
 from callio_etl_spark.registry import register
 from callio_etl_spark.tables import load_table, spread as _spread
 
@@ -849,12 +850,11 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("freq").cast("long").alias("pair_count"))
     )
-    w = Window.orderBy(
-        F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()
-    )
-    return (
-        pairs.withColumn("merge_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("merge_rank") <= BPE_TOP_PAIRS)
+    return ranked_topk(
+        pairs,
+        [F.col("pair_count").desc(), F.col("left_sym").asc(), F.col("right_sym").asc()],
+        BPE_TOP_PAIRS,
+        "merge_rank",
     )
 
 
@@ -989,10 +989,11 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_lin"),
         )
     )
-    w = Window.orderBy(F.col("pmi_lin").desc(), F.col("w1").asc(), F.col("w2").asc())
-    return (
-        scored.withColumn("assoc_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("assoc_rank") <= PMI_TOP)
+    return ranked_topk(
+        scored,
+        [F.col("pmi_lin").desc(), F.col("w1").asc(), F.col("w2").asc()],
+        PMI_TOP,
+        "assoc_rank",
     )
 
 
@@ -1112,10 +1113,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.select(
         "doc_id", (total.cast("double") / F.lit(_BM25_Q)).alias("bm25")
     )
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= BM25_TOP)
+    return ranked_topk(
+        scored, [F.col("bm25").desc(), F.col("doc_id").asc()], BM25_TOP, "rank"
     )
 
 
@@ -1277,12 +1276,13 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("w").asc())
+    # top-K vocab via TakeOrderedAndProject (per-partition heaps) — the rank
+    # itself is not needed, so no window at all
     vocab = (
         tok.groupBy("w")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("rnk", F.row_number().over(wv))
-        .where(F.col("rnk") <= VOCAB_TOP_K)
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(VOCAB_TOP_K)
         .select("w", F.lit(1).alias("in_vocab"))
     )
     return (

@@ -45,83 +45,76 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 
 #: The driver records correctness for only the FIRST 50 queries() entries
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
-#: operators get a hard driver signal. The window ROTATES each round so every
-#: registered query eventually earns a driver row (COVERAGE.md keeps the
-#: per-round slot ledger). After r4, 122 of the 130 then-registered queries
-#: had a driver row. The registry grew to 161 during r5, so the r5 window
-#: prioritizes FIRST-TIME driver rows: the 7 r4 registrations that had
-#: never been checked (sink roundtrips, salted join, sign-LSH pair,
-#: media/audio decode) and ALL 31 r5 registrations (versioning, budget
-#: selection, multi-probe IVF, the PQ family incl. rerank + recall, DSIR,
-#: span removal, incremental LSH, BPE/PMI, BM25/RRF retrieval,
-#: covariance/whitening/PCA, vocab coverage, ...) — every one locally
-#: green under both the tolerant and the strict bit-exact mirror before
-#: taking a slot. With these, every oracle-bearing query in the registry
-#: has held a driver row at least once. 8 previously-green
-#: flagship/merge/LLM canaries remain as regression tripwires, and the
-#: remaining 4 slots re-check the most load-bearing stale rows
-#: (contamination_check changed in r4; merge/CDC/SQL-channel anchors).
-#: Rows-only queries (ann_topk_gemm, approx_sketch_stats) stay out of the
-#: window — they can never hash-match and would waste slots. Queries
-#: outside the window remain registered, pytest-covered, and locally
-#: oracle-checked every round via tools/check_correctness.py (stricter
-#: value compare than the driver hash).
+#: operators get a hard driver signal. The window ROTATES each round so
+#: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
+#: per-round slot ledger). State entering r6: the registry holds 163+
+#: queries; 160 have held a green driver row (latest row green for every
+#: one), ivf_train_rounds (registered after the r5 window was set) has
+#: not, and ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx
+#: are rows-only by construction (no deterministic cross-engine oracle)
+#: and stay out of the window — they can never hash-match and would waste
+#: slots. The r6 window therefore holds:
+#:   1. ivf_train_rounds — the one oracle-bearing query with no row yet;
+#:   2. new r6 registrations (scale-path variants, ANN index delta
+#:      maintenance, sketch error audit) — first-time rows;
+#:   3. every query whose PLAN changed in r6 (the global-window
+#:      eliminations: bm25 + BPE/PMI/vocab top-k now TakeOrdered-based,
+#:      curriculum/length NTILE now prefix-sum-based, span removal's
+#:      overflow guard) — a changed plan invalidates the old row;
+#:   4. three flagship/merge canaries as regression tripwires;
+#:   5. the entire r1-vintage cohort (30 queries whose latest driver row
+#:      is five rounds old — TPC-H-adjacent suites, window/scalar
+#:      families), oldest-first per the ledger's rotation promise.
+#: Queries outside the window remain registered, pytest-covered, and
+#: locally oracle-checked every round via tools/check_correctness.py
+#: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- canaries: green in r4, kept to detect regressions (8) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "latest_per_key",
-    "merge_upsert_conditional",
-    "dedup_pipeline",
-    "minhash_lsh_pairs",
-    "pack_sequences",
-    "media_features",
-    # --- first-time driver rows: r4 registrations, never checked (7) ---
-    "salted_join_agg",
-    "sink_append_evolve",
-    "sink_partition_delete",
-    "embedding_lsh_buckets",
-    "embedding_lsh_pairs",
-    "media_resize",
-    "audio_features",
-    # --- first-time driver rows: r5 registrations, never checked (26) ---
-    "unigram_rarity",
-    "boilerplate_ngrams",
-    "bloom_decontaminate",
-    "length_batching",
-    "embedding_outliers",
-    "incremental_agg_maintenance",
-    "zorder_layout",
-    "semantic_dedup",
-    "corpus_select_budget",
-    "ann_topk_ivf_probe",
-    "ann_recall_ivf_probe",
-    "ann_hard_negatives",
-    "sink_versioned_restore",
-    "shard_manifest",
-    "sink_version_diff",
-    "dedup_span_removal",
-    "dsir_importance",
-    "pq_codes",
-    "ann_topk_ivfpq",
-    "ann_recall_pq",
-    "ann_topk_pq_rerank",
+    # --- first-time oracle-bearing row (1) ---
+    "ivf_train_rounds",
+    # --- r6 plan changes: re-earn the row under the new plan (8) ---
+    "bm25_topk",
+    "hybrid_rrf_fusion",  # consumes bm25_topk's ranks
     "bpe_pair_counts",
     "pmi_cooccurrence",
-    "minhash_incremental_pairs",
-    "embedding_covariance",
-    "embedding_standardize",
-    # --- first-time driver rows: the 5 round-closing registrations ---
-    "ann_recall_pq_rerank",
-    "bm25_topk",
-    "hybrid_rrf_fusion",
-    "embedding_pca_project",
     "vocab_coverage",
-    # --- re-checks: stale rows on load-bearing families (4) ---
-    "contamination_check",  # de-materialized in r4 after its last row
-    "scd2_history",
-    "merge_upsert_full",
-    "fact_staff_daily_sql",
+    "curriculum_bins",
+    "length_batching",
+    "dedup_span_removal",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- oldest-first re-checks: the full r1-vintage cohort (30) ---
+    "array_hof_suite",
+    "asof_join_latest_order",
+    "bitwise_agg_suite",
+    "cube_agg",
+    "date_fn_suite",
+    "date_spine_fill",
+    "distinct_rows",
+    "grouping_sets_explicit",
+    "hopping_window_agg",
+    "join_anti",
+    "join_semi",
+    "json_map_suite",
+    "null_semantics_suite",
+    "percentile_summary",
+    "pivot_event_types",
+    "posexplode_tokens",
+    "profile_columns",
+    "range_join_bucketed",
+    "regexp_suite",
+    "rollup_agg",
+    "sessionize",
+    "set_intersect_except",
+    "stat_moments",
+    "string_agg_suite",
+    "string_fn_suite",
+    "tumbling_window_agg",
+    "unpivot_measures",
+    "window_dist_suite",
+    "window_frames",
+    "window_rank_suite",
 ]
 
 

@@ -263,9 +263,14 @@ def neardup_stream(docs: DataFrame, index_bands: DataFrame) -> DataFrame:
     map-side, stream-legal) and stream-static joins the persisted band
     index, emitting (new_doc_id, index_doc_id, band) candidate rows.
 
-    Scale: the static index side is re-read per micro-batch (so an index
-    refreshed by a compaction job stays current without restarting the
-    query), the join is an equi-join on (band, band_key), and per-batch
+    Scale: the static index side is re-evaluated per micro-batch — for a
+    FILE-BACKED static frame (e.g. a parquet band-index table maintained
+    by a compaction job) that means a refreshed index stays current
+    without restarting the query; a localCheckpoint'd index (what
+    _band_table produces and the tests pass) is frozen at materialization
+    and will NOT pick up refreshes — persist the band table to parquet
+    and read it back for the live-refresh property. The join is an
+    equi-join on (band, band_key), and per-batch
     cost is |delta| signatures + delta-to-index bucket probes — the same
     linear-in-the-delta contract as the batch operator, proven by the
     parity test (tests/test_streaming.py): streamed candidate pairs ==

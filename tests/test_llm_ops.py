@@ -1276,3 +1276,58 @@ def test_ivf_training_converges(spark):
     assert rows[1]["mean_best_cos"] >= rows[0]["mean_best_cos"]
     assert rows[1]["n_reassigned"] <= rows[0]["n_reassigned"]
     assert rows[0]["n_reassigned"] > 0  # round 1 actually moves vectors
+
+
+def test_curriculum_bins_approx_agrees_with_exact(spark):
+    """The sketch-edge binning (one pass, no sort) must agree with the
+    exact distributed NTILE on >=99% of documents, produce the same bin
+    id range, and assign every document exactly once. Disagreement is
+    confined to documents whose length sits ON a sketch-vs-exact edge
+    discrepancy, so near-total agreement at accuracy=10k is the designed
+    behavior, not luck."""
+    from callio_etl_spark.llm_ops.sampling import (
+        N_CURRICULUM_BINS,
+        curriculum_bins,
+        curriculum_bins_approx,
+    )
+
+    exact = {
+        r["doc_id"]: r["bin"] for r in curriculum_bins(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["doc_id"]: r["bin"]
+        for r in curriculum_bins_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    assert min(approx.values()) >= 1
+    assert max(approx.values()) <= N_CURRICULUM_BINS
+    agree = sum(1 for k in exact if exact[k] == approx[k])
+    assert agree / len(exact) >= 0.99
+
+
+def test_ntile_ordered_matches_window_ntile(spark):
+    """ntile_ordered (prefix-sum rank + closed-form tile) is bit-identical
+    to Spark's own ntile() window across tile counts that exercise the
+    uneven-remainder arithmetic, including k > n."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from callio_etl_spark.llm_ops.sampling import ntile_ordered
+
+    df = spark.range(0, 103).select(
+        F.col("id"), (F.col("id") * 37 % 91).alias("v")
+    )
+    for k in (1, 2, 7, 10, 103, 200):
+        order = [F.col("v").asc(), F.col("id").asc()]
+        got = {
+            (r["id"], r["t"])
+            for r in ntile_ordered(df, order, k, "t").collect()
+        }
+        w = Window.orderBy(*order)
+        want = {
+            (r["id"], r["t"])
+            for r in df.withColumn(
+                "t", F.ntile(k).over(w).cast("long")
+            ).collect()
+        }
+        assert got == want
