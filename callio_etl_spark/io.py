@@ -18,6 +18,9 @@ gives parquet row-group min/max data skipping on those columns.
 
 from __future__ import annotations
 
+import time
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,6 +30,17 @@ STAGING_SUFFIX = ".__staging__"
 BACKUP_SUFFIX = ".__backup__"
 PBAK_SUFFIX = ".__pbak__"
 VERSIONS_SUFFIX = ".__versions__"
+LOCK_SUFFIX = ".__commitlock__"
+
+#: Writer-coordination knobs: how long a committer waits for the table
+#: lock, and when an unreleased lock / orphaned writer staging counts as a
+#: crashed writer and is reclaimed. The stale thresholds bound how long a
+#: crash can block the table; they must exceed any legitimate COMMIT
+#: duration (the lock covers only metadata renames — milliseconds — never
+#: the data write, so minutes of slack is orders of magnitude of margin).
+LOCK_TIMEOUT_S = 120.0
+LOCK_STALE_S = 3600.0
+STAGING_STALE_S = 24 * 3600.0
 
 
 def load_append(df: DataFrame, path: str, merge_schema: bool = True) -> None:
@@ -93,6 +107,79 @@ def _touch(jvm, fs, path: str) -> None:
     fs.create(jvm.org.apache.hadoop.fs.Path(path)).close()
 
 
+def _try_create_exclusive(jvm, fs, path: str) -> bool:
+    """Atomic create-if-absent (overwrite=false): exactly one of N
+    concurrent callers wins — the mutual-exclusion primitive on HDFS and
+    POSIX (object stores without atomic create need a real table format's
+    commit service instead; same boundary as the rename note above)."""
+    try:
+        fs.create(jvm.org.apache.hadoop.fs.Path(path), False).close()
+        return True
+    except Exception:
+        return False
+
+
+def _mtime_s(jvm, fs, path: str) -> float:
+    return fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path)).getModificationTime() / 1000.0
+
+
+def acquire_table_lock(
+    spark: SparkSession,
+    path: str,
+    timeout_s: float = LOCK_TIMEOUT_S,
+    stale_s: float = LOCK_STALE_S,
+    poll_s: float = 0.05,
+) -> str:
+    """Take the table's commit lock (create-if-absent lock file beside the
+    table). Concurrent committers spin until the holder releases; a lock
+    older than ``stale_s`` is presumed crashed and reclaimed (the next
+    committer's recover_table call then heals whatever the dead writer
+    left mid-swap). Raises TimeoutError after ``timeout_s`` — a committer
+    must never silently skip the swap it staged."""
+    jvm, fs, _ = _hadoop(spark, path)
+    lock = path.rstrip("/") + LOCK_SUFFIX
+    deadline = time.monotonic() + timeout_s
+    while True:
+        if _try_create_exclusive(jvm, fs, lock):
+            return lock
+        try:
+            if time.time() - _mtime_s(jvm, fs, lock) > stale_s:
+                _delete(jvm, fs, lock)  # crashed holder: reclaim
+                continue
+        except Exception:
+            continue  # lock released between the create and the stat
+        if time.monotonic() > deadline:
+            raise TimeoutError(
+                f"atomic commit: table lock {lock} held past {timeout_s}s; "
+                "a concurrent writer is committing (or crashed within the "
+                f"stale window of {stale_s}s)"
+            )
+        time.sleep(poll_s)
+
+
+def release_table_lock(spark: SparkSession, path: str) -> None:
+    jvm, fs, _ = _hadoop(spark, path)
+    _delete(jvm, fs, path.rstrip("/") + LOCK_SUFFIX)
+
+
+def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S) -> None:
+    """Drop writer-unique staging dirs (<path>.__staging__.<token>) left by
+    writers that died BEFORE taking the lock — they are invisible to
+    recover_table (which heals only the locked commit sequence) and would
+    otherwise leak forever. Age-gated so an in-flight concurrent writer's
+    staging is never touched (a data write outlasting STAGING_STALE_S
+    would fail its later rename loudly and simply restage)."""
+    parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
+    prefix = jvm.org.apache.hadoop.fs.Path(path).getName() + STAGING_SUFFIX + "."
+    if parent is None or not fs.exists(parent):
+        return
+    now = time.time()
+    for st in fs.listStatus(parent):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and now - st.getModificationTime() / 1000.0 > stale_s:
+            fs.delete(st.getPath(), True)
+
+
 #: Mode markers written INSIDE staging after the write completes, so
 #: recovery can tell a whole-table swap from a per-partition swap (the two
 #: roll forward differently). Underscore-prefixed => invisible to Spark's
@@ -126,31 +213,52 @@ def atomic_overwrite(
     SYSTEM_TIME AS OF`, 7-day window). Read archived snapshots with
     ``read_table_version``; roll back with ``restore_table_version``. The
     archival is one directory rename — metadata-only, no data copy, any
-    table size."""
+    table size.
+
+    CONCURRENT WRITERS (the contract BigQuery's atomic jobs give the
+    reference): each writer stages its data into a writer-unique dir
+    UNLOCKED — concurrent 100 TB writes proceed in parallel — then takes
+    the table's commit lock for the metadata swap only (milliseconds).
+    Commits serialize; the last committer wins whole; a reader always
+    sees exactly one complete table. What this does NOT give is snapshot
+    isolation for a df that READS FROM ``path`` while another writer
+    commits mid-staging — single-writer read-modify-write remains safe
+    (the old files survive until this writer's own swap), multi-writer
+    read-modify-write needs a real table format (Delta/Iceberg, SURVEY
+    section 4's production binding). Crash anywhere: pre-lock leaves an
+    age-vacuumed orphan staging and an intact table; in-swap is healed by
+    the next committer's recover_table after the stale-lock reclaim."""
     path = path.rstrip("/")
     staging, backup = path + STAGING_SUFFIX, path + BACKUP_SUFFIX
+    wstaging = f"{staging}.{uuid.uuid4().hex[:12]}"  # writer-unique, unlocked
     jvm, fs, _ = _hadoop(spark, path)
-    recover_table(spark, path)  # clear any leftovers from a crashed run
     if cluster_cols:
         df = df.sortWithinPartitions(*cluster_cols)
     w = df.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
-    w.parquet(staging)
+    w.parquet(wstaging)
     marker = _TABLE_KEEP_MARKER if keep_versions > 0 else _TABLE_MARKER
-    _touch(jvm, fs, f"{staging}/{marker}")
-    had_old = _exists(jvm, fs, path)
-    if had_old:
-        _rename(jvm, fs, path, backup)
-    _rename(jvm, fs, staging, path)
-    if had_old:
+    _touch(jvm, fs, f"{wstaging}/{marker}")
+    acquire_table_lock(spark, path)
+    try:
+        recover_table(spark, path)  # heal any crashed commit first
+        _vacuum_stale_stagings(jvm, fs, path)
+        _rename(jvm, fs, wstaging, staging)  # enter the recoverable sequence
+        had_old = _exists(jvm, fs, path)
+        if had_old:
+            _rename(jvm, fs, path, backup)
+        _rename(jvm, fs, staging, path)
+        if had_old:
+            if keep_versions > 0:
+                _archive_backup(jvm, fs, path, backup)
+            else:
+                _delete(jvm, fs, backup)
+        _delete(jvm, fs, f"{path}/{marker}")
         if keep_versions > 0:
-            _archive_backup(jvm, fs, path, backup)
-        else:
-            _delete(jvm, fs, backup)
-    _delete(jvm, fs, f"{path}/{marker}")
-    if keep_versions > 0:
-        vacuum_table_versions(spark, path, keep=keep_versions)
+            vacuum_table_versions(spark, path, keep=keep_versions)
+    finally:
+        release_table_lock(spark, path)
 
 
 def atomic_partition_overwrite(
@@ -170,22 +278,34 @@ def atomic_partition_overwrite(
 
     Scale: I/O is bounded by the affected partitions, exactly like the
     dynamic-overwrite path it replaces; the swap itself is one rename pair
-    per partition — metadata ops, no data movement."""
+    per partition — metadata ops, no data movement. Writer coordination
+    follows atomic_overwrite: unique staging written UNLOCKED, the
+    per-partition swap loop under the table's commit lock (concurrent
+    partition overwrites of disjoint partitions still serialize their
+    swaps — rename loops interleaving on the same pbak dir would corrupt
+    recovery)."""
     path = path.rstrip("/")
     staging, pbak = path + STAGING_SUFFIX, path + PBAK_SUFFIX
+    wstaging = f"{staging}.{uuid.uuid4().hex[:12]}"
     jvm, fs, _ = _hadoop(spark, path)
-    recover_table(spark, path)
     if cluster_cols:
         df = df.sortWithinPartitions(*cluster_cols)
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
-    _touch(jvm, fs, f"{staging}/{_PARTS_MARKER}")
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pbak))
-    for leaf in _partition_leaves(jvm, fs, staging):
-        if _exists(jvm, fs, f"{path}/{leaf}"):
-            _rename(jvm, fs, f"{path}/{leaf}", f"{pbak}/{leaf}")
-        _rename(jvm, fs, f"{staging}/{leaf}", f"{path}/{leaf}")
-    _delete(jvm, fs, pbak)
-    _delete(jvm, fs, staging)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(wstaging)
+    _touch(jvm, fs, f"{wstaging}/{_PARTS_MARKER}")
+    acquire_table_lock(spark, path)
+    try:
+        recover_table(spark, path)
+        _vacuum_stale_stagings(jvm, fs, path)
+        _rename(jvm, fs, wstaging, staging)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pbak))
+        for leaf in _partition_leaves(jvm, fs, staging):
+            if _exists(jvm, fs, f"{path}/{leaf}"):
+                _rename(jvm, fs, f"{path}/{leaf}", f"{pbak}/{leaf}")
+            _rename(jvm, fs, f"{staging}/{leaf}", f"{path}/{leaf}")
+        _delete(jvm, fs, pbak)
+        _delete(jvm, fs, staging)
+    finally:
+        release_table_lock(spark, path)
 
 
 def _partition_leaves(jvm, fs, table_dir: str) -> list[str]:

@@ -109,13 +109,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bands_union_sql() -> str:
+def _bands_union_sql(
+    rows_per_band: int = ROWS_PER_BAND, n_bands: int = N_BANDS
+) -> str:
     """The (doc_id, band, band_key) table as SQL — shared by every oracle
-    that consumes banded min-hash keys (composed, not string-parsed)."""
+    that consumes banded min-hash keys (composed, not string-parsed).
+    Parameterized so the occupancy-grown banding oracles mirror the exact
+    DataFrame-side band layout."""
     band_selects = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         parts = " || ".join(
-            _minhash_sql(b * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)
+            _minhash_sql(b * rows_per_band + r) for r in range(rows_per_band)
         )
         band_selects.append(
             f"SELECT d.doc_id, {b} AS band, ({parts}) AS band_key FROM documents d"
@@ -433,6 +437,121 @@ def embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", "bucket", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.4)
     )
+
+
+# ------------------------------------------- corpus-proportional cells
+
+#: Extra sign-hyperplane bits refining the label cells in the registered
+#: variant (cells = |labels| * 2^bits). The production policy grows this
+#: with the corpus to hold per-cell occupancy constant — measured as
+#: ``embedding_neardup_held`` in SCALE_CURVE.json (0 extra bits at sf0.1,
+#: 3 at sf1 ~ 10x the cells for 10x the rows).
+NEARDUP_EXTRA_BITS = 1
+_NEARDUP_TAU = 0.4
+
+
+def _hyperplane_signs(j: int, dim: int) -> list[float]:
+    """Deterministic +-1 hyperplane for sign-LSH cell refinement: each
+    component's sign comes from md5 of (plane, dim) — reproducible across
+    engines, runs, and languages (the same construction as the sign-LSH
+    planes in similarity.py, kept integer-free here because only the sign
+    of the projection is consumed)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
+def neardup_cells_pairs(
+    spark: SparkSession, sf_dir: str, extra_bits: int
+) -> DataFrame:
+    """embedding_neardup_bucketed with the cell count as an explicit knob:
+    each coarse label cell is refined by ``extra_bits`` deterministic
+    sign-hyperplane bits, multiplying the cell count by 2^bits — the
+    corpus-proportional-cells policy that keeps the pair join's
+    sum(|cell|^2) term linear as the corpus grows (bucketed IVF grows its
+    cell count the same way; the recall trade is recovered by multi-probe,
+    ann_topk_ivf_probe's shape). Pure equi-join on the composite cell id;
+    norms computed once pre-join."""
+    from callio_etl_spark.llm_ops.similarity import EMB_DIM, dot
+
+    emb = (
+        _spread(load_table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    cell = F.col("label").cast("long") * (2**extra_bits)
+    for j in range(extra_bits):
+        sgn = F.array(*[F.lit(s) for s in _hyperplane_signs(j, EMB_DIM)])
+        cell = cell + (dot(F.col("v"), sgn) > 0).cast("long") * (2**j)
+    emb = emb.withColumn("cell", cell).localCheckpoint(eager=True)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cell").alias("cell"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", "cell", cos.alias("cosine"))
+        .where(F.col("cosine") >= _NEARDUP_TAU)
+    )
+
+
+def _cells_oracle(extra_bits: int) -> str:
+    from callio_etl_spark.llm_ops.similarity import EMB_DIM
+
+    cell = f"CAST(label AS BIGINT) * {2 ** extra_bits}"
+    for j in range(extra_bits):
+        lits = ", ".join(str(s) for s in _hyperplane_signs(j, EMB_DIM))
+        cell += (
+            f" + CASE WHEN list_inner_product(v, [{lits}]) > 0"
+            f" THEN {2 ** j} ELSE 0 END"
+        )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, {cell} AS cell FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell AS cell,
+       list_cosine_similarity(a.v, b.v) AS cosine
+FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {_NEARDUP_TAU}
+"""
+
+
+@register(
+    "embedding_neardup_cells",
+    oracle=_cells_oracle(NEARDUP_EXTRA_BITS),
+    tags=["llm", "dedup", "similarity", "scale-path"],
+)
+def embedding_neardup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_neardup_bucketed's corpus-proportional-cells form,
+    registered at {NEARDUP_EXTRA_BITS} extra bit(s) (= 2x the label cell
+    count) so the occupancy-holding policy is an oracle-proven operator:
+    the candidate join cost is sum(|cell|^2), and holding |cell| constant
+    as the corpus grows requires the cell COUNT to grow with it — this
+    operator is that growth, parameterized (neardup_cells_pairs); the sf1
+    decade with bits scaled 0 -> 3 is measured as
+    ``embedding_neardup_held`` in SCALE_CURVE.json. Recall loss from the
+    finer cells is the standard IVF trade, recovered with multi-probe."""
+    return neardup_cells_pairs(spark, sf_dir, NEARDUP_EXTRA_BITS)
 
 
 JACCARD_THRESHOLD = 0.8
@@ -1179,8 +1298,28 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes downstream like any pair source: verify with
     ngram_jaccard_pairs' exact Jaccard, then connected_components_star."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    bands = _band_table(d)
-    delta = bands.where(F.col("doc_id") % DELTA_MOD == 0)
+    return incremental_pairs_banded(d, ROWS_PER_BAND, N_BANDS)
+
+
+def incremental_pairs_banded(
+    d: DataFrame,
+    rows_per_band: int,
+    n_bands: int,
+    delta_mod: int = DELTA_MOD,
+) -> DataFrame:
+    """Delta-vs-index candidate pairs at an EXPLICIT band geometry — the
+    parameterization that makes the incremental contract hold at any index
+    size: the per-tick probe cost is sum over buckets of
+    |delta_bucket| x |bucket|, so it stays linear in the delta only while
+    bucket occupancy is stable, and occupancy is set by the band-key
+    length (rows_per_band). A production rolling index GROWS rows_per_band
+    as the index grows (keys lengthen, buckets re-thin) — exactly how
+    FAISS/LSH services re-train their quantizer as N climbs. The
+    before/after is measured: SCALE_CURVE.json's
+    ``minhash_incremental_held`` entry runs sf0.1 at the (2,4) geometry
+    and sf1 at (4,2), holding occupancy across the decade."""
+    bands = _band_table(d, rows_per_band, n_bands)
+    delta = bands.where(F.col("doc_id") % delta_mod == 0)
     a, b = delta.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1195,3 +1334,42 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+#: The grown geometry: same 8 min-hashes, re-banded 4-per-band into 2 keys.
+#: Doubling the key length squares the per-band collision probability (for
+#: J~uniform corpora), which is the occupancy-holding move for a 10x index.
+GROWN_ROWS_PER_BAND = 4
+GROWN_N_BANDS = NUM_HASHES // GROWN_ROWS_PER_BAND
+
+
+@register(
+    "minhash_incremental_grown",
+    oracle=f"""
+WITH bands AS (
+{_bands_union_sql(GROWN_ROWS_PER_BAND, GROWN_N_BANDS)}
+),
+delta AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                GREATEST(a.doc_id, b.doc_id) AS doc_b
+FROM delta a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id <> b.doc_id
+""",
+    tags=["llm", "dedup", "incremental", "scale-path"],
+)
+def minhash_incremental_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_incremental_pairs at the GROWN band geometry
+    ({GROWN_ROWS_PER_BAND} rows/band x {GROWN_N_BANDS} bands) — the
+    registered proof that the occupancy-holding knob is a working
+    operator, not prose: same signature fold, same delta-vs-index probe,
+    but band keys twice as long, so buckets hold ~sqrt the occupants and
+    the probe join's per-bucket term stays flat as the index grows. The
+    recall trade is explicit and standard: longer keys target a higher
+    Jaccard threshold (r=4,b=2 ~ J>=0.84 at 50% capture vs r=2,b=4 ~
+    J>=0.7) — the service keeps capture constant by adding hash functions
+    as it lengthens keys (NUM_HASHES is the budget knob). Measured:
+    SCALE_CURVE.json ``minhash_incremental_held`` holds this geometry
+    growth across the sf0.1 -> sf1 decade."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    return incremental_pairs_banded(d, GROWN_ROWS_PER_BAND, GROWN_N_BANDS)

@@ -988,6 +988,42 @@ def semantic_dedup_arrow(e: DataFrame, tau: float = SEM_TAU) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_gemm",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT e.vec_id, e.label,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM e p
+         WHERE p.label = e.label AND p.vec_id < e.vec_id
+           AND list_cosine_similarity(p.v, e.v) > {SEM_TAU}
+       ) AS BIGINT) AS keep
+FROM e
+""",
+    tags=["llm", "similarity", "dedup", "scale-path"],
+)
+def semantic_dedup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of semantic_dedup: identical lowest-id-wins
+    pairwise contract, scored as blocked BLAS matrix products per cluster
+    (semantic_dedup_arrow) instead of the per-pair HOF fold —
+    SCALE_CURVE.json measured the fold at exponent 2.04 with a 325 s sf1
+    point; the GEMM path pushes the same pair count through vectorized
+    numpy, collapsing the constant by ~50x (the sf1 decade is re-measured
+    in SCALE_CURVE under this name). The sum(cluster^2) law itself is
+    killed by growing the cluster count with the corpus (coarse-quantize
+    with ivf_centroids at the target occupancy), which changes only the
+    grouping key's cardinality, not this plan.
+
+    Oracle note: cosines here come from normalized float64 GEMM rather
+    than the sequential fold, so individual cosines differ from DuckDB's
+    in the last ulps — but the OUTPUT is the keep flag, which flips only
+    if some pair's cosine sits within float rounding of tau (measure-zero
+    on real-valued embeddings; holds on every shipped fixture). The
+    flag-level identity against the sequential registered form is also
+    asserted by tests/test_llm_ops.py at fixture scale."""
+    return semantic_dedup_arrow(_emb(spark, sf_dir))
+
+
 # ------------------------------------------------------- centroid outliers
 
 
@@ -1997,3 +2033,107 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in out_rows[1:]:
         out = out.unionByName(extra)
     return out
+
+
+# ---------------------------------------------- streaming index maintenance
+
+#: vec_id % VEC_DELTA_MOD == 0 plays the newly-arrived vector batch — the
+#: same fixture convention as dedup_ops.DELTA_MOD for documents.
+VEC_DELTA_MOD = 10
+
+
+def assign_to_cells(vecs: DataFrame, cells: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment as a PURE PROJECTION — the delta-
+    ingestion half of IVF index maintenance: ``cells`` (label, cv) is
+    packed into ONE broadcast row (label-sorted array of structs) and each
+    vector argmaxes over it in-row, so assignment is map-side with no
+    explode, no window, and no shuffle — which also makes it STREAM-LEGAL
+    (streaming.incremental.ivf_assign_stream wraps exactly this).
+    Ties break to the lowest label (strict > in the fold, labels iterated
+    ascending) — the same order ROW_NUMBER(cos DESC, label ASC) picks.
+
+    Input: (vec_id, label, v). Output: (vec_id, label, assigned_cell,
+    centroid_cos, moved) where moved flags vectors whose nearest centroid
+    is no longer their stored cell — summed downstream, that is the index
+    STALENESS metric that triggers a centroid refresh (one _cvec pass over
+    index + delta, the ivf_train_rounds update step)."""
+    packed = cells.agg(
+        F.array_sort(F.collect_list(F.struct("label", "cv"))).alias("cells")
+    )
+    best = F.aggregate(
+        F.col("cells"),
+        F.struct(
+            F.lit(None).cast("int").alias("cell"), F.lit(-2.0).alias("cos")
+        ),
+        lambda acc, c: F.when(
+            cosine(F.col("v"), c["cv"]) > acc["cos"],
+            F.struct(
+                c["label"].alias("cell"),
+                cosine(F.col("v"), c["cv"]).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        vecs.crossJoin(F.broadcast(packed))
+        .withColumn("__best", best)
+        .select(
+            "vec_id",
+            "label",
+            F.col("__best.cell").alias("assigned_cell"),
+            F.col("__best.cos").alias("centroid_cos"),
+            (F.col("__best.cell") != F.col("label")).cast("long").alias("moved"),
+        )
+    )
+
+
+@register(
+    "ivf_delta_assign",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+i AS (SELECT * FROM e WHERE vec_id % {VEC_DELTA_MOD} <> 0),
+cent AS (
+  SELECT label, CAST(ix AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(v[ix] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM i, range(1, {EMB_DIM} + 1) t(ix)
+  GROUP BY label, ix
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+scored AS (
+  SELECT d.vec_id, d.label, cv.label AS assigned_cell,
+         list_cosine_similarity(d.v, cv.cv) AS centroid_cos,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+           ORDER BY list_cosine_similarity(d.v, cv.cv) DESC, cv.label ASC
+         ) AS rn
+  FROM e d CROSS JOIN cvec cv
+  WHERE d.vec_id % {VEC_DELTA_MOD} = 0
+)
+SELECT vec_id, label, assigned_cell, centroid_cos,
+       CAST(assigned_cell <> label AS BIGINT) AS moved
+FROM scored WHERE rn = 1
+""",
+    tags=["llm", "similarity", "incremental", "streaming"],
+)
+def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the vector-side twin of
+    minhash_incremental_pairs: a newly arrived vector batch (vec_id %
+    {VEC_DELTA_MOD} == 0 plays the delta) is assigned to the EXISTING
+    index's cells (centroids trained on the already-indexed vectors only
+    — no retrain per tick), emitting per-vector (assigned_cell,
+    centroid_cos, moved). SUM(moved)/COUNT(*) is the staleness metric a
+    deployment watches; past a threshold it refreshes centroids with one
+    ivf_centroids pass over index+delta and reassigns — exactly how FAISS
+    services roll their coarse quantizer.
+
+    Plan/scale: centroids are a (label, dim) decimal-mean aggregate over
+    the index (reduce side never sees raw vectors), re-assembled to
+    |cells| rows and BROADCAST packed into a single row; assignment is a
+    per-row in-plan argmax fold — the per-tick cost is |delta| x |cells|
+    map-side flops with zero shuffles of the delta. The same helper
+    (assign_to_cells) runs unchanged under Structured Streaming
+    (ivf_assign_stream), where the two-tick parity test proves
+    tick(d1)+tick(d2) == batch(d1+d2)."""
+    e = _emb(spark, sf_dir)
+    idx = e.where(F.col("vec_id") % VEC_DELTA_MOD != 0)
+    delta = e.where(F.col("vec_id") % VEC_DELTA_MOD == 0)
+    return assign_to_cells(delta, _cvec(idx))

@@ -71,6 +71,11 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 DRIVER_PRIORITY: list[str] = [
     # --- first-time oracle-bearing row (1) ---
     "ivf_train_rounds",
+    # --- r6 registrations: the scale-path variants (3) ---
+    "semantic_dedup_gemm",
+    "minhash_incremental_grown",
+    "embedding_neardup_cells",
+    "ivf_delta_assign",
     # --- r6 plan changes: re-earn the row under the new plan (8) ---
     "bm25_topk",
     "hybrid_rrf_fusion",  # consumes bm25_topk's ranks

@@ -300,3 +300,47 @@ def neardup_stream(docs: DataFrame, index_bands: DataFrame) -> DataFrame:
         # (doc, band) — and streaming dedup state without a watermark
         # would grow unboundedly. Cross-band collapse belongs downstream.
     )
+
+
+def read_vector_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Newly-embedded vector batches as a file-source stream (landing-zone
+    parquet; new files == new embedding jobs' output)."""
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def ivf_assign_stream(vecs: DataFrame, cells: DataFrame) -> DataFrame:
+    """ivf_delta_assign as a LIVE stream — the rolling vector-index
+    ingestion service: each micro-batch of new vectors is assigned to the
+    EXISTING index's cells by the same in-row broadcast argmax the batch
+    operator uses (assign_to_cells — a pure projection, so stream-legal
+    with no state store, no watermark, no shuffle of the delta). Emits
+    (vec_id, label, assigned_cell, centroid_cos, moved) per new vector;
+    SUM(moved) across ticks is the staleness signal that schedules a
+    centroid refresh (one ivf_centroids pass over index+delta, run as a
+    batch job — the same split of duties as neardup_stream vs the batch
+    band-index compaction).
+
+    The ``cells`` static side follows the neardup_stream contract: a
+    FILE-BACKED (label, cv) table is re-read per micro-batch, so a
+    refreshed quantizer is picked up without restarting the query; a
+    localCheckpoint'd frame is frozen at materialization. Two-tick parity
+    (tick(d1) + tick(d2) == batch(d1 + d2)) is asserted in
+    tests/test_streaming.py — it holds because assignment is stateless
+    per vector."""
+    from callio_etl_spark.llm_ops.similarity import assign_to_cells
+
+    prepared = vecs.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    return assign_to_cells(prepared, cells)

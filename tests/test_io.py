@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import pyspark.sql.functions as F
 
@@ -503,7 +504,9 @@ def test_merge_write_crash_recovery_end_to_end(spark, tmp_path, monkeypatch):
         # let the backup rename of the first partition through, then crash
         # before its staging dir lands in the table
         calls["n"] += 1
-        if ".__pbak__" not in dstp and ".__staging__" in srcp:
+        # "__staging__/" (with slash): a partition LEAF leaving staging —
+        # not the writer-unique -> fixed staging handoff rename
+        if ".__pbak__" not in dstp and ".__staging__/" in srcp:
             raise RuntimeError("injected crash mid-partition-swap")
         return real_rename(jvm, fs, srcp, dstp)
 
@@ -913,3 +916,100 @@ def test_versioning_model_based_random_sequences(spark, tmp_path):
             for v, gen in archive.items():
                 got = {r["gen"] for r in io.read_table_version(spark, p, v).collect()}
                 assert got == {gen}, (v, gen, got)
+
+
+def test_concurrent_atomic_overwrites_no_torn_table(spark, tmp_path):
+    """Two writers racing interleaved atomic_overwrites on one table: after
+    every round the table must read as EXACTLY one writer's complete
+    dataset (never a torn mix, never missing), no commit-protocol debris
+    survives, and the lock is released. This is the last-writer-wins
+    contract the commit lock adds over the single-writer protocol."""
+    import threading
+
+    from callio_etl_spark.io import LOCK_SUFFIX, recover_table
+
+    p = str(tmp_path / "race_t")
+    spark.createDataFrame(
+        [(i, "seed") for i in range(5)], "id long, w string"
+    ).write.parquet(p)
+
+    def writer(tag: str, n: int, errors: list):
+        try:
+            import callio_etl_spark.io as io
+
+            df = spark.createDataFrame(
+                [(i, tag) for i in range(n)], "id long, w string"
+            )
+            for _ in range(4):
+                io.atomic_overwrite(spark, df, p)
+        except Exception as e:  # surfaced below — assert in main thread
+            errors.append(e)
+
+    errors: list = []
+    ta = threading.Thread(target=writer, args=("aa", 50, errors))
+    tb = threading.Thread(target=writer, args=("bb", 80, errors))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+
+    rows = spark.read.parquet(p).collect()
+    tags = {r["w"] for r in rows}
+    assert len(tags) == 1, f"torn table: {tags}"
+    tag = tags.pop()
+    want = 50 if tag == "aa" else 80
+    assert len(rows) == want and sorted(r["id"] for r in rows) == list(range(want))
+    assert recover_table(spark, p) == "clean"
+    assert not os.path.exists(p + LOCK_SUFFIX)
+    leftovers = [
+        n for n in os.listdir(tmp_path) if n.startswith("race_t.__staging__")
+    ]
+    assert not leftovers, leftovers
+
+
+def test_stale_commit_lock_is_reclaimed(spark, tmp_path):
+    """A lock file left by a crashed writer (mtime older than the stale
+    window) must not block the next committer: it reclaims the lock,
+    commits, and the table reflects the new write."""
+    from callio_etl_spark.io import LOCK_SUFFIX, atomic_overwrite
+
+    p = str(tmp_path / "stale_t")
+    spark.createDataFrame([(1, "old")], "id long, w string").write.parquet(p)
+    lock = p + LOCK_SUFFIX
+    with open(lock, "w"):
+        pass
+    two_hours_ago = time.time() - 2 * 3600
+    os.utime(lock, (two_hours_ago, two_hours_ago))
+
+    new = spark.createDataFrame([(2, "new")], "id long, w string")
+    atomic_overwrite(spark, new, p)  # must not TimeoutError
+    assert [r["w"] for r in spark.read.parquet(p).collect()] == ["new"]
+    assert not os.path.exists(lock)
+
+
+def test_live_commit_lock_blocks_until_released(spark, tmp_path):
+    """A FRESH lock (simulating a committer mid-swap) must make a second
+    committer wait; once released, the blocked commit proceeds. Uses a
+    short timeout to prove the waiter was genuinely blocked."""
+    import threading
+
+    from callio_etl_spark.io import LOCK_SUFFIX, atomic_overwrite
+
+    p = str(tmp_path / "block_t")
+    spark.createDataFrame([(1, "old")], "id long, w string").write.parquet(p)
+    lock = p + LOCK_SUFFIX
+    with open(lock, "w"):
+        pass  # fresh lock: held
+
+    released = threading.Event()
+
+    def release_later():
+        time.sleep(1.5)
+        os.remove(lock)
+        released.set()
+
+    t = threading.Thread(target=release_later)
+    t.start()
+    new = spark.createDataFrame([(2, "new")], "id long, w string")
+    atomic_overwrite(spark, new, p)
+    t.join()
+    assert released.is_set(), "commit finished while the lock was held"
+    assert [r["w"] for r in spark.read.parquet(p).collect()] == ["new"]

@@ -423,3 +423,158 @@ def test_neardup_stream_two_ticks_processes_only_new_batch(spark, tmp_path):
     ).write.mode("append").parquet(src)
     both = run_tick()
     assert both == {(10, 0), (20, 0)}  # sink accumulates; no replays
+
+
+def _mk_vectors(spark, rows):
+    """(vec_id, label, embedding float[4]) frame for the IVF stream tests."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", IntegerType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+_IVF_INDEX = [
+    # two tight cells around orthogonal axes
+    (1, 0, [1.0, 0.1, 0.0, 0.0]),
+    (2, 0, [1.0, -0.1, 0.0, 0.0]),
+    (3, 1, [0.0, 0.0, 1.0, 0.1]),
+    (4, 1, [0.0, 0.0, 1.0, -0.1]),
+]
+_IVF_DELTA1 = [
+    (10, 0, [0.9, 0.0, 0.1, 0.0]),   # clearly cell 0, stays
+    (11, 1, [0.8, 0.1, 0.2, 0.0]),   # labeled 1 but nearest cell 0 -> moved
+]
+_IVF_DELTA2 = [
+    (12, 1, [0.0, 0.1, 0.9, 0.0]),   # clearly cell 1, stays
+]
+
+
+def _cells_static(spark, tmp_path):
+    """File-backed (label, cv) table — the refreshable static side the
+    ivf_assign_stream contract requires."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.similarity import _cvec
+
+    idx = _mk_vectors(spark, _IVF_INDEX).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    path = f"{tmp_path}/cells"
+    _cvec(idx).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_ivf_assign_stream_matches_batch(spark, tmp_path):
+    """Streamed cell assignment must equal the batch assign_to_cells for
+    the same delta — and the moved flag must fire exactly on the vector
+    whose nearest centroid disagrees with its stored label."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.similarity import assign_to_cells
+    from callio_etl_spark.streaming.incremental import (
+        ivf_assign_stream,
+        read_vector_stream,
+    )
+
+    cells = _cells_static(spark, tmp_path)
+    src = f"{tmp_path}/vec_src"
+    _mk_vectors(spark, _IVF_DELTA1).write.mode("overwrite").parquet(src)
+
+    q = (
+        ivf_assign_stream(read_vector_stream(spark, src), cells)
+        .writeStream.format("memory")
+        .queryName("ivf_assign_t")
+        .option("checkpointLocation", f"{tmp_path}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["vec_id"], r["assigned_cell"], r["moved"])
+        for r in spark.sql("select * from ivf_assign_t").collect()
+    }
+
+    batch_in = _mk_vectors(spark, _IVF_DELTA1).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    batch = {
+        (r["vec_id"], r["assigned_cell"], r["moved"])
+        for r in assign_to_cells(batch_in, cells).collect()
+    }
+    assert streamed == batch
+    assert (10, 0, 0) in streamed
+    assert (11, 0, 1) in streamed  # labeled 1, nearest cell 0 -> stale
+
+
+def test_ivf_assign_stream_two_ticks_equal_one_batch(spark, tmp_path):
+    """Index-maintenance contract: assignments accumulated over two ticks
+    (delta1 then delta2, same checkpoint) must equal one batch over
+    delta1+delta2 — assignment is stateless per vector, so the rolling
+    index ingests deltas without drift. The second tick must process ONLY
+    the new file (checkpoint bookkeeping, no reprocessing)."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.similarity import assign_to_cells
+    from callio_etl_spark.streaming.incremental import (
+        ivf_assign_stream,
+        read_vector_stream,
+    )
+
+    cells = _cells_static(spark, tmp_path)
+    src = f"{tmp_path}/vec_src2"
+    ck = f"{tmp_path}/ck2"
+    out = f"{tmp_path}/out2"
+
+    def tick():
+        # parquet sink: the memory sink refuses checkpoint recovery, and a
+        # real index-maintenance service lands assignments durably anyway
+        q = (
+            ivf_assign_stream(read_vector_stream(spark, src), cells)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["vec_id"], r["assigned_cell"], r["moved"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _mk_vectors(spark, _IVF_DELTA1).write.mode("overwrite").parquet(src)
+    after_t1 = tick()
+    _mk_vectors(spark, _IVF_DELTA2).write.mode("append").parquet(src)
+    after_t2 = tick()
+
+    assert len(after_t1) == len(_IVF_DELTA1)
+    assert len(after_t2) == len(_IVF_DELTA1) + len(_IVF_DELTA2)  # only new rows added
+
+    batch_in = _mk_vectors(spark, _IVF_DELTA1 + _IVF_DELTA2).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    batch = {
+        (r["vec_id"], r["assigned_cell"], r["moved"])
+        for r in assign_to_cells(batch_in, cells).collect()
+    }
+    assert after_t2 == batch

@@ -80,7 +80,54 @@ HEAVY = [
     "minhash_incremental_pairs",
     "bm25_topk",
     "vocab_coverage",
+    # r6: the registered scale-path variants + their held-occupancy runs
+    "semantic_dedup_gemm",
+    "minhash_incremental_grown",
+    "embedding_neardup_cells",
+    "minhash_incremental_held",
+    "embedding_neardup_held",
 ]
+
+def _minhash_geometry(rows_per_band: int, n_bands: int):
+    def run(spark, sf_dir):
+        from callio_etl_spark.llm_ops.dedup_ops import incremental_pairs_banded
+        from callio_etl_spark.tables import load_table, spread
+
+        d = spread(load_table(spark, sf_dir, "documents"))
+        return incremental_pairs_banded(d, rows_per_band, n_bands)
+
+    return run
+
+
+def _neardup_bits(extra_bits: int):
+    def run(spark, sf_dir):
+        from callio_etl_spark.llm_ops.dedup_ops import neardup_cells_pairs
+
+        return neardup_cells_pairs(spark, sf_dir, extra_bits)
+
+    return run
+
+
+#: Held-occupancy variants: the SAME operator with its index geometry grown
+#: per scale, the production policy the fixed-knob registered forms hold
+#: constant for oracle parity. The exponent across the decade is then the
+#: honest scaling of the *policy*, not of a deliberately-frozen index.
+HELD: dict[str, dict[str, object]] = {
+    # band keys lengthen (2 rows/band -> 4) as the index 10x-es, holding
+    # bucket occupancy ~constant; contrast minhash_incremental_pairs (1.57)
+    "minhash_incremental_held": {
+        "0.01": _minhash_geometry(2, 4),
+        "0.1": _minhash_geometry(2, 4),
+        "1": _minhash_geometry(4, 2),
+    },
+    # cell count grows 2^bits with the corpus (0 bits = the 10 label cells
+    # of embedding_neardup_bucketed; 3 bits = 80 cells at 10x the rows)
+    "embedding_neardup_held": {
+        "0.01": _neardup_bits(0),
+        "0.1": _neardup_bits(0),
+        "1": _neardup_bits(3),
+    },
+}
 
 CAUSES = {
     "semantic_dedup": (
@@ -108,7 +155,38 @@ CAUSES = {
         "corpus, 10x rows per bucket grows the product ~100x in hot "
         "buckets — the sum(bucket^2) family law. Production holds bucket "
         "occupancy constant by adding bands/rows-per-band as the index "
-        "grows, restoring the linear-in-the-delta contract."
+        "grows, restoring the linear-in-the-delta contract — measured as "
+        "minhash_incremental_held."
+    ),
+    "semantic_dedup_gemm": (
+        "same sum(cluster^2) pair count as semantic_dedup but scored via "
+        "blocked BLAS — the constant collapses; the law falls to growing "
+        "the cluster count with the corpus."
+    ),
+    "minhash_incremental_held": (
+        "the occupancy-held policy: band keys lengthen (2->4 rows/band) "
+        "across the sf0.1->sf1 decade — exponent falls 1.57 -> 1.13, and "
+        "the residual is OUTPUT-bound, not plan-bound: the synthetic sf1 "
+        "replicates every document 10x verbatim, so TRUE candidate pairs "
+        "grow 44x (output exponent 1.65 > runtime exponent 1.13 — work "
+        "per emitted pair fell). On a corpus whose duplicate density does "
+        "not grow with size, the held geometry is linear in the delta."
+    ),
+    "minhash_incremental_grown": (
+        "the grown (4 rows/band x 2 bands) geometry measured at FIXED "
+        "geometry across the decade — the registered correctness anchor "
+        "for the parameterization; the per-scale-grown policy is "
+        "minhash_incremental_held."
+    ),
+    "embedding_neardup_cells": (
+        "1 extra sign-bit (20 cells) held fixed across the decade for "
+        "oracle parity — sum(cell^2) with fixed cells; the per-scale-grown "
+        "policy is embedding_neardup_held (exp 0.71)."
+    ),
+    "embedding_neardup_held": (
+        "the corpus-proportional-cells policy: 0 extra bits at sf0.1, 3 at "
+        "sf1 (10x rows / 8x cells), holding per-cell occupancy — the "
+        "before (10 fixed cells) is embedding_neardup_bucketed."
     ),
 }
 
@@ -176,10 +254,11 @@ def main() -> None:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             time.sleep(0.2)
+            fn = HELD[name][sf] if name in HELD else queries[name]
             best = float("inf")
             for _ in range(passes):
                 t0 = time.perf_counter()
-                queries[name](spark, sf_dir).write.format("noop").mode(
+                fn(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.perf_counter() - t0)
