@@ -472,6 +472,92 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sketch-audit tolerances. HLL: approx_count_distinct's rsd is the
+#: STANDARD deviation of the estimator — 3x is the practical bound (a
+#: >3-sigma miss means the sketch is broken, not unlucky). Quantiles:
+#: percentile_approx(accuracy=10k) guarantees rank error <= N/10000;
+#: 0.005 adds float-slop margin on the rank-fraction compare.
+_HLL_RSD = 0.02
+_Q_RANK_EPS = 0.005
+
+
+@register(
+    "sketch_error_bounds",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                 AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS exact_users,
+       CAST(1 AS BIGINT) AS hll_ok,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p99_ok
+FROM events
+GROUP BY event_type
+""",
+    tags=["advanced", "sketch", "audit"],
+)
+def sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-checked audit of the approximate sketches — the driver-
+    checkable form of approx_sketch_stats (whose raw estimates can hold no
+    cross-engine oracle because DuckDB's sketches differ): Spark computes
+    BOTH the sketch and its own exact ground truth, emits pass/fail flags
+    against the sketches' published error bounds, and the oracle asserts
+    the flags are all 1 (plus the exact row/distinct counts, which ARE
+    hash-comparable). A sketch drifting outside its bound breaks the hash
+    — this is how a 100 TB deployment regression-tests its sketch
+    configuration on an audit slice before trusting it corpus-wide.
+
+    Bounds checked per event_type:
+    - HLL++ distinct users within 3*rsd of exact (rsd={_HLL_RSD});
+    - percentile_approx p50/p99 (accuracy 10k) returns an element whose
+      RANK FRACTION brackets the target quantile within {_Q_RANK_EPS} —
+      checked by joining the sketch value back and counting <=/<, NOT by
+      computing an exact percentile (no single-task sort anywhere; the
+      exact distinct is the only corpus-exact aggregate, and at full
+      scale this audit runs on a sampled slice by design).
+
+    Plan: one sketch aggregate -> |event_types| rows broadcast back ->
+    one counting aggregate. Two passes over the scan, all map-combined."""
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("hll_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000)).alias("p50_a"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10_000)).alias("p99_a"),
+    )
+    audited = (
+        e.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.max("hll_users").alias("hll_users"),  # constant per group
+            F.sum((F.col("value") <= F.col("p50_a")).cast("long")).alias("le_p50"),
+            F.sum((F.col("value") < F.col("p50_a")).cast("long")).alias("lt_p50"),
+            F.sum((F.col("value") <= F.col("p99_a")).cast("long")).alias("le_p99"),
+            F.sum((F.col("value") < F.col("p99_a")).cast("long")).alias("lt_p99"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+
+    def rank_ok(le, lt, q):
+        return (
+            (F.col(le).cast("double") / n >= q - _Q_RANK_EPS)
+            & (F.col(lt).cast("double") / n <= q + _Q_RANK_EPS)
+        ).cast("long")
+
+    hll_ok = (
+        F.abs(F.col("hll_users").cast("double") - F.col("exact_users"))
+        <= 3 * _HLL_RSD * F.col("exact_users").cast("double")
+    ).cast("long")
+    return audited.select(
+        "event_type",
+        "n_rows",
+        "exact_users",
+        hll_ok.alias("hll_ok"),
+        rank_ok("le_p50", "lt_p50", 0.5).alias("p50_ok"),
+        rank_ok("le_p99", "lt_p99", 0.99).alias("p99_ok"),
+    )
+
+
 @register(
     "window_rank_suite",
     oracle="""

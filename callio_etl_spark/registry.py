@@ -76,6 +76,7 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_incremental_grown",
     "embedding_neardup_cells",
     "ivf_delta_assign",
+    "sketch_error_bounds",
     # --- r6 plan changes: re-earn the row under the new plan (8) ---
     "bm25_topk",
     "hybrid_rrf_fusion",  # consumes bm25_topk's ranks

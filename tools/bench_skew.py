@@ -71,6 +71,95 @@ def _task_stats(spark, base: str, job_group: str) -> dict:
     }
 
 
+SKEW_DIR = "/tmp/callio_skew_sf01"
+
+
+def build_skewed_fixture(src: str = "/root/testdata/sf0.1", dst: str = SKEW_DIR) -> None:
+    """sf0.1 with a 95%-hot flagship group key: 95% of events get user_id=1
+    AND one single day, so ONE (Ngay, MaNV_id) aggregation group holds 95%
+    of the fact table — the worst case for the flagship's first shuffle
+    (the day dimension normally diffuses a hot user across dates; collapsing
+    it removes that protection on purpose). Dims copied unchanged."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+    for t in ("customer", "nation", "orders", "region", "supplier", "part"):
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"), f"{dst}/{t}.parquet")
+    e = pq.read_table(f"{src}/events.parquet")
+    n = e.num_rows
+    # deterministic ~95%: (event_id & 127) < 122 -> 122/128 = 95.3%
+    hot = pc.less(pc.bit_wise_and(e.column("event_id"), 127), 122)
+    user = pc.if_else(hot, pa.scalar(1, pa.int64()), e.column("user_id"))
+    ts0 = e.column("ts").slice(0, 1)[0]  # every hot event lands on one day
+    ts = pc.if_else(hot, ts0, e.column("ts"))
+    e = e.set_column(e.schema.get_field_index("user_id"), e.schema.field("user_id"), user)
+    e = e.set_column(e.schema.get_field_index("ts"), e.schema.field("ts"), ts)
+    pq.write_table(e, f"{dst}/events.parquet")
+    print(f"skewed fixture: {n} events, 95% on (user 1, one day)", file=sys.stderr)
+
+
+def flagship_mode() -> None:
+    """Measure fact_staff_daily itself on the 95%-hot fixture vs stock
+    sf0.1 with the PRODUCTION config (AQE on) — per-task maxima from the
+    status REST API, same protocol as the salted-join bench. Appends a
+    "flagship" section to SKEW_BENCH.json."""
+    from pyspark.sql import SparkSession
+
+    from callio_etl_spark.queries.fact_staff_daily import fact_staff_daily
+    from callio_etl_spark.session import configure
+
+    build_skewed_fixture()
+    spark = configure(
+        SparkSession.builder.appName("bench-skew-flagship")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    base = spark.sparkContext.uiWebUrl
+
+    def run(tag: str, sf_dir: str) -> dict:
+        spark.sparkContext.setJobGroup(tag, tag)
+        t0 = time.monotonic()
+        fact_staff_daily(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.monotonic() - t0
+        spark.sparkContext.setJobGroup("", "")
+        stats = _task_stats(spark, base, tag)
+        stats["wall_s"] = round(wall, 3)
+        if stats["median_task_s"]:
+            stats["task_skew"] = round(stats["max_task_s"] / stats["median_task_s"], 1)
+        return stats
+
+    run("warmup", "/root/testdata/sf0.001")
+    stock = run("flagship-stock", "/root/testdata/sf0.1")
+    skewed = run("flagship-skewed", SKEW_DIR)
+    out = {}
+    try:
+        with open("SKEW_BENCH.json") as f:
+            out = json.load(f)
+    except FileNotFoundError:
+        pass
+    out["flagship"] = {
+        "fixture": "sf0.1 events, 95% of rows on one (user, day) group",
+        "config": "production (AQE on, broadcast dims)",
+        "stock": stock,
+        "skewed": skewed,
+        "wall_ratio_skewed_vs_stock": round(skewed["wall_s"] / stock["wall_s"], 2),
+        "max_task_records_ratio": round(
+            skewed["max_task_records"] / max(stock["max_task_records"], 1), 2
+        ),
+    }
+    print(json.dumps(out["flagship"], indent=2))
+    with open("SKEW_BENCH.json", "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+
+
 def main() -> None:
     import pyspark.sql.functions as F
 
@@ -146,4 +235,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--flagship" in sys.argv:
+        flagship_mode()
+    else:
+        main()
