@@ -1,0 +1,676 @@
+"""Language-model data-prep operators: iterative BPE tokenizer training,
+tokenizer application, count-based LM scoring, character-level quality
+filters, and distribution-drift audits.
+
+These extend the tokenizer-prep family (`bpe_pair_counts` computes ONE
+BPE iteration's statistic; `bpe_train_merges` here runs the whole loop
+in-plan) and the quality-filter family (`quality_score`, `corpus_filter`)
+with the scoring passes a pretraining-data pipeline runs between crawl
+and shard: per-document fluency under a count LM, gibberish detection,
+domain drift between sources, and model-based quality scoring via the
+hashing trick.
+
+Determinism doctrine (registry.py module docstring): no libm
+transcendentals — every floating-point value is either a single IEEE
+division/multiplication of exactly-represented integers (bit-identical
+across engines) or a floor-quantized integer-DECIMAL sum of such values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.functions import ranked_topk
+from callio_etl_spark.registry import register
+from callio_etl_spark.tables import load_table, spread as _spread
+
+# ---------------------------------------------------------------- BPE train
+
+BPE_ROUNDS = 6  # merge rules learned by the in-plan training loop
+
+#: Symbol-string encoding for the merge loop: a word is its symbols joined
+#: by DOUBLE spaces, with leading/trailing double spaces ("  k  e  y  ").
+#: Merging pair (l, r) is then the literal replace
+#:     " l  r "  ->  " lr "
+#: which (a) can only match at true symbol boundaries — merged symbols
+#: contain no spaces, so the single flanking spaces in the pattern must be
+#: the inner halves of boundary double-spaces; and (b) restores a double
+#: space at both flanks (one surviving space + one from the replacement),
+#: so back-to-back merges of overlapping pairs ("a a a a" under (a,a))
+#: resolve left-to-right exactly like greedy BPE — plain non-overlapping
+#: replace IS the merge semantics, no regex needed.
+
+_BPE_W0_SQL = """
+w0 AS (
+  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+         '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS repr
+  FROM documents, UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+  GROUP BY w
+)"""
+
+#: One unrolled training round: pair counts over the CURRENT symbol
+#: strings -> argmax pair (count desc, pair asc) -> literal replace.
+_BPE_ROUND_SQL = """
+s{k} AS (
+  SELECT word, freq, list_filter(string_split(repr, '  '), x -> x <> '') AS s,
+         repr
+  FROM w{prev}
+),
+p{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS c
+  FROM s{k} CROSS JOIN UNNEST(range(1, len(s))) t(i)
+  GROUP BY 1, 2
+),
+m{k} AS (SELECT l, r, c FROM p{k} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{k} AS (
+  SELECT word, freq,
+         replace(repr, ' ' || m.l || '  ' || m.r || ' ',
+                 ' ' || m.l || m.r || ' ') AS repr
+  FROM s{k}, m{k} m
+)"""
+
+
+def _bpe_oracle_ctes(rounds: int) -> str:
+    return _BPE_W0_SQL + "," + ",".join(
+        _BPE_ROUND_SQL.format(k=k, prev=k - 1) for k in range(1, rounds + 1)
+    )
+
+
+def _word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct-word frequency table — the ONLY corpus-sized pass of
+    BPE training (same shape as bpe_pair_counts' first aggregate)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _spread(d)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int):
+    """Run the merge loop; return (vocab DataFrame after all rounds,
+    list of per-round 1-row merge DataFrames).
+
+    Entirely in-plan: each round's argmax pair is a TakeOrdered limit(1)
+    frame cross-joined back as a BROADCAST scalar — the chosen pair never
+    touches the driver. The vocab table is localCheckpointed per round so
+    round k+1 starts from materialized symbol strings instead of a
+    k-round lineage chain (the ivf_train_rounds / PCA-iteration lesson).
+    """
+    words = _word_freqs(spark, sf_dir).withColumn(
+        "repr",
+        F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  ")),
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for k in range(1, rounds + 1):
+        sym = F.filter(F.split("repr", "  "), lambda x: x != "")
+        pairs = (
+            words.select("freq", sym.alias("s"))
+            .where(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("l"),
+                            F.element_at("s", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(top)
+        words = (
+            words.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("l").alias("__ml"), F.col("r").alias("__mr")
+                    )
+                )
+            )
+            .withColumn(
+                "repr",
+                F.replace(
+                    F.col("repr"),
+                    F.concat(
+                        F.lit(" "), "__ml", F.lit("  "), "__mr", F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), "__ml", F.col("__mr"), F.lit(" ")),
+                ),
+            )
+            .drop("__ml", "__mr")
+            .localCheckpoint(eager=True)
+        )
+    return words, merges
+
+
+_BPE_CACHE: dict = {}
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str, rounds: int):
+    """Train-once memoized (session + corpus + rounds) vocab and merge
+    list — the PQ-codebook memoization pattern: training runs once, every
+    consumer (merge table, segmentation, stats) reuses the checkpointed
+    tables."""
+    key = (id(spark), sf_dir, rounds)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = _bpe_train(spark, sf_dir, rounds)
+    return _BPE_CACHE[key]
+
+
+@register(
+    "bpe_train_merges",
+    oracle=f"""
+WITH {_bpe_oracle_ctes(BPE_ROUNDS)}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({k} AS BIGINT) AS round, l AS left_sym, r AS right_sym,"
+      f" c AS pair_count FROM m{k}"
+      for k in range(1, BPE_ROUNDS + 1)
+  )}
+)
+""",
+    tags=["llm", "text", "tokenizer", "iterative"],
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al.), the WHOLE loop in-plan:
+    {BPE_ROUNDS} rounds of (adjacent-pair count over the vocab's current
+    symbol strings) -> (argmax pair, count-desc / pair-asc tiebreak) ->
+    (merge via literal replace), returning the learned merge table — the
+    artifact a tokenizer trainer ships. `bpe_pair_counts` is one
+    iteration's statistic; this is the trainer around it.
+
+    Scale shape: the corpus collapses to the distinct-word frequency
+    table once (the only corpus-sized pass — the classic word-count
+    shuffle); every round then touches |vocab| rows only: pair explode
+    bounded by total symbol occurrences in the vocab, argmax via
+    TakeOrdered limit(1), merge application a broadcast-scalar literal
+    replace over vocab rows. This vocab-not-corpus loop is exactly why
+    100 TB corpora can train tokenizers (HF tokenizers' trainer works the
+    same way). The chosen pair never reaches the driver — it re-enters
+    the plan as a broadcast 1-row frame; per-round localCheckpoint keeps
+    round k+1's lineage flat. Greedy left-to-right merge semantics come
+    free from non-overlapping string replace over the double-space
+    symbol encoding (see module comment)."""
+    _, merges = _bpe_trained(spark, sf_dir, BPE_ROUNDS)
+    out = None
+    for k, top in enumerate(merges, start=1):
+        row = top.select(
+            F.lit(k).cast("long").alias("round"),
+            F.col("l").alias("left_sym"),
+            F.col("r").alias("right_sym"),
+            F.col("c").alias("pair_count"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "bpe_segment_docs",
+    oracle=f"""
+WITH {_bpe_oracle_ctes(BPE_ROUNDS)},
+vocab AS (
+  SELECT word, len(list_filter(string_split(repr, '  '), x -> x <> ''))
+           AS n_sym
+  FROM w{BPE_ROUNDS}
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT)            AS n_words,
+       CAST(SUM(length(t.w)) AS BIGINT)    AS n_chars,
+       CAST(SUM(v.n_sym) AS BIGINT)        AS n_tokens,
+       CAST(SUM(v.n_sym) AS DOUBLE) / CAST(SUM(length(t.w)) AS DOUBLE)
+         AS tokens_per_char
+FROM documents d, UNNEST(string_split(d.text, ' ')) t(w)
+JOIN vocab v ON v.word = t.w
+WHERE t.w <> ''
+GROUP BY d.doc_id
+""",
+    tags=["llm", "text", "tokenizer"],
+)
+def bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus: per-document token
+    count under the learned vocabulary and the tokens-per-char fertility
+    ratio — the number a tokenizer team watches (lower = better
+    compression) and the token budget a shard planner needs.
+
+    Shape: segmentation is looked up per WORD, not recomputed per
+    occurrence — the trained vocab (word -> symbol count) joins the
+    exploded corpus as a BROADCAST table (vocab-sized), so the pass is
+    one corpus scan + map-side join + per-doc aggregate. The training
+    loop itself runs once per session (memoized, `_bpe_vocab`).
+    Fertility is a single division of two exact BIGINT sums —
+    bit-identical cross-engine."""
+    vocab = _bpe_trained(spark, sf_dir, BPE_ROUNDS)[0].select(
+        "word",
+        F.size(F.filter(F.split("repr", "  "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        words.join(F.broadcast(vocab), words.w == vocab.word)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_sym").cast("long").alias("n_tokens"),
+            (
+                F.sum("n_sym").cast("double")
+                / F.sum(F.length("w")).cast("double")
+            ).alias("tokens_per_char"),
+        )
+    )
+
+
+# ------------------------------------------------------- bigram LM scoring
+
+LM_Q = int(1e12)  # probability quantization for order-free DECIMAL sums
+
+
+@register(
+    "bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks CROSS JOIN UNNEST(range(1, len(t))) u(i)
+),
+uni AS (
+  SELECT t[i] AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM toks CROSS JOIN UNNEST(range(1, len(t) + 1)) u(i)
+  GROUP BY 1
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsize FROM uni),
+probs AS (
+  SELECT b.w1, b.w2,
+         CAST(FLOOR(
+           CAST(b.c12 + 1 AS DOUBLE) / CAST(u.c1 + v.vsize AS DOUBLE)
+           * {LM_Q}
+         ) AS BIGINT) AS pq
+  FROM big b JOIN uni u ON u.w1 = b.w1 CROSS JOIN v
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(p.pq AS DECIMAL(38, 0))) AS DOUBLE) / {LM_Q} / COUNT(*)
+         AS avg_bigram_p,
+       CAST(MIN(p.pq) AS DOUBLE) / {LM_Q} AS min_bigram_p
+FROM bg g JOIN probs p ON p.w1 = g.w1 AND p.w2 = g.w2
+GROUP BY g.doc_id
+""",
+    tags=["llm", "text", "quality"],
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram language-model scoring: train an add-one
+    smoothed bigram LM on the corpus, then score every document by its
+    mean and minimum bigram probability — the classic fluency filter
+    (low mean = disfluent/gibberish, low min = one broken seam) used
+    before a neural LM is affordable, and the same join shape a
+    KenLM-perplexity pass would use.
+
+    Probability, not log-probability, by determinism doctrine: each
+    p = (c12+1)/(c1+V) is ONE IEEE division of exact integers
+    (bit-identical cross-engine, unlike libm log); per-doc sums are
+    floor-quantized integer-DECIMAL so accumulation order is free.
+
+    Shape: the model is built once — unigram + bigram count tables (two
+    map-combined word-count shuffles) joined into a DISTINCT-bigram
+    probability table (|bigram vocab|-sized, NOT corpus-sized); the
+    corpus' bigram instances then join that table once on (w1, w2) —
+    one posting-list-style shuffle, linear in corpus tokens — and
+    aggregate per document. At 100 TB the prob table exceeds broadcast
+    range and the equi-join shuffles both sides; AQE handles the hot
+    stopword-pair skew (same argument as pmi_cooccurrence)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    bg = toks.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    v = uni.agg(F.count("*").cast("long").alias("vsize"))
+    probs = (
+        big.join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("vsize")).cast("double")
+                * F.lit(LM_Q)
+            )
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("pq").cast("decimal(38,0)")).cast("double")
+                / F.lit(LM_Q)
+                / F.count("*")
+            ).alias("avg_bigram_p"),
+            (F.min("pq").cast("double") / F.lit(LM_Q)).alias("min_bigram_p"),
+        )
+    )
+
+
+# -------------------------------------------------- char-level gibberish
+
+@register(
+    "char_diversity",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents, UNNEST(regexp_extract_all(text, '.')) t(ch)
+  GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       CAST(SUM(cnt) AS BIGINT) AS n_chars,
+       1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+               / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+         AS gini_diversity,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_char_frac
+FROM c
+GROUP BY doc_id
+""",
+    tags=["llm", "text", "quality"],
+)
+def char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution gibberish filter: per-document Gini
+    diversity (1 - sum p_i^2, the Simpson index) and the modal-character
+    fraction. Near-zero diversity or a dominant character flags
+    key-mashing, padding, and binary-pasted junk — the character-level
+    sibling of repetition_stats' word-level filter. Gini replaces
+    Shannon entropy deliberately: same ordering on the pathological
+    cases, but rational — sum(cnt^2)/n^2 is exact BIGINT aggregates and
+    one IEEE division, no libm log (determinism doctrine).
+
+    Shape: char explode (linear in corpus BYTES) -> (doc, char) count
+    with map-side combine -> per-doc aggregate of at most |charset| rows
+    per doc. Two shuffles both keyed by doc_id, no join-back (the
+    repetition_stats two-level-aggregate shape)."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    c = (
+        d.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    n = F.sum("cnt").cast("long")
+    return c.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("distinct_chars"),
+        n.alias("n_chars"),
+        (
+            F.lit(1.0)
+            - F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+            / (n.cast("double") * n.cast("double"))
+        ).alias("gini_diversity"),
+        (F.max("cnt").cast("double") / n.cast("double")).alias("top_char_frac"),
+    )
+
+
+# --------------------------------------------------- domain drift audit
+
+DRIFT_SOURCE = "src18"  # the domain audited against the rest of the corpus
+DRIFT_TOP = 25          # strongest drift tokens surfaced
+DRIFT_Q = int(1e12)
+
+
+@register(
+    "token_dist_drift",
+    oracle=f"""
+WITH tok AS (
+  SELECT source, w FROM documents, UNNEST(string_split(text, ' ')) t(w)
+  WHERE w <> ''
+),
+a AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS ca FROM tok
+  WHERE source = '{DRIFT_SOURCE}' GROUP BY w
+),
+b AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cb FROM tok
+  WHERE source <> '{DRIFT_SOURCE}' GROUP BY w
+),
+n AS (
+  SELECT CAST(SUM(CASE WHEN source = '{DRIFT_SOURCE}' THEN 1 ELSE 0 END)
+           AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN source <> '{DRIFT_SOURCE}' THEN 1 ELSE 0 END)
+           AS BIGINT) AS nb
+  FROM tok
+),
+j AS (
+  SELECT COALESCE(a.w, b.w) AS token,
+         CAST(COALESCE(a.ca, 0) AS DOUBLE) / CAST(n.na AS DOUBLE) AS p_a,
+         CAST(COALESCE(b.cb, 0) AS DOUBLE) / CAST(n.nb AS DOUBLE) AS p_b
+  FROM a FULL OUTER JOIN b ON a.w = b.w CROSS JOIN n
+),
+m AS (
+  SELECT token, p_a, p_b, ABS(p_a - p_b) AS abs_diff,
+         (p_a - p_b) * (p_a - p_b) / (p_a + p_b) AS chi2_term
+  FROM j
+),
+tot AS (
+  SELECT 0.5 * CAST(SUM(CAST(FLOOR(abs_diff * {DRIFT_Q}) AS DECIMAL(38, 0)))
+                 AS DOUBLE) / {DRIFT_Q} AS tv_total,
+         CAST(SUM(CAST(FLOOR(chi2_term * {DRIFT_Q}) AS DECIMAL(38, 0)))
+           AS DOUBLE) / {DRIFT_Q} AS chi2_total
+  FROM m
+)
+SELECT token, p_a, p_b, abs_diff, tv_total, chi2_total,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs_diff DESC, token ASC) AS BIGINT)
+         AS rank
+FROM m CROSS JOIN tot
+QUALIFY ROW_NUMBER() OVER (ORDER BY abs_diff DESC, token ASC) <= {DRIFT_TOP}
+""",
+    tags=["llm", "text", "audit"],
+)
+def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-drift audit: compare one source's unigram distribution
+    against the rest of the corpus — total-variation distance and
+    chi-square divergence overall, plus the top-{DRIFT_TOP} tokens
+    driving the gap. The check a mixture designer runs before folding a
+    new crawl/domain into the training mix (DSIR's importance weights
+    answer "how much to take"; this answers "how different is it").
+
+    TV and chi-square instead of KL: both are RATIONAL in the per-token
+    probabilities (each ONE IEEE division of exact counts), so the
+    per-token terms are bit-identical cross-engine and the totals are
+    floor-quantized DECIMAL sums — KL's log would break parity
+    (determinism doctrine).
+
+    Shape: one token-count aggregate per side (map-combined), a
+    |vocab|-sized full-outer join (never corpus-sized), totals as one
+    1-row aggregate broadcast back, top-k via ranked_topk
+    (TakeOrdered) — no corpus-sized shuffle after the counts."""
+    tok = (
+        _spread(load_table(spark, sf_dir, "documents"))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    is_a = F.col("source") == DRIFT_SOURCE
+    a = tok.where(is_a).groupBy("w").agg(F.count("*").cast("long").alias("ca"))
+    b = (
+        tok.where(~is_a)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cb"))
+    )
+    n = tok.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    j = (
+        a.withColumnRenamed("w", "wa")
+        .join(b.withColumnRenamed("w", "wb"), F.col("wa") == F.col("wb"), "full_outer")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.coalesce("wa", "wb").alias("token"),
+            (
+                F.coalesce("ca", F.lit(0)).cast("double")
+                / F.col("na").cast("double")
+            ).alias("p_a"),
+            (
+                F.coalesce("cb", F.lit(0)).cast("double")
+                / F.col("nb").cast("double")
+            ).alias("p_b"),
+        )
+    )
+    m = j.select(
+        "token",
+        "p_a",
+        "p_b",
+        F.abs(F.col("p_a") - F.col("p_b")).alias("abs_diff"),
+        (
+            (F.col("p_a") - F.col("p_b"))
+            * (F.col("p_a") - F.col("p_b"))
+            / (F.col("p_a") + F.col("p_b"))
+        ).alias("chi2_term"),
+    ).localCheckpoint(eager=True)
+    tot = m.agg(
+        (
+            F.lit(0.5)
+            * F.sum(
+                F.floor(F.col("abs_diff") * F.lit(DRIFT_Q)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(DRIFT_Q)
+        ).alias("tv_total"),
+        (
+            F.sum(
+                F.floor(F.col("chi2_term") * F.lit(DRIFT_Q)).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / F.lit(DRIFT_Q)
+        ).alias("chi2_total"),
+    )
+    ranked = ranked_topk(
+        m.drop("chi2_term"),
+        [F.col("abs_diff").desc(), F.col("token").asc()],
+        DRIFT_TOP,
+        "rank",
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "token", "p_a", "p_b", "abs_diff", "tv_total", "chi2_total", "rank"
+    )
+
+
+# ------------------------------------------- hashed linear classifier
+
+CLS_BUCKETS = 2001  # odd modulus -> symmetric integer weights in [-1000, 1000]
+
+
+@register(
+    "hashed_classifier_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(list_sum(list_transform(toks,
+              w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % {CLS_BUCKETS}
+                   - {(CLS_BUCKETS - 1) // 2})) AS DOUBLE)
+         / (CAST({(CLS_BUCKETS - 1) // 2} AS DOUBLE)
+            * CAST(NULLIF(len(toks), 0) AS DOUBLE)) AS margin,
+       CAST(list_sum(list_transform(toks,
+              w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % {CLS_BUCKETS}
+                   - {(CLS_BUCKETS - 1) // 2})) AS DOUBLE) > 0.0
+         AS predicted_keep
+FROM t
+WHERE len(toks) > 0
+""",
+    tags=["llm", "text", "quality"],
+)
+def hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear text classifier via the hashing trick — the fastText-style
+    quality-classifier scoring pass (pretraining pipelines score every
+    document with a cheap linear model and keep the top fraction). Each
+    token hashes to a weight bucket; the document score is the mean
+    bucket weight — mathematically identical to w . phi(x)/|x| with
+    hashed bag-of-words features. Here the weight table is DERIVED from
+    md5 (deterministic fixture, the sign-hyperplane trick); production
+    swaps in trained weights as a broadcast map lookup with the same
+    plan.
+
+    Shape: ZERO shuffle — tokenize, hash, and fold entirely in-row
+    (aggregate HOF over an exact BIGINT accumulator), one corpus scan
+    with map-side projection. The in-row integer sum makes the margin a
+    single IEEE division of exact integers — bit-identical cross-engine
+    without quantization."""
+    d = load_table(spark, sf_dir, "documents")
+    half = (CLS_BUCKETS - 1) // 2
+    toks = F.filter(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0),
+        lambda x: x != "",
+    )
+    wsum = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+            % CLS_BUCKETS
+            - half,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks).cast("long")
+    return (
+        d.select("doc_id", n.alias("n_tokens"), wsum.alias("wsum"))
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("wsum").cast("double")
+                / (F.lit(float(half)) * F.col("n_tokens").cast("double"))
+            ).alias("margin"),
+            (F.col("wsum").cast("double") > 0.0).alias("predicted_keep"),
+        )
+    )

@@ -56,27 +56,37 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: slots. The r6 window therefore holds:
 #:   1. ivf_train_rounds — the one oracle-bearing query with no row yet;
 #:   2. new r6 registrations (scale-path variants, ANN index delta
-#:      maintenance, sketch error audit) — first-time rows;
+#:      maintenance, sketch error audit, and the lm_ops family: BPE
+#:      train/apply, bigram-LM scoring, char diversity, drift audit,
+#:      hashed classifier) — first-time rows;
 #:   3. every query whose PLAN changed in r6 (the global-window
 #:      eliminations: bm25 + BPE/PMI/vocab top-k now TakeOrdered-based,
 #:      curriculum/length NTILE now prefix-sum-based, span removal's
 #:      overflow guard) — a changed plan invalidates the old row;
 #:   4. three flagship/merge canaries as regression tripwires;
-#:   5. the entire r1-vintage cohort (30 queries whose latest driver row
-#:      is five rounds old — TPC-H-adjacent suites, window/scalar
-#:      families), oldest-first per the ledger's rotation promise.
+#:   5. the r1-vintage cohort (30 queries whose latest driver row is five
+#:      rounds old — TPC-H-adjacent suites, window/scalar families),
+#:      oldest-first; the last three fall at positions 51-53 (displaced
+#:      by the lm_ops first-time rows) and lead the r7 window.
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
     # --- first-time oracle-bearing row (1) ---
     "ivf_train_rounds",
-    # --- r6 registrations: the scale-path variants (3) ---
+    # --- r6 registrations: the scale-path variants (5) ---
     "semantic_dedup_gemm",
     "minhash_incremental_grown",
     "embedding_neardup_cells",
     "ivf_delta_assign",
     "sketch_error_bounds",
+    # --- r6 registrations: LM-data-prep family (6, lm_ops.py) ---
+    "bpe_train_merges",
+    "bpe_segment_docs",
+    "bigram_lm_score",
+    "char_diversity",
+    "token_dist_drift",
+    "hashed_classifier_score",
     # --- r6 plan changes: re-earn the row under the new plan (8) ---
     "bm25_topk",
     "hybrid_rrf_fusion",  # consumes bm25_topk's ranks
@@ -118,6 +128,10 @@ DRIVER_PRIORITY: list[str] = [
     "string_fn_suite",
     "tumbling_window_agg",
     "unpivot_measures",
+    # --- positions 51-53: the cohort's last three fall just outside the
+    #     50-row window this round (displaced by the six lm_ops first-time
+    #     rows); they are FIRST in line for r7 and stay green under the
+    #     stricter local check meanwhile ---
     "window_dist_suite",
     "window_frames",
     "window_rank_suite",
@@ -171,6 +185,7 @@ def _load_all() -> None:
     from callio_etl_spark.llm_ops import (  # noqa: F401
         chunking,
         dedup_ops,
+        lm_ops,
         sampling,
         similarity,
         text_analysis,

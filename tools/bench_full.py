@@ -1,0 +1,100 @@
+"""Full-registry bench one decade above the gate scale.
+
+SCALE_CURVE.json tracks the ~30 heaviest queries across sf0.01/0.1/1;
+this tool times EVERY registered query once at sf0.1 and once at the
+synthetic sf1 (bench_scale.build_sf1's 10x key-shifted replication), so
+regressions that only show a decade above the per-round bench gate —
+quadratic residues, occupancy decay, accidental driver collects — are
+caught for the whole surface, not just the curated heavy list.
+
+Emits BENCH_SF1.json at the repo root:
+
+    {"sf01_s": {...}, "sf1_s": {...}, "exp": {...},
+     "flagged": [{name, exp, cause?}...], "total_sf1_s": N}
+
+exp = log10(t_sf1 / t_sf01); > 1.2 is flagged and must carry a cause
+(bench_scale.CAUSES) or be fixed. Small absolute times are noisy — a
+query under 0.3 s at sf0.1 is dominated by per-job overhead, so flags
+are suppressed below that floor (the exponent is meaningless there).
+
+Usage: python tools/bench_full.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from tools.bench_scale import CAUSES, SF1_DIR, build_sf1  # noqa: E402
+
+FLAG_EXP = 1.2       # exponent above which a query needs a cause or a fix
+FLAG_FLOOR_S = 0.3   # sf0.1 times below this are overhead-dominated noise
+
+
+def main() -> None:
+    import os
+
+    from callio_etl_spark.registry import all_queries
+    from callio_etl_spark.session import get_spark
+
+    if "--rebuild" in sys.argv or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+        print("building synthetic sf1 ...", file=sys.stderr)
+        build_sf1()
+
+    spark = get_spark("bench-full")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen + Arrow warm-up, unmeasured
+    for warm in ("fact_staff_daily", "media_features"):
+        queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    results: dict[str, dict[str, float]] = {}
+    for sf_key, sf_dir in (("sf01_s", "/root/testdata/sf0.1"), ("sf1_s", SF1_DIR)):
+        times: dict[str, float] = {}
+        for name, fn in queries.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+            print(f"{sf_key} {name}: {times[name]}s", file=sys.stderr)
+        results[sf_key] = times
+
+    exp = {
+        n: round(math.log10(results["sf1_s"][n] / results["sf01_s"][n]), 2)
+        for n in results["sf1_s"]
+        if results["sf01_s"][n] > 0
+    }
+    flagged = [
+        {"name": n, "exp": e, "sf1_s": results["sf1_s"][n],
+         **({"cause": CAUSES[n]} if n in CAUSES else {})}
+        for n, e in sorted(exp.items(), key=lambda kv: -kv[1])
+        if e > FLAG_EXP and results["sf01_s"][n] >= FLAG_FLOOR_S
+    ]
+    out = {
+        "replicas": 10,
+        "n_queries": len(results["sf1_s"]),
+        "total_sf1_s": round(sum(results["sf1_s"].values()), 1),
+        "total_sf01_s": round(sum(results["sf01_s"].values()), 1),
+        "flag_exp": FLAG_EXP,
+        "flag_floor_s": FLAG_FLOOR_S,
+        "flagged": flagged,
+        "exp": exp,
+        "sf01_s": results["sf01_s"],
+        "sf1_s": results["sf1_s"],
+    }
+    with open("BENCH_SF1.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in
+                      ("n_queries", "total_sf1_s", "total_sf01_s", "flagged")},
+                     indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
