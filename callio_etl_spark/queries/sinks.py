@@ -277,3 +277,95 @@ def sink_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("key_sum"),
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_compact_vacuum",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 4 = 0
+)
+SELECT CAST(COUNT(*) AS BIGINT)                                    AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT)                             AS key_sum,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT)                 AS rows_compacted,
+       CAST(1 AS BIGINT)                                           AS files_after,
+       CAST(1 AS BIGINT)                                           AS versions_removed,
+       CAST(1 AS BIGINT)                                           AS versions_after
+FROM s
+""",
+    tags=["sink", "maintenance"],
+)
+def sink_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance roundtrip — the OPTIMIZE + VACUUM pair every
+    incremental lakehouse table needs on a schedule: write a partitioned
+    table fragmented into many small files, compact ONE partition to a
+    single file (siblings untouched), and prune a versioned table's
+    archive down to the newest snapshot. The aggregate re-reads the
+    post-compaction table, so lost/duplicated rows, a clobbered sibling
+    partition, or a vacuum that deleted the live snapshot all break the
+    hash; the file and version counts are measured (not assumed) and
+    compared against the deterministic expectation as literals."""
+    from callio_etl_spark.io import (
+        _hadoop,
+        atomic_overwrite,
+        compact_partition,
+        list_table_versions,
+        vacuum_table_versions,
+        write_partitioned,
+    )
+
+    root = _tmp("compact")
+    path = f"{root}/orders_c"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    s = o.where(F.col("o_orderkey") % 4 == 0)
+    # fragment: 6 round-robin tasks x 5 priorities => ~6 files per partition
+    write_partitioned(s.repartition(6), path, "o_orderpriority")
+
+    def _parquet_files(part_dir: str) -> int:
+        jvm, fs, jpath = _hadoop(spark, part_dir)
+        return sum(
+            1
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().endswith(".parquet")
+        )
+
+    part_dir = f"{path}/o_orderpriority=1-URGENT"
+    files_before = _parquet_files(part_dir)
+    n_compacted = compact_partition(
+        spark, path, "o_orderpriority", "1-URGENT", target_files=1
+    )
+    files_after = _parquet_files(part_dir)
+    if not (files_before > 1 and files_after == 1):
+        raise AssertionError(
+            f"compaction contract broken: {files_before} -> {files_after} files"
+        )
+
+    vpath = f"{root}/orders_vac"
+    base = s.select("o_orderkey", "o_custkey")
+    for gen_mod in (0, 1, 2):  # three generations under keep_versions=3
+        atomic_overwrite(
+            spark,
+            base.where(F.col("o_custkey") % 3 <= gen_mod),
+            vpath,
+            keep_versions=3,
+        )
+    removed = vacuum_table_versions(spark, vpath, keep=1)
+    versions_after = len(list_table_versions(spark, vpath))
+
+    live = spark.read.parquet(path)
+    result = live.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    ).select(
+        "n_rows",
+        "key_sum",
+        F.lit(n_compacted).cast("long").alias("rows_compacted"),
+        F.lit(files_after).cast("long").alias("files_after"),
+        F.lit(len(removed)).cast("long").alias("versions_removed"),
+        F.lit(versions_after).cast("long").alias("versions_after"),
+    )
+    return _materialize_and_clean(result, root)

@@ -47,7 +47,7 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering r6: the registry holds 163+
+#: per-round slot ledger). State entering r6: the registry holds 179
 #: queries; 160 have held a green driver row (latest row green for every
 #: one), ivf_train_rounds (registered after the r5 window was set) has
 #: not, and ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx
@@ -56,9 +56,12 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: slots. The r6 window therefore holds:
 #:   1. ivf_train_rounds — the one oracle-bearing query with no row yet;
 #:   2. new r6 registrations (scale-path variants, ANN index delta
-#:      maintenance, sketch error audit, and the lm_ops family: BPE
+#:      maintenance, sketch error audit, the lm_ops family: BPE
 #:      train/apply, bigram-LM scoring, char diversity, drift audit,
-#:      hashed classifier) — first-time rows;
+#:      hashed classifier; and the curation.py family: per-domain
+#:      ledger, cross-source syndication matrix, count-min heavy
+#:      hitters, embedding decontamination, plus the compaction+vacuum
+#:      maintenance sink) — first-time rows;
 #:   3. every query whose PLAN changed in r6 (the global-window
 #:      eliminations: bm25 + BPE/PMI/vocab top-k now TakeOrdered-based,
 #:      curriculum/length NTILE now prefix-sum-based, span removal's
@@ -66,8 +69,8 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #:   4. three flagship/merge canaries as regression tripwires;
 #:   5. the r1-vintage cohort (30 queries whose latest driver row is five
 #:      rounds old — TPC-H-adjacent suites, window/scalar families),
-#:      oldest-first; the last three fall at positions 51-53 (displaced
-#:      by the lm_ops first-time rows) and lead the r7 window.
+#:      oldest-first; the last eight fall at positions 51-58 (displaced
+#:      by the lm_ops + curation first-time rows) and lead the r7 window.
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
@@ -87,6 +90,13 @@ DRIVER_PRIORITY: list[str] = [
     "char_diversity",
     "token_dist_drift",
     "hashed_classifier_score",
+    # --- r6 registrations: corpus-curation family (4, curation.py) +
+    #     table-maintenance sink (sinks.py) — first-time rows ---
+    "domain_stats",
+    "cross_source_neardup",
+    "heavy_hitters_cms",
+    "embedding_decontaminate",
+    "sink_compact_vacuum",
     # --- r6 plan changes: re-earn the row under the new plan (8) ---
     "bm25_topk",
     "hybrid_rrf_fusion",  # consumes bm25_topk's ranks
@@ -124,14 +134,15 @@ DRIVER_PRIORITY: list[str] = [
     "sessionize",
     "set_intersect_except",
     "stat_moments",
+    # --- positions 51-58: the cohort's last eight fall just outside the
+    #     50-row window this round (displaced by the eleven lm_ops +
+    #     curation first-time rows — a first driver row outranks
+    #     re-checking a row that is stale but green under the stricter
+    #     local check); they are FIRST in line for r7 ---
     "string_agg_suite",
     "string_fn_suite",
     "tumbling_window_agg",
     "unpivot_measures",
-    # --- positions 51-53: the cohort's last three fall just outside the
-    #     50-row window this round (displaced by the six lm_ops first-time
-    #     rows); they are FIRST in line for r7 and stay green under the
-    #     stricter local check meanwhile ---
     "window_dist_suite",
     "window_frames",
     "window_rank_suite",
@@ -184,6 +195,7 @@ def _load_all() -> None:
     )
     from callio_etl_spark.llm_ops import (  # noqa: F401
         chunking,
+        curation,
         dedup_ops,
         lm_ops,
         sampling,
