@@ -204,13 +204,17 @@ def ranked_topk(df: DataFrame, order_cols: list, k: int, out_col: str = "rank") 
        shape), so no task ever holds more than k rows;
     2. ranks are then assigned by a window over the surviving k rows only.
        That window's input is bounded by the design constant ``k`` (not by
-       the data), and the partition key is an explicit literal so the
-       single partition is declared, not accidental.
+       the data). The partition key is ``spark_partition_id()`` over an
+       explicit ``coalesce(1)``: constant in value (every surviving row
+       sits in partition 0) but NOT foldable, so Catalyst cannot
+       constant-fold the partition spec away into the unpartitioned
+       WindowExec whose single-task warning this helper exists to avoid
+       (a bare ``F.lit(0)`` partition key IS folded away and warns).
 
     ``order_cols`` must be a total order (unique tiebreaker) for the ranks
     to be deterministic."""
     from pyspark.sql import Window
 
-    top = df.orderBy(*order_cols).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
+    top = df.orderBy(*order_cols).limit(k).coalesce(1)
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
     return top.withColumn(out_col, F.row_number().over(w).cast("long"))
