@@ -344,3 +344,36 @@ def ivf_assign_stream(vecs: DataFrame, cells: DataFrame) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     return assign_to_cells(prepared, cells)
+
+
+def cms_sketch_stream(docs: DataFrame) -> DataFrame:
+    """heavy_hitters_cms's sketch side as a LIVE stream — rolling token
+    frequency tracking with HARD-BOUNDED state: each micro-batch explodes
+    its tokens, keys them with the same md5-slice count-min buckets as the
+    batch operator (curation._cms_bucket — identical hash, so a sketch
+    built by the stream is interchangeable with one built by a batch
+    backfill), and maintains the (depth, bucket) counts as a streaming
+    aggregation in COMPLETE mode.
+
+    The state store holds at most CMS_DEPTH x CMS_WIDTH = 4x512 rows no
+    matter how much text flows through — this is the rare streaming
+    aggregate that needs NO watermark to stay bounded, because the key
+    domain itself is finite by construction (the count-min property). Count
+    sums are additive, so tick(d1) + tick(d2) == batch(d1 + d2) exactly
+    (asserted in tests/test_streaming.py); the heavy-hitter read side
+    (estimate = min over depths of the candidate's buckets) runs as a
+    batch query against the sink table, exactly as heavy_hitters_cms does."""
+    from callio_etl_spark.llm_ops.curation import CMS_DEPTH, _cms_bucket
+    from callio_etl_spark.llm_ops.dedup_ops import TOKEN_RE
+
+    occ = docs.select(
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
+            "tok"
+        )
+    )
+    keyed = occ.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), i) for i in range(CMS_DEPTH)])
+        ).alias("depth", "bucket")
+    )
+    return keyed.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))

@@ -578,3 +578,67 @@ def test_ivf_assign_stream_two_ticks_equal_one_batch(spark, tmp_path):
         for r in assign_to_cells(batch_in, cells).collect()
     }
     assert after_t2 == batch
+
+
+def test_cms_sketch_stream_two_ticks_equal_one_batch(spark, tmp_path):
+    """Count sums are additive, so the streamed sketch after two ticks must
+    equal the batch sketch over the union — and the state is hard-bounded
+    at CMS_DEPTH x CMS_WIDTH rows regardless of token volume."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.llm_ops.curation import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+    from callio_etl_spark.llm_ops.dedup_ops import TOKEN_RE
+    from callio_etl_spark.streaming.incremental import (
+        cms_sketch_stream,
+        read_docs_stream,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    d1 = [(0, "alpha beta alpha gamma", "en", "s0", 0),
+          (1, "beta beta delta", "en", "s0", 0)]
+    d2 = [(2, "alpha epsilon epsilon zeta", "en", "s1", 0)]
+    src = f"{tmp_path}/cms_src"
+
+    def tick(batch):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        q = (
+            cms_sketch_stream(read_docs_stream(spark, src))
+            .writeStream.format("memory")
+            .queryName("cms_t")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp_path}/cms_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    tick(d1)
+    tick(d2)
+    streamed = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in spark.sql("select * from cms_t").collect()
+    }
+
+    both = spark.createDataFrame(d1 + d2, schema)
+    occ = both.select(
+        F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
+            "tok"
+        )
+    )
+    batch = {
+        (r["depth"], r["bucket"]): r["cnt"]
+        for r in occ.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(F.col("tok"), i) for i in range(CMS_DEPTH)])
+            ).alias("depth", "bucket")
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) <= CMS_DEPTH * CMS_WIDTH
+    # every token contributes one count per depth row
+    n_tokens = occ.count()
+    for depth in range(CMS_DEPTH):
+        assert sum(c for (d, _), c in streamed.items() if d == depth) == n_tokens
