@@ -56,11 +56,18 @@ def main() -> None:
         ).save()
 
     results: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for sf_key, sf_dir in (("sf01_s", "/root/testdata/sf0.1"), ("sf1_s", SF1_DIR)):
         times: dict[str, float] = {}
         for name, fn in queries.items():
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # record, keep benching the rest
+                errors[f"{sf_key}:{name}"] = str(exc).splitlines()[0][:200]
+                print(f"{sf_key} {name}: ERROR {errors[f'{sf_key}:{name}']}",
+                      file=sys.stderr)
+                continue
             times[name] = round(time.perf_counter() - t0, 3)
             print(f"{sf_key} {name}: {times[name]}s", file=sys.stderr)
         results[sf_key] = times
@@ -68,13 +75,13 @@ def main() -> None:
     exp = {
         n: round(math.log10(results["sf1_s"][n] / results["sf01_s"][n]), 2)
         for n in results["sf1_s"]
-        if results["sf01_s"][n] > 0
+        if results["sf01_s"].get(n, 0) > 0
     }
     flagged = [
         {"name": n, "exp": e, "sf1_s": results["sf1_s"][n],
          **({"cause": CAUSES[n]} if n in CAUSES else {})}
         for n, e in sorted(exp.items(), key=lambda kv: -kv[1])
-        if e > FLAG_EXP and results["sf01_s"][n] >= FLAG_FLOOR_S
+        if e > FLAG_EXP and results["sf01_s"].get(n, 0) >= FLAG_FLOOR_S
     ]
     out = {
         "replicas": 10,
@@ -83,6 +90,7 @@ def main() -> None:
         "total_sf01_s": round(sum(results["sf01_s"].values()), 1),
         "flag_exp": FLAG_EXP,
         "flag_floor_s": FLAG_FLOOR_S,
+        "errors": errors,
         "flagged": flagged,
         "exp": exp,
         "sf01_s": results["sf01_s"],
