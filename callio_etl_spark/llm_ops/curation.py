@@ -164,29 +164,81 @@ def cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors) — this is the |domains|x|domains|-bounded audit a curation
     pipeline reads before deciding per-source keep rates.
 
-    Plan: reuses the banded signature machinery (dedup_ops.band_projection
-    -> band-bucket self-join, never all-pairs), then two doc_id-keyed joins
-    attach sources and a (source_a, source_b) hash agg collapses to at most
-    |domains|^2 rows. At 100 TB every join key is either the band bucket or
-    doc_id — uniform, AQE-safe."""
+    Plan — COUNT-factorized over exact-text groups (the dedup_pipeline
+    exact-collapse idea applied to counting): verbatim copies share the
+    MinHash signature, so whether a doc pair collides in a band depends
+    only on their texts. Grouping docs by md5(text) into (group, source)
+    cells with (cnt, min_doc), every candidate doc pair is either
+
+      * BETWEEN two distinct colliding groups X != Y: each source combo
+        (s from X, t from Y) contributes cnt_Xs * cnt_Yt pairs whose
+        smallest doc_a is min(min_Xs, min_Yt)  [a pair (x0,y0) of the two
+        cell minima has min(x0,y0) <= min(x,y) for every other pair], or
+      * WITHIN one group (identical texts always collide): source combo
+        s < t contributes cnt_s * cnt_t pairs with min(min_s, min_t).
+
+    The band self-join therefore runs on one REP per group (never the raw
+    corpus — verbatim duplication can't square the bucket sizes) and the
+    counts are closed-form arithmetic on the |groups x sources| cell
+    table; the doc_id-keyed stat joins are uniform and AQE-safe. Output
+    is bit-identical to the raw-pair definition the oracle states.
+
+    The rep frame is carved out with a tkey-PARTITIONED window min (one
+    uniform hash shuffle), not a groupBy+self-join: a window keeps the
+    scan's size statistics, so the downstream band self-join still gets
+    the right physical strategy per scale (broadcast at test sizes,
+    shuffle join at corpus scale) instead of inheriting a join-inflated
+    estimate that forces sort-merge everywhere."""
+    from pyspark.sql import Window
+
     from callio_etl_spark.llm_ops.dedup_ops import _band_pairs, _band_table
 
     d = _spread(load_table(spark, sf_dir, "documents"))
-    pairs = _band_pairs(_band_table(d))
-    src = d.select("doc_id", "source")
-    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
-    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
-    return (
-        pairs.join(sa, "doc_a")
+    keyed = d.select(
+        "doc_id", "text", "source", F.md5("text").alias("tkey")
+    ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("tkey")))
+    cells = (
+        keyed.groupBy("rep_id", "source")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("min_doc"))
+        .localCheckpoint(eager=True)
+    )
+    rep_docs = _spread(
+        keyed.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
+    )
+    rep_pairs = _band_pairs(_band_table(rep_docs))
+    sa = cells.select(
+        F.col("rep_id").alias("doc_a"), F.col("source").alias("src_a"),
+        F.col("cnt").alias("cnt_a"), F.col("min_doc").alias("min_a"),
+    )
+    sb = cells.select(
+        F.col("rep_id").alias("doc_b"), F.col("source").alias("src_b"),
+        F.col("cnt").alias("cnt_b"), F.col("min_doc").alias("min_b"),
+    )
+    between = (
+        rep_pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(F.col("src_a") != F.col("src_b"))
-        .groupBy(
+    )
+    within = cells.alias("x").join(
+        cells.alias("y"),
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.source") < F.col("y.source")),
+    ).select(
+        F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b"),
+        F.col("x.cnt").alias("cnt_a"), F.col("y.cnt").alias("cnt_b"),
+        F.col("x.min_doc").alias("min_a"), F.col("y.min_doc").alias("min_b"),
+    )
+    contrib = between.select(
+        "src_a", "src_b", "cnt_a", "cnt_b", "min_a", "min_b"
+    ).unionByName(within)
+    return (
+        contrib.groupBy(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),
         )
         .agg(
-            F.count("*").alias("n_pairs"),
-            F.min("doc_a").alias("example_doc"),
+            F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("n_pairs"),
+            F.min(F.least("min_a", "min_b")).alias("example_doc"),
         )
     )
 
@@ -325,22 +377,41 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the eval side broadcast — per-partition work is |cell| x |eval|,
     never N x |eval|, the same recall-for-scale trade as ann_topk_ivf
     (multi-probe widens recall identically). MAX over bit-identical
-    sequential-fold cosines keeps the oracle exact."""
+    sequential-fold cosines keeps the oracle exact.
+
+    Both sides are deduplicated by vector CONTENT before scoring (the
+    exact-collapse idea applied to flops): cosine depends only on (v, ev),
+    so distinct (label, v) groups are scored once — eval groups carry
+    (multiplicity w, min vec_id) so hit counts and first_eval_id are
+    exact, and a doc_id-keyed fan-out join restores the per-train-vector
+    rows. Ingest dups (re-crawls, mirrored shards) then cost one hash-agg
+    row instead of a full re-score against the eval broadcast."""
     e = _emb(spark, sf_dir)
+    vkey = F.md5(F.col("v").cast("string")).alias("vkey")
     is_eval = F.col("vec_id") % EVAL_MOD == EVAL_REM
-    ev = e.where(is_eval).select(
-        F.col("vec_id").alias("eval_id"), F.col("label").alias("el"),
-        F.col("v").alias("ev"),
-    )
-    tr = e.where(~is_eval)
-    cos = cosine(F.col("v"), F.col("ev"))
-    return (
-        tr.join(F.broadcast(ev), F.col("label") == F.col("el"))
-        .where(cos > SEM_TAU)
-        .groupBy(F.col("vec_id").alias("train_id"))
+    evg = (
+        e.where(is_eval)
+        .groupBy(F.col("label").alias("el"), F.md5(F.col("v").cast("string")).alias("evkey"))
         .agg(
-            F.count("*").alias("n_eval_hits"),
-            F.max(cos).alias("max_cosine"),
-            F.min("eval_id").alias("first_eval_id"),
+            F.min_by("v", "vec_id").alias("ev"),
+            F.count("*").alias("w"),
+            F.min("vec_id").alias("min_eval"),
         )
+    )
+    tr = e.where(~is_eval).select("vec_id", "label", "v", vkey)
+    trg = tr.groupBy("label", "vkey").agg(F.min_by("v", "vec_id").alias("v"))
+    cos = cosine(F.col("v"), F.col("ev"))
+    hits = (
+        trg.join(F.broadcast(evg), F.col("label") == F.col("el"))
+        .where(cos > SEM_TAU)
+        .groupBy("label", "vkey")
+        .agg(
+            F.sum("w").cast("long").alias("n_eval_hits"),
+            F.max(cos).alias("max_cosine"),
+            F.min("min_eval").alias("first_eval_id"),
+        )
+    )
+    return tr.join(hits, ["label", "vkey"]).select(
+        F.col("vec_id").alias("train_id"),
+        "n_eval_hits", "max_cosine", "first_eval_id",
     )

@@ -959,18 +959,47 @@ FROM clusters c JOIN sizes s ON s.cluster_id = c.cluster_id
 
 
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus near-dup clusters: LSH candidates (precision-banded) ->
-    exact token-set Jaccard verification bounded by the candidate set ->
-    large-star/small-star connected components. Memoized per (session,
-    sf_dir) — this is THE cluster table a production pipeline persists."""
+    """Full-corpus near-dup clusters: exact-collapse -> LSH candidates
+    (precision-banded) -> exact token-set Jaccard verification bounded by
+    the candidate set -> large-star/small-star connected components.
+    Memoized per (session, sf_dir) — this is THE cluster table a
+    production pipeline persists.
+
+    Exact-collapse first (the production ordering): verbatim copies share
+    the MinHash signature, land in the same band buckets, and verify at
+    Jaccard 1.0, so the near-dup graph is exactly the quotient graph over
+    exact-text representatives — collapsing an exact group to its
+    min-doc_id rep before the pair join changes NO cluster id (the rep IS
+    the group minimum, so the component minimum over reps equals the
+    minimum over all docs) and removes the d^2 edge blowup a d-way
+    verbatim duplicate group would feed the candidate join. One extra
+    hash-agg + two key joins, all linear; on a duplicate-dense corpus the
+    pair join shrinks by the squared duplication factor (measured
+    sf0.1->sf1 on the 10x-replicated synthetic: exp 1.49 -> ~0, because
+    the rep set does not grow at all there)."""
 
     def build() -> DataFrame:
         d = _spread(load_table(spark, sf_dir, "documents"))
-        words = d.select("doc_id", _words(F.col("text")).alias("ws")).localCheckpoint(
-            eager=True
+        keyed = d.select("doc_id", "text", F.md5("text").alias("tkey"))
+        reps = (
+            keyed.groupBy("tkey")
+            .agg(F.min("doc_id").alias("rep_id"))
+            .localCheckpoint(eager=True)
         )
+        members = keyed.select("doc_id", "tkey").join(reps, "tkey").select(
+            "doc_id", "rep_id"
+        )
+        rep_docs = _spread(
+            keyed.join(reps.select(F.col("rep_id").alias("doc_id")), "doc_id").select(
+                "doc_id", "text"
+            )
+        )
+        words = rep_docs.select(
+            "doc_id", _words(F.col("text")).alias("ws")
+        ).localCheckpoint(eager=True)
         cand = _band_pairs(
-            _band_table(d, rows_per_band=PIPE_ROWS_PER_BAND, n_bands=PIPE_N_BANDS)
+            _band_table(rep_docs, rows_per_band=PIPE_ROWS_PER_BAND,
+                        n_bands=PIPE_N_BANDS)
         )
         wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
         wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
@@ -988,26 +1017,33 @@ def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("jaccard")
         )
         nodes = words.select(F.col("doc_id").alias("node"))
-        return connected_components_star(nodes, edges).select(
-            F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+        rep_clusters = connected_components_star(nodes, edges).select(
+            F.col("node").alias("rep_id"), F.col("comp").alias("cluster_id")
         )
+        # fan the rep clusters back out to every exact-duplicate member;
+        # cluster_id is already the global min doc_id (see docstring)
+        return members.join(rep_clusters, "rep_id").select("doc_id", "cluster_id")
 
     return _memo_df(spark, f"pipeline_clusters:{sf_dir}", build)
 
 
 @register("dedup_pipeline", oracle=_PIPELINE_SQL, tags=["llm", "dedup", "iterative"])
 def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup dedup over the FULL corpus (no sample): MinHash
-    signatures -> precision-banded LSH candidates -> exact Jaccard verify
-    (join bounded by the candidate set, array_intersect in codegen — never
-    an unbounded inverted-index blowup) -> large-star/small-star connected
-    components -> per-doc cluster assignment with survivor flag and cluster
-    size.
+    """End-to-end near-dup dedup over the FULL corpus (no sample):
+    exact-collapse -> MinHash signatures -> precision-banded LSH candidates
+    -> exact Jaccard verify (join bounded by the candidate set,
+    array_intersect in codegen — never an unbounded inverted-index blowup)
+    -> large-star/small-star connected components -> per-doc cluster
+    assignment with survivor flag and cluster size.
 
     Scale: every stage is linear-ish in docs + candidates; the only
-    quadratic surface is within-band buckets, bounded by the r=4 band
-    precision. Oracle: the identical pipeline in closed form (DuckDB
-    recursive-CTE transitive closure over the same verified edge set).
+    quadratic surface is within-band buckets of DISTINCT texts, bounded by
+    the r=4 band precision — verbatim duplication (the dominant mode in web
+    corpora, and the construction of the synthetic sf1) is removed by the
+    exact-collapse before it can square the candidate set. Oracle: the
+    identical pipeline in closed form (DuckDB recursive-CTE transitive
+    closure over the same verified edge set; collapse-invariant, see
+    _pipeline_clusters).
 
     Ref parity note: this composes the reference's keyed-dedup keep-rule
     (first/smallest key wins, api.py:238-257) with the LLM-pipeline near-dup

@@ -65,7 +65,8 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #:   3. every query whose PLAN changed in r6 (the global-window
 #:      eliminations: bm25 + BPE/PMI/vocab top-k now TakeOrdered-based,
 #:      curriculum/length NTILE now prefix-sum-based, span removal's
-#:      overflow guard) — a changed plan invalidates the old row;
+#:      overflow guard, dedup_pipeline's exact-collapse prefix) — a
+#:      changed plan invalidates the old row;
 #:   4. three flagship/merge canaries as regression tripwires;
 #:   5. the r1-vintage cohort (30 queries whose latest driver row is five
 #:      rounds old — TPC-H-adjacent suites, window/scalar families),
@@ -106,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "curriculum_bins",
     "length_batching",
     "dedup_span_removal",
+    "dedup_pipeline",  # exact-collapse prefix landed late in r6 (sf1 919s -> 25s)
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
@@ -133,12 +135,13 @@ DRIVER_PRIORITY: list[str] = [
     "rollup_agg",
     "sessionize",
     "set_intersect_except",
-    "stat_moments",
-    # --- positions 51-58: the cohort's last eight fall just outside the
+    # --- positions 51-59: the cohort's last nine fall just outside the
     #     50-row window this round (displaced by the eleven lm_ops +
-    #     curation first-time rows — a first driver row outranks
+    #     curation first-time rows and dedup_pipeline's plan-change
+    #     re-check — a first driver row / changed plan outranks
     #     re-checking a row that is stale but green under the stricter
     #     local check); they are FIRST in line for r7 ---
+    "stat_moments",
     "string_agg_suite",
     "string_fn_suite",
     "tumbling_window_agg",

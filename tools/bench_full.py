@@ -17,7 +17,12 @@ exp = log10(t_sf1 / t_sf01); > 1.2 is flagged and must carry a cause
 query under 0.3 s at sf0.1 is dominated by per-job overhead, so flags
 are suppressed below that floor (the exponent is meaningless there).
 
-Usage: python tools/bench_full.py [--rebuild]
+Usage: python tools/bench_full.py [--rebuild] [--only q1,q2,...]
+
+--only re-times just the named queries and merges them into the existing
+BENCH_SF1.json (recomputing exponents, totals, and flags) — the honest way
+to refresh the artifact after a targeted plan fix without paying the full
+~40-minute sweep.
 """
 
 from __future__ import annotations
@@ -49,11 +54,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    only: set[str] | None = None
+    prior: dict | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - queries.keys()
+        if unknown:
+            sys.exit(f"--only: unknown queries {sorted(unknown)}")
+        with open("BENCH_SF1.json") as f:
+            prior = json.load(f)
+
     # JVM/codegen + Arrow warm-up, unmeasured
     for warm in ("fact_staff_daily", "media_features"):
         queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+
+    if only is not None:
+        queries = {n: f for n, f in queries.items() if n in only}
 
     results: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -71,6 +89,16 @@ def main() -> None:
             times[name] = round(time.perf_counter() - t0, 3)
             print(f"{sf_key} {name}: {times[name]}s", file=sys.stderr)
         results[sf_key] = times
+
+    if prior is not None:
+        for sf_key in ("sf01_s", "sf1_s"):
+            merged = dict(prior[sf_key])
+            merged.update(results[sf_key])
+            results[sf_key] = merged
+        errors = {
+            k: v for k, v in prior.get("errors", {}).items()
+            if k.split(":", 1)[1] not in only
+        } | errors
 
     exp = {
         n: round(math.log10(results["sf1_s"][n] / results["sf01_s"][n]), 2)

@@ -188,6 +188,42 @@ CAUSES = {
         "sf1 (10x rows / 8x cells), holding per-cell occupancy — the "
         "before (10 fixed cells) is embedding_neardup_bucketed."
     ),
+    "minhash_lsh_pairs": (
+        "OUTPUT-bound: the registered result IS the candidate-pair list, "
+        "and the synthetic sf1 replicates every document 10x verbatim, so "
+        "TRUE pairs grow ~44x (every replica pairs with every other) — no "
+        "plan can emit quadratically more rows in linear time. The "
+        "recall-tuned 2-row bands also admit most pairs on this "
+        "vocabulary-degenerate corpus. The consumer path (dedup_pipeline) "
+        "does NOT pay this: its exact-collapse removes verbatim replicas "
+        "before the pair join (exp 1.49 -> ~0)."
+    ),
+    "embedding_neardup": (
+        "the documented brute-force RECALL BASELINE (all-pairs cosine "
+        "within label) kept registered as the yardstick the bucketed/"
+        "cells/held variants are measured against; production uses "
+        "embedding_neardup_bucketed / embedding_neardup_held (exp 0.71)."
+    ),
+    "cross_source_neardup": (
+        "FIXED late r6 (exp 1.73 -> -0.14): pair counts now factor over "
+        "exact-text groups (cnt_Xs * cnt_Yt arithmetic on the cell table), "
+        "so the band self-join runs on one rep per group and verbatim "
+        "duplication cannot square the bucket sizes."
+    ),
+    "range_join_bucketed": (
+        "DENSITY artifact of the synthetic sf1: replicas keep the sf0.1 "
+        "timestamps, so 10x rows land in the SAME 15-min bins and the "
+        "bin-bucket law sum(|bin_a| x |bin_b|) is density-quadratic. Real "
+        "10x growth extends the time axis (more bins at ~constant "
+        "occupancy) and the same plan is linear; the fallback for a "
+        "genuinely 10x-denser stream is a finer RANGE_BIN_US."
+    ),
+    "embedding_decontaminate": (
+        "FIXED late r6 (exp 1.45 -> 0.35): both sides dedup by vector "
+        "content before scoring, so replicated ingest costs a hash-agg "
+        "row instead of a re-score; in production the eval side is also "
+        "fixed-size (a benchmark suite), keeping the broadcast constant."
+    ),
 }
 
 
