@@ -1331,3 +1331,158 @@ def test_ntile_ordered_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want
+
+
+# --- exact-collapse equivalence (late r6): the collapsed plans must agree
+# --- with the uncollapsed definitions on a corpus with HEAVY verbatim
+# --- duplication (the shipped sf fixtures have almost none, so the oracle
+# --- alone barely exercises the collapse paths)
+
+
+def _dup_documents(spark, tmp_path, n_base=120):
+    """Write a documents table where most docs have 1-3 verbatim copies,
+    re-sourced so copies also span sources (syndication)."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < n_base
+    )
+    parts = [base]
+    for r in (1, 2, 3):
+        parts.append(
+            base.where(F.col("doc_id") % (r + 1) == 0)
+            .withColumn("doc_id", F.col("doc_id") + 10_000 * r)
+            .withColumn("source", F.concat(F.lit(f"mirror{r}-"), F.col("source")))
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_pipeline_clusters_collapse_invariant(spark, tmp_path):
+    """dedup_pipeline's exact-collapse prefix is a pure plan change: the
+    (doc_id, cluster_id) table must equal the uncollapsed pre-collapse
+    definition (band pairs over ALL docs -> Jaccard verify -> CC)."""
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        JACCARD_THRESHOLD,
+        PIPE_N_BANDS,
+        PIPE_ROWS_PER_BAND,
+        _band_pairs,
+        _band_table,
+        _words,
+        connected_components_star,
+        dedup_pipeline,
+    )
+
+    sf = _dup_documents(spark, tmp_path)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    words = d.select("doc_id", _words(F.col("text")).alias("ws")).localCheckpoint()
+    cand = _band_pairs(
+        _band_table(d, rows_per_band=PIPE_ROWS_PER_BAND, n_bands=PIPE_N_BANDS)
+    )
+    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    n_inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    n_union = (F.size("wa") + F.size("wb")).cast("double") - n_inter
+    edges = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .where((n_inter / n_union) >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    nodes = words.select(F.col("doc_id").alias("node"))
+    want = {
+        (r["node"], r["comp"])
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_pipeline(spark, sf).select("doc_id", "cluster_id").collect()
+    }
+    assert got == want
+    # duplication is actually heavy: well under one cluster per doc
+    n_docs = d.count()
+    n_clusters = len({c for _, c in got})
+    assert n_clusters < n_docs * 0.7
+
+
+def test_cross_source_counts_match_raw_pair_definition(spark, tmp_path):
+    """cross_source_neardup's group-factorized counts must equal the raw
+    pair-join definition (band pairs over ALL docs -> source lookup ->
+    count per unordered source pair) on a syndication-heavy corpus."""
+    from callio_etl_spark.llm_ops.curation import cross_source_neardup
+    from callio_etl_spark.llm_ops.dedup_ops import _band_pairs, _band_table
+
+    sf = _dup_documents(spark, tmp_path)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = _band_pairs(_band_table(d))
+    src = d.select("doc_id", "source")
+    raw = (
+        pairs.join(src.select(F.col("doc_id").alias("doc_a"),
+                              F.col("source").alias("src_a")), "doc_a")
+        .join(src.select(F.col("doc_id").alias("doc_b"),
+                         F.col("source").alias("src_b")), "doc_b")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy(F.least("src_a", "src_b").alias("source_a"),
+                 F.greatest("src_a", "src_b").alias("source_b"))
+        .agg(F.count("*").alias("n_pairs"), F.min("doc_a").alias("example_doc"))
+    )
+    want = {tuple(r) for r in raw.collect()}
+    got = {tuple(r) for r in cross_source_neardup(spark, sf).collect()}
+    assert got == want
+    assert any(sa.startswith("mirror") or sb.startswith("mirror")
+               for sa, sb, _, _ in got)
+
+
+def test_embedding_decontaminate_collapse_invariant(spark, tmp_path):
+    """Content-dedup before scoring must not change any (train_id,
+    n_eval_hits, max_cosine, first_eval_id) row vs the raw definition,
+    even when train AND eval vectors carry verbatim copies."""
+    from callio_etl_spark.llm_ops.curation import (
+        EVAL_MOD,
+        EVAL_REM,
+        embedding_decontaminate,
+    )
+    from callio_etl_spark.llm_ops.similarity import SEM_TAU, cosine
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 150
+    )
+    parts = [base]
+    for r in (1, 2):  # +1000 shifts vec_id % 29, so copies cross the split
+        parts.append(
+            base.where(F.col("vec_id") % (r + 1) == 0)
+            .withColumn("vec_id", F.col("vec_id") + 1_000 * r)
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    sf = str(tmp_path)
+
+    e = df.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    is_eval = F.col("vec_id") % EVAL_MOD == EVAL_REM
+    ev = e.where(is_eval).select(
+        F.col("vec_id").alias("eval_id"), F.col("label").alias("el"),
+        F.col("v").alias("ev"),
+    )
+    cos = cosine(F.col("v"), F.col("ev"))
+    raw = (
+        e.where(~is_eval)
+        .join(F.broadcast(ev), F.col("label") == F.col("el"))
+        .where(cos > SEM_TAU)
+        .groupBy(F.col("vec_id").alias("train_id"))
+        .agg(F.count("*").alias("n_eval_hits"),
+             F.max(cos).alias("max_cosine"),
+             F.min("eval_id").alias("first_eval_id"))
+    )
+    want = {(r["train_id"], r["n_eval_hits"], round(r["max_cosine"], 9),
+             r["first_eval_id"]) for r in raw.collect()}
+    got = {(r["train_id"], r["n_eval_hits"], round(r["max_cosine"], 9),
+            r["first_eval_id"])
+           for r in embedding_decontaminate(spark, sf).collect()}
+    assert got == want
+    assert want, "fixture must actually produce contamination hits"
