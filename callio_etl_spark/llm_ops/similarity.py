@@ -916,33 +916,49 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tau=0.25 because the synthetic embeddings are near-orthogonal (within-
     label cosine p99 ~ 0.30): production corpora use ~0.95+; the threshold
-    is the knob, the plan is not. Plan/scale: the only join is the within-
-    cluster pair join (label equi-join, sum(bucket^2) — same law and same
-    mitigation as every candidate generator here: grow the cluster count
-    with the corpus); the dup-id set is distinct vec_ids, and the final
-    flag join is on the unique vec_id. Cosine is the sequential fold with
-    established cross-engine bit-parity."""
+    is the knob, the plan is not. Plan/scale: the pair join runs over
+    DISTINCT (label, vector) content groups, never raw rows (late-r6
+    exact-collapse, same family as dedup_pipeline's): cosine depends only
+    on the values, so a non-rep member of a content group is always a
+    duplicate (its group min is a lower id at cosine ~1 > tau), and the
+    group rep (min vec_id) is a duplicate iff some OTHER same-label group
+    with a smaller min id exceeds tau — the raw rule's existential over
+    members reduces to the group minima exactly. Verbatim re-ingest then
+    costs a window row, not a re-score; the residual within-cluster
+    sum(distinct^2) law keeps its documented mitigations (grow the
+    cluster count with the corpus; semantic_dedup_arrow's GEMM constant).
+    Cosine is the sequential fold with established cross-engine
+    bit-parity."""
     e = _emb(spark, sf_dir)
-    prior = e.select(
+    gw = Window.partitionBy("label", F.md5(F.col("v").cast("string")))
+    keyed = e.withColumn("gmin", F.min("vec_id").over(gw))
+    reps = keyed.where(F.col("vec_id") == F.col("gmin")).select(
+        "vec_id", "label", "v"
+    )
+    prior = reps.select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("v").alias("pv"),
     )
-    dup_ids = (
-        e.join(
+    dup_reps = (
+        reps.join(
             prior,
             (F.col("plabel") == F.col("label"))
             & (F.col("pid") < F.col("vec_id"))
             & (cosine(F.col("pv"), F.col("v")) > SEM_TAU),
         )
-        .select("vec_id")
+        .select(F.col("vec_id").alias("gmin"))
         .distinct()
         .withColumn("__dup", F.lit(1))
     )
-    return e.select("vec_id", "label").join(dup_ids, "vec_id", "left").select(
+    return keyed.select("vec_id", "label", "gmin").join(
+        dup_reps, "gmin", "left"
+    ).select(
         "vec_id",
         "label",
-        F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+        F.when(
+            (F.col("vec_id") == F.col("gmin")) & F.col("__dup").isNull(), 1
+        ).otherwise(0).cast("long").alias("keep"),
     )
 
 

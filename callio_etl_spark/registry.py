@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "length_batching",
     "dedup_span_removal",
     "dedup_pipeline",  # exact-collapse prefix landed late in r6 (sf1 919s -> 25s)
+    "semantic_dedup",  # content-group collapse, same late-r6 family (368s -> 2.8s)
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
@@ -134,13 +135,13 @@ DRIVER_PRIORITY: list[str] = [
     "regexp_suite",
     "rollup_agg",
     "sessionize",
-    "set_intersect_except",
-    # --- positions 51-59: the cohort's last nine fall just outside the
+    # --- positions 51-60: the cohort's last ten fall just outside the
     #     50-row window this round (displaced by the eleven lm_ops +
-    #     curation first-time rows and dedup_pipeline's plan-change
-    #     re-check — a first driver row / changed plan outranks
-    #     re-checking a row that is stale but green under the stricter
-    #     local check); they are FIRST in line for r7 ---
+    #     curation first-time rows and the dedup_pipeline/semantic_dedup
+    #     plan-change re-checks — a first driver row / changed plan
+    #     outranks re-checking a row that is stale but green under the
+    #     stricter local check); they are FIRST in line for r7 ---
+    "set_intersect_except",
     "stat_moments",
     "string_agg_suite",
     "string_fn_suite",

@@ -1486,3 +1486,53 @@ def test_embedding_decontaminate_collapse_invariant(spark, tmp_path):
            for r in embedding_decontaminate(spark, sf).collect()}
     assert got == want
     assert want, "fixture must actually produce contamination hits"
+
+
+def test_semantic_dedup_collapse_invariant(spark, tmp_path):
+    """The content-group collapse in semantic_dedup must reproduce the raw
+    row-level rule (dup iff ANY lower-id same-label vector exceeds tau) on
+    a corpus where vectors carry verbatim copies on both sides of every
+    group boundary."""
+    from callio_etl_spark.llm_ops.similarity import SEM_TAU, cosine, semantic_dedup
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").where(
+        F.col("vec_id") < 150
+    )
+    parts = [base]
+    for r in (1, 2):
+        parts.append(
+            base.where(F.col("vec_id") % (r + 1) == 0)
+            .withColumn("vec_id", F.col("vec_id") + 1_000 * r)
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    e = df.select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    prior = e.select(
+        F.col("vec_id").alias("pid"), F.col("label").alias("plabel"),
+        F.col("v").alias("pv"),
+    )
+    dup_ids = (
+        e.join(
+            prior,
+            (F.col("plabel") == F.col("label"))
+            & (F.col("pid") < F.col("vec_id"))
+            & (cosine(F.col("pv"), F.col("v")) > SEM_TAU),
+        )
+        .select("vec_id").distinct().withColumn("__dup", F.lit(1))
+    )
+    raw = e.select("vec_id", "label").join(dup_ids, "vec_id", "left").select(
+        "vec_id", "label",
+        F.when(F.col("__dup").isNull(), 1).otherwise(0).cast("long").alias("keep"),
+    )
+    want = {tuple(r) for r in raw.collect()}
+    got = {tuple(r) for r in semantic_dedup(spark, str(tmp_path)).collect()}
+    assert got == want
+    # the copies actually force drops: strictly fewer keeps than rows
+    keeps = sum(k for _, _, k in got)
+    assert keeps < len(got)

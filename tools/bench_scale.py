@@ -131,8 +131,12 @@ HELD: dict[str, dict[str, object]] = {
 
 CAUSES = {
     "semantic_dedup": (
-        "within-cluster pair join: sum(cluster^2) with the 10 labels fixed; "
-        "production grows the cluster count with the corpus."
+        "COLLAPSED late r6 (exp 2.09 -> -0.28): the pair join now runs "
+        "over distinct (label, vector) content groups, so verbatim "
+        "re-ingest costs a window row, not a re-score. The residual "
+        "within-cluster sum(distinct^2) law keeps its mitigations: grow "
+        "the cluster count with the corpus; semantic_dedup_arrow's GEMM "
+        "constant."
     ),
     "embedding_lsh_pairs": (
         "candidate-pair generator: cost is sum(bucket^2); plane count fixed "
