@@ -422,9 +422,22 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. A match's bin is always the probe's bin or the next one, so
     candidates are exact; every row matches its own bin (itself), so
     zero-match events survive without a left join. The oracle expresses the
-    identical bucketed semantics relationally."""
+    identical bucketed semantics relationally.
+
+    The join runs at the TIME GRAIN, not the row grain (late-r6 collapse
+    family): the count depends only on the timestamps, so events are
+    pre-aggregated to (distinct microsecond, multiplicity) before the bin
+    join — per-timestamp answers are Σ cnt over the window (the strict
+    tb > ta bound excludes an event's own co-timestamped peers on both
+    paths) — and an event_id-keyed fan-out join restores per-event rows.
+    Dense streams (many events per instant — the common shape at
+    second-grain sources) then pay |distinct ts|-bounded join work, the
+    pre-aggregation every production interval join does."""
     e = load_table(spark, sf_dir, "events")
-    a = e.select("event_id", F.unix_micros("ts").alias("ta")).withColumn(
+    ts_cnt = e.groupBy(F.unix_micros("ts").alias("t")).agg(
+        F.count("*").alias("cnt")
+    )
+    a = ts_cnt.select(F.col("t").alias("ta")).withColumn(
         "bin",
         F.explode(
             F.array(
@@ -433,20 +446,27 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    b = e.select(
-        F.unix_micros("ts").alias("tb"),
-        F.floor(F.col("tb") / RANGE_BIN_US).alias("bin"),
+    b = ts_cnt.select(
+        F.col("t").alias("tb"),
+        "cnt",
+        F.floor(F.col("t") / RANGE_BIN_US).alias("bin"),
     )
-    return (
+    per_ts = (
         a.join(b, "bin")
-        .groupBy("event_id")
+        .groupBy("ta")
         .agg(
-            F.count_if(
-                (F.col("tb") > F.col("ta"))
-                & (F.col("tb") <= F.col("ta") + RANGE_BIN_US)
+            F.sum(
+                F.when(
+                    (F.col("tb") > F.col("ta"))
+                    & (F.col("tb") <= F.col("ta") + RANGE_BIN_US),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
             ).alias("n_next15m")
         )
     )
+    return e.select("event_id", F.unix_micros("ts").alias("ta")).join(
+        per_ts, "ta"
+    ).select("event_id", "n_next15m")
 
 
 @register("approx_sketch_stats", oracle=None, tags=["advanced", "sketch"])
