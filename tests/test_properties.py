@@ -549,3 +549,58 @@ def test_dsir_matches_python_model(spark, tmp_path_factory, docs):
     }
     assert set(got) == set(expect)
     assert all(abs(got[i] - expect[i]) < 1e-9 for i in got)
+
+
+# --- range_join_bucketed time-grain collapse (late r6): the registered plan
+# --- pre-aggregates events to (distinct timestamp, multiplicity) before the
+# --- bin join and fans results back out per event. The shipped fixtures have
+# --- nearly all-distinct microsecond timestamps, so the oracle barely
+# --- exercises the dense-stream path; these corpora make collisions and
+# --- bin-boundary timestamps the common case.
+
+_RJ_BIN = 15 * 60 * 1_000_000  # mirrors queries.advanced.RANGE_BIN_US
+_RJ_BASE = 1_700_000_000 * 1_000_000  # 2023-11-14, epoch micros
+
+# Offsets drawn from a tiny pool straddling bin edges, so duplicates (dense
+# instants) and exact-boundary cases (tb == ta + BIN, tb == bin edge) are
+# common rather than adversarial corner cases.
+_RJ_OFFSETS = st.lists(
+    st.sampled_from(
+        [0, 1, 7, _RJ_BIN - 1, _RJ_BIN, _RJ_BIN + 1, 2 * _RJ_BIN - 1,
+         2 * _RJ_BIN, 2 * _RJ_BIN + 3, 3 * _RJ_BIN + 7]
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(offsets=_RJ_OFFSETS, seed=st.integers(min_value=0, max_value=2**16))
+def test_range_join_collapse_matches_bruteforce(spark, tmp_path_factory, offsets, seed):
+    """The time-grain collapsed plan must equal the brute-force interval
+    count — for each event, the number of OTHER events with
+    ts_other in (ts, ts + 15 min] — on streams where many events share an
+    instant and instants sit exactly on bin boundaries."""
+    from callio_etl_spark.queries.advanced import range_join_bucketed
+
+    rng = random.Random(seed)
+    ts_us = [_RJ_BASE + rng.choice(offsets) for _ in range(len(offsets))]
+    tmp = tmp_path_factory.mktemp("rj")
+    (
+        spark.createDataFrame(
+            [(i, t) for i, t in enumerate(ts_us)], "event_id long, ts_us long"
+        )
+        .select("event_id", F.timestamp_micros("ts_us").alias("ts"))
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/events.parquet")
+    )
+
+    expect = {
+        i: sum(1 for tb in ts_us if ta < tb <= ta + _RJ_BIN)
+        for i, ta in enumerate(ts_us)
+    }
+    got = {
+        r["event_id"]: r["n_next15m"]
+        for r in range_join_bucketed(spark, str(tmp)).collect()
+    }
+    assert got == expect
