@@ -110,19 +110,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bands_union_sql(
-    rows_per_band: int = ROWS_PER_BAND, n_bands: int = N_BANDS
+    rows_per_band: int = ROWS_PER_BAND,
+    n_bands: int = N_BANDS,
+    table: str = "documents",
 ) -> str:
     """The (doc_id, band, band_key) table as SQL — shared by every oracle
     that consumes banded min-hash keys (composed, not string-parsed).
     Parameterized so the occupancy-grown banding oracles mirror the exact
-    DataFrame-side band layout."""
+    DataFrame-side band layout, and over any doc-shaped relation (the
+    group-grain oracle bands a representatives CTE, not documents)."""
     band_selects = []
     for b in range(n_bands):
         parts = " || ".join(
             _minhash_sql(b * rows_per_band + r) for r in range(rows_per_band)
         )
         band_selects.append(
-            f"SELECT d.doc_id, {b} AS band, ({parts}) AS band_key FROM documents d"
+            f"SELECT d.doc_id, {b} AS band, ({parts}) AS band_key FROM {table} d"
         )
     return "\nUNION ALL\n".join(band_selects)
 
@@ -205,6 +208,99 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _spread(load_table(spark, sf_dir, "documents"))
     return _band_pairs(_band_table(d))
+
+
+def _grouped_pairs_oracle() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, text, md5(text) AS tkey FROM documents
+),
+groups AS (
+  SELECT tkey, MIN(doc_id) AS rep, COUNT(*) AS n FROM keyed GROUP BY tkey
+),
+rep_docs AS (
+  SELECT k.doc_id, k.text FROM keyed k JOIN groups g ON k.doc_id = g.rep
+),
+bands AS (
+{_bands_union_sql(table="rep_docs")}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.rep_a, c.rep_b, CAST(ga.n * gb.n AS BIGINT) AS n_pairs
+FROM cand c
+JOIN groups ga ON ga.rep = c.rep_a
+JOIN groups gb ON gb.rep = c.rep_b
+UNION ALL
+SELECT rep AS rep_a, rep AS rep_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+FROM groups WHERE n > 1
+"""
+
+
+@register(
+    "minhash_lsh_pairs_grouped",
+    oracle=_grouped_pairs_oracle(),
+    tags=["llm", "dedup", "scale-path"],
+)
+def minhash_lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs at the CONTENT-GROUP grain — the scale path for the
+    row-grain pair list's one irreducible cost: its OUTPUT.
+
+    Row-grain candidate pairs are inherently quadratic in verbatim
+    duplication (d copies of one document emit d·(d-1)/2 pairs — measured
+    exp 1.99 on the 10x-replicated sf1, where TRUE pairs grow ~44x; no plan
+    emits quadratically more rows in linear time). But the pair-join WORK is
+    not: verbatim copies share every band key, so the candidate graph is
+    exactly the quotient graph over exact-text groups. This form collapses
+    to (md5(text) -> min-doc_id rep, multiplicity n) first, band-joins the
+    representatives only, and reports each group-pair ONCE with its exact
+    row-grain pair count:
+
+      rep_a <  rep_b : n_a · n_b cross-group candidate pairs
+      rep_a == rep_b : n · (n-1)/2 within-group (verbatim) pairs
+
+    Sum(n_pairs) equals COUNT(minhash_lsh_pairs) exactly (pytest-asserted on
+    a duplication-heavy corpus), and expanding group members recovers the
+    row-grain pair set verbatim — so a dedup consumer loses nothing while
+    the join, shuffle, and output are all bounded by DISTINCT contents, not
+    rows. Under 10x verbatim replication the rep set does not grow at all;
+    this is the same exact-collapse family as dedup_pipeline's prefix
+    (exp 1.49 -> ~0) applied to the pair list itself."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    keyed = d.select("doc_id", "text", F.md5("text").alias("tkey"))
+    groups = (
+        keyed.groupBy("tkey")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rep_docs = keyed.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    cand = _band_pairs(_band_table(rep_docs))
+    cross = (
+        cand.join(
+            groups.select(F.col("rep").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            groups.select(F.col("rep").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
+    )
+    within = groups.where(F.col("n") > 1).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
+    )
+    return cross.unionByName(within)
 
 
 def _simhash_sig_sql() -> str:

@@ -1536,3 +1536,45 @@ def test_semantic_dedup_collapse_invariant(spark, tmp_path):
     # the copies actually force drops: strictly fewer keeps than rows
     keeps = sum(k for _, _, k in got)
     assert keeps < len(got)
+
+
+def test_grouped_pairs_expand_to_row_grain_pairs(spark, tmp_path):
+    """minhash_lsh_pairs_grouped carries the EXACT row-grain pair
+    multiset: expanding each group pair over its members must reproduce
+    minhash_lsh_pairs verbatim (and hence sum(n_pairs) == its count) on a
+    corpus where most documents have 1-3 verbatim copies."""
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_grouped,
+    )
+
+    sf = _dup_documents(spark, tmp_path)
+    row_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, sf).collect()
+    }
+    grouped = minhash_lsh_pairs_grouped(spark, sf).collect()
+    assert sum(r["n_pairs"] for r in grouped) == len(row_pairs)
+
+    # expand each group pair over its members and compare the full pair set
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    keyed = d.select("doc_id", F.md5("text").alias("tkey"))
+    groups = keyed.groupBy("tkey").agg(
+        F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("members")
+    )
+    members = {r["rep"]: sorted(r["members"]) for r in groups.collect()}
+    expanded = set()
+    for r in grouped:
+        if r["rep_a"] == r["rep_b"]:
+            ms = members[r["rep_a"]]
+            expanded |= {
+                (a, b) for i, a in enumerate(ms) for b in ms[i + 1 :]
+            }
+        else:
+            expanded |= {
+                (min(a, b), max(a, b))
+                for a in members[r["rep_a"]]
+                for b in members[r["rep_b"]]
+            }
+    assert expanded == row_pairs
+    # duplication actually collapses work: fewer reps than docs
+    assert len(members) < d.count() * 0.7
