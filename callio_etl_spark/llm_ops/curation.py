@@ -301,10 +301,14 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: token explode -> (a) exact word-count agg -> TakeOrdered top-K;
     (b) posexplode of the D bucket keys -> (depth, bucket) agg bounded at
-    D*W rows, broadcast back onto the K candidates. At 100 TB only (b)
-    runs corpus-wide (a fixed-size sketch per partition, merged
-    map-side); the exact side is scoped to the K candidates the sketch
-    surfaces."""
+    D*W rows, broadcast back onto the K candidates. Both passes run
+    corpus-wide here — this operator is an AUDIT (sketch vs truth needs
+    the exact counts), so its exact aggregate is inherent; the
+    sketch-only production path (where the exact side is dropped and
+    estimates come straight from the D*W counters) is what a 100 TB
+    deployment runs after this audit validates the sketch geometry on a
+    slice. The sketch pass (b) is the scale story: fixed D*W state per
+    partition, merged map-side."""
     d = load_table(spark, sf_dir, "documents")
     occ = d.select(
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(

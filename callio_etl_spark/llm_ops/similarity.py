@@ -928,7 +928,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(distinct^2) law keeps its documented mitigations (grow the
     cluster count with the corpus; semantic_dedup_arrow's GEMM constant).
     Cosine is the sequential fold with established cross-engine
-    bit-parity."""
+    bit-parity.
+
+    The collapse marks every non-rep member of a content group a
+    duplicate; that step of the reduction is valid only when a vector's
+    cosine with its own copy (1.0, or NaN for the all-zero vector)
+    exceeds tau. tau >= 1 would break it silently, so it is asserted
+    away here. An all-zero vector is the remaining caveat: its cosine is
+    NaN, which the two engines compare differently (`NaN > tau` is true
+    under Spark's NaN-greatest ordering in some contexts, false in
+    DuckDB) — callers feeding embeddings that can be all-zero must drop
+    or epsilon-pad them first; the synthetic fixtures are all nonzero."""
+    assert SEM_TAU < 1.0, (
+        "semantic_dedup's content-group collapse requires tau < 1 "
+        "(a group's non-rep members are duplicates only because their "
+        "cosine-1.0 self-match exceeds tau)"
+    )
     e = _emb(spark, sf_dir)
     gw = Window.partitionBy("label", F.md5(F.col("v").cast("string")))
     keyed = e.withColumn("gmin", F.min("vec_id").over(gw))

@@ -369,3 +369,92 @@ def sink_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(versions_after).cast("long").alias("versions_after"),
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_snapshot_overwrite",
+    oracle="""
+WITH b AS (
+  SELECT event_type, user_id % 10 AS bucket,
+         COUNT(*) AS cnt, SUM(user_id) AS usum
+  FROM events GROUP BY 1, 2
+), c2 AS (
+  SELECT event_type, user_id % 10 AS bucket,
+         COUNT(*) AS cnt, SUM(user_id) AS usum
+  FROM events WHERE event_type = 'click' AND event_id % 2 = 0 GROUP BY 1, 2
+), final AS (
+  SELECT * FROM b WHERE event_type NOT IN ('click', 'error')
+  UNION ALL SELECT * FROM c2
+)
+SELECT f.event_type,
+       CAST(COUNT(*) AS BIGINT)     AS n_buckets,
+       CAST(SUM(f.cnt) AS BIGINT)   AS n_events,
+       CAST(SUM(f.usum) AS BIGINT)  AS user_sum,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS v1_rows,
+       CAST(2 AS BIGINT)            AS versions_now
+FROM final f GROUP BY 1
+""",
+    tags=["sink", "snapshot"],
+)
+def sink_snapshot_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated table lifecycle end to end (snapshots.py — the
+    manifest-committed layout that closes atomic_partition_overwrite's
+    mixed-read window; reference MERGE gets the same isolation from
+    BigQuery's atomic jobs, runner.py:163-199): commit a partitioned
+    aggregate table (v1), overwrite ONE partition's contents from a
+    different deterministic slice (v2), metadata-delete another partition
+    (v3), and re-read the LIVE snapshot through the manifest resolver.
+    The aggregate breaks the hash if the overwrite leaked into sibling
+    partitions, the carry-over dropped one, the delete touched data it
+    shouldn't, or retention vacuumed the live snapshot; v1_rows is
+    measured from the v1 read (not assumed) and versions_now proves
+    retention kept exactly the newest two manifests after three commits.
+
+    Scale: commits are O(affected partitions) renames + one manifest
+    publish; the racing-reader isolation itself is pytest-proven
+    (tests/test_snapshots.py), since a driver query cannot race itself."""
+    from callio_etl_spark.snapshots import (
+        snapshot_delete_partitions,
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = _tmp("snapshot")
+    path = f"{root}/ev_snap"
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("bucket")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("user_id").alias("usum"),
+    )
+    snapshot_partition_overwrite(spark, bucketed, path, "event_type", keep_snapshots=2)
+    v1_rows = snapshot_read(spark, path).count()
+    click_half = (
+        e.where((F.col("event_type") == "click") & (F.col("event_id") % 2 == 0))
+        .groupBy("event_type", (F.col("user_id") % 10).alias("bucket"))
+        .agg(F.count("*").alias("cnt"), F.sum("user_id").alias("usum"))
+    )
+    snapshot_partition_overwrite(spark, click_half, path, "event_type", keep_snapshots=2)
+    snapshot_delete_partitions(spark, path, ["error"], keep_snapshots=2)
+    versions_now = len(snapshot_versions(spark, path))
+
+    live = snapshot_read(spark, path)
+    result = (
+        live.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("usum").cast("long").alias("user_sum"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_events",
+            "user_sum",
+            F.lit(v1_rows).cast("long").alias("v1_rows"),
+            F.lit(versions_now).cast("long").alias("versions_now"),
+        )
+    )
+    return _materialize_and_clean(result, root)

@@ -1,0 +1,308 @@
+"""Snapshot-isolated partitioned tables — the manifest-committed layout
+that closes the one isolation gap `atomic_partition_overwrite` leaves open
+(its per-partition rename loop lets a reader scanning MID-COMMIT see a mix
+of old and new partitions; reference MERGE is BigQuery-atomic, see
+`/root/reference/callio_etl/runner.py:163-199`). This is the Iceberg/Delta
+commit idea reduced to its plain-filesystem core:
+
+- data files are IMMUTABLE once written: each commit lands its partitions
+  under `table/<col>=<val>/__s<version>_<token>__/` — a directory no
+  current reader resolves, so staging is invisible;
+- a commit is ONE atomic filesystem op: creating the next numbered
+  manifest `table/__snap__/m<version>.json` (written to a tmp name and
+  renamed — readers never observe a partial manifest);
+- readers resolve the HIGHEST manifest, then scan exactly the data
+  directories it references via `basePath`-anchored leaf paths, so Spark
+  still infers the partition column and PartitionFilters still prune.
+
+A reader therefore sees exactly one committed snapshot — never a mixed
+state — even while any number of overwrites commit, and keeps seeing it
+mid-scan because the files it resolved are immutable and survive until a
+vacuum whose retention (``keep_snapshots``) the deployment sizes to exceed
+its longest scan, exactly Delta VACUUM's contract.
+
+Concurrency: staging is UNLOCKED (concurrent 100 TB writes proceed in
+parallel); the table commit lock covers only manifest read -> data-dir
+rename -> manifest publish (metadata ops, milliseconds), so commits
+serialize and each new manifest extends the latest committed state —
+read-modify-write of DISJOINT partitions composes correctly. Crash before
+publish leaves only unreferenced `__s*__` dirs and a stale staging, both
+vacuumed by the next committer; crash after publish is a completed commit.
+There is no roll-forward/roll-back recovery machine at all — the manifest
+either exists (committed) or doesn't (not committed).
+
+Scale: a commit costs one rename per AFFECTED partition plus one manifest
+(O(affected), not O(table)); the manifest holds one entry per partition of
+the table — fine for date/tenant-grained partitioning (thousands), which is
+this engine's partitioning doctrine (SCALE.md); file-grained manifests are
+where a full Iceberg binding takes over.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from callio_etl_spark.io import (
+    STAGING_SUFFIX,
+    _delete,
+    _exists,
+    _hadoop,
+    _rename,
+    _vacuum_stale_stagings,
+    acquire_table_lock,
+    release_table_lock,
+)
+
+SNAP_DIR = "__snap__"
+_MANIFEST_RE_PREFIX = "m"  # m000001.json
+
+
+def _snap_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/{SNAP_DIR}"
+
+
+def _manifest_versions(jvm, fs, path: str) -> list[int]:
+    sd = _snap_dir(path)
+    if not _exists(jvm, fs, sd):
+        return []
+    out = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sd)):
+        name = st.getPath().getName()
+        if name.startswith(_MANIFEST_RE_PREFIX) and name.endswith(".json"):
+            digits = name[len(_MANIFEST_RE_PREFIX) : -len(".json")]
+            if digits.isdigit():
+                out.append(int(digits))
+    return sorted(out)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{_snap_dir(path)}/m{version:06d}.json"
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    jvm, fs, _ = _hadoop(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
+    stream = fs.open(p)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+    return json.loads(data)
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Publish a manifest atomically: write complete bytes to a tmp name
+    readers ignore (only ``m<digits>.json`` resolves), then rename to the
+    final numbered name — the rename IS the commit point."""
+    jvm, fs, _ = _hadoop(spark, path)
+    sd = _snap_dir(path)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(sd))
+    final = _manifest_path(path, manifest["version"])
+    tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+    try:
+        out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
+    finally:
+        out.close()
+    _rename(jvm, fs, tmp, final)
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed snapshot versions, oldest first (time travel surface)."""
+    jvm, fs, _ = _hadoop(spark, path)
+    return _manifest_versions(jvm, fs, path)
+
+
+def snapshot_manifest(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The committed manifest (latest, or a pinned ``version``)."""
+    jvm, fs, _ = _hadoop(spark, path)
+    versions = _manifest_versions(jvm, fs, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(
+            f"no snapshot version {version} at {path}; have {versions}"
+        )
+    return _read_manifest(spark, path, version)
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed snapshot (latest by default; pin ``version`` for
+    time travel). Resolves the manifest ONCE, then scans exactly the data
+    dirs it references — `basePath` keeps partition-column inference and
+    PartitionFilters pruning identical to a plain partitioned read. A
+    commit racing this read cannot change what it sees: the resolved dirs
+    are immutable and stay on disk for ``keep_snapshots`` more commits."""
+    path = path.rstrip("/")
+    m = snapshot_manifest(spark, path, version)
+    if not m["partitions"]:
+        # an empty snapshot (everything deleted): zero-row frame; the only
+        # schema the manifest still knows is the partition column
+        return spark.range(0).select(
+            F.lit(None).cast("string").alias(m["partition_col"])
+        )
+    leafs = [f"{path}/{leaf}/{tok}" for leaf, tok in sorted(m["partitions"].items())]
+    return spark.read.option("basePath", path).parquet(*leafs)
+
+
+def snapshot_partition_overwrite(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    cluster_cols: list[str] | None = None,
+    keep_snapshots: int = 2,
+) -> int:
+    """Commit ``df``'s partitions into the table as one new snapshot:
+    partitions present in df replace their predecessors, absent partitions
+    carry over unchanged (dynamic-partition-overwrite semantics, but the
+    swap is a single manifest publish — a reader sees the whole commit or
+    none of it). Safe when df reads from the table: staging completes
+    against the old (immutable) files before anything is published.
+
+    Returns the committed snapshot version. ``keep_snapshots`` bounds the
+    retained history: older manifests and the data dirs only they
+    reference are vacuumed under the commit lock; size it to exceed the
+    longest concurrent scan (Delta VACUUM's retention contract)."""
+    path = path.rstrip("/")
+    if keep_snapshots < 1:
+        raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
+    jvm, fs, _ = _hadoop(spark, path)
+    if cluster_cols:
+        df = df.sortWithinPartitions(*cluster_cols)
+    wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(wstaging)
+
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        versions = _manifest_versions(jvm, fs, path)
+        prev = _read_manifest(spark, path, versions[-1]) if versions else None
+        if prev and prev["partition_col"] != partition_col:
+            raise ValueError(
+                f"table {path} is partitioned by {prev['partition_col']!r}, "
+                f"not {partition_col!r}"
+            )
+        version = (versions[-1] if versions else 0) + 1
+        token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
+        partitions = dict(prev["partitions"]) if prev else {}
+        staged = _partition_leaves(jvm, fs, wstaging, partition_col)
+        for leaf in staged:
+            dest_parent = f"{path}/{leaf}"
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+            _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
+            partitions[leaf] = token
+        _delete(jvm, fs, wstaging)
+        _write_manifest(
+            spark,
+            path,
+            {
+                "version": version,
+                "partition_col": partition_col,
+                "partitions": partitions,
+            },
+        )
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_delete_partitions(
+    spark: SparkSession,
+    path: str,
+    values: list[str],
+    keep_snapshots: int = 2,
+) -> int:
+    """Metadata-only partition delete: publish a snapshot whose manifest
+    simply omits the given partition values — no data file is touched at
+    commit time (the bytes are reclaimed by vacuum once the retained
+    history drops them). This is the range-delete the reference runs as a
+    BigQuery DELETE (S11), at O(1) data I/O. Returns the new version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        versions = _manifest_versions(jvm, fs, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        prev = _read_manifest(spark, path, versions[-1])
+        col = prev["partition_col"]
+        doomed = {f"{col}={v}" for v in values}
+        partitions = {
+            leaf: tok
+            for leaf, tok in prev["partitions"].items()
+            if leaf not in doomed
+        }
+        version = versions[-1] + 1
+        _write_manifest(
+            spark,
+            path,
+            {
+                "version": version,
+                "partition_col": col,
+                "partitions": partitions,
+            },
+        )
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def _partition_leaves(jvm, fs, table_dir: str, partition_col: str) -> list[str]:
+    prefix = f"{partition_col}="
+    out = []
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(table_dir)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            out.append(name)
+    return sorted(out)
+
+
+def _vacuum_snapshots(
+    spark: SparkSession, jvm, fs, path: str, keep_snapshots: int
+) -> None:
+    """Under the commit lock: drop manifests beyond the newest
+    ``keep_snapshots`` and every data dir no retained manifest references
+    (which also sweeps orphans from writers that crashed between their
+    data-dir renames and the manifest publish)."""
+    versions = _manifest_versions(jvm, fs, path)
+    kept, dropped = versions[-keep_snapshots:], versions[:-keep_snapshots]
+    live_tokens: dict[str, set[str]] = {}
+    partition_cols = set()
+    for v in kept:
+        m = _read_manifest(spark, path, v)
+        partition_cols.add(m["partition_col"])
+        for leaf, tok in m["partitions"].items():
+            live_tokens.setdefault(leaf, set()).add(tok)
+    for v in dropped:
+        _delete(jvm, fs, _manifest_path(path, v))
+    col = next(iter(partition_cols)) if partition_cols else None
+    if col is None:
+        return
+    for leaf in _partition_leaves(jvm, fs, path, col):
+        leaf_path = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
+        for st in fs.listStatus(leaf_path):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("__s")
+                and name.endswith("__")
+                and name not in live_tokens.get(leaf, set())
+            ):
+                fs.delete(st.getPath(), True)
+        if not fs.listStatus(leaf_path):
+            fs.delete(leaf_path, True)

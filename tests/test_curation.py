@@ -79,11 +79,15 @@ def test_cross_source_matrix_is_unordered_upper_triangle(spark):
 
 
 def test_curation_plans_have_no_global_window(spark):
-    """No corpus-sized single-task window anywhere in the family; the
-    decontamination join broadcasts the eval side."""
+    """No corpus-sized single-task window anywhere in the family: an
+    unpartitioned WindowExec plans behind an ``Exchange SinglePartition``
+    (the one-task sort cliff), so its absence is the checkable signature —
+    the same assertion the prefix-sum plan tests use (ranked_topk's
+    k-bounded window sits on a Coalesce, not a SinglePartition exchange).
+    The decontamination join must broadcast the eval side."""
     for name in ("domain_stats", "cross_source_neardup", "heavy_hitters_cms"):
         plan = _run(spark, name)._jdf.queryExecution().executedPlan().toString()
-        assert "Window" not in plan or "PartitionBy: []" not in plan, name
+        assert "SinglePartition" not in plan, name
     decon = _run(spark, "embedding_decontaminate")
     plan = decon._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

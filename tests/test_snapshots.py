@@ -1,0 +1,220 @@
+"""Snapshot-isolated partitioned tables (callio_etl_spark/snapshots.py).
+
+The contract under test is the one `atomic_partition_overwrite` cannot give
+on a plain filesystem: a reader racing a partition overwrite observes only
+BEFORE-or-AFTER states — never a mix of old and new partitions — because a
+commit is a single manifest publish over immutable data dirs (the
+Iceberg/Delta idea; reference MERGE gets this from BigQuery's atomic jobs,
+runner.py:163-199).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pyspark.sql.functions as F
+
+from callio_etl_spark import snapshots as snap
+
+
+def _df(spark, ids, mult=1):
+    return spark.createDataFrame(
+        [(i * mult, str(i % 4)) for i in ids], "id long, d string"
+    )
+
+
+def test_snapshot_overwrite_carryover_and_timetravel(spark, tmp_path):
+    """Partitions absent from the commit carry over; pinned versions read
+    the historical state until vacuumed; versions are contiguous."""
+    p = str(tmp_path / "t")
+    v1 = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=3
+    )
+    upd = _df(spark, range(20)).where(F.col("d").isin("1", "2")).withColumn(
+        "id", F.col("id") * 100
+    )
+    v2 = snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=3)
+    assert (v1, v2) == (1, 2)
+    live = snap.snapshot_read(spark, p)
+    # d=0: 0+4+8+12+16=40, d=3: 3+7+11+15+19=55 carried; d=1/2 scaled x100
+    assert live.agg(F.sum("id")).first()[0] == 40 + 55 + 100 * (45 + 50)
+    assert snap.snapshot_read(spark, p, version=1).agg(F.sum("id")).first()[0] == 190
+    assert snap.snapshot_versions(spark, p) == [1, 2]
+
+
+def test_reader_racing_partition_overwrite_sees_whole_snapshots(spark, tmp_path):
+    """THE isolation contract: a reader loop racing a stream of partition
+    overwrites must observe, at every resolve, exactly one committed
+    snapshot's aggregate — a per-partition swap protocol would let it sum
+    a mix (old d=1 with new d=2), which is not in the expected set."""
+    p = str(tmp_path / "race")
+    base = list(range(20))
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, base), p, "d", keep_snapshots=50
+    )
+    # version k multiplies partitions d=1 AND d=2 by 10**k; a torn read
+    # mixing generations of d=1 and d=2 produces a sum outside this set
+    d0, d1, d2, d3 = 40, 45, 50, 55
+    expected = {d0 + d3 + (10**k) * (d1 + d2) for k in range(0, 5)}
+
+    stop = threading.Event()
+    seen: list[int] = []
+    errors: list[Exception] = []
+
+    def reader():
+        try:
+            while not stop.is_set():
+                got = snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0]
+                seen.append(int(got))
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for k in range(1, 5):
+            upd = (
+                _df(spark, base)
+                .where(F.col("d").isin("1", "2"))
+                .withColumn("id", F.col("id") * (10**k))
+            )
+            snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=50)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    assert seen, "reader never completed a resolve"
+    torn = [s for s in seen if s not in expected]
+    assert not torn, f"torn snapshot sums observed: {torn}"
+    # the reader must have seen at least the final state by the end
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == max(expected)
+
+
+def test_crash_before_publish_leaves_table_unchanged(spark, tmp_path, monkeypatch):
+    """A writer dying after its data-dir renames but BEFORE the manifest
+    publish has committed nothing: readers keep the old state, and the
+    next successful commit's vacuum sweeps the orphan data dirs."""
+    p = str(tmp_path / "crash")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=2
+    )
+    before = snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0]
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash at publish")
+
+    monkeypatch.setattr(snap, "_write_manifest", boom)
+    upd = _df(spark, range(20), mult=1000).where(F.col("d") == "1")
+    try:
+        snap.snapshot_partition_overwrite(spark, upd, p, "d")
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == before
+    assert snap.snapshot_versions(spark, p) == [1]
+    # orphan __s000002_*__ dir exists now; the next commit vacuums it
+    orphans = [n for n in os.listdir(f"{p}/d=1") if n.startswith("__s000002")]
+    assert orphans, "expected an orphan staged dir from the crashed commit"
+    snap.snapshot_partition_overwrite(
+        spark,
+        _df(spark, range(20)).where(F.col("d") == "3"),
+        p,
+        "d",
+        keep_snapshots=2,
+    )
+    assert not [n for n in os.listdir(f"{p}/d=1") if n.startswith("__s000002")]
+    # lock was released by the crashed writer's finally
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == before
+
+
+def test_metadata_delete_is_deferred_physical(spark, tmp_path):
+    """snapshot_delete_partitions publishes without touching data files;
+    the bytes disappear only when retention drops the last manifest that
+    references them."""
+    p = str(tmp_path / "del")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=2
+    )
+    v2 = snap.snapshot_delete_partitions(spark, p, ["3"], keep_snapshots=2)
+    assert v2 == 2
+    live = snap.snapshot_read(spark, p)
+    # partition-column type inference reads d back as int
+    assert sorted(r["d"] for r in live.select("d").distinct().collect()) == [0, 1, 2]
+    assert os.path.isdir(f"{p}/d=3"), "delete must be metadata-only at commit"
+    # v1 still resolves the deleted partition (time travel)
+    assert snap.snapshot_read(spark, p, version=1).count() == 20
+    # one more commit: retention (keep 2) drops v1, and with it d=3's bytes
+    snap.snapshot_partition_overwrite(
+        spark,
+        _df(spark, range(20)).where(F.col("d") == "0"),
+        p,
+        "d",
+        keep_snapshots=2,
+    )
+    assert not os.path.isdir(f"{p}/d=3")
+    assert snap.snapshot_versions(spark, p) == [2, 3]
+
+
+def test_disjoint_concurrent_writers_compose(spark, tmp_path):
+    """Two writers overwriting DISJOINT partitions concurrently: commits
+    serialize on the table lock and each extends the latest state, so the
+    final snapshot carries both updates (read-modify-write composes)."""
+    p = str(tmp_path / "two")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=10
+    )
+    errors: list[Exception] = []
+
+    def writer(part: str, mult: int):
+        try:
+            upd = (
+                _df(spark, range(20))
+                .where(F.col("d") == part)
+                .withColumn("id", F.col("id") * mult)
+            )
+            snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=10)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=("1", 100))
+    tb = threading.Thread(target=writer, args=("2", 1000))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert snap.snapshot_versions(spark, p) == [1, 2, 3]
+    got = snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0]
+    assert got == 40 + 55 + 100 * 45 + 1000 * 50
+
+
+def test_snapshot_read_prunes_partitions(spark, tmp_path):
+    """The manifest-resolved read keeps Spark's partition-column inference:
+    a filter on the partition column must appear in PartitionFilters (the
+    scan skips non-matching dirs), same as a plain partitioned read."""
+    p = str(tmp_path / "prune")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=2
+    )
+    q = snap.snapshot_read(spark, p).where(F.col("d") == "1")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(d" in plan.split("PartitionFilters")[1][:80]
+    assert q.count() == 5
+
+
+def test_mismatched_partition_col_rejected(spark, tmp_path):
+    p = str(tmp_path / "mis")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(8)), p, "d", keep_snapshots=2
+    )
+    try:
+        snap.snapshot_partition_overwrite(
+            spark,
+            _df(spark, range(8)).withColumnRenamed("d", "e"),
+            p,
+            "e",
+            keep_snapshots=2,
+        )
+        raise AssertionError("partition-column mismatch must be rejected")
+    except ValueError:
+        pass
