@@ -12,6 +12,7 @@ the same ticks in the slot scheduler (scheduler.run_daemon).
 from __future__ import annotations
 
 import argparse
+import logging
 import os
 import sys
 
@@ -118,7 +119,11 @@ def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
     in a deployment that doesn't want the extra passes. Returns the
     per-stage row accounting (also logged)."""
     from callio_etl_spark.io import atomic_overwrite
-    from callio_etl_spark.llm_ops.dedup_ops import _pipeline_clusters, content_fp
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        _pipeline_clusters,
+        content_fp,
+        plan_band_geometry_measured,
+    )
     from callio_etl_spark.llm_ops.sampling import (
         SHARD_TOKENS,
         assign_shards,
@@ -147,8 +152,19 @@ def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
         # 3. near-dup: keep each cluster's smallest doc_id STILL ALIVE
         # (clusters come from the full corpus — the memoized table a
         # production pipeline persists — but the representative must be
-        # chosen among current survivors, not the global canonical)
-        clusters = _pipeline_clusters(spark, cfg.sf_dir)
+        # chosen among current survivors, not the global canonical).
+        # The band geometry is PLANNED from corpus stats, not hard-coded:
+        # measured single-row collision rate on the exact-rep survivors +
+        # the rep count pick the shortest key that holds the occupancy
+        # budget, so the same CLI keeps its probe join linear as the
+        # corpus grows 10x (the occupancy policy SCALE_CURVE measured).
+        n_reps = exact.count()
+        geometry = plan_band_geometry_measured(exact)
+        logging.getLogger(__name__).info(
+            "curate: planned band geometry %dx%d (n_reps=%d)",
+            geometry[0], geometry[1], n_reps,
+        )
+        clusters = _pipeline_clusters(spark, cfg.sf_dir, geometry=geometry)
         alive = exact.select("doc_id").join(clusters, "doc_id")
         reps = alive.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
         curated = exact.join(reps.select("doc_id"), "doc_id", "left_semi")
@@ -179,7 +195,7 @@ def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
         return {
             "input_docs": n_input,
             "after_filter": kept.count(),
-            "after_exact_dedup": exact.count(),
+            "after_exact_dedup": n_reps,
             "curated_docs": out_docs.count(),
             "shards": manifest.count(),
         }

@@ -1054,12 +1054,19 @@ FROM clusters c JOIN sizes s ON s.cluster_id = c.cluster_id
 """
 
 
-def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pipeline_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    geometry: tuple[int, int] | None = None,
+) -> DataFrame:
     """Full-corpus near-dup clusters: exact-collapse -> LSH candidates
     (precision-banded) -> exact token-set Jaccard verification bounded by
     the candidate set -> large-star/small-star connected components.
-    Memoized per (session, sf_dir) — this is THE cluster table a
-    production pipeline persists.
+    Memoized per (session, sf_dir, geometry) — this is THE cluster table
+    a production pipeline persists. ``geometry`` overrides the banding
+    (rows_per_band, n_bands); None keeps the PIPE_* constants the
+    registered dedup_pipeline oracle is built on — the curate CLI passes
+    the plan_band_geometry_measured choice instead.
 
     Exact-collapse first (the production ordering): verbatim copies share
     the MinHash signature, land in the same band buckets, and verify at
@@ -1093,9 +1100,9 @@ def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = rep_docs.select(
             "doc_id", _words(F.col("text")).alias("ws")
         ).localCheckpoint(eager=True)
+        rows_per_band, n_bands = geometry or (PIPE_ROWS_PER_BAND, PIPE_N_BANDS)
         cand = _band_pairs(
-            _band_table(rep_docs, rows_per_band=PIPE_ROWS_PER_BAND,
-                        n_bands=PIPE_N_BANDS)
+            _band_table(rep_docs, rows_per_band=rows_per_band, n_bands=n_bands)
         )
         wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
         wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
@@ -1120,7 +1127,8 @@ def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cluster_id is already the global min doc_id (see docstring)
         return members.join(rep_clusters, "rep_id").select("doc_id", "cluster_id")
 
-    return _memo_df(spark, f"pipeline_clusters:{sf_dir}", build)
+    geo_key = f":{geometry[0]}x{geometry[1]}" if geometry else ""
+    return _memo_df(spark, f"pipeline_clusters:{sf_dir}{geo_key}", build)
 
 
 @register("dedup_pipeline", oracle=_PIPELINE_SQL, tags=["llm", "dedup", "iterative"])
@@ -1473,6 +1481,171 @@ def incremental_pairs_banded(
 #: J~uniform corpora), which is the occupancy-holding move for a 10x index.
 GROWN_ROWS_PER_BAND = 4
 GROWN_N_BANDS = NUM_HASHES // GROWN_ROWS_PER_BAND
+
+
+# ------------------------------------------- band-geometry occupancy policy
+#
+# The across-decade "held" runs in SCALE_CURVE.json (minhash_incremental_held:
+# exp 1.57 -> 1.13) proved that growing rows_per_band with the index keeps the
+# probe join linear in the delta — but the geometry choice lived only in the
+# bench harness. These functions make it an operator parameter: measure the
+# corpus's single-row collision rate once, then pick the shortest band key
+# (maximal recall) whose PREDICTED mean bucket occupancy stays within budget.
+
+#: Default mean-bucket-occupancy budget: the expected number of docs sharing
+#: a given doc's bucket. The probe join's per-bucket term is
+#: |delta_bucket| x |bucket|, so occupancy ~2 keeps the candidate volume at
+#: a small multiple of the true near-dup rate.
+TARGET_OCCUPANCY = 2.0
+
+
+def feasible_band_geometries(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    """(rows_per_band, n_bands) pairs the hash budget supports, shortest
+    key first. Shorter keys = more recall (lower effective J threshold),
+    longer keys = thinner buckets."""
+    return [
+        (r, num_hashes // r) for r in range(1, num_hashes + 1) if num_hashes % r == 0
+    ]
+
+
+def predicted_bucket_occupancy(
+    n_docs: int, row_collision: float, rows_per_band: int
+) -> float:
+    """Expected occupants of a given doc's bucket under the independence
+    model: 1 (the doc) + (n-1) * p^r, where p is the measured probability
+    that two random docs agree on ONE minhash row. Band keys are r
+    concatenated rows, so an unrelated pair collides with probability
+    ~p^r — the squaring law the grown geometry exploits."""
+    return 1.0 + max(0, n_docs - 1) * row_collision**rows_per_band
+
+
+def plan_band_geometry(
+    n_docs: int,
+    row_collision: float,
+    num_hashes: int = NUM_HASHES,
+    target_occupancy: float = TARGET_OCCUPANCY,
+) -> tuple[int, int]:
+    """Pick the band geometry for an index of ``n_docs``: the SHORTEST
+    feasible band key whose predicted mean bucket occupancy stays within
+    ``target_occupancy`` — recall-maximal subject to the probe-cost
+    bound. Falls back to the longest key (single band) when even that
+    cannot hold the bound (a pathologically self-similar corpus; the
+    remedy there is more hash budget, not shorter keys).
+
+    This is the re-quantize-as-N-grows policy every production LSH/ANN
+    index runs (FAISS re-trains its coarse quantizer the same way): as
+    the index grows 10x, p^r must shrink 10x to hold occupancy, so keys
+    lengthen by log(10)/log(1/p) rows. Deterministic: same stats in,
+    same geometry out — safe for resumable pipelines.
+
+    Caveat: the independence model UNDERESTIMATES occupancy when minhash
+    rows are correlated across docs (shared-stopword corpora share their
+    per-row minima) — use plan_band_geometry_measured when the corpus is
+    at hand; this closed form is for planning ahead from scalar stats
+    (e.g. sizing next year's index)."""
+    if not 0.0 <= row_collision <= 1.0:
+        raise ValueError(f"row_collision must be in [0,1], got {row_collision}")
+    geometries = feasible_band_geometries(num_hashes)
+    for r, b in geometries:
+        if predicted_bucket_occupancy(n_docs, row_collision, r) <= target_occupancy:
+            return (r, b)
+    return geometries[-1]
+
+
+def measured_bucket_occupancy(
+    d: DataFrame, rows_per_band: int, n_bands: int
+) -> float:
+    """The quantity the planner budgets, MEASURED: the expected number of
+    occupants of a random doc's bucket (averaged over bands) =
+    avg over bands of sum_buckets c^2 / sum_buckets c. One banded
+    projection + two aggregates; sample the corpus at 100 TB."""
+    bands = band_projection(d, rows_per_band=rows_per_band, n_bands=n_bands)
+    per = bands.groupBy("band", "band_key").agg(F.count("*").alias("c"))
+    row = (
+        per.groupBy("band")
+        .agg(
+            (
+                F.sum(F.col("c").cast("double") * F.col("c"))
+                / F.sum("c").cast("double")
+            ).alias("occ")
+        )
+        .agg(F.avg("occ").alias("occ"))
+        .first()
+    )
+    return float(row["occ"] or 0.0)
+
+
+def plan_band_geometry_measured(
+    d: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    target_occupancy: float = TARGET_OCCUPANCY,
+) -> tuple[int, int]:
+    """plan_band_geometry with MEASURED occupancies instead of the
+    independence model — the form the curate CLI runs. The closed form
+    underestimates occupancy when minhash rows are correlated across
+    docs (a stopword-dominated corpus shares its per-row minima, so
+    agreeing on one row predicts agreeing on the next); measuring each
+    feasible geometry directly is robust to that, at the cost of one
+    cheap aggregate per candidate geometry over (a sample of) the
+    corpus. Same contract: shortest key within budget, longest-key
+    fallback when nothing holds (the fixture-style dense corpus — the
+    remedy there is a bigger hash budget / wider hash space)."""
+    geometries = feasible_band_geometries(num_hashes)
+    for r, b in geometries:
+        if measured_bucket_occupancy(d, r, b) <= target_occupancy:
+            return (r, b)
+    return geometries[-1]
+
+
+def plan_cell_bits(
+    n_vecs: int, n_base_cells: int, target_cell_size: int = 64
+) -> int:
+    """The embedding-cells analog of the band planner: how many sign-
+    hyperplane refinement bits neardup_cells_pairs needs so the expected
+    cell size n / (base_cells * 2^bits) stays within target — the
+    corpus-proportional-cells policy that keeps the pair join's
+    sum(|cell|^2) linear as the corpus grows (IVF re-training's role).
+    Closed form, deterministic; reproduces the SCALE_CURVE held run
+    exactly: plan_cell_bits(500, 10) = 0 (sf0.1), plan_cell_bits(5000,
+    10) = 3 (sf1)."""
+    import math
+
+    if n_vecs <= 0 or n_base_cells <= 0:
+        raise ValueError("n_vecs and n_base_cells must be positive")
+    if target_cell_size < 1:
+        raise ValueError("target_cell_size must be >= 1")
+    return max(
+        0, math.ceil(math.log2(n_vecs / (n_base_cells * target_cell_size)))
+    )
+
+
+def estimate_row_collision(d: DataFrame, num_hashes: int = NUM_HASHES) -> float:
+    """Measure the single-row minhash collision probability on a corpus
+    (run it on the exact-text REP set — verbatim copies collide at 1.0 by
+    construction and are the exact-collapse family's job, not the
+    geometry's): for each of the ``num_hashes`` rows, the probability two
+    random docs share that row's value is sum_v c_v(c_v-1) / (n(n-1));
+    averaged over rows. One banded projection (rows_per_band=1) -> one
+    (band, value) count -> one scalar aggregate; at 100 TB run it on a
+    sampled slice — the estimate is a mean over ~n^2 pairs, so even a 1%
+    sample is tight."""
+    bands = band_projection(d, rows_per_band=1, n_bands=num_hashes)
+    per_value = bands.groupBy("band", "band_key").agg(F.count("*").alias("c"))
+    row = (
+        per_value.groupBy("band")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("coll"),
+            F.sum("c").alias("n"),
+        )
+        .agg(
+            F.avg(
+                F.col("coll").cast("double")
+                / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            ).alias("p")
+        )
+        .first()
+    )
+    return float(row["p"] or 0.0)
 
 
 @register(
