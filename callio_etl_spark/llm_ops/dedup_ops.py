@@ -303,6 +303,120 @@ def minhash_lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
+#: Band buckets holding more than this many REPRESENTATIVES are template
+#: clusters (shared boilerplate), not near-dup candidates: a bucket of b
+#: reps feeds b^2/2 pairs into the verify join, so one boilerplate family
+#: of 100k docs would emit 5e9 candidates — the band join's adversarial
+#: input, which no salting fixes because the OUTPUT itself is quadratic.
+#: Production MinHash pipelines cap the bucket (RefinedWeb/Dolma-style)
+#: and route oversized buckets to the template detector
+#: (boilerplate_ngrams) instead. 32 keeps every genuine near-dup bucket
+#: on the fixtures while dropping the vocabulary-degenerate mega-buckets.
+BUCKET_CAP = 32
+
+
+def _capped_pairs_oracle() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, text, md5(text) AS tkey FROM documents
+),
+groups AS (
+  SELECT tkey, MIN(doc_id) AS rep, COUNT(*) AS n FROM keyed GROUP BY tkey
+),
+rep_docs AS (
+  SELECT k.doc_id, k.text FROM keyed k JOIN groups g ON k.doc_id = g.rep
+),
+bands AS (
+{_bands_union_sql(table="rep_docs")}
+),
+kept AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING COUNT(*) <= {BUCKET_CAP}
+),
+small AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN kept USING (band, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+  FROM small a
+  JOIN small b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.rep_a, c.rep_b, CAST(ga.n * gb.n AS BIGINT) AS n_pairs
+FROM cand c
+JOIN groups ga ON ga.rep = c.rep_a
+JOIN groups gb ON gb.rep = c.rep_b
+UNION ALL
+SELECT rep AS rep_a, rep AS rep_b, CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs
+FROM groups WHERE n > 1
+"""
+
+
+@register(
+    "minhash_lsh_pairs_capped",
+    oracle=_capped_pairs_oracle(),
+    tags=["llm", "dedup", "scale-path"],
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_pairs_grouped with the BUCKET_CAP production guard —
+    the answer to the band join's adversarial input (one hot band_key
+    from shared boilerplate): band buckets holding more than BUCKET_CAP
+    representatives are dropped before pair generation, because their
+    pair volume is quadratic in the bucket and their contents are a
+    template family, not near-duplicates (route them to
+    boilerplate_ngrams). Within-group verbatim pairs are kept regardless
+    — exact duplicates are certain, not LSH candidates.
+
+    Scale: the bucket-size aggregate is one map-combined pass over the
+    band table; the cap bounds every bucket's contribution at CAP^2/2, so
+    candidate volume is <= n_buckets * CAP^2/2 — linear in distinct
+    contents with a constant factor, whatever the duplication or
+    boilerplate structure. SKEW_BENCH.json's band_join section measures
+    the grouped form collapsing a 95%-verbatim-hot corpus flat and this
+    cap restoring a flat task profile on a 95%-boilerplate corpus."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    keyed = d.select("doc_id", "text", F.md5("text").alias("tkey"))
+    groups = (
+        keyed.groupBy("tkey")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rep_docs = keyed.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id"
+    ).select("doc_id", "text")
+    bands = _band_table(rep_docs)
+    kept = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") <= BUCKET_CAP)
+        .select("band", "band_key")
+    )
+    small = bands.join(kept, ["band", "band_key"])
+    cand = _band_pairs(small)
+    cross = (
+        cand.join(
+            groups.select(F.col("rep").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            groups.select(F.col("rep").alias("doc_b"), F.col("n").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+        )
+    )
+    within = groups.where(F.col("n") > 1).select(
+        F.col("rep").alias("rep_a"),
+        F.col("rep").alias("rep_b"),
+        F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
+    )
+    return cross.unionByName(within)
+
+
 def _simhash_sig_sql() -> str:
     hexval = "CAST(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 AS BIGINT)"
     bits = []

@@ -1578,3 +1578,57 @@ def test_grouped_pairs_expand_to_row_grain_pairs(spark, tmp_path):
     assert expanded == row_pairs
     # duplication actually collapses work: fewer reps than docs
     assert len(members) < d.count() * 0.7
+
+
+def test_capped_pairs_drop_only_oversized_buckets(spark, tmp_path):
+    """minhash_lsh_pairs_capped is minhash_lsh_pairs_grouped minus exactly
+    the pairs whose EVERY shared band bucket exceeds BUCKET_CAP: capped is
+    a subset with identical multiplicities, within-group (verbatim) pairs
+    are never dropped, and a boilerplate family larger than the cap
+    contributes no cross pairs at all."""
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        BUCKET_CAP,
+        minhash_lsh_pairs_capped,
+        minhash_lsh_pairs_grouped,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+        F.col("doc_id") < 100
+    )
+    # a template family twice the cap: shared 30-word boilerplate + one
+    # unique token each, so texts are distinct but band keys shared
+    tmpl = " ".join(f"capword{i}" for i in range(30))
+    fam = spark.range(2 * BUCKET_CAP).select(
+        (F.col("id") + 50_000).alias("doc_id"),
+        F.concat(F.lit(tmpl + " uniq"), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("boiler").alias("source"),
+        F.lit(200).alias("n_chars"),
+    )
+    base.unionByName(fam).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    sf = str(tmp_path)
+    grouped = {
+        (r["rep_a"], r["rep_b"]): r["n_pairs"]
+        for r in minhash_lsh_pairs_grouped(spark, sf).collect()
+    }
+    capped = {
+        (r["rep_a"], r["rep_b"]): r["n_pairs"]
+        for r in minhash_lsh_pairs_capped(spark, sf).collect()
+    }
+    assert set(capped) <= set(grouped)
+    for k, n in capped.items():
+        assert grouped[k] == n
+    # the template family's cross pairs were dropped...
+    fam_cross = [
+        k for k in grouped if k[0] >= 50_000 and k[1] >= 50_000 and k[0] != k[1]
+    ]
+    assert fam_cross, "fixture must band the template family together"
+    assert not any(
+        k[0] >= 50_000 and k[1] >= 50_000 and k[0] != k[1] for k in capped
+    )
+    # ...but pairs among the small stock buckets survive
+    assert any(k[0] < 50_000 for k in capped) or not any(
+        k[0] < 50_000 for k in grouped
+    )

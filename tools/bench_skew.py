@@ -234,8 +234,142 @@ def main() -> None:
     spark.stop()
 
 
+
+
+
+# --------------------------------------------------------- band-join mode
+
+BAND_DIR = "/tmp/callio_skew_band"
+
+
+def _write_band_fixture(kind: str, src: str = "/root/testdata/sf0.1") -> str:
+    """documents.parquet with 95% hot CONTENT: ``verbatim`` replaces 95% of
+    texts with one exact string (the exact-collapse case — the grouped
+    form's quotient absorbs it); ``boilerplate`` gives 95% of docs a shared
+    40-word template plus one unique token each (distinct texts that still
+    share most band keys — the quadratic-bucket case the cap guards)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    dst = f"{BAND_DIR}_{kind}"
+    os.makedirs(dst, exist_ok=True)
+    d = pq.read_table(f"{src}/documents.parquet")
+    hot = pc.less(pc.bit_wise_and(d.column("doc_id"), 127), 122)  # ~95.3%
+    if kind == "verbatim":
+        hot_text = pa.scalar(d.column("text")[0].as_py(), pa.string())
+        text = pc.if_else(hot, hot_text, d.column("text"))
+    elif kind == "boilerplate":
+        tmpl = " ".join(f"template{i}word" for i in range(40))
+        uniq = pc.binary_join_element_wise(
+            pa.scalar(tmpl),
+            pc.cast(d.column("doc_id"), pa.string()),
+            pa.scalar(" uniq"),
+        )
+        text = pc.if_else(hot, uniq, d.column("text"))
+    else:
+        raise ValueError(kind)
+    d = d.set_column(d.schema.get_field_index("text"), d.schema.field("text"), text)
+    pq.write_table(d, f"{dst}/documents.parquet")
+    return dst
+
+
+def band_mode() -> None:
+    """Skew-test the dedup family's band equi-join (the other shuffle that
+    meets adversarial data): minhash_lsh_pairs_grouped measured on stock
+    sf0.1 vs a 95%-verbatim-hot corpus (the collapse must absorb it: the
+    rep set shrinks, so the hot content contributes ONE row per band) and
+    vs a 95%-boilerplate corpus (distinct texts sharing band keys — the
+    bucket whose pair volume is inherently quadratic, which NO salting or
+    AQE split can linearize because the OUTPUT is quadratic), then
+    minhash_lsh_pairs_capped on the same boilerplate corpus (the
+    production guard: oversized buckets dropped, task profile restored).
+    Production config (AQE on). Appends a "band_join" section to
+    SKEW_BENCH.json."""
+    from pyspark.sql import SparkSession
+
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        minhash_lsh_pairs_capped,
+        minhash_lsh_pairs_grouped,
+    )
+    from callio_etl_spark.session import configure
+
+    spark = configure(
+        SparkSession.builder.appName("bench-skew-band")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    base = spark.sparkContext.uiWebUrl
+
+    def run(tag: str, fn, sf_dir: str) -> dict:
+        spark.sparkContext.setJobGroup(tag, tag)
+        t0 = time.monotonic()
+        n_out = fn(spark, sf_dir).count()
+        wall = time.monotonic() - t0
+        spark.sparkContext.setJobGroup("", "")
+        stats = _task_stats(spark, base, tag)
+        stats["wall_s"] = round(wall, 3)
+        stats["out_rows"] = n_out
+        if stats["median_task_s"]:
+            stats["task_skew"] = round(
+                stats["max_task_s"] / stats["median_task_s"], 1
+            )
+        return stats
+
+    verb = _write_band_fixture("verbatim")
+    boil = _write_band_fixture("boilerplate")
+    run("warmup", minhash_lsh_pairs_grouped, "/root/testdata/sf0.001")
+    stock = run("band-stock", minhash_lsh_pairs_grouped, "/root/testdata/sf0.1")
+    verbatim = run("band-verbatim", minhash_lsh_pairs_grouped, verb)
+    boiler = run("band-boilerplate", minhash_lsh_pairs_grouped, boil)
+    capped = run("band-boiler-capped", minhash_lsh_pairs_capped, boil)
+
+    out = {}
+    try:
+        with open("SKEW_BENCH.json") as f:
+            out = json.load(f)
+    except FileNotFoundError:
+        pass
+    out["band_join"] = {
+        "fixture": "sf0.1 documents, 95% hot content (verbatim / boilerplate)",
+        "config": "production (AQE on)",
+        "operator": "minhash_lsh_pairs_grouped (+ _capped guard)",
+        "stock": stock,
+        "verbatim_hot": verbatim,
+        "boilerplate_hot": boiler,
+        "boilerplate_capped": capped,
+        "verbatim_wall_ratio_vs_stock": round(
+            verbatim["wall_s"] / stock["wall_s"], 2
+        ),
+        "verbatim_max_task_records_ratio": round(
+            verbatim["max_task_records"] / max(stock["max_task_records"], 1), 2
+        ),
+        "capped_wall_ratio_vs_boiler": round(
+            capped["wall_s"] / max(boiler["wall_s"], 1e-9), 2
+        ),
+        "note": (
+            "verbatim-hot must measure ~flat vs stock (exact-collapse "
+            "absorbs it); boilerplate-hot is honestly quadratic in the "
+            "hot bucket (output-bound — AQE can split the scan but not "
+            "shrink the pair count); the BUCKET_CAP guard restores a "
+            "flat profile by dropping template buckets"
+        ),
+    }
+    print(json.dumps(out["band_join"], indent=2))
+    with open("SKEW_BENCH.json", "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--flagship" in sys.argv:
         flagship_mode()
+    elif "--band" in sys.argv:
+        band_mode()
     else:
         main()
