@@ -47,100 +47,43 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering r6: the registry holds 179
-#: queries; 160 have held a green driver row (latest row green for every
-#: one), ivf_train_rounds (registered after the r5 window was set) has
-#: not, and ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx
-#: are rows-only by construction (no deterministic cross-engine oracle)
-#: and stay out of the window — they can never hash-match and would waste
-#: slots. The r6 window therefore holds:
-#:   1. ivf_train_rounds — the one oracle-bearing query with no row yet;
-#:   2. new r6 registrations (scale-path variants, ANN index delta
-#:      maintenance, sketch error audit, the lm_ops family: BPE
-#:      train/apply, bigram-LM scoring, char diversity, drift audit,
-#:      hashed classifier; and the curation.py family: per-domain
-#:      ledger, cross-source syndication matrix, count-min heavy
-#:      hitters, embedding decontamination, plus the compaction+vacuum
-#:      maintenance sink) — first-time rows;
-#:   3. every query whose PLAN changed in r6 (the global-window
-#:      eliminations: bm25 + BPE/PMI/vocab top-k now TakeOrdered-based,
-#:      curriculum/length NTILE now prefix-sum-based, span removal's
-#:      overflow guard, dedup_pipeline's exact-collapse prefix) — a
-#:      changed plan invalidates the old row;
-#:   4. three flagship/merge canaries as regression tripwires;
-#:   5. the r1-vintage cohort (30 queries whose latest driver row is five
-#:      rounds old — TPC-H-adjacent suites, window/scalar families),
-#:      oldest-first; the last eight fall at positions 51-58 (displaced
-#:      by the lm_ops + curation first-time rows) and lead the r7 window.
+#: per-round slot ledger). State entering r7: the registry holds 183
+#: queries; 180 are oracle-bearing and every one of them has held a green
+#: driver row EXCEPT minhash_lsh_pairs_grouped (registered in r6's final
+#: commit, after that round's window was set — it passes the stricter
+#: local check) and the three r7 registrations (minhash_lsh_pairs_capped,
+#: curriculum_bins_audit, sink_snapshot_overwrite). ann_topk_gemm /
+#: approx_sketch_stats / curriculum_bins_approx are rows-only by
+#: construction (no deterministic cross-engine oracle; the approx
+#: curriculum now has a driver-checkable audit form in
+#: curriculum_bins_audit) and stay out of the window — they can never
+#: hash-match and would waste slots. The r7 window therefore holds:
+#:   1. the four first-time oracle-bearing rows (the late-r6 grouped
+#:      quotient + the three r7 registrations: the capped band guard,
+#:      the curriculum tolerance audit, the snapshot-table lifecycle);
+#:   2. three flagship/merge canaries as regression tripwires;
+#:   3. the ten r1-vintage queries displaced from r6's window at
+#:      positions 51-60 (sessionize .. window_rank_suite) — their last
+#:      driver row is six rounds old;
+#:   4. the r3-vintage cohort oldest-first (37 queries whose latest row
+#:      is four rounds old; the first 33 fit, so tpch_q1_pricing,
+#:      union_tenants, watermark_filter, window_range_scan land at
+#:      positions 51-54 and lead the r8 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- first-time oracle-bearing row (1) ---
-    "ivf_train_rounds",
-    # --- r6 registrations: the scale-path variants (5) ---
-    "semantic_dedup_gemm",
-    "minhash_incremental_grown",
-    "embedding_neardup_cells",
-    "ivf_delta_assign",
-    "sketch_error_bounds",
-    # --- r6 registrations: LM-data-prep family (6, lm_ops.py) ---
-    "bpe_train_merges",
-    "bpe_segment_docs",
-    "bigram_lm_score",
-    "char_diversity",
-    "token_dist_drift",
-    "hashed_classifier_score",
-    # --- r6 registrations: corpus-curation family (4, curation.py) +
-    #     table-maintenance sink (sinks.py) — first-time rows ---
-    "domain_stats",
-    "cross_source_neardup",
-    "heavy_hitters_cms",
-    "embedding_decontaminate",
-    "sink_compact_vacuum",
-    # --- r6 plan changes: re-earn the row under the new plan (8) ---
-    "bm25_topk",
-    "hybrid_rrf_fusion",  # consumes bm25_topk's ranks
-    "bpe_pair_counts",
-    "pmi_cooccurrence",
-    "vocab_coverage",
-    "curriculum_bins",
-    "length_batching",
-    "dedup_span_removal",
-    "dedup_pipeline",  # exact-collapse prefix landed late in r6 (sf1 919s -> 25s)
-    "semantic_dedup",  # content-group collapse, same late-r6 family (368s -> 2.8s)
+    # --- first-time oracle-bearing rows (4) ---
+    "minhash_lsh_pairs_grouped",
+    "minhash_lsh_pairs_capped",
+    "curriculum_bins_audit",
+    "sink_snapshot_overwrite",
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
     "merge_upsert_conditional",
-    # --- oldest-first re-checks: the full r1-vintage cohort (30) ---
-    "array_hof_suite",
-    "asof_join_latest_order",
-    "bitwise_agg_suite",
-    "cube_agg",
-    "date_fn_suite",
-    "date_spine_fill",
-    "distinct_rows",
-    "grouping_sets_explicit",
-    "hopping_window_agg",
-    "join_anti",
-    "join_semi",
-    "json_map_suite",
-    "null_semantics_suite",
-    "percentile_summary",
-    "pivot_event_types",
-    "posexplode_tokens",
-    "profile_columns",
-    "range_join_bucketed",
-    "regexp_suite",
-    "rollup_agg",
+    # --- the r1-vintage cohort displaced from r6 (10, oldest rows) ---
     "sessionize",
-    # --- positions 51-60: the cohort's last ten fall just outside the
-    #     50-row window this round (displaced by the eleven lm_ops +
-    #     curation first-time rows and the dedup_pipeline/semantic_dedup
-    #     plan-change re-checks — a first driver row / changed plan
-    #     outranks re-checking a row that is stale but green under the
-    #     stricter local check); they are FIRST in line for r7 ---
     "set_intersect_except",
     "stat_moments",
     "string_agg_suite",
@@ -150,6 +93,46 @@ DRIVER_PRIORITY: list[str] = [
     "window_dist_suite",
     "window_frames",
     "window_rank_suite",
+    # --- oldest-first re-checks: the r3-vintage cohort (33 of 37) ---
+    "ann_topk_brute",
+    "ann_topk_ivf",
+    "checkpoint_warm",
+    "chunk_documents",
+    "chunk_overlap",
+    "conditional_agg",
+    "corpus_filter",
+    "customer_in_range",
+    "dedup_cluster_assign",
+    "dedup_exact",
+    "dedup_first_wins",
+    "dedup_survivors",
+    "dq_checks",
+    "embedding_neardup",
+    "embedding_neardup_bucketed",
+    "embedding_quantize",
+    "exists_subquery",
+    "extrema",
+    "frame_sample",
+    "hash_split",
+    "join_fanout",
+    "join_full_outer",
+    "join_left_dim",
+    "json_extract",
+    "lang_id",
+    "merge_partial_keep_existing",
+    "mixture_weights",
+    "multimodal_meta",
+    "scalar_suite",
+    "simhash",
+    "text_stats",
+    "tfidf_top_terms",
+    "topk_recent",
+    # --- positions 51-54: the cohort's last four fall just outside the
+    #     50-row window this round and lead the r8 window ---
+    "tpch_q1_pricing",
+    "union_tenants",
+    "watermark_filter",
+    "window_range_scan",
 ]
 
 
