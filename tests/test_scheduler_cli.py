@@ -296,3 +296,87 @@ def test_curate_keeps_alive_representative_when_canonical_filtered(tmp_path):
     assert 1 in docs, f"surviving copy lost: {docs} counts={counts}"
     assert 0 not in docs  # the filtered canonical stays out
     assert 2 in docs
+
+
+def test_curate_grouped_path_matches_row_grain_survivors(tmp_path):
+    """The curate CLI's near-dup stage runs the exact-collapse (grouped
+    quotient) cluster plan with a PLANNED band geometry; on a
+    duplicate-heavy corpus its survivor set must equal the survivor set
+    of the raw row-grain rule at the same geometry (band pairs over ALL
+    docs -> Jaccard verify -> CC -> min-alive per cluster) — the
+    quotient is a plan change, not a semantics change, all the way
+    through the CLI entry point."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark.__main__ import _curate
+    from callio_etl_spark.config import EngineConfig
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        JACCARD_THRESHOLD,
+        _band_pairs,
+        _band_table,
+        _words,
+        connected_components_star,
+        content_fp,
+        plan_band_geometry_measured,
+    )
+    from callio_etl_spark.llm_ops.text_analysis import corpus_filter
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("curate-grouped", cpus=8)
+    # duplicate-heavy corpus: fixture docs plus verbatim mirrors
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where(
+        F.col("doc_id") < 150
+    )
+    mirrors = base.where(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    base.unionByName(mirrors).write.parquet(f"{sf}/documents.parquet")
+
+    cfg = EngineConfig.from_env()
+    cfg.sf_dir = sf
+    cfg.work_dir = str(tmp_path / "work")
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    _curate(spark, cfg)
+    cli_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{cfg.work_dir}/curated_docs").collect()
+    }
+
+    # row-grain reference: same filter + exact dedup, then the UNGROUPED
+    # near-dup rule (band ALL docs at the same planned geometry)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    kept_ids = corpus_filter(spark, sf).where(F.col("keep") == 1).select("doc_id")
+    kept = d.join(kept_ids, "doc_id", "left_semi")
+    canon = (
+        kept.select("doc_id", content_fp().alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    exact = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    geometry = plan_band_geometry_measured(exact)
+    cand = _band_pairs(_band_table(d.select("doc_id", "text"), *geometry))
+    words = d.select("doc_id", _words(F.col("text")).alias("ws")).localCheckpoint()
+    wa = words.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wa"))
+    wb = words.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wb"))
+    n_inter = F.size(F.array_intersect("wa", "wb")).cast("double")
+    n_union = (F.size("wa") + F.size("wb")).cast("double") - n_inter
+    edges = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .where((n_inter / n_union) >= JACCARD_THRESHOLD)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    nodes = d.select(F.col("doc_id").alias("node"))
+    clusters = connected_components_star(nodes, edges).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id")
+    )
+    alive = exact.select("doc_id").join(clusters, "doc_id")
+    reps = alive.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    expected = {r["doc_id"] for r in reps.collect()}
+    assert cli_docs == expected
+    # and the corpus really was duplicate-heavy: mirrors collapsed
+    assert not any(i >= 10_000 for i in cli_docs)
