@@ -182,6 +182,53 @@ def run_foreach_batch_merge(
     q.awaitTermination()
 
 
+def run_foreach_batch_snapshot(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    path: str,
+    partition_col: str,
+    keep_snapshots: int = 3,
+    output_mode: str = "update",
+) -> None:
+    """Streaming sink with SNAPSHOT-ISOLATED commits: each micro-batch's
+    updated rows replace their partitions through ONE manifest publish
+    (snapshots.snapshot_partition_overwrite), so a reader of the sink
+    table always observes whole ticks — never a half-applied micro-batch
+    — and can pin a manifest version for a consistent multi-pass read
+    while ticks keep landing. This is run_foreach_batch_merge with the
+    lakehouse-commit guarantee instead of a bare parquet rewrite.
+
+    Crash semantics compose with Spark's checkpoint: a batch that dies
+    before its manifest publish committed NOTHING (the staged data dirs
+    are unreferenced and vacuumed later), and the replayed batch re-runs
+    the identical overwrite; a crash after publish but before the offset
+    commit replays too — the re-publish lands the same partition contents
+    as one more (idempotent-in-content) version. Untouched partitions
+    carry over by manifest reference, so a tick's commit cost is
+    O(partitions it updated)."""
+    from callio_etl_spark.snapshots import snapshot_partition_overwrite
+
+    def commit(batch: DataFrame, _id: int) -> None:
+        if batch.isEmpty():
+            return
+        snapshot_partition_overwrite(
+            batch.sparkSession,
+            batch,
+            path,
+            partition_col,
+            keep_snapshots=keep_snapshots,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
     """Stream-static join: each micro-batch broadcast-joins the (small) dim
     snapshot — the streaming form of the flagship's J1/J2 group-dim joins.

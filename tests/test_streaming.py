@@ -642,3 +642,58 @@ def test_cms_sketch_stream_two_ticks_equal_one_batch(spark, tmp_path):
     n_tokens = occ.count()
     for depth in range(CMS_DEPTH):
         assert sum(c for (d, _), c in streamed.items() if d == depth) == n_tokens
+
+
+def test_snapshot_sink_stream_two_ticks_whole_commits(spark, dirs, tmp_path):
+    """run_foreach_batch_snapshot: each tick lands as ONE manifest commit
+    — untouched partitions carry over, the final snapshot equals the
+    batch recomputation over all input, and a pinned version still reads
+    tick 1's state after tick 2 committed (the isolation/time-travel
+    contract at the streaming sink)."""
+    from callio_etl_spark.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "snap_table")
+    _write_batch(
+        spark,
+        dirs["src"],
+        [_row(1, 0, 10, "call"), _row(2, 1, 11, "call"), _row(3, 2, 12, "sms")],
+    )
+    counts = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("user_id").alias("max_user"))
+    )
+    run_foreach_batch_snapshot(counts, dirs["ck"], table, "event_type")
+    v1 = {
+        r["event_type"]: (r["n"], r["max_user"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert v1 == {"call": (2, 11), "sms": (1, 12)}
+    assert len(snapshot_versions(spark, table)) == 1
+
+    # tick 2 touches sms and adds mail; call must carry over by reference
+    _write_batch(
+        spark,
+        dirs["src"],
+        [_row(4, 3, 20, "sms"), _row(5, 4, 21, "mail")],
+    )
+    run_foreach_batch_snapshot(counts, dirs["ck"], table, "event_type")
+    live = {
+        r["event_type"]: (r["n"], r["max_user"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert live == {"call": (2, 11), "sms": (2, 20), "mail": (1, 21)}
+    versions = snapshot_versions(spark, table)
+    assert len(versions) == 2
+    # pinned tick-1 state survives tick 2 (isolation + time travel)
+    pinned = {
+        r["event_type"]: (r["n"], r["max_user"])
+        for r in snapshot_read(spark, table, version=versions[0]).collect()
+    }
+    assert pinned == v1
