@@ -306,3 +306,34 @@ def _vacuum_snapshots(
                 fs.delete(st.getPath(), True)
         if not fs.listStatus(leaf_path):
             fs.delete(leaf_path, True)
+
+
+def snapshot_compact_partition(
+    spark: SparkSession,
+    path: str,
+    value: str,
+    target_files: int = 1,
+    keep_snapshots: int = 2,
+) -> int:
+    """OPTIMIZE for the snapshot layout: rewrite ONE partition's many
+    small files into ``target_files`` and commit the rewrite as a normal
+    snapshot (one manifest publish) — readers never see a half-compacted
+    partition, siblings carry over by reference, and the pre-compaction
+    version remains pinnable until retention drops it. Row-identical by
+    construction (a coalesce of the same scan); the small-file debt a
+    streaming snapshot sink accrues per tick is paid here, exactly
+    Delta OPTIMIZE's division of labor. Returns the committed version."""
+    path = path.rstrip("/")
+    m = snapshot_manifest(spark, path)
+    col = m["partition_col"]
+    leaf = f"{col}={value}"
+    if leaf not in m["partitions"]:
+        raise FileNotFoundError(f"no partition {leaf} in snapshot of {path}")
+    part = (
+        spark.read.option("basePath", path)
+        .parquet(f"{path}/{leaf}/{m['partitions'][leaf]}")
+        .coalesce(target_files)
+    )
+    return snapshot_partition_overwrite(
+        spark, part, path, col, keep_snapshots=keep_snapshots
+    )

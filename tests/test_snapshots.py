@@ -218,3 +218,38 @@ def test_mismatched_partition_col_rejected(spark, tmp_path):
         raise AssertionError("partition-column mismatch must be rejected")
     except ValueError:
         pass
+
+
+def test_snapshot_compact_partition(spark, tmp_path):
+    """Compaction rewrites ONE partition's files into one, changes no
+    rows, leaves sibling partitions' data dirs untouched (same tokens in
+    the manifest), and commits as a pinnable version."""
+    p = str(tmp_path / "cp")
+    df = _df(spark, range(40)).repartition(6)  # ~6 files per partition
+    snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=3)
+    m1 = snap.snapshot_manifest(spark, p)
+
+    def files_in(leaf_tok):
+        d = f"{p}/{leaf_tok[0]}/{leaf_tok[1]}"
+        return [n for n in os.listdir(d) if n.endswith(".parquet")]
+
+    before = files_in(("d=1", m1["partitions"]["d=1"]))
+    assert len(before) > 1
+    rows_before = sorted(
+        r["id"] for r in snap.snapshot_read(spark, p).where("d = 1").collect()
+    )
+    v2 = snap.snapshot_compact_partition(spark, p, "1", target_files=1)
+    assert v2 == 2
+    m2 = snap.snapshot_manifest(spark, p)
+    # sibling partitions carry over by reference; d=1 got a new dir
+    for leaf in ("d=0", "d=2", "d=3"):
+        assert m2["partitions"][leaf] == m1["partitions"][leaf]
+    assert m2["partitions"]["d=1"] != m1["partitions"]["d=1"]
+    after = files_in(("d=1", m2["partitions"]["d=1"]))
+    assert len(after) == 1
+    rows_after = sorted(
+        r["id"] for r in snap.snapshot_read(spark, p).where("d = 1").collect()
+    )
+    assert rows_after == rows_before
+    # pre-compaction version still pinnable
+    assert snap.snapshot_read(spark, p, version=1).count() == 40
