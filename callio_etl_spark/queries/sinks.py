@@ -458,3 +458,84 @@ def sink_snapshot_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_snapshot_cdc",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey
+  FROM orders WHERE o_orderkey % 4 = 0
+), urgent AS (
+  SELECT * FROM base WHERE o_orderpriority = '1-URGENT'
+), v2 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS o_custkey
+  FROM urgent WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderpriority, o_custkey FROM urgent
+  WHERE o_orderkey % 7 = 0
+), changes AS (
+  SELECT COALESCE(v2.o_orderkey, u.o_orderkey) AS k,
+         CASE WHEN u.o_orderkey IS NULL THEN 'insert'
+              WHEN v2.o_orderkey IS NULL THEN 'delete'
+              WHEN v2.o_custkey <> u.o_custkey THEN 'update'
+         END AS chg
+  FROM v2 FULL OUTER JOIN urgent u ON v2.o_orderkey = u.o_orderkey
+)
+SELECT chg AS _change,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT)   AS key_sum
+FROM changes WHERE chg IS NOT NULL
+GROUP BY chg
+""",
+    tags=["sink", "snapshot", "cdc"],
+)
+def sink_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed roundtrip on the snapshot layout: commit a
+    partitioned base table (v1), rewrite ONE partition with deletes
+    (keys % 3 = 0 dropped), updates (custkey shifted for % 5 = 0), and
+    inserts (shifted new keys), then derive snapshot_changes(v1 -> v2)
+    and aggregate per change class. The oracle recomputes the same feed
+    in pure SQL, so a CDC that misses a class, resurrects old values, or
+    leaks rows from the untouched sibling partitions breaks the hash —
+    and the metadata-pruning contract (only the rewritten partition is
+    read) is plan-asserted in tests/test_snapshots.py."""
+    from callio_etl_spark.snapshots import (
+        snapshot_changes,
+        snapshot_partition_overwrite,
+    )
+
+    root = _tmp("cdc")
+    path = f"{root}/orders_cdc"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    base = o.where(F.col("o_orderkey") % 4 == 0)
+    snapshot_partition_overwrite(
+        spark, base, path, "o_orderpriority", keep_snapshots=2
+    )
+    urgent = base.where(F.col("o_orderpriority") == "1-URGENT")
+    survivors = urgent.where(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_custkey") + 1_000_000
+        ).otherwise(F.col("o_custkey")),
+    )
+    inserts = urgent.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    snapshot_partition_overwrite(
+        spark,
+        survivors.unionByName(inserts),
+        path,
+        "o_orderpriority",
+        keep_snapshots=2,
+    )
+    ch = snapshot_changes(spark, path, 1, 2, keys=["o_orderkey"])
+    result = ch.groupBy(F.col("_change")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+    return _materialize_and_clean(result, root)

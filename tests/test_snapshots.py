@@ -253,3 +253,38 @@ def test_snapshot_compact_partition(spark, tmp_path):
     assert rows_after == rows_before
     # pre-compaction version still pinnable
     assert snap.snapshot_read(spark, p, version=1).count() == 40
+
+
+def test_snapshot_changes_cdc_and_metadata_pruning(spark, tmp_path):
+    """snapshot_changes derives a change feed between two versions and —
+    the scale property — reads ONLY partitions whose manifest token
+    changed: untouched partitions are carried by reference and cannot
+    contain changes."""
+    p = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(i, str(i % 4), i * 10) for i in range(20)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=5)
+    # v2 rewrites d=1 only: id 1 deleted, id 5 updated, id 101 inserted
+    d1_new = spark.createDataFrame(
+        [(5, "1", 999), (9, "1", 90), (13, "1", 130), (17, "1", 170), (101, "1", 1010)],
+        "id long, d string, v long",
+    )
+    snap.snapshot_partition_overwrite(spark, d1_new, p, "d", keep_snapshots=5)
+
+    ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"])
+    rows = {(r["id"], r["_change"]): r["v"] for r in ch.collect()}
+    assert rows == {
+        (1, "delete"): 10,  # deletes carry OLD values
+        (5, "update"): 999,  # updates carry NEW values
+        (101, "insert"): 1010,
+    }
+    # metadata pruning: only d=1 data dirs were read
+    files = ch.inputFiles()
+    assert files and all("/d=1/" in f for f in files)
+
+    # a metadata partition-delete surfaces as deletes for every row
+    snap.snapshot_delete_partitions(spark, p, ["0"], keep_snapshots=5)
+    ch2 = snap.snapshot_changes(spark, p, 2, 3, keys=["id"])
+    got = {(r["id"], r["_change"]) for r in ch2.collect()}
+    assert got == {(0, "delete"), (4, "delete"), (8, "delete"), (12, "delete"), (16, "delete")}
