@@ -137,24 +137,72 @@ def snapshot_manifest(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    between: tuple[str, object, object] | None = None,
 ) -> DataFrame:
     """Read one committed snapshot (latest by default; pin ``version`` for
     time travel). Resolves the manifest ONCE, then scans exactly the data
     dirs it references — `basePath` keeps partition-column inference and
     PartitionFilters pruning identical to a plain partitioned read. A
     commit racing this read cannot change what it sees: the resolved dirs
-    are immutable and stay on disk for ``keep_snapshots`` more commits."""
+    are immutable and stay on disk for ``keep_snapshots`` more commits.
+
+    ``between=(col, lo, hi)`` prunes by the manifest's per-partition
+    [min, max] stats for a NON-partition column (recorded by commits
+    that passed ``stats_cols``): partitions whose range cannot intersect
+    [lo, hi] are never listed or scanned — metadata-only skipping on a
+    second dimension, Iceberg's min/max pruning at partition grain.
+    Partitions without stats for the column are conservatively kept.
+    NOTE: pruning skips I/O only; apply the row filter on the result for
+    exact semantics."""
     path = path.rstrip("/")
     m = snapshot_manifest(spark, path, version)
+    keep = sorted(m["partitions"])
+    if between is not None:
+        bcol, lo, hi = between
+        stats = m.get("stats", {})
+        keep = [
+            leaf
+            for leaf in keep
+            if _stat_may_intersect(stats.get(leaf, {}).get(bcol), lo, hi)
+        ]
     if not m["partitions"]:
         # an empty snapshot (everything deleted): zero-row frame; the only
         # schema the manifest still knows is the partition column
         return spark.range(0).select(
             F.lit(None).cast("string").alias(m["partition_col"])
         )
-    leafs = [f"{path}/{leaf}/{tok}" for leaf, tok in sorted(m["partitions"].items())]
+    all_leafs = [
+        f"{path}/{leaf}/{tok}" for leaf, tok in sorted(m["partitions"].items())
+    ]
+    if not keep:  # every partition pruned: empty frame, real schema
+        return spark.read.option("basePath", path).parquet(*all_leafs).limit(0)
+    leafs = [f"{path}/{leaf}/{m['partitions'][leaf]}" for leaf in keep]
     return spark.read.option("basePath", path).parquet(*leafs)
+
+
+def _json_stat(v):
+    """A stat value as it will round-trip through the JSON manifest."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)  # dates/decimals: stored as strings; caller compares str
+
+
+def _stat_may_intersect(rng, lo, hi) -> bool:
+    """Conservative range test: prune ONLY when stats prove no overlap."""
+    if rng is None or rng[0] is None or rng[1] is None:
+        return True
+    mn, mx = rng
+    try:
+        if hi is not None and mx is not None and hi < mn:
+            return False
+        if lo is not None and mn is not None and lo > mx:
+            return False
+    except TypeError:  # incomparable types: never prune
+        return True
+    return True
 
 
 def snapshot_partition_overwrite(
@@ -164,6 +212,7 @@ def snapshot_partition_overwrite(
     partition_col: str,
     cluster_cols: list[str] | None = None,
     keep_snapshots: int = 2,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -175,7 +224,17 @@ def snapshot_partition_overwrite(
     Returns the committed snapshot version. ``keep_snapshots`` bounds the
     retained history: older manifests and the data dirs only they
     reference are vacuumed under the commit lock; size it to exceed the
-    longest concurrent scan (Delta VACUUM's retention contract)."""
+    longest concurrent scan (Delta VACUUM's retention contract).
+
+    ``stats_cols`` records per-partition [min, max] for the named columns
+    in the manifest (computed from the staged files BEFORE the lock, so
+    lock hold time stays metadata-only) — the Iceberg-style scan-pruning
+    metadata ``snapshot_read(between=...)`` uses to skip partitions on a
+    NON-partition column (pair it with ``cluster_cols`` so the ranges are
+    tight). Carried-over partitions keep their recorded stats; a
+    partition rewritten WITHOUT stats_cols loses its entry (no stats =
+    never pruned = always safe). Numeric or string columns only (values
+    must round-trip through the JSON manifest with ordering intact)."""
     path = path.rstrip("/")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
@@ -184,6 +243,18 @@ def snapshot_partition_overwrite(
         df = df.sortWithinPartitions(*cluster_cols)
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").partitionBy(partition_col).parquet(wstaging)
+    new_stats: dict[str, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        staged_df = spark.read.parquet(wstaging)
+        for r in staged_df.groupBy(partition_col).agg(*aggs).collect():
+            leaf = f"{partition_col}={r[partition_col]}"
+            new_stats[leaf] = {
+                c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+                for c in stats_cols
+            }
 
     acquire_table_lock(spark, path)
     try:
@@ -198,12 +269,16 @@ def snapshot_partition_overwrite(
         version = (versions[-1] if versions else 0) + 1
         token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"]) if prev else {}
+        stats = dict(prev.get("stats", {})) if prev else {}
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         for leaf in staged:
             dest_parent = f"{path}/{leaf}"
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
             _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
             partitions[leaf] = token
+            stats.pop(leaf, None)  # rewritten: old ranges no longer valid
+            if leaf in new_stats:
+                stats[leaf] = new_stats[leaf]
         _delete(jvm, fs, wstaging)
         _write_manifest(
             spark,
@@ -212,6 +287,7 @@ def snapshot_partition_overwrite(
                 "version": version,
                 "partition_col": partition_col,
                 "partitions": partitions,
+                "stats": stats,
             },
         )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
@@ -246,6 +322,11 @@ def snapshot_delete_partitions(
             for leaf, tok in prev["partitions"].items()
             if leaf not in doomed
         }
+        stats = {
+            leaf: st
+            for leaf, st in prev.get("stats", {}).items()
+            if leaf not in doomed
+        }
         version = versions[-1] + 1
         _write_manifest(
             spark,
@@ -254,6 +335,7 @@ def snapshot_delete_partitions(
                 "version": version,
                 "partition_col": col,
                 "partitions": partitions,
+                "stats": stats,
             },
         )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
@@ -334,8 +416,12 @@ def snapshot_compact_partition(
         .parquet(f"{path}/{leaf}/{m['partitions'][leaf]}")
         .coalesce(target_files)
     )
+    # identical rows => identical ranges: re-derive the stats columns the
+    # partition already carried so compaction never loses pruning metadata
+    stats_cols = sorted(m.get("stats", {}).get(leaf, {})) or None
     return snapshot_partition_overwrite(
-        spark, part, path, col, keep_snapshots=keep_snapshots
+        spark, part, path, col, keep_snapshots=keep_snapshots,
+        stats_cols=stats_cols,
     )
 
 

@@ -288,3 +288,45 @@ def test_snapshot_changes_cdc_and_metadata_pruning(spark, tmp_path):
     ch2 = snap.snapshot_changes(spark, p, 2, 3, keys=["id"])
     got = {(r["id"], r["_change"]) for r in ch2.collect()}
     assert got == {(0, "delete"), (4, "delete"), (8, "delete"), (12, "delete"), (16, "delete")}
+
+
+def test_manifest_stats_prune_on_second_dimension(spark, tmp_path):
+    """Commits passing stats_cols record per-partition [min, max] in the
+    manifest; snapshot_read(between=...) skips partitions whose range
+    cannot intersect — metadata-only pruning on a NON-partition column.
+    Rewrites without stats drop the entry (conservatively unprunable),
+    carried-over partitions keep theirs, and pruning is I/O-only (the
+    kept partitions still need the row filter)."""
+    p = str(tmp_path / "stats")
+    # v per partition: d=0 -> [0,40], d=1 -> [100,140], d=2 -> [200,240], d=3 -> [300,340]
+    base = spark.createDataFrame(
+        [(i, str(i % 4), (i % 4) * 100 + (i // 4) * 10) for i in range(20)],
+        "id long, d string, v long",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, base, p, "d", keep_snapshots=3, stats_cols=["v"]
+    )
+    m = snap.snapshot_manifest(spark, p)
+    assert m["stats"]["d=1"]["v"] == [100, 140]
+
+    r = snap.snapshot_read(spark, p, between=("v", 110, 205))
+    files = r.inputFiles()
+    assert files
+    assert {f.split("/d=")[1][0] for f in files} == {"1", "2"}
+    # pruning is I/O-only: apply the row filter for exact semantics
+    assert sorted(
+        x["v"] for x in r.where(F.col("v").between(110, 205)).collect()
+    ) == [110, 120, 130, 140, 200]
+
+    # no overlap at all -> empty frame with the real schema
+    empty = snap.snapshot_read(spark, p, between=("v", 1000, 2000))
+    assert empty.count() == 0 and set(empty.columns) == {"id", "d", "v"}
+
+    # rewrite d=1 WITHOUT stats: its entry must drop; siblings keep theirs
+    upd = spark.createDataFrame([(101, "1", 99999)], "id long, d string, v long")
+    snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=3)
+    m2 = snap.snapshot_manifest(spark, p)
+    assert "d=1" not in m2["stats"] and m2["stats"]["d=2"]["v"] == [200, 240]
+    # stat-less partition is conservatively KEPT by any between read
+    r2 = snap.snapshot_read(spark, p, between=("v", 0, 50))
+    assert {f.split("/d=")[1][0] for f in r2.inputFiles()} == {"0", "1"}
