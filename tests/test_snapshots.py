@@ -330,3 +330,92 @@ def test_manifest_stats_prune_on_second_dimension(spark, tmp_path):
     # stat-less partition is conservatively KEPT by any between read
     r2 = snap.snapshot_read(spark, p, between=("v", 0, 50))
     assert {f.split("/d=")[1][0] for f in r2.inputFiles()} == {"0", "1"}
+
+
+def test_snapshot_model_based_random_sequences(spark, tmp_path):
+    """Model-based check of the snapshot lifecycle: drive random
+    overwrite / metadata-delete / compact sequences against an in-memory
+    model of {partition -> rows} per version; after EVERY operation the
+    live read, the version list, and every retained pinned read must
+    equal the model (the io.py versioned-store model test, re-run against
+    the manifest protocol)."""
+    import random
+
+    KEEP = 3
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"model_{seed}")
+        model: dict[str, dict[int, int]] = {}  # leaf -> {id: v}
+        history: dict[int, dict[str, dict[int, int]]] = {}
+        next_id = 1000
+        version = 0
+
+        def commit_overwrite():
+            nonlocal next_id, version
+            parts = rng.sample(["0", "1", "2", "3"], rng.randint(1, 3))
+            rows = []
+            for d in parts:
+                n = rng.randint(1, 4)
+                rows += [
+                    (next_id + i, d, (next_id + i) * 7) for i in range(n)
+                ]
+                next_id += n
+            df = spark.createDataFrame(rows, "id long, d string, v long")
+            snap.snapshot_partition_overwrite(
+                spark, df, p, "d", keep_snapshots=KEEP,
+                stats_cols=["v"] if rng.random() < 0.5 else None,
+            )
+            for d in parts:
+                model[f"d={d}"] = {
+                    r[0]: r[2] for r in rows if r[1] == d
+                }
+            version += 1
+            history[version] = {k: dict(v) for k, v in model.items()}
+
+        commit_overwrite()  # seed state
+        for _ in range(8):
+            op = rng.choice(["overwrite", "overwrite", "delete", "compact"])
+            if op == "overwrite":
+                commit_overwrite()
+            elif op == "delete" and model:
+                leaf = rng.choice(sorted(model))
+                snap.snapshot_delete_partitions(
+                    spark, p, [leaf.split("=")[1]], keep_snapshots=KEEP
+                )
+                model.pop(leaf)
+                version += 1
+                history[version] = {k: dict(v) for k, v in model.items()}
+            elif op == "compact" and model:
+                leaf = rng.choice(sorted(model))
+                snap.snapshot_compact_partition(
+                    spark, p, leaf.split("=")[1], keep_snapshots=KEEP
+                )
+                version += 1  # content identical, new version
+                history[version] = {k: dict(v) for k, v in model.items()}
+            else:
+                continue
+
+            got = {
+                (r["id"], str(r["d"]), r["v"])
+                for r in snap.snapshot_read(spark, p).collect()
+            }
+            want = {
+                (i, leaf.split("=")[1], v)
+                for leaf, rows in model.items()
+                for i, v in rows.items()
+            }
+            assert got == want, f"live mismatch at v{version} (seed {seed})"
+            versions = snap.snapshot_versions(spark, p)
+            assert versions == list(range(max(1, version - KEEP + 1), version + 1))
+            for pv in versions:
+                hist = history[pv]
+                got_v = {
+                    (r["id"], str(r["d"]), r["v"])
+                    for r in snap.snapshot_read(spark, p, version=pv).collect()
+                }
+                want_v = {
+                    (i, leaf.split("=")[1], v)
+                    for leaf, rows in hist.items()
+                    for i, v in rows.items()
+                }
+                assert got_v == want_v, f"pinned v{pv} mismatch (seed {seed})"
