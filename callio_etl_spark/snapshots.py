@@ -177,10 +177,19 @@ def snapshot_read(
     all_leafs = [
         f"{path}/{leaf}/{tok}" for leaf, tok in sorted(m["partitions"].items())
     ]
+    reader = spark.read.option("basePath", path)
+    if "schema" in m:
+        # the manifest records the COMMITTED schema: data dirs written by
+        # older commits read missing columns as NULL (schema evolution),
+        # the partition column keeps its declared type instead of falling
+        # to path-string inference, and planning skips footer sampling
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
     if not keep:  # every partition pruned: empty frame, real schema
-        return spark.read.option("basePath", path).parquet(*all_leafs).limit(0)
+        return reader.parquet(*all_leafs).limit(0)
     leafs = [f"{path}/{leaf}/{m['partitions'][leaf]}" for leaf in keep]
-    return spark.read.option("basePath", path).parquet(*leafs)
+    return reader.parquet(*leafs)
 
 
 def _json_stat(v):
@@ -243,6 +252,7 @@ def snapshot_partition_overwrite(
         df = df.sortWithinPartitions(*cluster_cols)
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
     df.write.mode("overwrite").partitionBy(partition_col).parquet(wstaging)
+    schema_json = json.loads(df.schema.json())
     new_stats: dict[str, dict] = {}
     if stats_cols:
         aggs = []
@@ -288,6 +298,7 @@ def snapshot_partition_overwrite(
                 "partition_col": partition_col,
                 "partitions": partitions,
                 "stats": stats,
+                "schema": schema_json,
             },
         )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
@@ -336,6 +347,7 @@ def snapshot_delete_partitions(
                 "partition_col": col,
                 "partitions": partitions,
                 "stats": stats,
+                **({"schema": prev["schema"]} if "schema" in prev else {}),
             },
         )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
@@ -427,7 +439,12 @@ def snapshot_compact_partition(
 
 def _read_leafs(spark: SparkSession, path: str, m: dict, leafs: list[str]) -> DataFrame:
     paths = [f"{path}/{leaf}/{m['partitions'][leaf]}" for leaf in sorted(leafs)]
-    return spark.read.option("basePath", path).parquet(*paths)
+    reader = spark.read.option("basePath", path)
+    if "schema" in m:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    return reader.parquet(*paths)
 
 
 def snapshot_changes(
@@ -472,6 +489,16 @@ def snapshot_changes(
         return old.select("*", F.lit("delete").alias("_change"))
     if old is None:
         return new.select("*", F.lit("insert").alias("_change"))
+
+    # schema evolution between the versions: align both sides to the
+    # union schema (a column absent on one side reads NULL there, so an
+    # added/dropped column surfaces as an update wherever it holds data)
+    for c, t in new.dtypes:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(t))
+    for c, t in old.dtypes:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(t))
 
     data_cols = [c for c in new.columns if c not in keys and c != col]
     join_keys = [col, *keys]

@@ -141,8 +141,14 @@ def test_metadata_delete_is_deferred_physical(spark, tmp_path):
     v2 = snap.snapshot_delete_partitions(spark, p, ["3"], keep_snapshots=2)
     assert v2 == 2
     live = snap.snapshot_read(spark, p)
-    # partition-column type inference reads d back as int
-    assert sorted(r["d"] for r in live.select("d").distinct().collect()) == [0, 1, 2]
+    # the manifest-recorded schema keeps d at its DECLARED string type
+    # (no fallback to path-string partition inference, which re-typed it
+    # int before schemas were recorded)
+    assert sorted(r["d"] for r in live.select("d").distinct().collect()) == [
+        "0",
+        "1",
+        "2",
+    ]
     assert os.path.isdir(f"{p}/d=3"), "delete must be metadata-only at commit"
     # v1 still resolves the deleted partition (time travel)
     assert snap.snapshot_read(spark, p, version=1).count() == 20
@@ -419,3 +425,34 @@ def test_snapshot_model_based_random_sequences(spark, tmp_path):
                     for i, v in rows.items()
                 }
                 assert got_v == want_v, f"pinned v{pv} mismatch (seed {seed})"
+
+
+def test_schema_evolution_across_snapshot_versions(spark, tmp_path):
+    """A commit may add columns: the manifest records the committed
+    schema, so reads fill the new column with NULL for partitions written
+    by older commits (carried over by reference, never rewritten), and
+    the partition column keeps its declared type across versions."""
+    p = str(tmp_path / "evolve")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=3
+    )
+    upd = (
+        _df(spark, range(20))
+        .where(F.col("d") == "1")
+        .withColumn("quality", F.col("id") * 2)
+    )
+    snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=3)
+    live = snap.snapshot_read(spark, p)
+    assert dict(live.dtypes)["d"] == "string"
+    assert "quality" in live.columns
+    rows = {r["id"]: r["quality"] for r in live.collect()}
+    assert rows[5] == 10 and rows[9] == 18  # d=1: evolved rows carry values
+    assert rows[0] is None and rows[2] is None  # older partitions: NULL
+    # pinned v1 still reads with v1's (narrower) schema
+    v1 = snap.snapshot_read(spark, p, version=1)
+    assert "quality" not in v1.columns
+    # CDC across the evolution: d=1 rewritten in place, same keys ->
+    # every surviving row is an update (the new column changed it)
+    ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"])
+    got = {(r["id"], r["_change"]) for r in ch.collect()}
+    assert got == {(i, "update") for i in (1, 5, 9, 13, 17)}
