@@ -227,3 +227,49 @@ def merge_write(
         # no localCheckpoint materialization, no torn table on crash.
         merged = merge_upsert(target, source, spec)
         atomic_overwrite(spark, merged, target_path)
+
+
+def merge_write_snapshot(
+    spark: SparkSession,
+    target_path: str,
+    source: DataFrame,
+    spec: MergeSpec,
+    partition_col: str,
+    part_min=None,
+    part_max=None,
+    keep_snapshots: int = 2,
+) -> int:
+    """merge_write against a SNAPSHOT-isolated table (snapshots.py): the
+    windowed target is read from the live manifest, merged with
+    merge_upsert, and committed as ONE manifest publish — so a reader
+    racing the MERGE sees the whole pre- or post-merge table, never the
+    rename-loop's partition mix, and the pre-merge version stays pinnable
+    for keep_snapshots more commits. This is BigQuery-atomic MERGE parity
+    (reference runner.py:163-199) on a plain filesystem, closing the gap
+    merge_write's per-partition swap documented.
+
+    Same window contract as merge_write: only partitions in
+    [part_min, part_max] are read and replaced (stray source rows outside
+    the window fail fast — they would otherwise clobber partitions
+    excluded from the windowed target); partitions outside the window
+    carry over by manifest reference at zero I/O. Returns the committed
+    snapshot version."""
+    from callio_etl_spark.snapshots import snapshot_partition_overwrite, snapshot_read
+
+    target = snapshot_read(spark, target_path)
+    if part_min is not None:
+        stray = source.where(
+            ~F.col(partition_col).between(part_min, part_max)
+            | F.col(partition_col).isNull()
+        )
+        if stray.limit(1).count() > 0:
+            raise ValueError(
+                f"merge_write_snapshot: source rows outside the merge window "
+                f"[{part_min}, {part_max}] on {partition_col!r} would "
+                f"clobber partitions excluded from the windowed target"
+            )
+        target = target.where(F.col(partition_col).between(part_min, part_max))
+    merged = merge_upsert(target, source, spec)
+    return snapshot_partition_overwrite(
+        spark, merged, target_path, partition_col, keep_snapshots=keep_snapshots
+    )

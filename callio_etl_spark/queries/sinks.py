@@ -539,3 +539,109 @@ def sink_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "merge_upsert_snapshot",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         CAST(o_orderdate AS DATE) AS d,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), s AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         CAST(o_orderdate AS DATE) AS d,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-12-01'
+), wt AS (
+  SELECT * FROM t WHERE m >= '1997-12'
+), merged AS (
+  SELECT
+    COALESCE(wt.o_orderkey, s.o_orderkey) AS o_orderkey,
+    CASE WHEN wt.o_orderkey IS NULL THEN s.o_orderstatus
+         WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > wt.o_totalprice THEN s.o_orderstatus
+         ELSE wt.o_orderstatus END AS o_orderstatus,
+    CASE WHEN wt.o_orderkey IS NULL THEN s.o_totalprice
+         WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > wt.o_totalprice THEN s.o_totalprice
+         ELSE wt.o_totalprice END AS o_totalprice,
+    CASE WHEN wt.o_orderkey IS NULL THEN s.m
+         WHEN s.o_orderkey IS NOT NULL AND s.o_totalprice > wt.o_totalprice THEN s.m
+         ELSE wt.m END AS m
+  FROM wt FULL OUTER JOIN s ON wt.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice, m
+  FROM t WHERE m < '1997-12'
+)
+SELECT m,
+       CAST(COUNT(*) AS BIGINT)  AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+FROM merged GROUP BY m
+""",
+    tags=["J8", "sink", "snapshot"],
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 through the snapshot store end to end — the reference's
+    BigQuery-atomic conditional MERGE (runner.py:163-199) with the same
+    isolation on a plain filesystem: the pre-merge warehouse lands as a
+    month-partitioned snapshot table, merge_write_snapshot merges the
+    incremental batch into the [1997-12, 2002-12] window (one manifest
+    commit; earlier months carry over by reference), and the LIVE
+    snapshot is read back and aggregated per month (count / key sum /
+    update-arm count / DECIMAL-exact price sum — bounded at |months|
+    rows, nothing table-sized on the driver). The oracle recomputes the
+    post-merge state (windowed FULL OUTER + untouched months), so a
+    merge that leaked into carried-over months, dropped them, or applied
+    the wrong arm breaks the hash — and the pre-merge version remains
+    pinnable (asserted here), which merge_write's rename loop cannot
+    promise a racing reader."""
+    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
+    from callio_etl_spark.queries.merge_queries import _source, _target
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    root = _tmp("merge_snap")
+    path = f"{root}/orders_ms"
+    month = F.substring(F.col("d").cast("string"), 1, 7).alias("m")
+    target = _target(spark, sf_dir).select("*", month)
+    source = _source(spark, sf_dir).select("*", month)
+    snapshot_partition_overwrite(spark, target, path, "m", keep_snapshots=2)
+    pre_rows = snapshot_read(spark, path).count()
+    merge_write_snapshot(
+        spark,
+        path,
+        source,
+        MergeSpec(
+            keys=["o_orderkey"],
+            update_condition=F.col("S.o_totalprice") > F.col("T.o_totalprice"),
+        ),
+        "m",
+        part_min="1997-12",
+        part_max="2002-12",
+    )
+    if len(snapshot_versions(spark, path)) != 2:
+        raise AssertionError("merge must commit exactly one new version")
+    if snapshot_read(spark, path, version=1).count() != pre_rows:
+        raise AssertionError("pre-merge snapshot must stay pinnable intact")
+    result = (
+        snapshot_read(spark, path)
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum((F.col("o_orderstatus") == "U").cast("long")).alias(
+                "n_updated"
+            ),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+    return _materialize_and_clean(result, root)
