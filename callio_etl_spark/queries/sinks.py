@@ -645,3 +645,122 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "ivm_refresh_agg",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0
+), urgent AS (
+  SELECT * FROM base WHERE o_orderpriority = '1-URGENT'
+), v2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM base WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 13
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.5
+              ELSE o_totalprice END AS o_totalprice
+  FROM urgent WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM urgent WHERE o_orderkey % 7 = 0
+)
+SELECT CAST(o_custkey % 50 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM v2 GROUP BY 1
+""",
+    tags=["sink", "snapshot", "cdc", "ivm"],
+)
+def ivm_refresh_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end to end: materialize a bucketed
+    aggregate of snapshot v1 (count + DECIMAL-exact price sum per
+    custkey-bucket), rewrite ONE partition with deletes (% 3), price
+    updates (% 5, +7.5), bucket-migrating updates (% 11, custkey +13)
+    and inserts (% 7, shifted keys) as v2, then REFRESH the view from
+    the four-class change feed alone (snapshot_refresh_agg: subtract
+    preimages, add postimages) — the v2 table itself is never
+    re-aggregated. The oracle computes the v2 aggregate directly, so a
+    refresh that misses a class, drops a migrated bucket's retraction,
+    or double-counts an update breaks the hash. Cost model at 100 TB:
+    feed reads only the one rewritten partition (manifest-diff pruning),
+    delta agg is delta-sized, final join is |view| = 50 rows here,
+    |groups| in general — never |table|. Reference parity: the
+    incremental form of the reference's scheduled fact rebuilds
+    (/root/reference/callio_etl/runner.py full-refresh path)."""
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_refresh_agg,
+    )
+
+    root = _tmp("ivm")
+    path = f"{root}/orders_ivm"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    base = o.where(F.col("o_orderkey") % 4 == 0)
+    snapshot_partition_overwrite(
+        spark, base, path, "o_orderpriority", keep_snapshots=2
+    )
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", (F.col("o_custkey") % 50).cast("int")
+        ).withColumn("price", F.col("o_totalprice").cast("decimal(18,6)"))
+
+    view1 = (
+        prep(snapshot_read(spark, path, version=1))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("price").alias("sum_price"),
+        )
+    )
+    urgent = base.where(F.col("o_orderpriority") == "1-URGENT")
+    survivors = (
+        urgent.where(F.col("o_orderkey") % 3 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 11 == 0, F.col("o_custkey") + 13
+            ).otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 7.5
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    inserts = urgent.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    snapshot_partition_overwrite(
+        spark,
+        survivors.unionByName(inserts),
+        path,
+        "o_orderpriority",
+        keep_snapshots=2,
+    )
+    refreshed = snapshot_refresh_agg(
+        spark,
+        path,
+        1,
+        2,
+        keys=["o_orderkey"],
+        view_old=view1,
+        group_cols=["bucket"],
+        sum_cols=["price"],
+        prep=prep,
+    )
+    result = refreshed.select(
+        "bucket",
+        "n",
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+    return _materialize_and_clean(result, root)

@@ -47,42 +47,45 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering r7: the registry holds 183
-#: queries; 180 are oracle-bearing and every one of them has held a green
-#: driver row EXCEPT minhash_lsh_pairs_grouped (registered in r6's final
-#: commit, after that round's window was set — it passes the stricter
-#: local check) and the five r7 registrations (minhash_lsh_pairs_capped,
-#: curriculum_bins_audit, sink_snapshot_overwrite, sink_snapshot_cdc,
-#: merge_upsert_snapshot). ann_topk_gemm /
+#: per-round slot ledger). State entering the r7 driver run: the registry
+#: holds 186 queries; 183 are oracle-bearing and every one of them has
+#: held a green driver row EXCEPT minhash_lsh_pairs_grouped (registered
+#: in r6's final commit, after that round's window was set — it passes
+#: the stricter local check) and the six r7 registrations
+#: (minhash_lsh_pairs_capped, curriculum_bins_audit,
+#: sink_snapshot_overwrite, sink_snapshot_cdc, merge_upsert_snapshot,
+#: ivm_refresh_agg). ann_topk_gemm /
 #: approx_sketch_stats / curriculum_bins_approx are rows-only by
 #: construction (no deterministic cross-engine oracle; the approx
 #: curriculum now has a driver-checkable audit form in
 #: curriculum_bins_audit) and stay out of the window — they can never
 #: hash-match and would waste slots. The r7 window therefore holds:
-#:   1. the six first-time oracle-bearing rows (the late-r6 grouped
-#:      quotient + the five r7 registrations: the capped band guard, the
+#:   1. the seven first-time oracle-bearing rows (the late-r6 grouped
+#:      quotient + the six r7 registrations: the capped band guard, the
 #:      curriculum tolerance audit, the snapshot-table lifecycle, the
-#:      snapshot change feed, the snapshot-committed MERGE);
+#:      snapshot change feed, the snapshot-committed MERGE, the
+#:      CDC-incremental view refresh);
 #:   2. three flagship/merge canaries as regression tripwires;
 #:   3. the ten r1-vintage queries displaced from r6's window at
 #:      positions 51-60 (sessionize .. window_rank_suite) — their last
 #:      driver row is six rounds old;
 #:   4. the r3-vintage cohort oldest-first (37 queries whose latest row
-#:      is four rounds old; the first 31 fit, so tfidf_top_terms,
-#:      topk_recent, tpch_q1_pricing, union_tenants, watermark_filter,
-#:      window_range_scan land at positions 51-56 and lead the r8
-#:      window).
+#:      is four rounds old; the first 30 fit, so text_stats,
+#:      tfidf_top_terms, topk_recent, tpch_q1_pricing, union_tenants,
+#:      watermark_filter, window_range_scan land at positions 51-57 and
+#:      lead the r8 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- first-time oracle-bearing rows (6) ---
+    # --- first-time oracle-bearing rows (7) ---
     "minhash_lsh_pairs_grouped",
     "minhash_lsh_pairs_capped",
     "curriculum_bins_audit",
     "sink_snapshot_overwrite",
     "sink_snapshot_cdc",
     "merge_upsert_snapshot",
+    "ivm_refresh_agg",
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
@@ -129,9 +132,9 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_meta",
     "scalar_suite",
     "simhash",
-    "text_stats",
-    # --- positions 51-56: the cohort's last six fall just outside the
+    # --- positions 51-57: the cohort's last seven fall just outside the
     #     50-row window this round and lead the r8 window ---
+    "text_stats",
     "tfidf_top_terms",
     "topk_recent",
     "tpch_q1_pricing",

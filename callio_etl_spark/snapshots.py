@@ -453,12 +453,21 @@ def snapshot_changes(
     v_from: int,
     v_to: int,
     keys: list[str],
+    preimages: bool = False,
 ) -> DataFrame:
     """Change-data feed between two committed snapshots (Delta CDF's role,
     derived rather than stored): every row whose key was inserted,
     deleted, or updated between ``v_from`` and ``v_to``, tagged with a
     ``_change`` column ('insert' | 'delete' | 'update' — update carries
     the NEW values). Keys must be unique per snapshot within a partition.
+
+    ``preimages=True`` switches to Delta CDF's four-class protocol: each
+    updated key emits TWO rows, ``update_preimage`` (the old values) and
+    ``update_postimage`` (the new values), instead of one ``update`` row.
+    That is exactly the form an algebraic consumer needs — a downstream
+    aggregate subtracts the preimage and adds the postimage (see
+    ``snapshot_refresh_agg``) — and it costs no second scan or join: the
+    same full-outer row explodes into a 2-element array, one pass.
 
     The 100 TB property is METADATA PRUNING: the two manifests are
     compared driver-side first, and only partitions whose data-dir token
@@ -517,6 +526,37 @@ def snapshot_changes(
         .when(F.col("__in_new").isNull(), "delete")
         .when(differs, "update")
     )
+    if preimages:
+        # one-pass four-class feed: each joined row becomes an array of
+        # (row-struct, tag) pairs — updates carry BOTH images — and a
+        # single explode flattens it. No second join, no re-scan.
+        post = F.struct(*[F.col(c).alias(c) for c in new.columns])
+        pre = F.struct(
+            *[
+                (F.col(f"__old_{c}") if c in data_cols else F.col(c)).alias(c)
+                for c in new.columns
+            ]
+        )
+
+        def tagged(s, t):
+            return F.struct(s.alias("r"), F.lit(t).alias("t"))
+
+        rows = (
+            F.when(F.col("__in_old").isNull(), F.array(tagged(post, "insert")))
+            .when(F.col("__in_new").isNull(), F.array(tagged(pre, "delete")))
+            .when(
+                differs,
+                F.array(
+                    tagged(pre, "update_preimage"),
+                    tagged(post, "update_postimage"),
+                ),
+            )
+        )
+        return (
+            j.select(F.explode(rows).alias("e"))
+            .select("e.r.*", F.col("e.t").alias("_change"))
+        )
+
     out_cols = [
         # deletes carry the OLD values; inserts/updates the NEW (a plain
         # coalesce would resurrect old data wherever an update set NULL)
@@ -532,3 +572,78 @@ def snapshot_changes(
         .where(F.col("_change").isNotNull())
         .select(*out_cols, "_change")
     )
+
+
+def snapshot_refresh_agg(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+    view_old: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    prep=None,
+) -> DataFrame:
+    """Incremental view maintenance for an algebraic aggregate: given the
+    materialized ``view_old`` of snapshot ``v_from`` — schema
+    ``group_cols + [n, sum_<c>...]`` as produced by
+    ``prep(snapshot_read(v_from)).groupBy(*group_cols).agg(count, sums)``
+    — return the view of ``v_to`` WITHOUT recomputing it, by folding the
+    four-class change feed in:
+
+        delta  = feed.groupBy(group).agg(sum(sign), sum(sign * col)...)
+        view'  = view FULL OUTER JOIN delta  (add counts/sums, drop n=0)
+
+    where sign is +1 for insert/update_postimage and -1 for
+    delete/update_preimage. The classic DBToaster/materialized-view
+    delta rule, expressed as two DataFrame aggregates.
+
+    The 100 TB property: cost is O(|touched partitions| + |view|), never
+    O(|table|) — the feed reads only partitions whose manifest token
+    changed (see ``snapshot_changes``), the delta aggregate is
+    delta-sized and map-combined, and the final join is view-sized on
+    the group key. A nightly refresh over a 100 TB table whose writers
+    touched one day's partitions scans one day, not the decade.
+
+    ``prep`` (optional) maps raw table rows to derived grouping/measure
+    columns (e.g. bucketization); it must be row-local (no joins/aggs)
+    and deterministic so pre- and post-images stay aligned. Exactness:
+    cast measures to DECIMAL in ``prep`` — retract-then-add of doubles
+    would drift, DECIMAL addition is exact, so the refreshed view is
+    bit-identical to a full recompute (pytest-asserted).
+
+    Reference parity: the reference rebuilds downstream facts from
+    scratch on a BigQuery schedule (`/root/reference/callio_etl/
+    runner.py`); this is the incremental form of that maintenance.
+    """
+    ch = snapshot_changes(spark, path, v_from, v_to, keys, preimages=True)
+    if prep is not None:
+        ch = prep(ch)
+        assert "_change" in ch.columns, "prep must preserve _change"
+    sign = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = ch.groupBy(*group_cols).agg(
+        F.sum(sign).cast("long").alias("__dn"),
+        *[F.sum(F.col(c) * sign).alias(f"__d_{c}") for c in sum_cols],
+    )
+    sum_names = [f"sum_{c}" for c in sum_cols]
+    view_types = dict(view_old.dtypes)
+    joined = view_old.join(delta, group_cols, "full_outer")
+    n_new = F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+    out = joined.select(
+        *group_cols,
+        n_new.cast(view_types["n"]).alias("n"),
+        *[
+            (
+                F.coalesce(F.col(sn).cast("decimal(28,6)"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}").cast("decimal(28,6)"), F.lit(0))
+            )
+            .cast(view_types[sn])
+            .alias(sn)
+            for c, sn in zip(sum_cols, sum_names)
+        ],
+    )
+    # groups whose last row was deleted vanish, exactly as a recompute
+    return out.where(F.col("n") > 0)

@@ -456,3 +456,71 @@ def test_schema_evolution_across_snapshot_versions(spark, tmp_path):
     ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"])
     got = {(r["id"], r["_change"]) for r in ch.collect()}
     assert got == {(i, "update") for i in (1, 5, 9, 13, 17)}
+
+
+def test_snapshot_changes_preimages_four_class(spark, tmp_path):
+    """preimages=True is Delta CDF's four-class protocol: every updated
+    key emits exactly an (update_preimage, update_postimage) pair, and
+    insert/delete rows are unchanged from the two-image feed."""
+    p = str(tmp_path / "cdf4")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i * 10) for i in range(8)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=5)
+    # d=1 rewritten: 1 deleted, 3 updated, 9 inserted; 5/7 untouched
+    d1 = spark.createDataFrame(
+        [(3, "1", 999), (5, "1", 50), (7, "1", 70), (9, "1", 90)],
+        "id long, d string, v long",
+    )
+    snap.snapshot_partition_overwrite(spark, d1, p, "d", keep_snapshots=5)
+    ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"], preimages=True)
+    got = {(r["id"], r["_change"]): r["v"] for r in ch.collect()}
+    assert got == {
+        (1, "delete"): 10,
+        (3, "update_preimage"): 30,
+        (3, "update_postimage"): 999,
+        (9, "insert"): 90,
+    }
+    # metadata pruning survives the explode path
+    assert all("/d=1/" in f for f in ch.inputFiles())
+
+
+def test_snapshot_refresh_agg_matches_full_recompute(spark, tmp_path):
+    """IVM parity: the refreshed view is EXACTLY the full recompute of
+    v2 — including a group that vanishes (all rows deleted) and a group
+    born by an update migrating a row across buckets."""
+    p = str(tmp_path / "ivm")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i % 3, i * 10) for i in range(12)],
+        "id long, d string, g int, v long",
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=5)
+    # d=1 rewrite: delete every g=0 row (ids 3,9); migrate id 1 from g=1
+    # to g=7 (a brand-new group); bump v on id 5; leave 7,11 untouched
+    d1 = spark.createDataFrame(
+        [(1, "1", 7, 10), (5, "1", 2, 555), (7, "1", 1, 70), (11, "1", 2, 110)],
+        "id long, d string, g int, v long",
+    )
+    snap.snapshot_partition_overwrite(spark, d1, p, "d", keep_snapshots=5)
+
+    def prep(df):
+        return df.withColumn("val", F.col("v").cast("decimal(18,6)"))
+
+    def full_view(version):
+        return (
+            prep(snap.snapshot_read(spark, p, version=version))
+            .groupBy("g")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("val").alias("sum_val"),
+            )
+        )
+
+    refreshed = snap.snapshot_refresh_agg(
+        spark, p, 1, 2, ["id"], full_view(1), ["g"], ["val"], prep=prep
+    )
+    want = sorted(map(tuple, full_view(2).collect()))
+    got = sorted(map(tuple, refreshed.collect()))
+    assert got == want
+    # the new group g=7 exists; a fully-deleted group would be absent
+    assert any(r[0] == 7 for r in got)
