@@ -764,3 +764,88 @@ def ivm_refresh_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_zorder_skip",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), rng AS (
+  SELECT MIN(o_custkey) AS mn, MAX(o_custkey) AS mx FROM base
+), win AS (
+  SELECT mn + ((mx - mn) * 3) // 10 AS lo,
+         mn + ((mx - mn) * 4) // 10 AS hi
+  FROM rng
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+FROM base, win
+WHERE o_custkey BETWEEN lo AND hi
+GROUP BY o_orderpriority
+""",
+    tags=["sink", "snapshot", "zorder"],
+)
+def sink_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout roundtrip: commit orders as a z-ordered snapshot
+    (Morton curve over (o_custkey, o_totalprice), many files per
+    partition via max_records_per_file, per-FILE [min, max] stats in
+    the manifest), then answer a custkey-range question through
+    snapshot_read(between=...) — which must skip files inside every
+    kept partition (asserted: strictly fewer input files than the full
+    scan) — and apply the exact row filter on top. The oracle computes
+    the same windowed aggregate straight from the source table, so a
+    skip that drops a file it needed (or double-reads one) breaks the
+    hash. 100 TB story: this is Iceberg's two-tier pruning — manifest
+    partition ranges first, file ranges second — so a point-ish query
+    on a z-ordered dimension touches O(matching files), not O(table);
+    the clustering shuffle is a one-time write-side repartitionByRange,
+    and file stats cost one metadata-sized aggregate at commit."""
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("zorder")
+    path = f"{root}/orders_z"
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+    )
+    mn, mx = base.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    lo = mn + ((mx - mn) * 3) // 10
+    hi = mn + ((mx - mn) * 4) // 10
+    rows_per_file = max(50, base.count() // 40)
+    snapshot_partition_overwrite(
+        spark,
+        base,
+        path,
+        "o_orderpriority",
+        stats_cols=["o_custkey"],
+        zorder_cols=["o_custkey", "o_totalprice"],
+        file_stats=True,
+        max_records_per_file=rows_per_file,
+        keep_snapshots=2,
+    )
+    n_total = len(snapshot_read(spark, path).inputFiles())
+    pruned = snapshot_read(spark, path, between=("o_custkey", lo, hi))
+    if not (0 < len(pruned.inputFiles()) < n_total):
+        raise AssertionError(
+            f"file skipping ineffective: {len(pruned.inputFiles())}/{n_total}"
+        )
+    result = (
+        pruned.where(F.col("o_custkey").between(lo, hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+    return _materialize_and_clean(result, root)

@@ -188,8 +188,27 @@ def snapshot_read(
         reader = reader.schema(StructType.fromJson(m["schema"]))
     if not keep:  # every partition pruned: empty frame, real schema
         return reader.parquet(*all_leafs).limit(0)
-    leafs = [f"{path}/{leaf}/{m['partitions'][leaf]}" for leaf in keep]
-    return reader.parquet(*leafs)
+    scan: list[str] = []
+    for leaf in keep:
+        tok = m["partitions"][leaf]
+        per_file = (
+            m.get("file_stats", {}).get(leaf) if between is not None else None
+        )
+        if per_file and all(bcol in fs_ for fs_ in per_file.values()):
+            # second pruning tier: keep only FILES whose recorded
+            # [min, max] can intersect — a z-ordered partition collapses
+            # to the few contiguous files covering the range
+            hit = [
+                f"{path}/{leaf}/{tok}/{fname}"
+                for fname, fs_ in sorted(per_file.items())
+                if _stat_may_intersect(fs_.get(bcol), lo, hi)
+            ]
+            scan.extend(hit)  # zero hits: whole partition legitimately skipped
+        else:
+            scan.append(f"{path}/{leaf}/{tok}")
+    if not scan:
+        return reader.parquet(*all_leafs).limit(0)
+    return reader.parquet(*scan)
 
 
 def _json_stat(v):
@@ -214,6 +233,43 @@ def _stat_may_intersect(rng, lo, hi) -> bool:
     return True
 
 
+def _zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
+    """Morton (Z-order) curve value over ``cols``: each column is
+    width-bucketed into 2^bits cells between its observed [min, max]
+    (ONE aggregate job, driver gets 2*|cols| scalars), and the cell ids'
+    bits are interleaved. Sorting by the result clusters rows so that
+    ranges on ANY of the interleaved dimensions map to few contiguous
+    runs — the property Delta/Iceberg OPTIMIZE ZORDER exploits for
+    file skipping. Pure JVM expressions (width_bucket + shiftleft/or),
+    no UDF, no extra shuffle beyond the caller's repartition."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+        ]
+    r = df.agg(*aggs).first()
+    cells = 1 << bits
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = r[f"__mn_{c}"], r[f"__mx_{c}"]
+        if mn is None or mx is None or mn == mx:
+            continue  # constant/empty column contributes nothing
+        bucket = (
+            F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(cells))
+            - 1
+        )
+        bucket = F.greatest(F.lit(0), F.least(F.lit(cells - 1), bucket))
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + i,
+                )
+            )
+    return z
+
+
 def snapshot_partition_overwrite(
     spark: SparkSession,
     df: DataFrame,
@@ -222,6 +278,9 @@ def snapshot_partition_overwrite(
     cluster_cols: list[str] | None = None,
     keep_snapshots: int = 2,
     stats_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    file_stats: bool = False,
+    max_records_per_file: int | None = None,
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -243,17 +302,39 @@ def snapshot_partition_overwrite(
     tight). Carried-over partitions keep their recorded stats; a
     partition rewritten WITHOUT stats_cols loses its entry (no stats =
     never pruned = always safe). Numeric or string columns only (values
-    must round-trip through the JSON manifest with ordering intact)."""
+    must round-trip through the JSON manifest with ordering intact).
+
+    ``zorder_cols`` clusters each written partition along a Morton curve
+    over the named columns (range-repartition on (partition, z) + sort;
+    see ``_zorder_expr``) so that, combined with ``max_records_per_file``
+    (splits a task's output into sequential files) and
+    ``file_stats=True`` (records per-FILE [min, max] for stats_cols in
+    the manifest), ``snapshot_read(between=...)`` can skip FILES inside a
+    kept partition, not just whole partitions — Iceberg's second pruning
+    tier. File stats cost one extra metadata-sized aggregate over the
+    staged output (|files| result rows), nothing at read time."""
     path = path.rstrip("/")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
     jvm, fs, _ = _hadoop(spark, path)
-    if cluster_cols:
+    if zorder_cols:
+        z = _zorder_expr(df, zorder_cols)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(partition_col, "__z")
+            .sortWithinPartitions(partition_col, "__z")
+            .drop("__z")
+        )
+    elif cluster_cols:
         df = df.sortWithinPartitions(*cluster_cols)
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(wstaging)
+    writer = df.write.mode("overwrite").partitionBy(partition_col)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(wstaging)
     schema_json = json.loads(df.schema.json())
     new_stats: dict[str, dict] = {}
+    new_fstats: dict[str, dict] = {}
     if stats_cols:
         aggs = []
         for c in stats_cols:
@@ -265,6 +346,21 @@ def snapshot_partition_overwrite(
                 c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
                 for c in stats_cols
             }
+        if file_stats:
+            # per-file grain: one distributed agg keyed by input file —
+            # |files| result rows, the Iceberg manifest-entry payload
+            for r in (
+                staged_df.withColumn("__f", F.input_file_name())
+                .groupBy(partition_col, "__f")
+                .agg(*aggs)
+                .collect()
+            ):
+                leaf = f"{partition_col}={r[partition_col]}"
+                fname = r["__f"].rsplit("/", 1)[-1]
+                new_fstats.setdefault(leaf, {})[fname] = {
+                    c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+                    for c in stats_cols
+                }
 
     acquire_table_lock(spark, path)
     try:
@@ -280,6 +376,7 @@ def snapshot_partition_overwrite(
         token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"]) if prev else {}
         stats = dict(prev.get("stats", {})) if prev else {}
+        fstats = dict(prev.get("file_stats", {})) if prev else {}
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         for leaf in staged:
             dest_parent = f"{path}/{leaf}"
@@ -287,8 +384,11 @@ def snapshot_partition_overwrite(
             _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
             partitions[leaf] = token
             stats.pop(leaf, None)  # rewritten: old ranges no longer valid
+            fstats.pop(leaf, None)
             if leaf in new_stats:
                 stats[leaf] = new_stats[leaf]
+            if leaf in new_fstats:
+                fstats[leaf] = new_fstats[leaf]
         _delete(jvm, fs, wstaging)
         _write_manifest(
             spark,
@@ -298,6 +398,7 @@ def snapshot_partition_overwrite(
                 "partition_col": partition_col,
                 "partitions": partitions,
                 "stats": stats,
+                "file_stats": fstats,
                 "schema": schema_json,
             },
         )
@@ -338,6 +439,11 @@ def snapshot_delete_partitions(
             for leaf, st in prev.get("stats", {}).items()
             if leaf not in doomed
         }
+        fstats = {
+            leaf: st
+            for leaf, st in prev.get("file_stats", {}).items()
+            if leaf not in doomed
+        }
         version = versions[-1] + 1
         _write_manifest(
             spark,
@@ -347,6 +453,7 @@ def snapshot_delete_partitions(
                 "partition_col": col,
                 "partitions": partitions,
                 "stats": stats,
+                "file_stats": fstats,
                 **({"schema": prev["schema"]} if "schema" in prev else {}),
             },
         )
@@ -430,10 +537,12 @@ def snapshot_compact_partition(
     )
     # identical rows => identical ranges: re-derive the stats columns the
     # partition already carried so compaction never loses pruning metadata
+    # (file-grain stats are re-derived at the NEW file boundaries)
     stats_cols = sorted(m.get("stats", {}).get(leaf, {})) or None
     return snapshot_partition_overwrite(
         spark, part, path, col, keep_snapshots=keep_snapshots,
         stats_cols=stats_cols,
+        file_stats=leaf in m.get("file_stats", {}),
     )
 
 

@@ -524,3 +524,57 @@ def test_snapshot_refresh_agg_matches_full_recompute(spark, tmp_path):
     assert got == want
     # the new group g=7 exists; a fully-deleted group would be absent
     assert any(r[0] == 7 for r in got)
+
+
+def test_zorder_file_skipping(spark, tmp_path):
+    """File-grain pruning: a z-ordered commit with per-file stats lets
+    snapshot_read(between=...) skip FILES inside kept partitions — and
+    the skipped scan returns exactly what a full scan + filter would."""
+    p = str(tmp_path / "zorder")
+    df = spark.range(4000).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("d"),
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") * 7 % 1000).alias("y"),
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d",
+        stats_cols=["x"], zorder_cols=["x", "y"],
+        file_stats=True, max_records_per_file=100, keep_snapshots=2,
+    )
+    m = snap.snapshot_manifest(spark, p)
+    assert m["file_stats"] and all(m["file_stats"].values())
+    full = snap.snapshot_read(spark, p)
+    total = len(full.inputFiles())
+    assert total > 4  # multiple files per partition or the test is vacuous
+    pruned = snap.snapshot_read(spark, p, between=("x", 10, 19))
+    assert 0 < len(pruned.inputFiles()) < total
+    want = full.where(F.col("x").between(10, 19)).agg(
+        F.count("*"), F.sum("id")
+    ).first()
+    got = pruned.where(F.col("x").between(10, 19)).agg(
+        F.count("*"), F.sum("id")
+    ).first()
+    assert tuple(got) == tuple(want)
+
+
+def test_compaction_rederives_file_stats(spark, tmp_path):
+    """OPTIMIZE on a file-stats partition re-records stats at the new
+    file boundaries instead of dropping (or worse, keeping stale) them."""
+    p = str(tmp_path / "zcomp")
+    df = spark.range(1000).select(
+        "id", F.lit("a").alias("d"), (F.col("id") % 50).alias("x")
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d", stats_cols=["x"], zorder_cols=["x"],
+        file_stats=True, max_records_per_file=100, keep_snapshots=2,
+    )
+    before = snap.snapshot_manifest(spark, p)["file_stats"]["d=a"]
+    assert len(before) > 1
+    snap.snapshot_compact_partition(spark, p, "a", target_files=1)
+    after = snap.snapshot_manifest(spark, p)["file_stats"]["d=a"]
+    assert len(after) == 1
+    (fstat,) = after.values()
+    assert [int(float(v)) for v in fstat["x"]] == [0, 49]
+    got = snap.snapshot_read(spark, p, between=("x", 5, 7))
+    assert got.where(F.col("x").between(5, 7)).count() == 60
