@@ -756,3 +756,77 @@ def snapshot_refresh_agg(
     )
     # groups whose last row was deleted vanish, exactly as a recompute
     return out.where(F.col("n") > 0)
+
+
+def maintain_agg_view(
+    spark: SparkSession,
+    src_path: str,
+    view_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    prep=None,
+    keep_versions: int = 0,
+) -> int:
+    """Keep a materialized aggregate view current with the snapshot table
+    at ``src_path``: on every call, advance the view stored at
+    ``view_path`` to the source's LIVE version — incrementally via
+    ``snapshot_refresh_agg`` when the view's last-applied version is
+    still in retained history (cost: touched partitions + |view|), by
+    full recompute only on first build or when retention already dropped
+    the view's base version (the same degradation rule Delta CDF
+    consumers apply). A no-op when the view is already current.
+
+    The view's provenance travels IN the view (constant ``_src_version``
+    column) so the whole state swaps atomically with the data
+    (``atomic_overwrite``) — no sidecar file to desynchronize. Call this
+    after each ``run_foreach_batch_snapshot`` tick (or on any schedule —
+    it catches up across any number of missed commits in ONE incremental
+    pass, since the change feed diffs manifests, not adjacent ticks).
+    Returns the source version the view now reflects."""
+    from callio_etl_spark.io import atomic_overwrite
+
+    src_path = src_path.rstrip("/")
+    versions = snapshot_versions(spark, src_path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {src_path}")
+    live = versions[-1]
+
+    def full() -> DataFrame:
+        base = prep(snapshot_read(spark, src_path, version=live))
+        return base.groupBy(*group_cols).agg(
+            F.count("*").cast("long").alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+
+    v0 = None
+    view_old = None
+    try:
+        view_old = spark.read.parquet(view_path)
+        row = view_old.agg(F.max("_src_version")).first()
+        v0 = row[0] if row else None
+    except Exception:
+        pass  # first build
+    if v0 == live:
+        return live
+    if v0 is not None and v0 in versions:
+        out = snapshot_refresh_agg(
+            spark,
+            src_path,
+            int(v0),
+            live,
+            keys,
+            view_old.drop("_src_version"),
+            group_cols,
+            sum_cols,
+            prep=prep,
+        )
+    else:
+        out = full()
+    atomic_overwrite(
+        spark,
+        out.withColumn("_src_version", F.lit(live)),
+        view_path,
+        keep_versions=keep_versions,
+    )
+    return live

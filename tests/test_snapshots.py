@@ -578,3 +578,59 @@ def test_compaction_rederives_file_stats(spark, tmp_path):
     assert [int(float(v)) for v in fstat["x"]] == [0, 49]
     got = snap.snapshot_read(spark, p, between=("x", 5, 7))
     assert got.where(F.col("x").between(5, 7)).count() == 60
+
+
+def test_maintain_agg_view_across_ticks(spark, tmp_path, monkeypatch):
+    """The materialized view catches up incrementally across commits —
+    including several commits in ONE pass — and always equals a full
+    recompute; once retention drops its base version it rebuilds."""
+    src, vw = str(tmp_path / "src"), str(tmp_path / "vw")
+
+    def prep(df):
+        return df.withColumn("val", F.col("v").cast("decimal(18,6)"))
+
+    def commit(rows, keep=10):
+        df = spark.createDataFrame(rows, "id long, d string, v long")
+        return snap.snapshot_partition_overwrite(spark, df, src, "d", keep_snapshots=keep)
+
+    def recompute():
+        return sorted(
+            map(tuple,
+                prep(snap.snapshot_read(spark, src)).groupBy("d").agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("val").alias("sum_val"),
+                ).collect()))
+
+    def view_rows():
+        return sorted(
+            map(tuple, spark.read.parquet(vw).drop("_src_version").collect())
+        )
+
+    commit([(i, str(i % 2), i * 10) for i in range(8)])
+    assert snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"], prep=prep) == 1
+    assert view_rows() == recompute()
+
+    # two commits, one catch-up pass, incremental path (full() must not run)
+    commit([(1, "1", 999), (3, "1", 30), (5, "1", 50), (7, "1", 70), (9, "1", 90)])
+    commit([(0, "0", 5), (2, "0", 20), (4, "0", 40), (6, "0", 60)])
+    calls = {"reads": 0}
+    orig = snap.snapshot_read
+
+    def spy(spark_, path_, version=None, between=None):
+        if path_.rstrip("/") == src and version == 3:
+            calls["reads"] += 1  # a full recompute would read the live table
+        return orig(spark_, path_, version=version, between=between)
+
+    monkeypatch.setattr(snap, "snapshot_read", spy)
+    assert snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"], prep=prep) == 3
+    monkeypatch.undo()
+    assert calls["reads"] == 0
+    assert view_rows() == recompute()
+    # idempotent no-op when current
+    assert snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"], prep=prep) == 3
+
+    # retention drops the view's base: falls back to a full rebuild
+    for k in range(4):
+        commit([(100 + k, "0", k)], keep=1)
+    assert snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"], prep=prep) == 7
+    assert view_rows() == recompute()
