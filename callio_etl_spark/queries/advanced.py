@@ -799,7 +799,10 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     so even that shuffle disappears. AVG-class metrics derive from
     (sum, count) at read; only algebraic states are stored — the same
     decomposition Spark's own partial aggregation performs within a query,
-    applied ACROSS runs."""
+    applied ACROSS runs. This is the APPEND-ONLY form (monoid merge; min/
+    max cannot retract) — when the source also updates or deletes, use
+    the CDC-consuming `ivm_refresh_agg` / `snapshots.snapshot_refresh_agg`,
+    which subtracts pre-images."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -903,7 +906,10 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group spans on both x AND y are exactly why a z-sorted table
     prunes selective filters on either column, which linear sort can only
     do for its leading column. (Write-side: pass the key to
-    io.write_partitioned's cluster_cols / sortWithinPartitions.)
+    io.write_partitioned's cluster_cols / sortWithinPartitions — or use
+    the snapshot store's `zorder_cols` + `file_stats`, where the same
+    curve becomes a physical layout with manifest-recorded per-file
+    ranges and actual file skipping: see `sink_zorder_skip`.)
 
     Plan/scale: the key is ~4*bits integer ops per row inside codegen
     (zero shuffle); the audit aggregate is one partial-then-final hash

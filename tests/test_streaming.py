@@ -697,3 +697,63 @@ def test_snapshot_sink_stream_two_ticks_whole_commits(spark, dirs, tmp_path):
         for r in snapshot_read(spark, table, version=versions[0]).collect()
     }
     assert pinned == v1
+
+
+def test_streaming_ticks_drive_materialized_view(spark, dirs, tmp_path):
+    """Composition: streaming snapshot commits + maintain_agg_view —
+    after each tick the view catches up incrementally (change-feed pass
+    over the partitions the tick touched) and equals a recompute of the
+    live snapshot."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "vm_table")
+    view = str(tmp_path / "vm_view")
+
+    def prep(df):
+        return df.withColumn("ev", F.col("events").cast("decimal(18,6)"))
+
+    def advance():
+        return snap.maintain_agg_view(
+            spark, table, view, keys=["user_id"],
+            group_cols=["event_type"], sum_cols=["ev"], prep=prep,
+        )
+
+    def view_rows():
+        return sorted(
+            map(tuple, spark.read.parquet(view).drop("_src_version").collect())
+        )
+
+    def recompute():
+        return sorted(
+            map(tuple,
+                prep(snap.snapshot_read(spark, table)).groupBy("event_type").agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("ev").alias("sum_ev"),
+                ).collect()))
+
+    _write_batch(
+        spark, dirs["src"],
+        [_row(1, 0, 10, "call"), _row(2, 1, 11, "call"), _row(3, 2, 12, "sms")],
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("events"))
+    )
+    run_foreach_batch_snapshot(per_user, dirs["ck"], table, "event_type")
+    assert advance() == 1
+    assert view_rows() == recompute()
+
+    # tick 2: sms user grows, mail appears; call partition carries over —
+    # the incremental pass must handle both update (user 12 count) and
+    # insert (new partition) classes
+    _write_batch(
+        spark, dirs["src"],
+        [_row(4, 3, 12, "sms"), _row(5, 4, 21, "mail")],
+    )
+    run_foreach_batch_snapshot(per_user, dirs["ck"], table, "event_type")
+    assert advance() == 2
+    assert view_rows() == recompute()
