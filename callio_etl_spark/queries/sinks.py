@@ -849,3 +849,84 @@ def sink_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_row_deletes",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 0
+), survivors AS (
+  SELECT * FROM base WHERE NOT (o_orderkey % 9 = 0 OR o_custkey % 13 = 0)
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+FROM survivors GROUP BY o_orderpriority
+""",
+    tags=["sink", "snapshot", "merge-on-read"],
+)
+def sink_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row deletes end to end: commit orders as a
+    partitioned snapshot, then run TWO stacking snapshot_delete_rows
+    commits (orderkey % 9, then custkey % 13) — each writes only
+    per-partition delete files holding the doomed keys; the data-dir
+    tokens are asserted UNCHANGED across both commits (no rewrite
+    happened), and the pre-delete version is asserted still readable at
+    full row count (time travel over delete files). The live read
+    anti-joins the delete files at scan time and is aggregated per
+    partition; the oracle applies the same two predicates directly, so
+    a delete that leaks into the wrong partition, misses a stacked
+    file, or resurrects on the pinned read breaks the hash. 100 TB
+    story: this is the GDPR-erasure shape — commit cost O(matching
+    rows) with doomed rows scattered across EVERY partition, where a
+    copy-on-write delete would rewrite the whole table; the read-side
+    anti-join is against a delete set AQE broadcasts, and compaction
+    retires the debt per partition when it accumulates
+    (tests/test_snapshots.py)."""
+    from callio_etl_spark.snapshots import (
+        snapshot_delete_rows,
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("mor")
+    path = f"{root}/orders_mor"
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+    )
+    snapshot_partition_overwrite(
+        spark, base, path, "o_orderpriority", keep_snapshots=3
+    )
+    pre_rows = snapshot_read(spark, path).count()
+    toks_before = snapshot_manifest(spark, path)["partitions"]
+    snapshot_delete_rows(
+        spark, path, F.col("o_orderkey") % 9 == 0, keys=["o_orderkey"],
+        keep_snapshots=3,
+    )
+    snapshot_delete_rows(
+        spark, path, F.col("o_custkey") % 13 == 0, keys=["o_orderkey"],
+        keep_snapshots=3,
+    )
+    m = snapshot_manifest(spark, path)
+    if m["partitions"] != toks_before:
+        raise AssertionError("row delete must not rewrite any data dir")
+    if snapshot_read(spark, path, version=1).count() != pre_rows:
+        raise AssertionError("pre-delete snapshot must stay readable intact")
+    result = (
+        snapshot_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+    return _materialize_and_clean(result, root)

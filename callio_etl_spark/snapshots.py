@@ -156,7 +156,12 @@ def snapshot_read(
     second dimension, Iceberg's min/max pruning at partition grain.
     Partitions without stats for the column are conservatively kept.
     NOTE: pruning skips I/O only; apply the row filter on the result for
-    exact semantics."""
+    exact semantics.
+
+    Merge-on-read: if the manifest lists delete files (see
+    ``snapshot_delete_rows``), the scan anti-joins them for the scanned
+    partitions, so readers always see the LOGICAL content of the pinned
+    version."""
     path = path.rstrip("/")
     m = snapshot_manifest(spark, path, version)
     keep = sorted(m["partitions"])
@@ -208,7 +213,34 @@ def snapshot_read(
             scan.append(f"{path}/{leaf}/{tok}")
     if not scan:
         return reader.parquet(*all_leafs).limit(0)
-    return reader.parquet(*scan)
+    return _apply_deletes(spark, path, m, keep, reader.parquet(*scan))
+
+
+def _apply_deletes(
+    spark: SparkSession, path: str, m: dict, leafs, df: DataFrame
+) -> DataFrame:
+    """Merge-on-read: anti-join the scan against the manifest's delete
+    files for the scanned partitions (equality deletes on the recorded
+    ``delete_keys``). Partitions without delete entries pass through with
+    no join at all; the delete side is usually tiny, so AQE broadcasts
+    the anti-join."""
+    dels = {
+        leaf: toks
+        for leaf, toks in m.get("deletes", {}).items()
+        if toks and leaf in set(leafs)
+    }
+    if not dels:
+        return df
+    col, keys = m["partition_col"], m["delete_keys"]
+    dpaths = [
+        f"{path}/{leaf}/{tok}"
+        for leaf, toks in sorted(dels.items())
+        for tok in toks
+    ]
+    ddf = spark.read.option("basePath", path).parquet(*dpaths)
+    pc_type = dict(df.dtypes)[col]
+    ddf = ddf.select(F.col(col).cast(pc_type).alias(col), *keys)
+    return df.join(ddf, [col, *keys], "left_anti")
 
 
 def _json_stat(v):
@@ -377,6 +409,7 @@ def snapshot_partition_overwrite(
         partitions = dict(prev["partitions"]) if prev else {}
         stats = dict(prev.get("stats", {})) if prev else {}
         fstats = dict(prev.get("file_stats", {})) if prev else {}
+        deletes = dict(prev.get("deletes", {})) if prev else {}
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         for leaf in staged:
             dest_parent = f"{path}/{leaf}"
@@ -385,23 +418,102 @@ def snapshot_partition_overwrite(
             partitions[leaf] = token
             stats.pop(leaf, None)  # rewritten: old ranges no longer valid
             fstats.pop(leaf, None)
+            deletes.pop(leaf, None)  # new data dir supersedes delete files
             if leaf in new_stats:
                 stats[leaf] = new_stats[leaf]
             if leaf in new_fstats:
                 fstats[leaf] = new_fstats[leaf]
         _delete(jvm, fs, wstaging)
-        _write_manifest(
-            spark,
-            path,
-            {
-                "version": version,
-                "partition_col": partition_col,
-                "partitions": partitions,
-                "stats": stats,
-                "file_stats": fstats,
-                "schema": schema_json,
-            },
+        manifest = {
+            "version": version,
+            "partition_col": partition_col,
+            "partitions": partitions,
+            "stats": stats,
+            "file_stats": fstats,
+            "deletes": deletes,
+            "schema": schema_json,
+        }
+        if prev and "delete_keys" in prev:
+            manifest["delete_keys"] = prev["delete_keys"]
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    keys: list[str],
+    keep_snapshots: int = 2,
+) -> int:
+    """MERGE-ON-READ row delete (Iceberg v2 equality-delete files): rows
+    matching ``predicate`` are removed from the table WITHOUT rewriting
+    any data file — the commit writes per-partition delete files holding
+    just the doomed rows' key values and publishes a manifest that lists
+    them; readers anti-join at scan time (``_apply_deletes``). Commit
+    cost is O(matching rows), not O(touched partitions' data) — the
+    shape a GDPR erasure or retention sweep needs on a 100 TB table
+    where doomed rows scatter across every partition. Delete files
+    stack across commits; compaction (``snapshot_compact_partition``)
+    materializes them and clears the debt (merge-on-read's
+    copy-on-write escape hatch). Partition/file [min, max] stats stay
+    valid upper bounds under row deletes, so pruning remains safe.
+
+    ``keys`` must uniquely identify rows (the same contract as
+    ``snapshot_changes``) and must match the table's established
+    ``delete_keys`` once set. Optimistic concurrency: the predicate is
+    evaluated against the version current at call time; if another
+    commit lands before this one takes the lock, the delete aborts
+    (retry-able) rather than deleting keys re-inserted meanwhile.
+    Returns the committed version (or the current one when the
+    predicate matched nothing)."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    m = snapshot_manifest(spark, path)
+    col = m["partition_col"]
+    if "delete_keys" in m and list(m["delete_keys"]) != list(keys):
+        raise ValueError(
+            f"table {path} records delete_keys={m['delete_keys']}, got {keys}"
         )
+    doomed = (
+        snapshot_read(spark, path, version=m["version"])
+        .where(predicate)
+        .select(col, *keys)
+    )
+    wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
+    doomed.write.mode("overwrite").partitionBy(col).parquet(wstaging)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        versions = _manifest_versions(jvm, fs, path)
+        prev = _read_manifest(spark, path, versions[-1])
+        if prev["version"] != m["version"]:
+            _delete(jvm, fs, wstaging)
+            raise RuntimeError(
+                f"concurrent commit: table moved v{m['version']} -> "
+                f"v{prev['version']} while staging row deletes; retry"
+            )
+        staged = _partition_leaves(jvm, fs, wstaging, col)
+        if not staged:  # predicate matched nothing: no-op, no new version
+            _delete(jvm, fs, wstaging)
+            return prev["version"]
+        version = prev["version"] + 1
+        token = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
+        deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
+        for leaf in staged:
+            dest_parent = f"{path}/{leaf}"
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+            _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
+            deletes.setdefault(leaf, []).append(token)
+        _delete(jvm, fs, wstaging)
+        manifest = dict(prev)
+        manifest.update(
+            version=version, deletes=deletes, delete_keys=list(keys)
+        )
+        _write_manifest(spark, path, manifest)
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -444,6 +556,11 @@ def snapshot_delete_partitions(
             for leaf, st in prev.get("file_stats", {}).items()
             if leaf not in doomed
         }
+        dels = {
+            leaf: toks
+            for leaf, toks in prev.get("deletes", {}).items()
+            if leaf not in doomed
+        }
         version = versions[-1] + 1
         _write_manifest(
             spark,
@@ -454,6 +571,12 @@ def snapshot_delete_partitions(
                 "partitions": partitions,
                 "stats": stats,
                 "file_stats": fstats,
+                "deletes": dels,
+                **(
+                    {"delete_keys": prev["delete_keys"]}
+                    if "delete_keys" in prev
+                    else {}
+                ),
                 **({"schema": prev["schema"]} if "schema" in prev else {}),
             },
         )
@@ -489,6 +612,8 @@ def _vacuum_snapshots(
         partition_cols.add(m["partition_col"])
         for leaf, tok in m["partitions"].items():
             live_tokens.setdefault(leaf, set()).add(tok)
+        for leaf, toks in m.get("deletes", {}).items():
+            live_tokens.setdefault(leaf, set()).update(toks)
     for v in dropped:
         _delete(jvm, fs, _manifest_path(path, v))
     col = next(iter(partition_cols)) if partition_cols else None
@@ -530,13 +655,13 @@ def snapshot_compact_partition(
     leaf = f"{col}={value}"
     if leaf not in m["partitions"]:
         raise FileNotFoundError(f"no partition {leaf} in snapshot of {path}")
-    part = (
-        spark.read.option("basePath", path)
-        .parquet(f"{path}/{leaf}/{m['partitions'][leaf]}")
-        .coalesce(target_files)
-    )
-    # identical rows => identical ranges: re-derive the stats columns the
-    # partition already carried so compaction never loses pruning metadata
+    # delete-aware read: compaction MATERIALIZES any pending delete files
+    # for this partition (the rewrite clears their manifest entries) —
+    # merge-on-read debt is paid here, Iceberg's rewrite_data_files role
+    part = _read_leafs(spark, path, m, [leaf]).coalesce(target_files)
+    # row-identical to the logical content => identical ranges: re-derive
+    # the stats columns the partition already carried so compaction never
+    # loses pruning metadata
     # (file-grain stats are re-derived at the NEW file boundaries)
     stats_cols = sorted(m.get("stats", {}).get(leaf, {})) or None
     return snapshot_partition_overwrite(
@@ -553,7 +678,9 @@ def _read_leafs(spark: SparkSession, path: str, m: dict, leafs: list[str]) -> Da
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(m["schema"]))
-    return reader.parquet(*paths)
+    # delete-aware: the slice a consumer (CDC, compaction) sees is the
+    # version's LOGICAL content, with its delete files applied
+    return _apply_deletes(spark, path, m, leafs, reader.parquet(*paths))
 
 
 def snapshot_changes(
@@ -594,9 +721,17 @@ def snapshot_changes(
     if mt["partition_col"] != col:
         raise ValueError("partition column changed between versions")
     pf, pt = mf["partitions"], mt["partitions"]
+
+    def sig(m, leaf):
+        # a partition's logical content is (data dir, delete files): a
+        # delete-only commit changes the signature with no data rename
+        return (m["partitions"][leaf], tuple(m.get("deletes", {}).get(leaf, [])))
+
     removed = [leaf for leaf in pf if leaf not in pt]
     added = [leaf for leaf in pt if leaf not in pf]
-    changed = [leaf for leaf in pf if leaf in pt and pf[leaf] != pt[leaf]]
+    changed = [
+        leaf for leaf in pf if leaf in pt and sig(mf, leaf) != sig(mt, leaf)
+    ]
 
     old = _read_leafs(spark, path, mf, removed + changed) if removed + changed else None
     new = _read_leafs(spark, path, mt, added + changed) if added + changed else None

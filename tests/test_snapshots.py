@@ -634,3 +634,105 @@ def test_maintain_agg_view_across_ticks(spark, tmp_path, monkeypatch):
         commit([(100 + k, "0", k)], keep=1)
     assert snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"], prep=prep) == 7
     assert view_rows() == recompute()
+
+
+def test_row_deletes_merge_on_read(spark, tmp_path):
+    """snapshot_delete_rows removes rows WITHOUT touching data files
+    (merge-on-read): data-dir tokens are unchanged across the commit,
+    delete files stack, time travel still sees the rows, the change feed
+    surfaces delete-only commits, and compaction materializes the debt."""
+    p = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i * 10) for i in range(12)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=9)
+    m1 = snap.snapshot_manifest(spark, p)
+
+    v2 = snap.snapshot_delete_rows(
+        spark, p, F.col("v") >= 90, keys=["id"], keep_snapshots=9
+    )
+    assert v2 == 2
+    m2 = snap.snapshot_manifest(spark, p)
+    assert m2["partitions"] == m1["partitions"]  # no data rewrite
+    assert m2["deletes"] and m2["delete_keys"] == ["id"]
+    live = snap.snapshot_read(spark, p)
+    assert sorted(r["id"] for r in live.collect()) == list(range(9))
+    # time travel: v1 still has the full logical content
+    assert snap.snapshot_read(spark, p, version=1).count() == 12
+
+    # deletes stack across commits
+    snap.snapshot_delete_rows(spark, p, F.col("id") == 0, keys=["id"], keep_snapshots=9)
+    assert sorted(
+        r["id"] for r in snap.snapshot_read(spark, p).collect()
+    ) == list(range(1, 9))
+
+    # mismatched delete keys are rejected
+    try:
+        snap.snapshot_delete_rows(spark, p, F.col("id") == 1, keys=["v"])
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    # no-op predicate: no new version
+    v_now = snap.snapshot_versions(spark, p)[-1]
+    assert (
+        snap.snapshot_delete_rows(spark, p, F.col("id") == 999, keys=["id"], keep_snapshots=9)
+        == v_now
+    )
+
+    # change feed: the delete-only commit surfaces exactly the doomed rows
+    ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"])
+    got = {(r["id"], r["_change"]) for r in ch.collect()}
+    assert got == {(9, "delete"), (10, "delete"), (11, "delete")}
+
+    # compaction materializes pending deletes and clears the debt
+    snap.snapshot_compact_partition(spark, p, "0", target_files=1)
+    m_after = snap.snapshot_manifest(spark, p)
+    assert "d=0" not in m_after.get("deletes", {})
+    assert sorted(
+        r["id"] for r in snap.snapshot_read(spark, p).collect()
+    ) == list(range(1, 9))
+
+
+def test_row_deletes_ivm_and_vacuum(spark, tmp_path):
+    """The IVM refresh consumes delete-only commits correctly, and vacuum
+    keeps delete files alive while a retained manifest references them."""
+    p = str(tmp_path / "mor2")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i % 3, i * 10) for i in range(12)],
+        "id long, d string, g int, v long",
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=3)
+
+    def prep(df):
+        return df.withColumn("val", F.col("v").cast("decimal(18,6)"))
+
+    view1 = (
+        prep(snap.snapshot_read(spark, p, version=1))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("val").alias("sum_val"))
+    )
+    snap.snapshot_delete_rows(spark, p, F.col("g") == 1, keys=["id"], keep_snapshots=3)
+    refreshed = snap.snapshot_refresh_agg(
+        spark, p, 1, 2, ["id"], view1, ["g"], ["val"], prep=prep
+    )
+    want = sorted(
+        map(tuple,
+            prep(snap.snapshot_read(spark, p)).groupBy("g").agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("val").alias("sum_val"),
+            ).collect()))
+    assert sorted(map(tuple, refreshed.collect())) == want
+    assert not any(r[0] == 1 for r in want)  # the group died
+
+    # retention: drop history down to 1 — the delete files the LIVE
+    # manifest references must survive the vacuum
+    snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame([(100, "0", 0, 1000)], "id long, d string, g int, v long"),
+        p, "d", keep_snapshots=1,
+    )
+    live = snap.snapshot_read(spark, p)
+    # d=0 rewritten (deletes cleared there); d=1 still carries its delete
+    ids = sorted(r["id"] for r in live.collect())
+    assert 100 in ids and not any(i % 3 == 1 and i % 2 == 1 for i in ids if i < 100)
