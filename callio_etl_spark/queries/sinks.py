@@ -930,3 +930,82 @@ def sink_row_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_snapshot_append",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+), batch AS (
+  SELECT o_orderkey + 20000000 AS o_orderkey, o_orderpriority,
+         o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM batch
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+FROM unioned GROUP BY o_orderpriority
+""",
+    tags=["sink", "snapshot", "append"],
+)
+def sink_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAST APPEND roundtrip: commit a partitioned base snapshot, then
+    snapshot_append a disjoint batch (shifted keys, landing in every
+    priority partition) — the batch's rows stack as NEW data dirs; the
+    base data dirs are asserted byte-identical in the manifest (append
+    must not rewrite, rename, or re-list existing data), and the
+    pre-append version stays pinnable at the base row count. The live
+    read unions the stacked dirs per partition and aggregates; the
+    oracle computes the union directly. 100 TB story: this is the
+    ingestion shape — appending a day's batch costs O(batch) no matter
+    how much data the touched partitions hold (the overwrite commit
+    would rewrite them); small-file debt accrues per append and
+    snapshot_compact_partition retires it (tests/test_snapshots.py)."""
+    from callio_etl_spark.snapshots import (
+        snapshot_append,
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("snapapp")
+    path = f"{root}/orders_app"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    base = o.where(F.col("o_orderkey") % 3 == 0)
+    snapshot_partition_overwrite(
+        spark, base, path, "o_orderpriority", keep_snapshots=2
+    )
+    pre_rows = snapshot_read(spark, path).count()
+    toks_before = snapshot_manifest(spark, path)["partitions"]
+    batch = (
+        o.where((F.col("o_orderkey") % 3 == 1) & (F.col("o_orderkey") % 5 == 0))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000)
+    )
+    snapshot_append(spark, batch, path, "o_orderpriority", keep_snapshots=2)
+    m = snapshot_manifest(spark, path)
+    for leaf, tok in toks_before.items():
+        now = m["partitions"][leaf]
+        kept = now == tok or (isinstance(now, list) and now[0] == tok)
+        if not kept:
+            raise AssertionError(f"append rewrote base data dir of {leaf}")
+    if snapshot_read(spark, path, version=1).count() != pre_rows:
+        raise AssertionError("pre-append snapshot must stay pinnable intact")
+    result = (
+        snapshot_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+    return _materialize_and_clean(result, root)

@@ -180,7 +180,9 @@ def snapshot_read(
             F.lit(None).cast("string").alias(m["partition_col"])
         )
     all_leafs = [
-        f"{path}/{leaf}/{tok}" for leaf, tok in sorted(m["partitions"].items())
+        f"{path}/{leaf}/{tok}"
+        for leaf in sorted(m["partitions"])
+        for tok in _leaf_toks(m, leaf)
     ]
     reader = spark.read.option("basePath", path)
     if "schema" in m:
@@ -195,22 +197,29 @@ def snapshot_read(
         return reader.parquet(*all_leafs).limit(0)
     scan: list[str] = []
     for leaf in keep:
-        tok = m["partitions"][leaf]
+        toks = _leaf_toks(m, leaf)
         per_file = (
             m.get("file_stats", {}).get(leaf) if between is not None else None
         )
-        if per_file and all(bcol in fs_ for fs_ in per_file.values()):
+        # file-skip is valid only if the recorded files cover EVERY data
+        # dir of the leaf (an append without file_stats voids coverage)
+        covered = (
+            per_file
+            and {k.split("/", 1)[0] for k in per_file} == set(toks)
+            and all(bcol in fs_ for fs_ in per_file.values())
+        )
+        if covered:
             # second pruning tier: keep only FILES whose recorded
             # [min, max] can intersect — a z-ordered partition collapses
             # to the few contiguous files covering the range
             hit = [
-                f"{path}/{leaf}/{tok}/{fname}"
-                for fname, fs_ in sorted(per_file.items())
+                f"{path}/{leaf}/{key}"
+                for key, fs_ in sorted(per_file.items())
                 if _stat_may_intersect(fs_.get(bcol), lo, hi)
             ]
             scan.extend(hit)  # zero hits: whole partition legitimately skipped
         else:
-            scan.append(f"{path}/{leaf}/{tok}")
+            scan.extend(f"{path}/{leaf}/{tok}" for tok in toks)
     if not scan:
         return reader.parquet(*all_leafs).limit(0)
     return _apply_deletes(spark, path, m, keep, reader.parquet(*scan))
@@ -241,6 +250,13 @@ def _apply_deletes(
     pc_type = dict(df.dtypes)[col]
     ddf = ddf.select(F.col(col).cast(pc_type).alias(col), *keys)
     return df.join(ddf, [col, *keys], "left_anti")
+
+
+def _leaf_toks(m: dict, leaf: str) -> list[str]:
+    """A partition's data-dir tokens. Scalar (the common single-dir form)
+    or a list once ``snapshot_append`` stacked extra dirs onto the leaf."""
+    toks = m["partitions"][leaf]
+    return [toks] if isinstance(toks, str) else list(toks)
 
 
 def _json_stat(v):
@@ -300,6 +316,50 @@ def _zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
                 )
             )
     return z
+
+
+def _staged_stats(
+    spark: SparkSession,
+    wstaging: str,
+    partition_col: str,
+    stats_cols: list[str] | None,
+    file_stats: bool,
+) -> tuple[dict, dict]:
+    """[min, max] stats over the staged output, computed BEFORE the
+    commit lock: per-partition always, per-FILE too when ``file_stats``
+    (one distributed agg keyed by input file — |files| result rows, the
+    Iceberg manifest-entry payload). File keys here are bare names; the
+    committer splices in its data-dir token ('<token>/<fname>') so
+    coverage stays attributable per dir once appends stack several dirs
+    on a leaf."""
+    new_stats: dict[str, dict] = {}
+    new_fstats: dict[str, dict] = {}
+    if not stats_cols:
+        return new_stats, new_fstats
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    staged_df = spark.read.parquet(wstaging)
+    for r in staged_df.groupBy(partition_col).agg(*aggs).collect():
+        leaf = f"{partition_col}={r[partition_col]}"
+        new_stats[leaf] = {
+            c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+            for c in stats_cols
+        }
+    if file_stats:
+        for r in (
+            staged_df.withColumn("__f", F.input_file_name())
+            .groupBy(partition_col, "__f")
+            .agg(*aggs)
+            .collect()
+        ):
+            leaf = f"{partition_col}={r[partition_col]}"
+            fname = r["__f"].rsplit("/", 1)[-1]
+            new_fstats.setdefault(leaf, {})[fname] = {
+                c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+                for c in stats_cols
+            }
+    return new_stats, new_fstats
 
 
 def snapshot_partition_overwrite(
@@ -365,34 +425,9 @@ def snapshot_partition_overwrite(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(wstaging)
     schema_json = json.loads(df.schema.json())
-    new_stats: dict[str, dict] = {}
-    new_fstats: dict[str, dict] = {}
-    if stats_cols:
-        aggs = []
-        for c in stats_cols:
-            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
-        staged_df = spark.read.parquet(wstaging)
-        for r in staged_df.groupBy(partition_col).agg(*aggs).collect():
-            leaf = f"{partition_col}={r[partition_col]}"
-            new_stats[leaf] = {
-                c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
-                for c in stats_cols
-            }
-        if file_stats:
-            # per-file grain: one distributed agg keyed by input file —
-            # |files| result rows, the Iceberg manifest-entry payload
-            for r in (
-                staged_df.withColumn("__f", F.input_file_name())
-                .groupBy(partition_col, "__f")
-                .agg(*aggs)
-                .collect()
-            ):
-                leaf = f"{partition_col}={r[partition_col]}"
-                fname = r["__f"].rsplit("/", 1)[-1]
-                new_fstats.setdefault(leaf, {})[fname] = {
-                    c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
-                    for c in stats_cols
-                }
+    new_stats, new_fstats = _staged_stats(
+        spark, wstaging, partition_col, stats_cols, file_stats
+    )
 
     acquire_table_lock(spark, path)
     try:
@@ -422,8 +457,169 @@ def snapshot_partition_overwrite(
             if leaf in new_stats:
                 stats[leaf] = new_stats[leaf]
             if leaf in new_fstats:
-                fstats[leaf] = new_fstats[leaf]
+                fstats[leaf] = {
+                    f"{token}/{fname}": st
+                    for fname, st in new_fstats[leaf].items()
+                }
         _delete(jvm, fs, wstaging)
+        manifest = {
+            "version": version,
+            "partition_col": partition_col,
+            "partitions": partitions,
+            "stats": stats,
+            "file_stats": fstats,
+            "deletes": deletes,
+            "schema": schema_json,
+        }
+        if prev and "delete_keys" in prev:
+            manifest["delete_keys"] = prev["delete_keys"]
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def _merge_rng(old: dict, new: dict):
+    """Merge two {col: [min, max]} maps conservatively: envelope where
+    both sides know the column; None (never-pruned) where an end is
+    unknown; drop columns either side lacks. Returns None when nothing
+    survives (caller drops the leaf's stats entry — always safe)."""
+    out = {}
+    for c in set(old) & set(new):
+        try:
+            lo = (
+                None
+                if old[c][0] is None or new[c][0] is None
+                else min(old[c][0], new[c][0])
+            )
+            hi = (
+                None
+                if old[c][1] is None or new[c][1] is None
+                else max(old[c][1], new[c][1])
+            )
+        except TypeError:
+            return None
+        out[c] = [lo, hi]
+    return out or None
+
+
+def snapshot_append(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    keep_snapshots: int = 2,
+    stats_cols: list[str] | None = None,
+    file_stats: bool = False,
+    max_records_per_file: int | None = None,
+) -> int:
+    """FAST APPEND (Iceberg's append snapshot): commit ``df``'s rows as
+    NEW data dirs stacked onto their partitions — existing data dirs are
+    never rewritten, renamed, or even listed, so appending a day's batch
+    to a 100 TB table costs O(batch) regardless of how much data the
+    touched partitions already hold. This is the ingestion shape the
+    partition-overwrite commit can't give (it replaces a partition
+    wholesale); the streaming sink's per-tick aggregate REPLACEMENT and
+    this row-level append are complementary write modes on the same
+    manifests.
+
+    Bookkeeping per appended leaf: partition [min, max] stats merge into
+    a conservative envelope when both sides have them (dropped
+    otherwise — no stats = never pruned = safe); per-file stats extend
+    the leaf's map only when it already has full coverage, else the
+    leaf's file-skip entry is dropped (partial coverage must never
+    skip). Small-file debt accrues per append and is paid by
+    ``snapshot_compact_partition``, exactly Delta/Iceberg's division of
+    labor. Appending to a partition with PENDING delete files is
+    refused (the leaf-scoped anti-join would wrongly apply old delete
+    keys to the appended rows): compact first to retire the debt —
+    Iceberg orders the same interaction with sequence numbers.
+
+    Schema evolution composes: the manifest schema becomes the union of
+    the table's and the batch's columns (type changes are rejected);
+    older dirs read the new columns as NULL. Returns the committed
+    version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
+    writer = df.write.mode("overwrite").partitionBy(partition_col)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(wstaging)
+    batch_schema = json.loads(df.schema.json())
+    new_stats, new_fstats = _staged_stats(
+        spark, wstaging, partition_col, stats_cols, file_stats
+    )
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        versions = _manifest_versions(jvm, fs, path)
+        prev = _read_manifest(spark, path, versions[-1]) if versions else None
+        if prev and prev["partition_col"] != partition_col:
+            raise ValueError(
+                f"table {path} is partitioned by {prev['partition_col']!r}, "
+                f"not {partition_col!r}"
+            )
+        staged = _partition_leaves(jvm, fs, wstaging, partition_col)
+        deletes = dict(prev.get("deletes", {})) if prev else {}
+        blocked = [leaf for leaf in staged if deletes.get(leaf)]
+        if blocked:
+            _delete(jvm, fs, wstaging)
+            raise ValueError(
+                f"partitions {blocked} carry pending delete files; run "
+                "snapshot_compact_partition first (delete files are "
+                "leaf-scoped and would wrongly apply to appended rows)"
+            )
+        version = (versions[-1] if versions else 0) + 1
+        token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
+        partitions = dict(prev["partitions"]) if prev else {}
+        stats = dict(prev.get("stats", {})) if prev else {}
+        fstats = dict(prev.get("file_stats", {})) if prev else {}
+        for leaf in staged:
+            dest_parent = f"{path}/{leaf}"
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+            _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
+            fresh_f = {
+                f"{token}/{fname}": st
+                for fname, st in new_fstats.get(leaf, {}).items()
+            }
+            if leaf not in partitions:  # brand-new partition: plain commit
+                partitions[leaf] = token
+                if leaf in new_stats:
+                    stats[leaf] = new_stats[leaf]
+                if fresh_f:
+                    fstats[leaf] = fresh_f
+                continue
+            partitions[leaf] = [*_leaf_toks({"partitions": partitions}, leaf), token]
+            merged = (
+                _merge_rng(stats[leaf], new_stats[leaf])
+                if leaf in stats and leaf in new_stats
+                else None
+            )
+            if merged:
+                stats[leaf] = merged
+            else:
+                stats.pop(leaf, None)
+            if leaf in fstats and fresh_f:
+                fstats[leaf] = {**fstats[leaf], **fresh_f}
+            else:
+                fstats.pop(leaf, None)
+        _delete(jvm, fs, wstaging)
+        schema_json = batch_schema
+        if prev and "schema" in prev:
+            old_fields = {f["name"]: f for f in prev["schema"]["fields"]}
+            fields = list(prev["schema"]["fields"])
+            for f_ in batch_schema["fields"]:
+                have = old_fields.get(f_["name"])
+                if have is None:
+                    fields.append(f_)
+                elif have["type"] != f_["type"]:
+                    raise ValueError(
+                        f"append changes type of {f_['name']!r}: "
+                        f"{have['type']} -> {f_['type']}"
+                    )
+            schema_json = {**prev["schema"], "fields": fields}
         manifest = {
             "version": version,
             "partition_col": partition_col,
@@ -610,8 +806,8 @@ def _vacuum_snapshots(
     for v in kept:
         m = _read_manifest(spark, path, v)
         partition_cols.add(m["partition_col"])
-        for leaf, tok in m["partitions"].items():
-            live_tokens.setdefault(leaf, set()).add(tok)
+        for leaf in m["partitions"]:
+            live_tokens.setdefault(leaf, set()).update(_leaf_toks(m, leaf))
         for leaf, toks in m.get("deletes", {}).items():
             live_tokens.setdefault(leaf, set()).update(toks)
     for v in dropped:
@@ -672,7 +868,11 @@ def snapshot_compact_partition(
 
 
 def _read_leafs(spark: SparkSession, path: str, m: dict, leafs: list[str]) -> DataFrame:
-    paths = [f"{path}/{leaf}/{m['partitions'][leaf]}" for leaf in sorted(leafs)]
+    paths = [
+        f"{path}/{leaf}/{tok}"
+        for leaf in sorted(leafs)
+        for tok in _leaf_toks(m, leaf)
+    ]
     reader = spark.read.option("basePath", path)
     if "schema" in m:
         from pyspark.sql.types import StructType
@@ -723,9 +923,13 @@ def snapshot_changes(
     pf, pt = mf["partitions"], mt["partitions"]
 
     def sig(m, leaf):
-        # a partition's logical content is (data dir, delete files): a
-        # delete-only commit changes the signature with no data rename
-        return (m["partitions"][leaf], tuple(m.get("deletes", {}).get(leaf, [])))
+        # a partition's logical content is (data dirs, delete files): a
+        # delete-only commit or an append changes the signature with no
+        # rewrite of existing data
+        return (
+            tuple(_leaf_toks(m, leaf)),
+            tuple(m.get("deletes", {}).get(leaf, [])),
+        )
 
     removed = [leaf for leaf in pf if leaf not in pt]
     added = [leaf for leaf in pt if leaf not in pf]

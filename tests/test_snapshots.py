@@ -736,3 +736,95 @@ def test_row_deletes_ivm_and_vacuum(spark, tmp_path):
     # d=0 rewritten (deletes cleared there); d=1 still carries its delete
     ids = sorted(r["id"] for r in live.collect())
     assert 100 in ids and not any(i % 3 == 1 and i % 2 == 1 for i in ids if i < 100)
+
+
+def test_snapshot_append_fast(spark, tmp_path):
+    """Fast append stacks new data dirs without rewriting existing ones:
+    untouched tokens stay put, stats merge into envelopes, file-skip
+    coverage follows the tokens, CDC sees pure inserts, pending delete
+    files block the append, and compaction collapses the stack."""
+    p = str(tmp_path / "app")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i * 10) for i in range(8)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(
+        spark, base, p, "d", stats_cols=["v"], file_stats=True, keep_snapshots=9
+    )
+    m1 = snap.snapshot_manifest(spark, p)
+
+    batch = spark.createDataFrame(
+        [(100, "1", 1000), (101, "1", 1010), (200, "2", 2000)],
+        "id long, d string, v long",
+    )
+    v2 = snap.snapshot_append(
+        spark, batch, p, "d", stats_cols=["v"], file_stats=True, keep_snapshots=9
+    )
+    assert v2 == 2
+    m2 = snap.snapshot_manifest(spark, p)
+    assert m2["partitions"]["d=0"] == m1["partitions"]["d=0"]  # untouched
+    toks = m2["partitions"]["d=1"]
+    assert isinstance(toks, list) and toks[0] == m1["partitions"]["d=1"]
+    assert isinstance(m2["partitions"]["d=2"], str)  # new leaf: plain commit
+    assert sorted(r["id"] for r in snap.snapshot_read(spark, p).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 200,
+    ]
+    assert snap.snapshot_read(spark, p, version=1).count() == 8  # time travel
+    # stats envelope: d=1 covers old [10, 70] and new [1000, 1010]
+    assert m2["stats"]["d=1"]["v"] == [10, 1010]
+    # file-skip coverage: every data dir of d=1 is attributed
+    assert {k.split("/", 1)[0] for k in m2["file_stats"]["d=1"]} == set(toks)
+    pruned = snap.snapshot_read(spark, p, between=("v", 1000, 1010))
+    assert sorted(
+        r["id"] for r in pruned.where(F.col("v").between(1000, 1010)).collect()
+    ) == [100, 101]
+    # CDC across the append: inserts only, exactly the batch
+    ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"])
+    assert {(r["id"], r["_change"]) for r in ch.collect()} == {
+        (100, "insert"), (101, "insert"), (200, "insert"),
+    }
+
+    # append WITHOUT stats: the leaf's pruning metadata must drop
+    snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(102, "1", 5)], "id long, d string, v long"),
+        p, "d", keep_snapshots=9,
+    )
+    m3 = snap.snapshot_manifest(spark, p)
+    assert "d=1" not in m3["stats"] and "d=1" not in m3["file_stats"]
+    # ...so a between-read keeps (not skips) the statless leaf
+    assert 102 in {
+        r["id"]
+        for r in snap.snapshot_read(spark, p, between=("v", 0, 6)).collect()
+    }
+
+    # pending delete files block appends into that leaf
+    snap.snapshot_delete_rows(spark, p, F.col("id") == 0, keys=["id"], keep_snapshots=9)
+    try:
+        snap.snapshot_append(
+            spark,
+            spark.createDataFrame([(300, "0", 1)], "id long, d string, v long"),
+            p, "d", keep_snapshots=9,
+        )
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    # compaction retires the debt, then the append lands
+    snap.snapshot_compact_partition(spark, p, "0", target_files=1)
+    snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(300, "0", 1)], "id long, d string, v long"),
+        p, "d", keep_snapshots=9,
+    )
+    ids = sorted(r["id"] for r in snap.snapshot_read(spark, p).collect())
+    assert 300 in ids and 0 not in ids
+
+    # schema evolution on append: new column, old dirs read NULL
+    snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(400, "2", 7, "x")], "id long, d string, v long, tag string"),
+        p, "d", keep_snapshots=9,
+    )
+    live = snap.snapshot_read(spark, p)
+    assert dict(live.dtypes)["tag"] == "string"
+    tags = {r["id"]: r["tag"] for r in live.collect()}
+    assert tags[400] == "x" and tags[100] is None
