@@ -1009,3 +1009,84 @@ def sink_snapshot_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _materialize_and_clean(result, root)
+
+
+@register(
+    "merge_upsert_mor",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+), s AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS m
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-12-01'
+), merged AS (
+  SELECT * FROM s
+  UNION ALL
+  SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+)
+SELECT m,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CASE WHEN o_orderstatus = 'U' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+FROM merged GROUP BY m
+""",
+    tags=["J8", "sink", "snapshot", "merge-on-read"],
+)
+def merge_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ complement of merge_upsert_snapshot: the same
+    warehouse + incremental batch, but the upsert commits as ONE
+    manifest publishing equality delete files for the matched keys and
+    appended data dirs for the whole source — NO partition is rewritten
+    (asserted: every pre-upsert data dir survives as the first token of
+    its leaf). Sequence semantics keep the same-version combination
+    sound: the deletes (version v) apply only to dirs older than v,
+    never to the rows this commit appends. The read side resolves the
+    anti-join at scan time and aggregates per month; the oracle computes
+    source-wins-union directly. 100 TB trade (Delta/Iceberg's CoW vs
+    MoR table property): merge_write_snapshot pays a windowed rewrite
+    once and keeps reads join-free; this pays O(|source| + |matched|)
+    at write time — the right arm when matched keys scatter across a
+    table too large to rewrite — and compaction retires the scan-time
+    debt per partition."""
+    from callio_etl_spark.queries.merge_queries import _source, _target
+    from callio_etl_spark.snapshots import (
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_upsert_rows,
+    )
+
+    root = _tmp("mor_merge")
+    path = f"{root}/orders_morm"
+    month = F.substring(F.col("d").cast("string"), 1, 7).alias("m")
+    target = _target(spark, sf_dir).select("*", month).drop("d")
+    source = _source(spark, sf_dir).select("*", month).drop("d")
+    snapshot_partition_overwrite(spark, target, path, "m", keep_snapshots=2)
+    toks_before = snapshot_manifest(spark, path)["partitions"]
+    snapshot_upsert_rows(spark, path, source, keys=["o_orderkey"], keep_snapshots=2)
+    m = snapshot_manifest(spark, path)
+    for leaf, tok in toks_before.items():
+        now = m["partitions"][leaf]
+        if not (now == tok or (isinstance(now, list) and now[0] == tok)):
+            raise AssertionError(f"MoR upsert rewrote data dir of {leaf}")
+    result = (
+        snapshot_read(spark, path)
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum((F.col("o_orderstatus") == "U").cast("long")).alias(
+                "n_updated"
+            ),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+    return _materialize_and_clean(result, root)

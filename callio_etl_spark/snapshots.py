@@ -225,14 +225,21 @@ def snapshot_read(
     return _apply_deletes(spark, path, m, keep, reader.parquet(*scan))
 
 
+_TOKEN_VERSION_RE = "__s([0-9]{6})"
+
+
 def _apply_deletes(
     spark: SparkSession, path: str, m: dict, leafs, df: DataFrame
 ) -> DataFrame:
-    """Merge-on-read: anti-join the scan against the manifest's delete
-    files for the scanned partitions (equality deletes on the recorded
-    ``delete_keys``). Partitions without delete entries pass through with
-    no join at all; the delete side is usually tiny, so AQE broadcasts
-    the anti-join."""
+    """Merge-on-read with SEQUENCE-NUMBER semantics (Iceberg v2): a
+    delete file applies only to data dirs committed STRICTLY BEFORE it —
+    both carry their commit version in the dir token, parsed per row
+    from input_file_name, so a key deleted at v5 and re-appended at v6
+    is alive, and an upsert can publish its delete files and its new
+    data dirs in ONE version (the deletes cover the old rows, never the
+    new ones). Partitions without delete entries pass through with no
+    join at all; the delete side aggregates to max-delete-version per
+    key (tiny), so AQE broadcasts the join."""
     dels = {
         leaf: toks
         for leaf, toks in m.get("deletes", {}).items()
@@ -246,10 +253,21 @@ def _apply_deletes(
         for leaf, toks in sorted(dels.items())
         for tok in toks
     ]
-    ddf = spark.read.option("basePath", path).parquet(*dpaths)
+    ver = F.regexp_extract(F.input_file_name(), _TOKEN_VERSION_RE, 1).cast("int")
     pc_type = dict(df.dtypes)[col]
-    ddf = ddf.select(F.col(col).cast(pc_type).alias(col), *keys)
-    return df.join(ddf, [col, *keys], "left_anti")
+    dmax = (
+        spark.read.option("basePath", path)
+        .parquet(*dpaths)
+        .select(F.col(col).cast(pc_type).alias(col), *keys, ver.alias("__dv"))
+        .groupBy(col, *keys)
+        .agg(F.max("__dv").alias("__dv"))
+    )
+    return (
+        df.withColumn("__rv", ver)
+        .join(dmax, [col, *keys], "left")
+        .where(F.col("__dv").isNull() | (F.col("__rv") >= F.col("__dv")))
+        .drop("__rv", "__dv")
+    )
 
 
 def _leaf_toks(m: dict, leaf: str) -> list[str]:
@@ -531,10 +549,9 @@ def snapshot_append(
     leaf's file-skip entry is dropped (partial coverage must never
     skip). Small-file debt accrues per append and is paid by
     ``snapshot_compact_partition``, exactly Delta/Iceberg's division of
-    labor. Appending to a partition with PENDING delete files is
-    refused (the leaf-scoped anti-join would wrongly apply old delete
-    keys to the appended rows): compact first to retire the debt —
-    Iceberg orders the same interaction with sequence numbers.
+    labor. Appending over PENDING delete files is safe: deletes carry
+    sequence semantics (they apply only to data dirs committed before
+    them — see ``_apply_deletes``), so a re-appended key is alive.
 
     Schema evolution composes: the manifest schema becomes the union of
     the table's and the batch's columns (type changes are rejected);
@@ -563,14 +580,6 @@ def snapshot_append(
             )
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         deletes = dict(prev.get("deletes", {})) if prev else {}
-        blocked = [leaf for leaf in staged if deletes.get(leaf)]
-        if blocked:
-            _delete(jvm, fs, wstaging)
-            raise ValueError(
-                f"partitions {blocked} carry pending delete files; run "
-                "snapshot_compact_partition first (delete files are "
-                "leaf-scoped and would wrongly apply to appended rows)"
-            )
         version = (versions[-1] if versions else 0) + 1
         token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"]) if prev else {}
@@ -708,6 +717,126 @@ def snapshot_delete_rows(
         manifest = dict(prev)
         manifest.update(
             version=version, deletes=deletes, delete_keys=list(keys)
+        )
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_upsert_rows(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    keep_snapshots: int = 2,
+) -> int:
+    """MERGE-ON-READ UPSERT in ONE commit: matched target rows are
+    retired by equality delete files, the full source batch lands as
+    appended data dirs, and a single manifest publish makes both visible
+    together — readers see the pre-upsert or post-upsert state, nothing
+    between. Sequence semantics make the same-version combination sound:
+    the delete files (version v) apply only to dirs committed before v,
+    never to the data dirs this commit appends at v.
+
+    Commit cost is O(|source| + |matched keys|) — no partition is
+    rewritten, which is what a 100 TB upsert needs when matched keys
+    scatter across the table. This is the merge-on-read complement of
+    ``merge_write_snapshot`` (the copy-on-write windowed MERGE): CoW
+    pays the rewrite once and keeps reads join-free; MoR makes the
+    write cheap and defers the work to scan-time anti-joins until
+    compaction retires the debt — Delta/Iceberg expose exactly this
+    trade as a table property. A key that moves partitions is handled:
+    the delete lands in its OLD partition, the new row in its new one.
+
+    Matched keys are resolved against the version current at call time;
+    like ``snapshot_delete_rows`` the commit aborts (retry-able) if
+    another writer lands in between. Unconditional update arm (source
+    row replaces target row); conditional arms belong to the CoW merge,
+    which reads target values anyway. Returns the committed version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    m = snapshot_manifest(spark, path)
+    col = m["partition_col"]
+    if col not in source.columns:
+        raise ValueError(f"source must carry the partition column {col!r}")
+    if "delete_keys" in m and list(m["delete_keys"]) != list(keys):
+        raise ValueError(
+            f"table {path} records delete_keys={m['delete_keys']}, got {keys}"
+        )
+    target = snapshot_read(spark, path, version=m["version"])
+    matched = target.join(
+        source.select(*keys).distinct(), keys, "left_semi"
+    ).select(col, *keys)
+    dstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
+    astaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
+    matched.write.mode("overwrite").partitionBy(col).parquet(dstaging)
+    source.write.mode("overwrite").partitionBy(col).parquet(astaging)
+    batch_schema = json.loads(source.schema.json())
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        versions = _manifest_versions(jvm, fs, path)
+        prev = _read_manifest(spark, path, versions[-1])
+        if prev["version"] != m["version"]:
+            _delete(jvm, fs, dstaging)
+            _delete(jvm, fs, astaging)
+            raise RuntimeError(
+                f"concurrent commit: table moved v{m['version']} -> "
+                f"v{prev['version']} while staging upsert; retry"
+            )
+        version = prev["version"] + 1
+        dtoken = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
+        atoken = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
+        partitions = dict(prev["partitions"])
+        stats = dict(prev.get("stats", {}))
+        fstats = dict(prev.get("file_stats", {}))
+        deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
+        for leaf in _partition_leaves(jvm, fs, dstaging, col):
+            dest_parent = f"{path}/{leaf}"
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+            _rename(jvm, fs, f"{dstaging}/{leaf}", f"{dest_parent}/{dtoken}")
+            deletes.setdefault(leaf, []).append(dtoken)
+        for leaf in _partition_leaves(jvm, fs, astaging, col):
+            dest_parent = f"{path}/{leaf}"
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+            _rename(jvm, fs, f"{astaging}/{leaf}", f"{dest_parent}/{atoken}")
+            if leaf not in partitions:
+                partitions[leaf] = atoken
+            else:
+                partitions[leaf] = [
+                    *_leaf_toks({"partitions": partitions}, leaf),
+                    atoken,
+                ]
+                # appended rows widen unknown ranges: conservative drop
+                stats.pop(leaf, None)
+                fstats.pop(leaf, None)
+        _delete(jvm, fs, dstaging)
+        _delete(jvm, fs, astaging)
+        schema_json = batch_schema
+        if "schema" in prev:
+            old_fields = {f["name"]: f for f in prev["schema"]["fields"]}
+            fields = list(prev["schema"]["fields"])
+            for f_ in batch_schema["fields"]:
+                have = old_fields.get(f_["name"])
+                if have is None:
+                    fields.append(f_)
+                elif have["type"] != f_["type"]:
+                    raise ValueError(
+                        f"upsert changes type of {f_['name']!r}: "
+                        f"{have['type']} -> {f_['type']}"
+                    )
+            schema_json = {**prev["schema"], "fields": fields}
+        manifest = dict(prev)
+        manifest.update(
+            version=version,
+            partitions=partitions,
+            stats=stats,
+            file_stats=fstats,
+            deletes=deletes,
+            delete_keys=list(keys),
+            schema=schema_json,
         )
         _write_manifest(spark, path, manifest)
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)

@@ -797,26 +797,24 @@ def test_snapshot_append_fast(spark, tmp_path):
         for r in snap.snapshot_read(spark, p, between=("v", 0, 6)).collect()
     }
 
-    # pending delete files block appends into that leaf
+    # sequence semantics: appending over pending delete files is safe —
+    # the delete (v_d) applies only to dirs committed before it, so a
+    # RE-APPENDED deleted key comes back alive (Iceberg v2 sequence
+    # numbers), while the originally-deleted row stays gone
     snap.snapshot_delete_rows(spark, p, F.col("id") == 0, keys=["id"], keep_snapshots=9)
-    try:
-        snap.snapshot_append(
-            spark,
-            spark.createDataFrame([(300, "0", 1)], "id long, d string, v long"),
-            p, "d", keep_snapshots=9,
-        )
-        raise AssertionError("expected ValueError")
-    except ValueError:
-        pass
-    # compaction retires the debt, then the append lands
-    snap.snapshot_compact_partition(spark, p, "0", target_files=1)
+    assert 0 not in {r["id"] for r in snap.snapshot_read(spark, p).collect()}
     snap.snapshot_append(
         spark,
-        spark.createDataFrame([(300, "0", 1)], "id long, d string, v long"),
+        spark.createDataFrame([(300, "0", 1), (0, "0", 999)], "id long, d string, v long"),
         p, "d", keep_snapshots=9,
     )
-    ids = sorted(r["id"] for r in snap.snapshot_read(spark, p).collect())
-    assert 300 in ids and 0 not in ids
+    rows = {r["id"]: r["v"] for r in snap.snapshot_read(spark, p).collect()}
+    assert rows[300] == 1 and rows[0] == 999  # resurrection carries NEW value
+    # compaction materializes the surviving state and retires the debt
+    snap.snapshot_compact_partition(spark, p, "0", target_files=1)
+    assert "d=0" not in snap.snapshot_manifest(spark, p).get("deletes", {})
+    rows2 = {r["id"]: r["v"] for r in snap.snapshot_read(spark, p).collect()}
+    assert rows2[0] == 999 and rows2[300] == 1
 
     # schema evolution on append: new column, old dirs read NULL
     snap.snapshot_append(
@@ -828,3 +826,41 @@ def test_snapshot_append_fast(spark, tmp_path):
     assert dict(live.dtypes)["tag"] == "string"
     tags = {r["id"]: r["tag"] for r in live.collect()}
     assert tags[400] == "x" and tags[100] is None
+
+
+def test_snapshot_upsert_rows_mor(spark, tmp_path):
+    """Atomic merge-on-read upsert: ONE commit retires matched rows via
+    delete files and appends the source — no partition rewrite, updated
+    values visible, unmatched target rows untouched, partition-moving
+    keys handled, pre-upsert version pinnable."""
+    p = str(tmp_path / "upsert")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i * 10) for i in range(10)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=9)
+    m1 = snap.snapshot_manifest(spark, p)
+    # id 3 updated in place; id 4 MOVES partition (d 0 -> 1); id 100 new
+    src = spark.createDataFrame(
+        [(3, "1", 333), (4, "1", 444), (100, "0", 1000)],
+        "id long, d string, v long",
+    )
+    v2 = snap.snapshot_upsert_rows(spark, p, src, keys=["id"], keep_snapshots=9)
+    assert v2 == 2
+    m2 = snap.snapshot_manifest(spark, p)
+    # base data dirs survive as the first token of each leaf (no rewrite)
+    for leaf, tok in m1["partitions"].items():
+        now = m2["partitions"][leaf]
+        assert now == tok or (isinstance(now, list) and now[0] == tok)
+    rows = {r["id"]: (r["d"], r["v"]) for r in snap.snapshot_read(spark, p).collect()}
+    want = {i: (str(i % 2), i * 10) for i in range(10) if i not in (3, 4)}
+    want.update({3: ("1", 333), 4: ("1", 444), 100: ("0", 1000)})
+    assert rows == want
+    # exactly one version added; pre-upsert state pinnable
+    assert snap.snapshot_versions(spark, p) == [1, 2]
+    assert snap.snapshot_read(spark, p, version=1).count() == 10
+    # CDC across the upsert classifies update vs insert correctly
+    ch = snap.snapshot_changes(spark, p, 1, 2, keys=["id"])
+    got = {(r["id"], r["_change"]) for r in ch.collect()}
+    assert (100, "insert") in got and (3, "update") in got
+    # the moved key surfaces as delete-in-old + insert-in-new partition
+    assert (4, "delete") in got and (4, "insert") in got
