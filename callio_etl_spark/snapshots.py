@@ -1298,3 +1298,66 @@ def maintain_agg_view(
         keep_versions=keep_versions,
     )
     return live
+
+
+def snapshot_consume_changes(
+    spark: SparkSession,
+    path: str,
+    cursor_file: str,
+    keys: list[str],
+    process,
+    preimages: bool = False,
+) -> int | None:
+    """Pull-model CDC consumer with a durable cursor — the role Delta's
+    streaming source plays, in the micro-batch form this engine's
+    checkpointed scans already use (checkpoints.py doctrine): each call
+    delivers everything committed since the cursor's last acknowledged
+    version as ONE batch (the manifest-diff feed spans any number of
+    commits in a single pass), hands it to ``process``, and advances the
+    cursor only after ``process`` returns — a crash mid-batch re-delivers
+    it (at-least-once; make ``process`` idempotent, e.g. a MERGE or a
+    snapshot commit keyed on the batch's version).
+
+    First call (no cursor) delivers the full current snapshot tagged
+    'insert' — the initial load. If retention already vacuumed the
+    cursor's version, raises: the consumer lagged past ``keep_snapshots``
+    and must re-bootstrap (size retention past the slowest consumer,
+    Delta's contract). Returns the version now acknowledged, or None if
+    there was nothing new."""
+    path = path.rstrip("/")
+    versions = snapshot_versions(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshot at {path}")
+    live = versions[-1]
+    last: int | None = None
+    try:
+        with open(cursor_file) as fh:
+            last = json.load(fh)["version"]
+    except FileNotFoundError:
+        pass
+    if last == live:
+        return None
+    if last is None:
+        batch = snapshot_read(spark, path, version=live).select(
+            "*", F.lit("insert").alias("_change")
+        )
+    elif last in versions:
+        batch = snapshot_changes(
+            spark, path, last, live, keys, preimages=preimages
+        )
+    else:
+        raise ValueError(
+            f"cursor at v{last} but retained history is {versions}: the "
+            "consumer lagged past keep_snapshots; re-bootstrap (delete "
+            "the cursor) or raise retention"
+        )
+    process(batch)
+    import os
+    import tempfile
+
+    d = os.path.dirname(cursor_file) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"version": live, "table": path}, fh)
+    os.replace(tmp, cursor_file)  # atomic ack
+    return live

@@ -864,3 +864,64 @@ def test_snapshot_upsert_rows_mor(spark, tmp_path):
     assert (100, "insert") in got and (3, "update") in got
     # the moved key surfaces as delete-in-old + insert-in-new partition
     assert (4, "delete") in got and (4, "insert") in got
+
+
+def test_snapshot_consume_changes_cursor(spark, tmp_path):
+    """Pull-model CDC consumer: initial load, multi-commit catch-up in
+    one batch, no-op when current, crash-before-ack redelivers, lagging
+    past retention raises."""
+    p = str(tmp_path / "feed")
+    cur = str(tmp_path / "cursor.json")
+    seen = []
+
+    def commit(rows, keep=9):
+        df = spark.createDataFrame(rows, "id long, d string, v long")
+        snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=keep)
+
+    commit([(i, str(i % 2), i * 10) for i in range(6)])
+    got = snap.snapshot_consume_changes(
+        spark, p, cur, ["id"], lambda b: seen.append(
+            sorted((r["id"], r["_change"]) for r in b.collect()))
+    )
+    assert got == 1
+    assert seen[-1] == [(i, "insert") for i in range(6)]
+    # nothing new -> None, process not called
+    assert snap.snapshot_consume_changes(
+        spark, p, cur, ["id"], lambda b: seen.append("BOOM")) is None
+    assert seen[-1] != "BOOM"
+
+    # two commits, one catch-up batch
+    commit([(1, "1", 999), (3, "1", 30), (5, "1", 50), (7, "1", 70)])
+    commit([(0, "0", 5), (2, "0", 20), (4, "0", 40)])
+    got = snap.snapshot_consume_changes(
+        spark, p, cur, ["id"], lambda b: seen.append(
+            sorted((r["id"], r["_change"]) for r in b.collect()))
+    )
+    assert got == 3
+    assert seen[-1] == [(0, "update"), (1, "update"), (7, "insert")]
+
+    # crash before ack: cursor unmoved, batch redelivered identically
+    commit([(9, "1", 90), (1, "1", 999), (3, "1", 30), (5, "1", 50), (7, "1", 70)])
+
+    def boom(b):
+        raise RuntimeError("consumer crashed")
+
+    try:
+        snap.snapshot_consume_changes(spark, p, cur, ["id"], boom)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError:
+        pass
+    got = snap.snapshot_consume_changes(
+        spark, p, cur, ["id"], lambda b: seen.append(
+            sorted((r["id"], r["_change"]) for r in b.collect()))
+    )
+    assert got == 4 and seen[-1] == [(9, "insert")]
+
+    # lag past retention: keep=1 sweeps v4 after two more commits
+    commit([(20, "0", 200)], keep=1)
+    commit([(21, "0", 210)], keep=1)
+    try:
+        snap.snapshot_consume_changes(spark, p, cur, ["id"], lambda b: None)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
