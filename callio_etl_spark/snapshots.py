@@ -391,6 +391,7 @@ def snapshot_partition_overwrite(
     zorder_cols: list[str] | None = None,
     file_stats: bool = False,
     max_records_per_file: int | None = None,
+    op_name: str = "overwrite",
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -482,6 +483,7 @@ def snapshot_partition_overwrite(
         _delete(jvm, fs, wstaging)
         manifest = {
             "version": version,
+            "op": op_name,
             "partition_col": partition_col,
             "partitions": partitions,
             "stats": stats,
@@ -631,6 +633,7 @@ def snapshot_append(
             schema_json = {**prev["schema"], "fields": fields}
         manifest = {
             "version": version,
+            "op": "append",
             "partition_col": partition_col,
             "partitions": partitions,
             "stats": stats,
@@ -716,7 +719,10 @@ def snapshot_delete_rows(
         _delete(jvm, fs, wstaging)
         manifest = dict(prev)
         manifest.update(
-            version=version, deletes=deletes, delete_keys=list(keys)
+            version=version,
+            op="delete_rows",
+            deletes=deletes,
+            delete_keys=list(keys),
         )
         _write_manifest(spark, path, manifest)
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
@@ -831,6 +837,7 @@ def snapshot_upsert_rows(
         manifest = dict(prev)
         manifest.update(
             version=version,
+            op="upsert",
             partitions=partitions,
             stats=stats,
             file_stats=fstats,
@@ -892,6 +899,7 @@ def snapshot_delete_partitions(
             path,
             {
                 "version": version,
+                "op": "delete_partitions",
                 "partition_col": col,
                 "partitions": partitions,
                 "stats": stats,
@@ -993,6 +1001,7 @@ def snapshot_compact_partition(
         spark, part, path, col, keep_snapshots=keep_snapshots,
         stats_cols=stats_cols,
         file_stats=leaf in m.get("file_stats", {}),
+        op_name="compact",
     )
 
 
@@ -1361,3 +1370,60 @@ def snapshot_consume_changes(
         json.dump({"version": live, "table": path}, fh)
     os.replace(tmp, cursor_file)  # atomic ack
     return live
+
+
+def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
+    """DESCRIBE HISTORY for the snapshot table: one row per retained
+    version — version, op ('overwrite' | 'append' | 'upsert' |
+    'delete_rows' | 'delete_partitions' | 'compact' | 'restore' |
+    'merge'), partition count, data-dir count, pending delete-file
+    count. Metadata-only (reads manifests, never data); older manifests
+    written before op recording report op=None."""
+    path = path.rstrip("/")
+    out = []
+    for v in snapshot_versions(spark, path):
+        m = _read_manifest(spark, path, v)
+        out.append(
+            {
+                "version": v,
+                "op": m.get("op"),
+                "n_partitions": len(m["partitions"]),
+                "n_data_dirs": sum(
+                    len(_leaf_toks(m, leaf)) for leaf in m["partitions"]
+                ),
+                "n_delete_files": sum(
+                    len(toks) for toks in m.get("deletes", {}).values()
+                ),
+            }
+        )
+    return out
+
+
+def snapshot_restore(
+    spark: SparkSession, path: str, version: int, keep_snapshots: int = 2
+) -> int:
+    """Delta RESTORE: publish a NEW version whose content is byte-for-byte
+    the given retained version's — one manifest copy, zero data I/O at
+    any table size (the restored version's data dirs are still on disk
+    because retention kept its manifest; the new manifest re-references
+    them, which also re-pins them against future vacuums). History moves
+    forward — the bad versions stay inspectable until retention drops
+    them, exactly Delta's rollback story. Returns the new version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        versions = _manifest_versions(jvm, fs, path)
+        if version not in versions:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: retained history is {versions}"
+            )
+        src = _read_manifest(spark, path, version)
+        new_version = versions[-1] + 1
+        manifest = dict(src)
+        manifest.update(version=new_version, op="restore")
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return new_version
+    finally:
+        release_table_lock(spark, path)

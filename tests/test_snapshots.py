@@ -925,3 +925,35 @@ def test_snapshot_consume_changes_cursor(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_snapshot_restore_and_history(spark, tmp_path):
+    """RESTORE publishes a new version referencing the old content with
+    zero data I/O; DESCRIBE HISTORY names each commit's op."""
+    p = str(tmp_path / "hist")
+    base = spark.createDataFrame(
+        [(i, str(i % 2), i * 10) for i in range(8)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "d", keep_snapshots=9)
+    snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(100, "1", 1000)], "id long, d string, v long"),
+        p, "d", keep_snapshots=9,
+    )
+    snap.snapshot_delete_rows(spark, p, F.col("id") == 2, keys=["id"], keep_snapshots=9)
+    # bad commit: wipe partition d=0
+    snap.snapshot_delete_partitions(spark, p, ["0"], keep_snapshots=9)
+    assert snap.snapshot_read(spark, p).count() == 5  # odd ids 1,3,5,7 + 100
+
+    v5 = snap.snapshot_restore(spark, p, 3, keep_snapshots=9)
+    assert v5 == 5
+    ids = sorted(r["id"] for r in snap.snapshot_read(spark, p).collect())
+    assert ids == [0, 1, 3, 4, 5, 6, 7, 100]  # v3 state: id 2 deleted
+    hist = snap.snapshot_history(spark, p)
+    assert [h["op"] for h in hist] == [
+        "overwrite", "append", "delete_rows", "delete_partitions", "restore",
+    ]
+    assert hist[-1]["n_partitions"] == 2 and hist[-1]["n_delete_files"] == 1
+    # compaction op is recorded too
+    snap.snapshot_compact_partition(spark, p, "1", target_files=1)
+    assert snap.snapshot_history(spark, p)[-1]["op"] == "compact"
