@@ -957,3 +957,155 @@ def test_snapshot_restore_and_history(spark, tmp_path):
     # compaction op is recorded too
     snap.snapshot_compact_partition(spark, p, "1", target_files=1)
     assert snap.snapshot_history(spark, p)[-1]["op"] == "compact"
+
+
+def test_snapshot_model_based_mor_sequences(spark, tmp_path):
+    """Model-based check of the FULL op set — overwrite, fast append,
+    merge-on-read row deletes, atomic MoR upsert (incl. partition-moving
+    keys), compact, restore — against an in-memory {leaf -> {id: v}}
+    model; after every op the live read and every retained pinned read
+    must equal the model. This is where sequence-semantics interaction
+    bugs (delete files vs later appends vs compaction vs restore) would
+    surface."""
+    import copy
+    import random
+
+    KEEP = 4
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"mor_model_{seed}")
+        model: dict[str, dict[int, int]] = {}
+        history: dict[int, dict[str, dict[int, int]]] = {}
+        next_id = 1000
+        version = 0
+
+        def snap_state():
+            nonlocal version
+            version += 1
+            history[version] = copy.deepcopy(model)
+
+        def all_ids():
+            return [i for rows in model.values() for i in rows]
+
+        # seed state
+        rows = [(next_id + i, str(i % 3), (next_id + i) * 7) for i in range(9)]
+        next_id += 9
+        snap.snapshot_partition_overwrite(
+            spark,
+            spark.createDataFrame(rows, "id long, d string, v long"),
+            p, "d", keep_snapshots=KEEP,
+        )
+        for i, d, v in rows:
+            model.setdefault(f"d={d}", {})[i] = v
+        snap_state()
+
+        for _ in range(10):
+            op = rng.choice(
+                ["append", "append", "delete_rows", "upsert", "upsert",
+                 "compact", "restore", "overwrite"]
+            )
+            if op == "overwrite":
+                parts = rng.sample(["0", "1", "2"], rng.randint(1, 2))
+                rows = []
+                for d in parts:
+                    n = rng.randint(1, 3)
+                    rows += [(next_id + i, d, (next_id + i) * 7) for i in range(n)]
+                    next_id += n
+                snap.snapshot_partition_overwrite(
+                    spark,
+                    spark.createDataFrame(rows, "id long, d string, v long"),
+                    p, "d", keep_snapshots=KEEP,
+                )
+                for d in parts:
+                    model[f"d={d}"] = {r[0]: r[2] for r in rows if r[1] == d}
+            elif op == "append":
+                parts = rng.sample(["0", "1", "2", "3"], rng.randint(1, 2))
+                rows = []
+                for d in parts:
+                    n = rng.randint(1, 3)
+                    rows += [(next_id + i, d, (next_id + i) * 7) for i in range(n)]
+                    next_id += n
+                snap.snapshot_append(
+                    spark,
+                    spark.createDataFrame(rows, "id long, d string, v long"),
+                    p, "d", keep_snapshots=KEEP,
+                )
+                for i, d, v in rows:
+                    model.setdefault(f"d={d}", {})[i] = v
+            elif op == "delete_rows":
+                ids = all_ids()
+                if not ids:
+                    continue
+                doomed = set(rng.sample(ids, rng.randint(1, min(3, len(ids)))))
+                got_v = snap.snapshot_delete_rows(
+                    spark, p, F.col("id").isin(list(doomed)), keys=["id"],
+                    keep_snapshots=KEEP,
+                )
+                for leaf in list(model):
+                    for i in list(model[leaf]):
+                        if i in doomed:
+                            del model[leaf][i]
+                    if not model[leaf]:
+                        # empty logical partition still listed; keep model
+                        # entry as empty dict to match read (zero rows)
+                        pass
+            elif op == "upsert":
+                ids = all_ids()
+                upd = rng.sample(ids, min(2, len(ids))) if ids else []
+                src = []
+                for i in upd:
+                    d = rng.choice(["0", "1", "2", "3"])  # may move partition
+                    src.append((i, d, i * 100 + rng.randint(0, 9)))
+                for _ in range(rng.randint(1, 2)):
+                    d = rng.choice(["0", "1", "2", "3"])
+                    src.append((next_id, d, next_id * 7))
+                    next_id += 1
+                snap.snapshot_upsert_rows(
+                    spark,
+                    p,
+                    spark.createDataFrame(src, "id long, d string, v long"),
+                    keys=["id"],
+                    keep_snapshots=KEEP,
+                )
+                src_ids = {r[0] for r in src}
+                for leaf in list(model):
+                    for i in list(model[leaf]):
+                        if i in src_ids:
+                            del model[leaf][i]
+                for i, d, v in src:
+                    model.setdefault(f"d={d}", {})[i] = v
+            elif op == "compact":
+                leafs = [leaf for leaf in model]
+                if not leafs:
+                    continue
+                leaf = rng.choice(sorted(leafs))
+                snap.snapshot_compact_partition(
+                    spark, p, leaf.split("=")[1], keep_snapshots=KEEP
+                )
+            elif op == "restore":
+                versions = snap.snapshot_versions(spark, p)
+                pv = rng.choice(versions)
+                snap.snapshot_restore(spark, p, pv, keep_snapshots=KEEP)
+                model = copy.deepcopy(history[pv])
+            snap_state()
+
+            def flat(state):
+                return {
+                    (i, leaf.split("=")[1], v)
+                    for leaf, rows_ in state.items()
+                    for i, v in rows_.items()
+                }
+
+            got = {
+                (r["id"], str(r["d"]), r["v"])
+                for r in snap.snapshot_read(spark, p).collect()
+            }
+            assert got == flat(model), f"live mismatch at v{version} (seed {seed})"
+            for pv in snap.snapshot_versions(spark, p):
+                got_v = {
+                    (r["id"], str(r["d"]), r["v"])
+                    for r in snap.snapshot_read(spark, p, version=pv).collect()
+                }
+                assert got_v == flat(history[pv]), (
+                    f"pinned v{pv} mismatch (seed {seed})"
+                )
