@@ -48,10 +48,74 @@ JOB_TABLES = {
 }
 
 
+def _month_of(time_col_ms: str):
+    """yyyy-MM partition value from the epoch-ms checkpoint column — the
+    reference's BigQuery targets are date-partitioned (S12); month grain
+    keeps the manifest at thousands of entries across decades."""
+    return F.date_format(
+        F.timestamp_millis(F.col(time_col_ms).cast("long")), "yyyy-MM"
+    )
+
+
+def _tick_snapshot(
+    spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: str
+) -> None:
+    """The tick with the SNAPSHOT table format: the merged warehouse lands
+    as a month-partitioned manifest commit touching ONLY the months the
+    fresh batch hit — untouched months carry over by reference, readers
+    get snapshot isolation + pinnable history for free, and the commit
+    cost is O(touched months), not O(table). Correctness of the window
+    restriction is the checkpoint contract itself (C2): rows at or below
+    cutoff are final, and run_tick only merges keys from the fresh slice,
+    so every changed row's month lies in the fresh slice's month set."""
+    from callio_etl_spark.logging_utils import job_stage
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    table, prepare = JOB_TABLES[job]
+    path = os.path.join(cfg.work_dir, table.name)
+    with job_stage(spark, f"tick:{table.name}"):
+        target = None
+        if os.path.isdir(os.path.join(path, "__snap__")):
+            target = snapshot_read(spark, path).drop("ym")
+        batch = prepare(spark, cfg.sf_dir)
+        if cfg.limit_records:
+            batch = batch.orderBy(F.col(table.time_col_ms).desc()).limit(
+                cfg.limit_records
+            )
+        cutoff = store.cutoff_ms(table.name, TENANT)
+        merged, new_ck = run_tick(spark, store, table, batch, target, TENANT)
+        if new_ck is not None:
+            months = [
+                r[0]
+                for r in batch.where(
+                    (F.col(table.tenant_col) == TENANT)
+                    & (F.col(table.time_col_ms) > F.lit(cutoff))
+                )
+                .select(_month_of(table.time_col_ms).alias("ym"))
+                .distinct()
+                .collect()
+            ]
+            out = merged.withColumn("ym", _month_of(table.time_col_ms))
+            snapshot_partition_overwrite(
+                spark,
+                out.where(F.col("ym").isin(months)),
+                path,
+                "ym",
+                keep_snapshots=max(cfg.keep_versions, 0) + 1,
+            )
+        commit(store, table, TENANT, new_ck)
+
+
 def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: str) -> None:
     from callio_etl_spark.io import atomic_overwrite, recover_table
 
     from callio_etl_spark.logging_utils import job_stage
+
+    if cfg.table_format == "snapshot":
+        return _tick_snapshot(spark, cfg, store, job)
 
     table, prepare = JOB_TABLES[job]
     path = os.path.join(cfg.work_dir, table.name)
@@ -223,6 +287,13 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="with --mode restore: snapshot version to roll the table back to",
     )
+    p.add_argument(
+        "--table-format",
+        choices=["plain", "snapshot"],
+        default=None,
+        help="warehouse layout: plain rename protocol, or the manifest-"
+        "committed snapshot store (month-partitioned, snapshot-isolated)",
+    )
     args = p.parse_args(argv)
 
     cfg = EngineConfig.from_env()
@@ -232,6 +303,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg.work_dir = args.work_dir
     if args.keep_versions is not None:
         cfg.keep_versions = args.keep_versions
+    if args.table_format is not None:
+        cfg.table_format = args.table_format
     os.makedirs(cfg.work_dir, exist_ok=True)
 
     from callio_etl_spark.session import get_spark
@@ -257,22 +330,42 @@ def main(argv: list[str] | None = None) -> int:
         _refresh_reports(spark, cfg)  # post-run hook (runner.py:1004-1008)
 
     if args.mode == "versions":
-        from callio_etl_spark.io import list_table_versions
-
         for job in jobs:
             path = os.path.join(cfg.work_dir, JOB_TABLES[job][0].name)
-            print(f"{JOB_TABLES[job][0].name}: {list_table_versions(spark, path)}")
+            if cfg.table_format == "snapshot":
+                from callio_etl_spark.snapshots import snapshot_history
+
+                print(f"{JOB_TABLES[job][0].name}: {snapshot_history(spark, path)}")
+            else:
+                from callio_etl_spark.io import list_table_versions
+
+                print(
+                    f"{JOB_TABLES[job][0].name}: {list_table_versions(spark, path)}"
+                )
     elif args.mode == "restore":
         if args.restore_version is None:
             p.error("--mode restore requires --restore-version")
         if args.job == "all":
             p.error("--mode restore requires a single --job")
-        from callio_etl_spark.io import restore_table_version
-
         path = os.path.join(cfg.work_dir, JOB_TABLES[args.job][0].name)
-        restore_table_version(
-            spark, path, args.restore_version, keep_versions=max(cfg.keep_versions, 1)
-        )
+        if cfg.table_format == "snapshot":
+            from callio_etl_spark.snapshots import snapshot_restore
+
+            snapshot_restore(
+                spark,
+                path,
+                args.restore_version,
+                keep_snapshots=max(cfg.keep_versions, 1) + 1,
+            )
+        else:
+            from callio_etl_spark.io import restore_table_version
+
+            restore_table_version(
+                spark,
+                path,
+                args.restore_version,
+                keep_versions=max(cfg.keep_versions, 1),
+            )
     elif args.mode == "curate":
         counts = _curate(spark, cfg)
         log.info("curate: %s", counts)

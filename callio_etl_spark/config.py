@@ -54,6 +54,12 @@ class EngineConfig:
     #: stand-in for BigQuery's implicit time travel on the reference's
     #: MERGE targets; lets `--mode restore` roll a bad tick back.
     keep_versions: int = 0
+    #: warehouse table layout: 'plain' = atomic_overwrite rename protocol;
+    #: 'snapshot' = the manifest-committed store (snapshots.py) — month-
+    #: partitioned, one manifest publish per tick touching only the months
+    #: the batch hit, snapshot isolation for concurrent readers, pinnable
+    #: history. The snapshot form is the BigQuery-parity production layout.
+    table_format: str = "plain"
 
     @classmethod
     def from_env(cls) -> "EngineConfig":
@@ -72,4 +78,7 @@ class EngineConfig:
             work_dir=os.environ.get("SPARK_GRAFT_WORK_DIR", cls.work_dir),
             cpus=_int_env("SPARK_GRAFT_CPUS", cls.cpus),
             keep_versions=_int_env("SPARK_GRAFT_KEEP_VERSIONS", cls.keep_versions),
+            table_format=os.environ.get(
+                "SPARK_GRAFT_TABLE_FORMAT", cls.table_format
+            ),
         )

@@ -380,3 +380,48 @@ def test_curate_grouped_path_matches_row_grain_survivors(tmp_path):
     assert cli_docs == expected
     # and the corpus really was duplicate-heavy: mirrors collapsed
     assert not any(i >= 10_000 for i in cli_docs)
+
+
+def test_cli_snapshot_table_format(tmp_path, monkeypatch):
+    """--table-format snapshot: ticks land as month-partitioned manifest
+    commits (only the fresh months touched), reads and counts match the
+    plain-format run, --mode versions prints the op history, and --mode
+    restore rolls back via a manifest copy."""
+    monkeypatch.setenv("DAYS_TO_FETCH_IF_EMPTY", "100000")
+    from callio_etl_spark.__main__ import main
+
+    wd = str(tmp_path / "work")
+    wd_plain = str(tmp_path / "work_plain")
+    base = ["--sf-dir", "/root/testdata/sf0.001",
+            "--table-format", "snapshot", "--keep-versions", "3"]
+    assert main(["--mode", "once", "--job", "call", "--work-dir", wd, *base]) == 0
+    assert main(["--mode", "once", "--job", "call", "--work-dir", wd_plain,
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+
+    from callio_etl_spark.session import get_spark
+    from callio_etl_spark.snapshots import (
+        snapshot_history,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    spark = get_spark("cli-snap-test")
+    snap_rows = snapshot_read(spark, f"{wd}/call_log").count()
+    plain_rows = spark.read.parquet(f"{wd_plain}/call_log").count()
+    assert snap_rows == plain_rows > 0
+    hist = snapshot_history(spark, f"{wd}/call_log")
+    assert hist[-1]["op"] == "overwrite" and hist[-1]["n_partitions"] >= 1
+
+    # second tick: idempotent (overlap re-merge, row_hash guard) and ONE
+    # more manifest version
+    assert main(["--mode", "once", "--job", "call", "--work-dir", wd, *base]) == 0
+    assert snapshot_read(spark, f"{wd}/call_log").count() == snap_rows
+    vers = snapshot_versions(spark, f"{wd}/call_log")
+    assert len(vers) == 2
+
+    # versions mode prints; restore rolls back to v1 (same content here)
+    assert main(["--mode", "versions", "--job", "call", "--work-dir", wd, *base]) == 0
+    assert main(["--mode", "restore", "--job", "call", "--work-dir", wd,
+                 "--restore-version", "1", *base]) == 0
+    assert snapshot_read(spark, f"{wd}/call_log").count() == snap_rows
+    assert snapshot_history(spark, f"{wd}/call_log")[-1]["op"] == "restore"
