@@ -1109,3 +1109,32 @@ def test_snapshot_model_based_mor_sequences(spark, tmp_path):
                 assert got_v == flat(history[pv]), (
                     f"pinned v{pv} mismatch (seed {seed})"
                 )
+
+
+def test_snapshot_read_plan_shapes(spark, tmp_path):
+    """Plan contracts of the table format: a deleteless snapshot read
+    plans NO join (merge-on-read must cost nothing until delete files
+    exist), partition pruning still reaches the scan through the
+    manifest-resolved paths, and a read WITH deletes plans exactly one
+    extra join (the key anti-join), not a scan amplification."""
+    p = str(tmp_path / "plans")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), i * 10) for i in range(30)], "id long, d string, v long"
+    )
+    snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=5)
+    clean = snap.snapshot_read(spark, p)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # merge-on-read is free until deletes exist
+    # partition pruning reaches the scan through manifest-resolved paths
+    pruned = clean.where(F.col("d") == "1")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in pplan and "= 1" in pplan
+    assert pruned.count() == 10
+
+    snap.snapshot_delete_rows(spark, p, F.col("id") == 5, keys=["id"], keep_snapshots=5)
+    with_del = snap.snapshot_read(spark, p)
+    plan2 = with_del._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Join") >= 1
+    assert sorted(r["id"] for r in with_del.collect()) == [
+        i for i in range(30) if i != 5
+    ]
