@@ -852,6 +852,163 @@ def sink_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_bloom_skip",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 1
+), probe AS (
+  SELECT MAX(o_orderkey) AS pk FROM base WHERE o_orderkey % 21 = 0
+)
+SELECT o_orderkey, o_orderpriority, o_custkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DOUBLE) AS price
+FROM base, probe
+WHERE o_orderkey = pk
+""",
+    tags=["sink", "snapshot", "bloom"],
+)
+def sink_bloom_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point-lookup roundtrip: commit orders as a snapshot
+    whose layout is deliberately NOT clustered by o_orderkey (random
+    repartition + many files per partition), with per-FILE bloom
+    bitmaps on o_orderkey in the manifest, then answer a point lookup
+    through ``snapshot_read(point=...)`` — which must skip files
+    (asserted: strictly fewer input files than the full scan; min/max
+    could never skip here because every file's key range spans ~the
+    whole table) — and apply the exact row filter on top. The probe key
+    is derived deterministically on both sides (max odd orderkey
+    divisible by 21), so the oracle recomputes the same single row
+    straight from the source; a bitmap that drops the file holding the
+    key (false negative) returns zero rows and breaks the hash. 100 TB
+    story: this is Delta/Iceberg's bloom-filter index — the pruning
+    tier for needle-in-haystack lookups on high-cardinality keys the
+    table is not sorted by, where z-order file ranges are useless; the
+    probe costs zero Spark jobs (driver-side md5 against manifest
+    bitmaps, parity-tested against the write-side JVM expressions) and
+    the commit pays one metadata-sized aggregate."""
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("bloom")
+    path = f"{root}/orders_b"
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+    )
+    pk = base.where(F.col("o_orderkey") % 21 == 0).agg(
+        F.max("o_orderkey")
+    ).first()[0]
+    rows_per_file = max(50, base.count() // 40)
+    snapshot_partition_overwrite(
+        spark,
+        base.repartition(8),  # layout uncorrelated with the key
+        path,
+        "o_orderpriority",
+        bloom_cols=["o_orderkey"],
+        max_records_per_file=rows_per_file,
+        keep_snapshots=2,
+    )
+    n_total = len(snapshot_read(spark, path).inputFiles())
+    pruned = snapshot_read(spark, path, point=("o_orderkey", pk))
+    if not (0 < len(pruned.inputFiles()) < n_total):
+        raise AssertionError(
+            f"bloom skipping ineffective: {len(pruned.inputFiles())}/{n_total}"
+        )
+    result = pruned.where(F.col("o_orderkey") == pk).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,6)").cast("double").alias("price"),
+    )
+    return _materialize_and_clean(result, root)
+
+
+@register(
+    "sink_bucketed_join",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM o JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=["sink", "bucketed", "join"],
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side co-location: persist both join sides as BUCKETED,
+    sorted catalog tables (``bucketBy(16, key)`` + ``sortBy``), then
+    join them with a forced sort-merge join and assert the executed
+    plan contains NO Exchange — Spark's bucketed scan satisfies the
+    join's required distribution straight off disk. (The per-side
+    local Sort remains: since SPARK-28173 the scan only claims
+    sortedness with one file per bucket under a legacy flag; the sort
+    is node-local CPU, not the network cost bucketing exists to kill.)
+    The oracle recomputes the joined aggregate from
+    the raw tables, so a bucket routing bug (row hashed to the wrong
+    bucket would silently DROP pairs under a shuffle-free join) breaks
+    the hash, not just the plan shape. 100 TB story: the fact-dim join
+    that runs every day shuffles the full fact table every run unless
+    the layout already agrees with the join key — bucketing pays that
+    shuffle ONCE at write time and amortizes it over every subsequent
+    join/aggregation on the key (Hive/Spark bucketing, Iceberg's
+    bucket partition transform); at 1000 executors this removes the
+    single largest network cost in the pipeline. The plan gate is the
+    contract: if a config regression re-introduces the exchange, the
+    query fails loudly rather than silently paying the shuffle."""
+    suffix = uuid.uuid4().hex[:8]
+    t_ord, t_cust = f"b_ord_{suffix}", f"b_cust_{suffix}"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    try:
+        (
+            o.write.format("parquet")
+            .bucketBy(16, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(t_ord)
+        )
+        (
+            c.write.format("parquet")
+            .bucketBy(16, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(t_cust)
+        )
+        bo, bc = spark.table(t_ord), spark.table(t_cust)
+        joined = bo.hint("merge").join(
+            bc, bo["o_custkey"] == bc["c_custkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan:
+            raise AssertionError("bucketed join did not plan as sort-merge")
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join still shuffles:\n" + plan[:2000]
+            )
+        result = joined.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, result.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_ord}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
+
+
+@register(
     "sink_row_deletes",
     oracle="""
 WITH base AS (

@@ -40,6 +40,7 @@ where a full Iceberg binding takes over.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import uuid
 
@@ -59,6 +60,7 @@ from callio_etl_spark.io import (
 
 SNAP_DIR = "__snap__"
 _MANIFEST_RE_PREFIX = "m"  # m000001.json
+_TAG_PREFIX = "tag_"  # tag_<name>.json — one file per tag (atomic create)
 
 
 def _snap_dir(path: str) -> str:
@@ -119,11 +121,117 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     return _manifest_versions(jvm, fs, path)
 
 
-def snapshot_manifest(
-    spark: SparkSession, path: str, version: int | None = None
-) -> dict:
-    """The committed manifest (latest, or a pinned ``version``)."""
+def _tag_file(path: str, name: str) -> str:
+    return f"{_snap_dir(path)}/{_TAG_PREFIX}{name}.json"
+
+
+def _valid_tag(name: str) -> bool:
+    return bool(name) and all(c.isalnum() or c in "._-" for c in name)
+
+
+def snapshot_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """All named tags: {name: version}. Metadata-only."""
     jvm, fs, _ = _hadoop(spark, path)
+    sd = _snap_dir(path)
+    if not _exists(jvm, fs, sd):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sd)):
+        fname = st.getPath().getName()
+        if fname.startswith(_TAG_PREFIX) and fname.endswith(".json"):
+            name = fname[len(_TAG_PREFIX) : -len(".json")]
+            stream = fs.open(st.getPath())
+            try:
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8")
+            finally:
+                stream.close()
+            out[name] = int(json.loads(data)["version"])
+    return out
+
+
+def snapshot_tag(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Tag a retained version with an IMMUTABLE name (Iceberg tags /
+    Delta's named checkpoints): ``snapshot_read(tag=name)`` resolves it
+    forever after, and the vacuum PINS the tagged manifest and every
+    data dir it references past ``keep_snapshots`` — so 'the corpus we
+    trained run X on' stays pinnable while retention moves on. One tag
+    is one file created-if-absent under the commit lock (no
+    read-modify-write, no torn tag set); re-pointing requires an
+    explicit ``snapshot_drop_tag`` first, which is the audit property a
+    provenance pointer wants. Tag cost is O(1) metadata; the storage
+    cost is the tagged snapshot's UNSHARED data dirs, exactly Iceberg's
+    tag-retention trade. Returns the tagged version."""
+    if not _valid_tag(name):
+        raise ValueError(f"invalid tag name {name!r} (want [A-Za-z0-9._-]+)")
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        versions = _manifest_versions(jvm, fs, path)
+        if not versions:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise FileNotFoundError(
+                f"cannot tag v{v}: retained history is {versions}"
+            )
+        have = snapshot_tags(spark, path)
+        if name in have:
+            if have[name] == v:
+                return v  # idempotent re-tag of the same version
+            raise ValueError(
+                f"tag {name!r} already points at v{have[name]}; "
+                "drop it first to re-point"
+            )
+        final = _tag_file(path, name)
+        tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        try:
+            out.write(bytearray(json.dumps({"version": v}).encode("utf-8")))
+        finally:
+            out.close()
+        _rename(jvm, fs, tmp, final)
+        return v
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_drop_tag(spark: SparkSession, path: str, name: str) -> None:
+    """Remove a tag; the next vacuum may reclaim what only it pinned."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        p = jvm.org.apache.hadoop.fs.Path(_tag_file(path, name))
+        if not fs.exists(p):
+            raise FileNotFoundError(f"no tag {name!r} at {path}")
+        fs.delete(p, False)
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_manifest(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
+) -> dict:
+    """The committed manifest (latest, a pinned ``version``, or a named
+    ``tag`` — mutually exclusive)."""
+    jvm, fs, _ = _hadoop(spark, path)
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        tags = snapshot_tags(spark, path)
+        if tag not in tags:
+            raise FileNotFoundError(
+                f"no tag {tag!r} at {path}; have {sorted(tags)}"
+            )
+        version = tags[tag]
     versions = _manifest_versions(jvm, fs, path)
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
@@ -141,9 +249,11 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     between: tuple[str, object, object] | None = None,
+    point: tuple[str, object] | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read one committed snapshot (latest by default; pin ``version`` for
-    time travel). Resolves the manifest ONCE, then scans exactly the data
+    time travel, or a named ``tag`` — see ``snapshot_tag``). Resolves the manifest ONCE, then scans exactly the data
     dirs it references — `basePath` keeps partition-column inference and
     PartitionFilters pruning identical to a plain partitioned read. A
     commit racing this read cannot change what it sees: the resolved dirs
@@ -158,12 +268,29 @@ def snapshot_read(
     NOTE: pruning skips I/O only; apply the row filter on the result for
     exact semantics.
 
+    ``point=(col, value)`` — or ``(col, [v1, v2, ...])`` for an IN-list
+    probe (a file is kept if ANY value may be present — the
+    decontamination / key-audit shape) — prunes FILES by the manifest's
+    per-file bloom bitmaps (recorded by commits that passed
+    ``bloom_cols``): the probe
+    positions are computed driver-side in pure Python (md5 parity with
+    the write-side JVM expressions — zero Spark jobs before the pruned
+    scan) and a file whose bitmap proves the value absent is never
+    scanned. This is the tier min/max can't give: a point lookup on a
+    high-cardinality key the layout is NOT clustered by has file ranges
+    that span everything, while a bloom still skips ~all files
+    (Delta/Iceberg's bloom-filter index role). Leaves without full
+    bloom coverage for the column (e.g. grown by an append that didn't
+    pass bloom_cols) are conservatively scanned whole. Composes with
+    ``between``: file lists intersect. Same contract as ``between``:
+    pruning only — apply the row filter on the result.
+
     Merge-on-read: if the manifest lists delete files (see
     ``snapshot_delete_rows``), the scan anti-joins them for the scanned
     partitions, so readers always see the LOGICAL content of the pinned
     version."""
     path = path.rstrip("/")
-    m = snapshot_manifest(spark, path, version)
+    m = snapshot_manifest(spark, path, version, tag=tag)
     keep = sorted(m["partitions"])
     if between is not None:
         bcol, lo, hi = between
@@ -195,9 +322,22 @@ def snapshot_read(
         reader = reader.schema(StructType.fromJson(m["schema"]))
     if not keep:  # every partition pruned: empty frame, real schema
         return reader.parquet(*all_leafs).limit(0)
+    probe = None
+    if point is not None:
+        pcol, pval = point
+        pvals = list(pval) if isinstance(pval, (list, tuple, set)) else [pval]
+        if not pvals or any(v is None for v in pvals):
+            raise ValueError("point probe values must be non-empty, non-NULL")
+        bp = m.get("bloom")
+        if bp:
+            probe = (
+                pcol,
+                [bloom_probe_positions(v, bp["m"], bp["k"]) for v in pvals],
+            )
     scan: list[str] = []
     for leaf in keep:
         toks = _leaf_toks(m, leaf)
+        cand: list[str] | None = None  # None = scan the whole leaf
         per_file = (
             m.get("file_stats", {}).get(leaf) if between is not None else None
         )
@@ -212,14 +352,36 @@ def snapshot_read(
             # second pruning tier: keep only FILES whose recorded
             # [min, max] can intersect — a z-ordered partition collapses
             # to the few contiguous files covering the range
-            hit = [
-                f"{path}/{leaf}/{key}"
+            cand = [
+                key
                 for key, fs_ in sorted(per_file.items())
                 if _stat_may_intersect(fs_.get(bcol), lo, hi)
-            ]
-            scan.extend(hit)  # zero hits: whole partition legitimately skipped
-        else:
+            ]  # zero hits: whole partition legitimately skipped
+        if probe is not None:
+            pcol, positions = probe
+            per_bloom = m.get("file_blooms", {}).get(leaf)
+            bcovered = (
+                per_bloom
+                and {k.split("/", 1)[0] for k in per_bloom} == set(toks)
+                and all(pcol in b for b in per_bloom.values())
+            )
+            if bcovered:
+                hit = {
+                    key
+                    for key, b in per_bloom.items()
+                    if any(
+                        _bloom_may_contain(b[pcol], pos) for pos in positions
+                    )
+                }
+                cand = [
+                    key
+                    for key in (cand if cand is not None else sorted(per_bloom))
+                    if key in hit
+                ]
+        if cand is None:
             scan.extend(f"{path}/{leaf}/{tok}" for tok in toks)
+        else:
+            scan.extend(f"{path}/{leaf}/{key}" for key in cand)
     if not scan:
         return reader.parquet(*all_leafs).limit(0)
     return _apply_deletes(spark, path, m, keep, reader.parquet(*scan))
@@ -297,6 +459,133 @@ def _stat_may_intersect(rng, lo, hi) -> bool:
     except TypeError:  # incomparable types: never prune
         return True
     return True
+
+
+#: Bloom geometry for per-file point-lookup skipping: m bits per
+#: (file, column) bitmap (256 bytes -> 512 hex chars in the manifest),
+#: k probe positions per value. At ~200 rows/file the false-positive
+#: rate is (1 - e^(-k*n/m))^k ~ 0.4%; the knobs are module constants
+#: (not per-call) so every bitmap in a table shares one geometry.
+BLOOM_M = 2048
+BLOOM_K = 5
+
+
+def _bloom_pos_exprs(col: str, m: int, k: int) -> list:
+    """The k bit positions a value sets, as pure JVM expressions:
+    md5('<value>:<seed>') -> first 15 hex chars -> long -> mod m.
+    md5 (not xxhash64) because the READ side recomputes the same
+    positions in pure Python (hashlib) with no Spark job — both engines
+    agree byte-for-byte on md5 of the same string. Parity contract:
+    Spark's CAST(col AS STRING) must equal Python's str(value) — true
+    for string and integral columns, the supported bloom column types
+    (floats/timestamps render differently; don't bloom them). NULLs
+    contribute the seed-only pattern (concat_ws skips nulls): spurious
+    set bits only, never a false negative."""
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col(col).cast("string"), F.lit(str(s))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for s in range(k)
+    ]
+
+
+def bloom_probe_positions(value, m: int = BLOOM_M, k: int = BLOOM_K) -> list[int]:
+    """Python mirror of ``_bloom_pos_exprs`` for one probe value —
+    lets ``snapshot_read(point=...)`` prune files from the manifest
+    alone, zero Spark jobs before the pruned scan."""
+    return [
+        int(hashlib.md5(f"{value}:{s}".encode()).hexdigest()[:15], 16) % m
+        for s in range(k)
+    ]
+
+
+def _bloom_hex(positions, m: int) -> str:
+    """Fold distinct bit positions into an m-bit bitmap, hex-encoded for
+    the JSON manifest (m/4 chars)."""
+    bits = bytearray(m // 8)
+    for p in positions:
+        p = int(p)
+        bits[p >> 3] |= 1 << (p & 7)
+    return bits.hex()
+
+
+def _bloom_may_contain(hexmap: str, positions: list[int]) -> bool:
+    """True unless the bitmap PROVES the value absent (some probe bit
+    unset) — the only direction a bloom may prune."""
+    bits = bytes.fromhex(hexmap)
+    return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+def _staged_blooms(
+    spark: SparkSession,
+    wstaging: str,
+    partition_col: str,
+    bloom_cols: list[str] | None,
+) -> dict[str, dict]:
+    """Per-file bloom bitmaps over the staged output, computed BEFORE
+    the commit lock like ``_staged_stats``: one distributed aggregate
+    keyed by input file collects each file's DISTINCT probe positions
+    (<= min(k*rows, m) ints per file — metadata-sized), and the driver
+    folds them into hex bitmaps for the manifest. Iceberg stores the
+    same artifact in Puffin sidecars; a JSON manifest bounds it to m/4
+    hex chars per (file, column). File keys are bare names; the
+    committer splices in the data-dir token, same as file stats."""
+    out: dict[str, dict] = {}
+    if not bloom_cols:
+        return out
+    aggs = [
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.array(*_bloom_pos_exprs(c, BLOOM_M, BLOOM_K)))
+            )
+        ).alias(f"__bp_{c}")
+        for c in bloom_cols
+    ]
+    rows = (
+        spark.read.parquet(wstaging)
+        .withColumn("__f", F.input_file_name())
+        .groupBy(partition_col, "__f")
+        .agg(*aggs)
+        .collect()
+    )
+    for r in rows:
+        leaf = f"{partition_col}={r[partition_col]}"
+        fname = r["__f"].rsplit("/", 1)[-1]
+        out.setdefault(leaf, {})[fname] = {
+            c: _bloom_hex(r[f"__bp_{c}"], BLOOM_M) for c in bloom_cols
+        }
+    return out
+
+
+def _bloom_params_for_commit(prev: dict | None, bloom_cols) -> dict | None:
+    """The table's bloom geometry entry for the next manifest: carried
+    from the previous manifest; established at the first bloom-bearing
+    commit; a geometry drift (module constants changed under a table
+    with recorded bitmaps) is rejected rather than silently mixing
+    incompatible bitmaps."""
+    params = (prev or {}).get("bloom")
+    if bloom_cols:
+        if params and (params["m"], params["k"]) != (BLOOM_M, BLOOM_K):
+            raise ValueError(
+                f"table records bloom geometry {params}, module now uses "
+                f"m={BLOOM_M} k={BLOOM_K}; rewrite the table's bloom "
+                "partitions before changing geometry"
+            )
+        params = {"m": BLOOM_M, "k": BLOOM_K}
+    return params
 
 
 def _zorder_expr(df: DataFrame, cols: list[str], bits: int = 8):
@@ -390,6 +679,7 @@ def snapshot_partition_overwrite(
     stats_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
     file_stats: bool = False,
+    bloom_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
     op_name: str = "overwrite",
 ) -> int:
@@ -423,7 +713,14 @@ def snapshot_partition_overwrite(
     the manifest), ``snapshot_read(between=...)`` can skip FILES inside a
     kept partition, not just whole partitions — Iceberg's second pruning
     tier. File stats cost one extra metadata-sized aggregate over the
-    staged output (|files| result rows), nothing at read time."""
+    staged output (|files| result rows), nothing at read time.
+
+    ``bloom_cols`` records a per-FILE bloom bitmap for each named column
+    (string/integral only — see ``_bloom_pos_exprs``'s parity contract)
+    so ``snapshot_read(point=...)`` can skip files on a point lookup
+    even when the layout is NOT clustered by the column (where [min,
+    max] ranges span everything). One extra metadata-sized aggregate at
+    commit; BLOOM_M/4 hex chars per (file, column) in the manifest."""
     path = path.rstrip("/")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
@@ -447,6 +744,7 @@ def snapshot_partition_overwrite(
     new_stats, new_fstats = _staged_stats(
         spark, wstaging, partition_col, stats_cols, file_stats
     )
+    new_blooms = _staged_blooms(spark, wstaging, partition_col, bloom_cols)
 
     acquire_table_lock(spark, path)
     try:
@@ -463,6 +761,8 @@ def snapshot_partition_overwrite(
         partitions = dict(prev["partitions"]) if prev else {}
         stats = dict(prev.get("stats", {})) if prev else {}
         fstats = dict(prev.get("file_stats", {})) if prev else {}
+        blooms = dict(prev.get("file_blooms", {})) if prev else {}
+        bloom_params = _bloom_params_for_commit(prev, bloom_cols)
         deletes = dict(prev.get("deletes", {})) if prev else {}
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         for leaf in staged:
@@ -472,6 +772,7 @@ def snapshot_partition_overwrite(
             partitions[leaf] = token
             stats.pop(leaf, None)  # rewritten: old ranges no longer valid
             fstats.pop(leaf, None)
+            blooms.pop(leaf, None)
             deletes.pop(leaf, None)  # new data dir supersedes delete files
             if leaf in new_stats:
                 stats[leaf] = new_stats[leaf]
@@ -479,6 +780,11 @@ def snapshot_partition_overwrite(
                 fstats[leaf] = {
                     f"{token}/{fname}": st
                     for fname, st in new_fstats[leaf].items()
+                }
+            if leaf in new_blooms:
+                blooms[leaf] = {
+                    f"{token}/{fname}": bm
+                    for fname, bm in new_blooms[leaf].items()
                 }
         _delete(jvm, fs, wstaging)
         manifest = {
@@ -488,9 +794,12 @@ def snapshot_partition_overwrite(
             "partitions": partitions,
             "stats": stats,
             "file_stats": fstats,
+            "file_blooms": blooms,
             "deletes": deletes,
             "schema": schema_json,
         }
+        if bloom_params:
+            manifest["bloom"] = bloom_params
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         _write_manifest(spark, path, manifest)
@@ -532,6 +841,7 @@ def snapshot_append(
     keep_snapshots: int = 2,
     stats_cols: list[str] | None = None,
     file_stats: bool = False,
+    bloom_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
 ) -> int:
     """FAST APPEND (Iceberg's append snapshot): commit ``df``'s rows as
@@ -570,6 +880,7 @@ def snapshot_append(
     new_stats, new_fstats = _staged_stats(
         spark, wstaging, partition_col, stats_cols, file_stats
     )
+    new_blooms = _staged_blooms(spark, wstaging, partition_col, bloom_cols)
     acquire_table_lock(spark, path)
     try:
         _vacuum_stale_stagings(jvm, fs, path)
@@ -587,6 +898,8 @@ def snapshot_append(
         partitions = dict(prev["partitions"]) if prev else {}
         stats = dict(prev.get("stats", {})) if prev else {}
         fstats = dict(prev.get("file_stats", {})) if prev else {}
+        blooms = dict(prev.get("file_blooms", {})) if prev else {}
+        bloom_params = _bloom_params_for_commit(prev, bloom_cols)
         for leaf in staged:
             dest_parent = f"{path}/{leaf}"
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
@@ -595,12 +908,18 @@ def snapshot_append(
                 f"{token}/{fname}": st
                 for fname, st in new_fstats.get(leaf, {}).items()
             }
+            fresh_b = {
+                f"{token}/{fname}": bm
+                for fname, bm in new_blooms.get(leaf, {}).items()
+            }
             if leaf not in partitions:  # brand-new partition: plain commit
                 partitions[leaf] = token
                 if leaf in new_stats:
                     stats[leaf] = new_stats[leaf]
                 if fresh_f:
                     fstats[leaf] = fresh_f
+                if fresh_b:
+                    blooms[leaf] = fresh_b
                 continue
             partitions[leaf] = [*_leaf_toks({"partitions": partitions}, leaf), token]
             merged = (
@@ -616,6 +935,13 @@ def snapshot_append(
                 fstats[leaf] = {**fstats[leaf], **fresh_f}
             else:
                 fstats.pop(leaf, None)
+            # same coverage rule as file stats: an append without blooms
+            # (or onto a leaf without them) voids the leaf's file-skip
+            # entry — partial coverage must never skip
+            if leaf in blooms and fresh_b:
+                blooms[leaf] = {**blooms[leaf], **fresh_b}
+            else:
+                blooms.pop(leaf, None)
         _delete(jvm, fs, wstaging)
         schema_json = batch_schema
         if prev and "schema" in prev:
@@ -638,9 +964,12 @@ def snapshot_append(
             "partitions": partitions,
             "stats": stats,
             "file_stats": fstats,
+            "file_blooms": blooms,
             "deletes": deletes,
             "schema": schema_json,
         }
+        if bloom_params:
+            manifest["bloom"] = bloom_params
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         _write_manifest(spark, path, manifest)
@@ -798,6 +1127,7 @@ def snapshot_upsert_rows(
         partitions = dict(prev["partitions"])
         stats = dict(prev.get("stats", {}))
         fstats = dict(prev.get("file_stats", {}))
+        blooms = dict(prev.get("file_blooms", {}))
         deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
         for leaf in _partition_leaves(jvm, fs, dstaging, col):
             dest_parent = f"{path}/{leaf}"
@@ -818,6 +1148,7 @@ def snapshot_upsert_rows(
                 # appended rows widen unknown ranges: conservative drop
                 stats.pop(leaf, None)
                 fstats.pop(leaf, None)
+                blooms.pop(leaf, None)
         _delete(jvm, fs, dstaging)
         _delete(jvm, fs, astaging)
         schema_json = batch_schema
@@ -841,6 +1172,7 @@ def snapshot_upsert_rows(
             partitions=partitions,
             stats=stats,
             file_stats=fstats,
+            file_blooms=blooms,
             deletes=deletes,
             delete_keys=list(keys),
             schema=schema_json,
@@ -888,6 +1220,11 @@ def snapshot_delete_partitions(
             for leaf, st in prev.get("file_stats", {}).items()
             if leaf not in doomed
         }
+        blooms = {
+            leaf: st
+            for leaf, st in prev.get("file_blooms", {}).items()
+            if leaf not in doomed
+        }
         dels = {
             leaf: toks
             for leaf, toks in prev.get("deletes", {}).items()
@@ -904,7 +1241,9 @@ def snapshot_delete_partitions(
                 "partitions": partitions,
                 "stats": stats,
                 "file_stats": fstats,
+                "file_blooms": blooms,
                 "deletes": dels,
+                **({"bloom": prev["bloom"]} if "bloom" in prev else {}),
                 **(
                     {"delete_keys": prev["delete_keys"]}
                     if "delete_keys" in prev
@@ -935,9 +1274,18 @@ def _vacuum_snapshots(
     """Under the commit lock: drop manifests beyond the newest
     ``keep_snapshots`` and every data dir no retained manifest references
     (which also sweeps orphans from writers that crashed between their
-    data-dir renames and the manifest publish)."""
+    data-dir renames and the manifest publish). TAGGED versions are
+    pinned regardless of age — their manifests and the data dirs they
+    reference survive until the tag is dropped (Iceberg's tag
+    retention)."""
     versions = _manifest_versions(jvm, fs, path)
-    kept, dropped = versions[-keep_snapshots:], versions[:-keep_snapshots]
+    tagged = set(snapshot_tags(spark, path).values())
+    kept = [
+        v
+        for v in versions
+        if v in tagged or v in set(versions[-keep_snapshots:])
+    ]
+    dropped = [v for v in versions if v not in set(kept)]
     live_tokens: dict[str, set[str]] = {}
     partition_cols = set()
     for v in kept:
@@ -997,10 +1345,22 @@ def snapshot_compact_partition(
     # loses pruning metadata
     # (file-grain stats are re-derived at the NEW file boundaries)
     stats_cols = sorted(m.get("stats", {}).get(leaf, {})) or None
+    # blooms too are re-derived at the new file boundaries (stale ones
+    # would be outright WRONG post-rewrite: a value could move to a file
+    # whose old bitmap lacks it — the overwrite pops them regardless;
+    # re-deriving keeps the point-lookup tier through compaction)
+    bloom_cols = sorted(
+        {
+            c
+            for fb in m.get("file_blooms", {}).get(leaf, {}).values()
+            for c in fb
+        }
+    ) or None
     return snapshot_partition_overwrite(
         spark, part, path, col, keep_snapshots=keep_snapshots,
         stats_cols=stats_cols,
         file_stats=leaf in m.get("file_stats", {}),
+        bloom_cols=bloom_cols,
         op_name="compact",
     )
 
@@ -1380,6 +1740,9 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
     count. Metadata-only (reads manifests, never data); older manifests
     written before op recording report op=None."""
     path = path.rstrip("/")
+    by_version: dict[int, list[str]] = {}
+    for name, v in snapshot_tags(spark, path).items():
+        by_version.setdefault(v, []).append(name)
     out = []
     for v in snapshot_versions(spark, path):
         m = _read_manifest(spark, path, v)
@@ -1387,6 +1750,7 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
             {
                 "version": v,
                 "op": m.get("op"),
+                "tags": sorted(by_version.get(v, [])),
                 "n_partitions": len(m["partitions"]),
                 "n_data_dirs": sum(
                     len(_leaf_toks(m, leaf)) for leaf in m["partitions"]

@@ -1138,3 +1138,186 @@ def test_snapshot_read_plan_shapes(spark, tmp_path):
     assert sorted(r["id"] for r in with_del.collect()) == [
         i for i in range(30) if i != 5
     ]
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    """Per-file blooms skip files on a point lookup over a layout NOT
+    clustered by the key (min/max ranges span everything); an absent key
+    prunes every file, with schema intact; JVM write-side positions match
+    the Python probe positions byte for byte (the md5 parity contract)."""
+    rows = spark.range(9).select(
+        "id", F.array(*snap._bloom_pos_exprs("id", snap.BLOOM_M, snap.BLOOM_K)).alias("p")
+    ).collect()
+    for r in rows:
+        assert [int(x) for x in r["p"]] == snap.bloom_probe_positions(r["id"])
+
+    p = str(tmp_path / "bloom")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("d"),
+        (F.col("id") * 7 % 1000).alias("v"),
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df.repartition(6), p, "d",
+        bloom_cols=["k"], max_records_per_file=100, keep_snapshots=2,
+    )
+    m = snap.snapshot_manifest(spark, p)
+    assert m["bloom"] == {"m": snap.BLOOM_M, "k": snap.BLOOM_K}
+    assert m["file_blooms"] and all(m["file_blooms"].values())
+    total = len(snap.snapshot_read(spark, p).inputFiles())
+    assert total > 6
+    pruned = snap.snapshot_read(spark, p, point=("k", 1234))
+    assert 0 < len(pruned.inputFiles()) < total
+    got = pruned.where(F.col("k") == 1234).collect()
+    assert len(got) == 1 and got[0]["v"] == 1234 * 7 % 1000
+    absent = snap.snapshot_read(spark, p, point=("k", 10**9))
+    assert len(absent.inputFiles()) == 0
+    assert absent.where(F.col("k") == 10**9).count() == 0
+    assert set(absent.columns) == set(df.columns)
+    # no false negatives anywhere
+    for k in range(0, 4000, 333):
+        hit = snap.snapshot_read(spark, p, point=("k", k))
+        assert hit.where(F.col("k") == k).count() == 1
+    # IN-list probe: any-match union of the per-value file sets
+    many = snap.snapshot_read(spark, p, point=("k", [7, 3900, 10**9]))
+    assert 0 < len(many.inputFiles()) < total
+    assert many.where(F.col("k").isin(7, 3900, 10**9)).count() == 2
+
+
+def test_bloom_append_coverage_and_compaction(spark, tmp_path):
+    """Coverage rules mirror file stats: an append WITHOUT bloom_cols
+    voids the leaf's file-skip entry (conservative full scan, still
+    correct); an append WITH them extends coverage and keeps skipping;
+    compaction re-derives bitmaps at the new file boundaries; row
+    deletes leave bitmaps valid (conservative — extra set bits only)."""
+    p = str(tmp_path / "bloomapp")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit("a").alias("d")
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d", bloom_cols=["k"],
+        max_records_per_file=100, keep_snapshots=3,
+    )
+    # covered append: new keys probe-able, old keys still skip
+    snap.snapshot_append(
+        spark,
+        spark.range(1000, 1200).select(F.col("id").alias("k"), F.lit("a").alias("d")),
+        p, "d", bloom_cols=["k"], max_records_per_file=100, keep_snapshots=3,
+    )
+    total = len(snap.snapshot_read(spark, p).inputFiles())
+    hit = snap.snapshot_read(spark, p, point=("k", 1100))
+    assert 0 < len(hit.inputFiles()) < total
+    assert hit.where(F.col("k") == 1100).count() == 1
+    assert snap.snapshot_read(spark, p, point=("k", 50)).where(
+        F.col("k") == 50
+    ).count() == 1
+    # uncovered append: leaf's bloom entry dropped, reads stay correct
+    snap.snapshot_append(
+        spark,
+        spark.range(2000, 2100).select(F.col("id").alias("k"), F.lit("a").alias("d")),
+        p, "d", keep_snapshots=3,
+    )
+    m = snap.snapshot_manifest(spark, p)
+    assert "d=a" not in m["file_blooms"]
+    full = snap.snapshot_read(spark, p, point=("k", 2050))
+    assert full.where(F.col("k") == 2050).count() == 1
+    # row delete: bitmaps conservative, deleted key reads as gone
+    snap.snapshot_delete_rows(spark, p, F.col("k") == 50, keys=["k"], keep_snapshots=3)
+    assert snap.snapshot_read(spark, p, point=("k", 50)).where(
+        F.col("k") == 50
+    ).count() == 0
+    # compaction re-derives: first rebuild bloom coverage via overwrite
+    live = snap.snapshot_read(spark, p)
+    snap.snapshot_partition_overwrite(
+        spark, live, p, "d", bloom_cols=["k"],
+        max_records_per_file=100, keep_snapshots=3,
+    )
+    snap.snapshot_compact_partition(spark, p, "a", target_files=2)
+    m2 = snap.snapshot_manifest(spark, p)
+    assert m2["op"] == "compact" and len(m2["file_blooms"]["d=a"]) == 2
+    assert snap.snapshot_read(spark, p, point=("k", 1100)).where(
+        F.col("k") == 1100
+    ).count() == 1
+
+
+def test_bloom_composes_with_between_and_upsert(spark, tmp_path):
+    """point= and between= intersect their file lists; an upsert that
+    appends into a bloomed leaf voids its coverage (the anti-join still
+    hides retired rows)."""
+    p = str(tmp_path / "bloomix")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).cast("string").alias("d"),
+        (F.col("id") % 100).alias("x"),
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d",
+        stats_cols=["x"], zorder_cols=["x"], file_stats=True,
+        bloom_cols=["k"], max_records_per_file=100, keep_snapshots=2,
+    )
+    total = len(snap.snapshot_read(spark, p).inputFiles())
+    both = snap.snapshot_read(
+        spark, p, between=("x", 10, 19), point=("k", 315)
+    )
+    only_rng = snap.snapshot_read(spark, p, between=("x", 10, 19))
+    assert len(both.inputFiles()) <= len(only_rng.inputFiles()) < total
+    assert both.where((F.col("k") == 315) & F.col("x").between(10, 19)).count() == 1
+    # upsert appends into the leaf -> coverage voided, correctness kept
+    up = spark.createDataFrame([(315, "1", 999)], "k long, d string, x long")
+    snap.snapshot_upsert_rows(spark, p, up, keys=["k"], keep_snapshots=2)
+    m = snap.snapshot_manifest(spark, p)
+    assert "d=1" not in m["file_blooms"]
+    got = snap.snapshot_read(spark, p, point=("k", 315)).where(F.col("k") == 315)
+    assert [r["x"] for r in got.collect()] == [999]
+
+
+def test_tags_pin_versions_past_retention(spark, tmp_path):
+    """A tag is an immutable named ref: read-by-tag resolves it, vacuum
+    pins the tagged manifest AND its data dirs past keep_snapshots, and
+    dropping the tag lets the next commit's vacuum reclaim them."""
+    p = str(tmp_path / "tags")
+    snap.snapshot_partition_overwrite(spark, _df(spark, range(10)), p, "d", keep_snapshots=2)
+    assert snap.snapshot_tag(spark, p, "train-v1") == 1
+    # idempotent same-version re-tag; re-point rejected
+    assert snap.snapshot_tag(spark, p, "train-v1", version=1) == 1
+    for k in (2, 3, 4):
+        snap.snapshot_partition_overwrite(
+            spark, _df(spark, range(10), mult=10 ** (k - 1)), p, "d", keep_snapshots=2
+        )
+    try:
+        snap.snapshot_tag(spark, p, "train-v1", version=4)
+        raise AssertionError("re-point should be rejected")
+    except ValueError:
+        pass
+    # v1 outlived keep_snapshots=2 because the tag pins it
+    assert 1 in snap.snapshot_versions(spark, p)
+    assert 2 not in snap.snapshot_versions(spark, p)
+    tagged = snap.snapshot_read(spark, p, tag="train-v1")
+    assert tagged.agg(F.sum("id")).first()[0] == 45
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == 45 * 1000
+    hist = {h["version"]: h["tags"] for h in snap.snapshot_history(spark, p)}
+    assert hist[1] == ["train-v1"] and hist[4] == []
+    assert snap.snapshot_tags(spark, p) == {"train-v1": 1}
+    # drop -> next commit vacuums v1 away
+    snap.snapshot_drop_tag(spark, p, "train-v1")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(10), mult=10000), p, "d", keep_snapshots=2
+    )
+    assert snap.snapshot_versions(spark, p) == [4, 5]
+    try:
+        snap.snapshot_read(spark, p, tag="train-v1")
+        raise AssertionError("dropped tag should not resolve")
+    except FileNotFoundError:
+        pass
+    # invalid names rejected; tagging an unretained version rejected
+    for bad in ("", "a/b", "x y"):
+        try:
+            snap.snapshot_tag(spark, p, bad)
+            raise AssertionError("invalid tag accepted")
+        except ValueError:
+            pass
+    try:
+        snap.snapshot_tag(spark, p, "gone", version=1)
+        raise AssertionError("unretained version tagged")
+    except FileNotFoundError:
+        pass
