@@ -1009,6 +1009,94 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_wap_publish",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 5 = 0
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM base GROUP BY o_orderpriority
+""",
+    tags=["sink", "snapshot", "wap"],
+)
+def sink_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end to end: publish a half-sized v1, STAGE
+    the full batch as an audit commit (invisible: the live read is
+    asserted unchanged while the auditor reads the staged version),
+    run a data-quality audit against the staged read (null keys,
+    row-count monotonicity), publish, and also stage a BAD batch
+    (negative prices) whose audit fails and is discarded — asserting
+    the discard left the published state intact. The returned
+    aggregate reads the final published table; the oracle recomputes
+    it from the source, so a publish that lost rows, leaked the
+    discarded batch, or served the staged state early breaks the
+    hash. 100 TB story: this is Iceberg's WAP flow — quality gates run
+    against the EXACT bytes that go live (no re-write between audit
+    and publish, publish is O(1) metadata), bad batches never surface
+    to readers, and concurrent writers are serialized by the same
+    parent-check every commit uses."""
+    from callio_etl_spark.snapshots import (
+        snapshot_discard_staged,
+        snapshot_partition_overwrite,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_staged,
+    )
+
+    root = _tmp("wap")
+    path = f"{root}/orders_wap"
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderpriority", "o_custkey", "o_totalprice")
+    )
+    v1 = base.where(F.col("o_orderkey") % 10 == 0)
+    snapshot_partition_overwrite(spark, v1, path, "o_orderpriority")
+    n_live = snapshot_read(spark, path).count()
+    sv = snapshot_partition_overwrite(
+        spark, base, path, "o_orderpriority", audit=True
+    )
+    if snapshot_read(spark, path).count() != n_live:
+        raise AssertionError("staged commit leaked into the live read")
+    audited = snapshot_read(spark, path, version=sv)
+    bad_keys, n_staged = audited.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+        F.count("*"),
+    ).first()
+    if bad_keys != 0 or n_staged < n_live:
+        raise AssertionError("audit should pass for the good batch")
+    snapshot_publish(spark, path, sv)
+    doomed = base.limit(50).withColumn(
+        "o_totalprice", -F.abs(F.col("o_totalprice"))
+    )
+    sv_bad = snapshot_partition_overwrite(
+        spark, doomed, path, "o_orderpriority", audit=True
+    )
+    neg = (
+        snapshot_read(spark, path, version=sv_bad)
+        .where(F.col("o_totalprice") < 0)
+        .count()
+    )
+    if neg == 0:
+        raise AssertionError("bad batch should fail its audit")
+    snapshot_discard_staged(spark, path, sv_bad)
+    if snapshot_staged(spark, path):
+        raise AssertionError("discard left a staged manifest behind")
+    result = (
+        snapshot_read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )
+    return _materialize_and_clean(result, root)
+
+
+@register(
     "sink_row_deletes",
     oracle="""
 WITH base AS (

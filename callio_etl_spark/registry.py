@@ -48,44 +48,45 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
 #: per-round slot ledger). State entering the r7 driver run: the registry
-#: holds 192 queries; 189 are oracle-bearing and every one of them has
+#: holds 193 queries; 190 are oracle-bearing and every one of them has
 #: held a green driver row EXCEPT minhash_lsh_pairs_grouped (registered
 #: in r6's final commit, after that round's window was set — it passes
-#: the stricter local check) and the twelve r7 registrations
+#: the stricter local check) and the thirteen r7 registrations
 #: (minhash_lsh_pairs_capped, curriculum_bins_audit,
 #: sink_snapshot_overwrite, sink_snapshot_cdc, merge_upsert_snapshot,
 #: ivm_refresh_agg, sink_zorder_skip, sink_row_deletes,
 #: sink_snapshot_append, merge_upsert_mor, sink_bloom_skip,
-#: sink_bucketed_join). ann_topk_gemm /
+#: sink_bucketed_join, sink_wap_publish). ann_topk_gemm /
 #: approx_sketch_stats / curriculum_bins_approx are rows-only by
 #: construction (no deterministic cross-engine oracle; the approx
 #: curriculum now has a driver-checkable audit form in
 #: curriculum_bins_audit) and stay out of the window — they can never
 #: hash-match and would waste slots. The r7 window therefore holds:
-#:   1. the thirteen first-time oracle-bearing rows (the late-r6 grouped
-#:      quotient + the twelve r7 registrations: the capped band guard,
+#:   1. the fourteen first-time oracle-bearing rows (the late-r6 grouped
+#:      quotient + the thirteen r7 registrations: the capped band guard,
 #:      the curriculum tolerance audit, the snapshot-table lifecycle,
 #:      the snapshot change feed, the snapshot-committed MERGE, the
 #:      CDC-incremental view refresh, the z-order file-skipping scan,
 #:      the merge-on-read row-delete roundtrip, the fast-append
 #:      roundtrip, the merge-on-read UPSERT, the bloom point-lookup
-#:      roundtrip, the shuffle-free bucketed join);
+#:      roundtrip, the shuffle-free bucketed join, the
+#:      write-audit-publish roundtrip);
 #:   2. three flagship/merge canaries as regression tripwires;
 #:   3. the ten r1-vintage queries displaced from r6's window at
 #:      positions 51-60 (sessionize .. window_rank_suite) — their last
 #:      driver row is six rounds old;
 #:   4. the r3-vintage cohort oldest-first (37 queries whose latest row
-#:      is four rounds old; the first 24 fit, so lang_id,
+#:      is four rounds old; the first 23 fit, so json_extract, lang_id,
 #:      merge_partial_keep_existing, mixture_weights, multimodal_meta,
 #:      scalar_suite, simhash, text_stats, tfidf_top_terms, topk_recent,
 #:      tpch_q1_pricing, union_tenants, watermark_filter,
-#:      window_range_scan land at positions 51-63 and lead the r8
+#:      window_range_scan land at positions 51-64 and lead the r8
 #:      window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- first-time oracle-bearing rows (13) ---
+    # --- first-time oracle-bearing rows (14) ---
     "minhash_lsh_pairs_grouped",
     "minhash_lsh_pairs_capped",
     "curriculum_bins_audit",
@@ -99,6 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     "merge_upsert_mor",
     "sink_bloom_skip",
     "sink_bucketed_join",
+    "sink_wap_publish",
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
@@ -138,9 +140,9 @@ DRIVER_PRIORITY: list[str] = [
     "join_fanout",
     "join_full_outer",
     "join_left_dim",
-    "json_extract",
-    # --- positions 51-63: the cohort's last thirteen fall just outside the
+    # --- positions 51-64: the cohort's last fourteen fall just outside the
     #     50-row window this round and lead the r8 window ---
+    "json_extract",
     "lang_id",
     "merge_partial_keep_existing",
     "mixture_weights",

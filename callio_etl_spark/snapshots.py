@@ -116,9 +116,37 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
 
 
 def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
-    """Committed snapshot versions, oldest first (time travel surface)."""
+    """PUBLISHED snapshot versions, oldest first (time travel surface).
+    Staged write-audit-publish manifests (``audit=True`` commits) are
+    excluded — they are invisible to every reader that doesn't pin
+    their version explicitly; see ``snapshot_staged``."""
     jvm, fs, _ = _hadoop(spark, path)
-    return _manifest_versions(jvm, fs, path)
+    return [
+        v
+        for v in _manifest_versions(jvm, fs, path)
+        if not _read_manifest(spark, path, v).get("staged")
+    ]
+
+
+def snapshot_staged(spark: SparkSession, path: str) -> list[int]:
+    """Versions of manifests staged for audit (not yet published)."""
+    jvm, fs, _ = _hadoop(spark, path)
+    return [
+        v
+        for v in _manifest_versions(jvm, fs, path)
+        if _read_manifest(spark, path, v).get("staged")
+    ]
+
+
+def _published_head(spark: SparkSession, jvm, fs, path: str) -> dict | None:
+    """The latest PUBLISHED manifest — the parent every new commit
+    builds on. Skips staged manifests so an in-flight audit never
+    leaks into concurrent writers' read-modify-write."""
+    for v in reversed(_manifest_versions(jvm, fs, path)):
+        m = _read_manifest(spark, path, v)
+        if not m.get("staged"):
+            return m
+    return None
 
 
 def _tag_file(path: str, name: str) -> str:
@@ -171,13 +199,17 @@ def snapshot_tag(
     jvm, fs, _ = _hadoop(spark, path)
     acquire_table_lock(spark, path)
     try:
-        versions = _manifest_versions(jvm, fs, path)
-        if not versions:
-            raise FileNotFoundError(f"no committed snapshot at {path}")
-        v = versions[-1] if version is None else version
-        if v not in versions:
+        published = [
+            v2
+            for v2 in _manifest_versions(jvm, fs, path)
+            if not _read_manifest(spark, path, v2).get("staged")
+        ]
+        if not published:
+            raise FileNotFoundError(f"no published snapshot at {path}")
+        v = published[-1] if version is None else version
+        if v not in published:
             raise FileNotFoundError(
-                f"cannot tag v{v}: retained history is {versions}"
+                f"cannot tag v{v}: published retained history is {published}"
             )
         have = snapshot_tags(spark, path)
         if name in have:
@@ -220,8 +252,10 @@ def snapshot_manifest(
     version: int | None = None,
     tag: str | None = None,
 ) -> dict:
-    """The committed manifest (latest, a pinned ``version``, or a named
-    ``tag`` — mutually exclusive)."""
+    """The committed manifest (latest published, a pinned ``version``,
+    or a named ``tag`` — mutually exclusive). An explicit ``version``
+    may name a STAGED manifest: that is the auditor's read path in the
+    write-audit-publish flow."""
     jvm, fs, _ = _hadoop(spark, path)
     if tag is not None:
         if version is not None:
@@ -236,8 +270,13 @@ def snapshot_manifest(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     if version is None:
-        version = versions[-1]
-    elif version not in versions:
+        head = _published_head(spark, jvm, fs, path)
+        if head is None:
+            raise FileNotFoundError(
+                f"no published snapshot at {path} (staged-only history)"
+            )
+        return head
+    if version not in versions:
         raise FileNotFoundError(
             f"no snapshot version {version} at {path}; have {versions}"
         )
@@ -681,6 +720,7 @@ def snapshot_partition_overwrite(
     file_stats: bool = False,
     bloom_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    audit: bool = False,
     op_name: str = "overwrite",
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
@@ -720,7 +760,15 @@ def snapshot_partition_overwrite(
     so ``snapshot_read(point=...)`` can skip files on a point lookup
     even when the layout is NOT clustered by the column (where [min,
     max] ranges span everything). One extra metadata-sized aggregate at
-    commit; BLOOM_M/4 hex chars per (file, column) in the manifest."""
+    commit; BLOOM_M/4 hex chars per (file, column) in the manifest.
+
+    ``audit=True`` STAGES the commit instead of publishing it
+    (write-audit-publish): the manifest lands marked ``staged`` and is
+    invisible to every reader and every concurrent writer's
+    read-modify-write; an auditor reads it by the returned version
+    (``snapshot_read(version=...)``), runs its checks, then
+    ``snapshot_publish`` makes it live atomically — or
+    ``snapshot_discard_staged`` drops it. Iceberg's WAP flow."""
     path = path.rstrip("/")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
@@ -750,7 +798,7 @@ def snapshot_partition_overwrite(
     try:
         _vacuum_stale_stagings(jvm, fs, path)
         versions = _manifest_versions(jvm, fs, path)
-        prev = _read_manifest(spark, path, versions[-1]) if versions else None
+        prev = _published_head(spark, jvm, fs, path)
         if prev and prev["partition_col"] != partition_col:
             raise ValueError(
                 f"table {path} is partitioned by {prev['partition_col']!r}, "
@@ -802,6 +850,9 @@ def snapshot_partition_overwrite(
             manifest["bloom"] = bloom_params
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
+        if audit:
+            manifest["staged"] = True
+            manifest["parent"] = prev["version"] if prev else 0
         _write_manifest(spark, path, manifest)
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
@@ -843,6 +894,7 @@ def snapshot_append(
     file_stats: bool = False,
     bloom_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    audit: bool = False,
 ) -> int:
     """FAST APPEND (Iceberg's append snapshot): commit ``df``'s rows as
     NEW data dirs stacked onto their partitions — existing data dirs are
@@ -868,7 +920,8 @@ def snapshot_append(
     Schema evolution composes: the manifest schema becomes the union of
     the table's and the batch's columns (type changes are rejected);
     older dirs read the new columns as NULL. Returns the committed
-    version."""
+    version. ``audit=True`` stages the append for write-audit-publish
+    (see ``snapshot_partition_overwrite``)."""
     path = path.rstrip("/")
     jvm, fs, _ = _hadoop(spark, path)
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
@@ -885,7 +938,7 @@ def snapshot_append(
     try:
         _vacuum_stale_stagings(jvm, fs, path)
         versions = _manifest_versions(jvm, fs, path)
-        prev = _read_manifest(spark, path, versions[-1]) if versions else None
+        prev = _published_head(spark, jvm, fs, path)
         if prev and prev["partition_col"] != partition_col:
             raise ValueError(
                 f"table {path} is partitioned by {prev['partition_col']!r}, "
@@ -972,6 +1025,9 @@ def snapshot_append(
             manifest["bloom"] = bloom_params
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
+        if audit:
+            manifest["staged"] = True
+            manifest["parent"] = prev["version"] if prev else 0
         _write_manifest(spark, path, manifest)
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
@@ -1026,7 +1082,7 @@ def snapshot_delete_rows(
     try:
         _vacuum_stale_stagings(jvm, fs, path)
         versions = _manifest_versions(jvm, fs, path)
-        prev = _read_manifest(spark, path, versions[-1])
+        prev = _published_head(spark, jvm, fs, path)
         if prev["version"] != m["version"]:
             _delete(jvm, fs, wstaging)
             raise RuntimeError(
@@ -1037,7 +1093,7 @@ def snapshot_delete_rows(
         if not staged:  # predicate matched nothing: no-op, no new version
             _delete(jvm, fs, wstaging)
             return prev["version"]
-        version = prev["version"] + 1
+        version = versions[-1] + 1  # numbered past any staged manifest
         token = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
         deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
         for leaf in staged:
@@ -1113,7 +1169,7 @@ def snapshot_upsert_rows(
     try:
         _vacuum_stale_stagings(jvm, fs, path)
         versions = _manifest_versions(jvm, fs, path)
-        prev = _read_manifest(spark, path, versions[-1])
+        prev = _published_head(spark, jvm, fs, path)
         if prev["version"] != m["version"]:
             _delete(jvm, fs, dstaging)
             _delete(jvm, fs, astaging)
@@ -1121,7 +1177,7 @@ def snapshot_upsert_rows(
                 f"concurrent commit: table moved v{m['version']} -> "
                 f"v{prev['version']} while staging upsert; retry"
             )
-        version = prev["version"] + 1
+        version = versions[-1] + 1  # numbered past any staged manifest
         dtoken = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
         atoken = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"])
@@ -1200,9 +1256,9 @@ def snapshot_delete_partitions(
     acquire_table_lock(spark, path)
     try:
         versions = _manifest_versions(jvm, fs, path)
-        if not versions:
-            raise FileNotFoundError(f"no committed snapshot at {path}")
-        prev = _read_manifest(spark, path, versions[-1])
+        prev = _published_head(spark, jvm, fs, path)
+        if prev is None:
+            raise FileNotFoundError(f"no published snapshot at {path}")
         col = prev["partition_col"]
         doomed = {f"{col}={v}" for v in values}
         partitions = {
@@ -1277,19 +1333,25 @@ def _vacuum_snapshots(
     data-dir renames and the manifest publish). TAGGED versions are
     pinned regardless of age — their manifests and the data dirs they
     reference survive until the tag is dropped (Iceberg's tag
-    retention)."""
+    retention). STAGED write-audit-publish manifests are pinned too
+    (their data dirs are referenced by no published manifest; sweeping
+    them would tear an audit in flight) — publish/discard is their
+    only exit; retention counts PUBLISHED versions only."""
     versions = _manifest_versions(jvm, fs, path)
+    metas = {v: _read_manifest(spark, path, v) for v in versions}
     tagged = set(snapshot_tags(spark, path).values())
+    published = [v for v in versions if not metas[v].get("staged")]
+    keep_pub = set(published[-keep_snapshots:])
     kept = [
         v
         for v in versions
-        if v in tagged or v in set(versions[-keep_snapshots:])
+        if v in keep_pub or v in tagged or metas[v].get("staged")
     ]
     dropped = [v for v in versions if v not in set(kept)]
     live_tokens: dict[str, set[str]] = {}
     partition_cols = set()
     for v in kept:
-        m = _read_manifest(spark, path, v)
+        m = metas[v]
         partition_cols.add(m["partition_col"])
         for leaf in m["partitions"]:
             live_tokens.setdefault(leaf, set()).update(_leaf_toks(m, leaf))
@@ -1783,11 +1845,86 @@ def snapshot_restore(
                 f"cannot restore v{version}: retained history is {versions}"
             )
         src = _read_manifest(spark, path, version)
+        if src.get("staged"):
+            raise ValueError(
+                f"v{version} is a staged audit commit; use snapshot_publish"
+            )
         new_version = versions[-1] + 1
         manifest = dict(src)
         manifest.update(version=new_version, op="restore")
         _write_manifest(spark, path, manifest)
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return new_version
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_publish(
+    spark: SparkSession, path: str, version: int, keep_snapshots: int = 2
+) -> int:
+    """PUBLISH a staged audit commit (write-audit-publish, Iceberg's
+    WAP flow): re-issue the staged manifest as the next live version in
+    one atomic manifest write — the data dirs were already in place
+    when the audit read them, so publish is O(1) metadata and what the
+    auditor validated is bit-for-bit what readers get. Optimistic
+    concurrency: publish REQUIRES the published head to still be the
+    staged commit's parent; if another writer landed during the audit,
+    it fails (retry = re-stage against the new head) rather than
+    silently discarding that writer's changes — the same serialization
+    rule every other commit here follows. The staged manifest itself is
+    removed once published. Returns the new live version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        versions = _manifest_versions(jvm, fs, path)
+        if version not in versions:
+            raise FileNotFoundError(
+                f"no manifest v{version} at {path}; have {versions}"
+            )
+        m = _read_manifest(spark, path, version)
+        if not m.get("staged"):
+            raise ValueError(f"v{version} is not a staged audit commit")
+        head = _published_head(spark, jvm, fs, path)
+        head_v = head["version"] if head else 0
+        if m.get("parent", 0) != head_v:
+            raise RuntimeError(
+                f"concurrent commit: staged v{version} was built on "
+                f"v{m.get('parent', 0)} but the published head is now "
+                f"v{head_v}; re-stage against the new head"
+            )
+        new_version = versions[-1] + 1
+        manifest = {
+            k: v for k, v in m.items() if k not in ("staged", "parent")
+        }
+        manifest.update(version=new_version, op="publish")
+        _write_manifest(spark, path, manifest)
+        _delete(jvm, fs, _manifest_path(path, version))
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return new_version
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_discard_staged(
+    spark: SparkSession, path: str, version: int, keep_snapshots: int = 2
+) -> None:
+    """Drop a staged audit commit that failed its checks: delete its
+    manifest; the data dirs only it referenced become orphans and the
+    vacuum (run here, under the same lock) sweeps them."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        versions = _manifest_versions(jvm, fs, path)
+        if version not in versions:
+            raise FileNotFoundError(
+                f"no manifest v{version} at {path}; have {versions}"
+            )
+        m = _read_manifest(spark, path, version)
+        if not m.get("staged"):
+            raise ValueError(f"v{version} is not a staged audit commit")
+        _delete(jvm, fs, _manifest_path(path, version))
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
     finally:
         release_table_lock(spark, path)

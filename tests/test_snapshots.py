@@ -1321,3 +1321,84 @@ def test_tags_pin_versions_past_retention(spark, tmp_path):
         raise AssertionError("unretained version tagged")
     except FileNotFoundError:
         pass
+
+
+def test_wap_stage_audit_publish(spark, tmp_path):
+    """Write-audit-publish: a staged commit is invisible to readers and
+    to concurrent writers' read-modify-write; the auditor reads it by
+    version; publish makes exactly the audited bytes live; vacuum never
+    sweeps a staged commit's data dirs while the audit is in flight."""
+    p = str(tmp_path / "wap")
+    snap.snapshot_partition_overwrite(spark, _df(spark, range(20)), p, "d", keep_snapshots=2)
+    base_sum = snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0]
+    sv = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20), mult=100), p, "d",
+        keep_snapshots=2, audit=True,
+    )
+    # invisible: latest read, versions, history all pre-audit
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == base_sum
+    assert sv not in snap.snapshot_versions(spark, p)
+    assert snap.snapshot_staged(spark, p) == [sv]
+    # auditor sees the staged state by version
+    audited = snap.snapshot_read(spark, p, version=sv)
+    assert audited.agg(F.sum("id")).first()[0] == base_sum * 100
+    # a concurrent commit during the audit doesn't extend the staged
+    # state (parent = published head), and vacuum keeps the staged dirs
+    snap.snapshot_partition_overwrite(
+        spark,
+        _df(spark, range(20)).where(F.col("d") == "1").withColumn("id", F.col("id") * 7),
+        p, "d", keep_snapshots=2,
+    )
+    assert snap.snapshot_read(spark, p, version=sv).agg(F.sum("id")).first()[0] == base_sum * 100
+    # publish now conflicts (head moved past the staged parent)
+    try:
+        snap.snapshot_publish(spark, p, sv)
+        raise AssertionError("publish should conflict after a concurrent commit")
+    except RuntimeError:
+        pass
+    snap.snapshot_discard_staged(spark, p, sv)
+    assert snap.snapshot_staged(spark, p) == []
+    # re-stage against the new head, publish cleanly
+    sv2 = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20), mult=100), p, "d",
+        keep_snapshots=2, audit=True,
+    )
+    live = snap.snapshot_publish(spark, p, sv2)
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == base_sum * 100
+    assert snap.snapshot_staged(spark, p) == []
+    hist = {h["version"]: h["op"] for h in snap.snapshot_history(spark, p)}
+    assert hist[live] == "publish"
+    # restore cannot resurrect a staged manifest (publish is the path)
+    sv3 = snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(999, "1")], "id long, d string"),
+        p, "d", keep_snapshots=2, audit=True,
+    )
+    try:
+        snap.snapshot_restore(spark, p, sv3)
+        raise AssertionError("restore of a staged manifest should be rejected")
+    except ValueError:
+        pass
+    # tags only point at published versions
+    try:
+        snap.snapshot_tag(spark, p, "bad", version=sv3)
+        raise AssertionError("tagging a staged version should be rejected")
+    except FileNotFoundError:
+        pass
+    snap.snapshot_discard_staged(spark, p, sv3)
+
+
+def test_wap_discard_sweeps_staged_dirs(spark, tmp_path):
+    """Discarding a failed audit reclaims the staged data dirs; the
+    published table is untouched throughout."""
+    p = str(tmp_path / "wapd")
+    snap.snapshot_partition_overwrite(spark, _df(spark, range(8)), p, "d", keep_snapshots=2)
+    sv = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(8), mult=5), p, "d", keep_snapshots=2, audit=True
+    )
+    tok = snap.snapshot_manifest(spark, p, version=sv)["partitions"]["d=1"]
+    tok = tok if isinstance(tok, str) else tok[-1]
+    assert os.path.isdir(f"{p}/d=1/{tok}")
+    snap.snapshot_discard_staged(spark, p, sv)
+    assert not os.path.isdir(f"{p}/d=1/{tok}")
+    assert snap.snapshot_read(spark, p).count() == 8
