@@ -7,6 +7,11 @@ events = call_log, orders = customer-assignment stream).
 -> checkpoint commit -> audit log) and then refreshes the two reporting
 facts (the reference's post-run hook, runner.py:1004-1008). ``daemon`` wraps
 the same ticks in the slot scheduler (scheduler.run_daemon).
+
+Snapshot-store ops (``--table-format snapshot`` only): ``tag`` /
+``drop-tag`` name an immutable ref on the published head (vacuum-pinned
+provenance pointer), ``publish`` / ``discard-staged`` complete or abandon
+a write-audit-publish cycle staged by the library API.
 """
 
 from __future__ import annotations
@@ -269,7 +274,17 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="callio_etl_spark")
     p.add_argument(
         "--mode",
-        choices=["once", "daemon", "versions", "restore", "curate"],
+        choices=[
+            "once",
+            "daemon",
+            "versions",
+            "restore",
+            "curate",
+            "tag",
+            "drop-tag",
+            "publish",
+            "discard-staged",
+        ],
         default="once",
     )
     p.add_argument("--job", choices=["all", "customer", "call"], default="all")
@@ -293,6 +308,19 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="warehouse layout: plain rename protocol, or the manifest-"
         "committed snapshot store (month-partitioned, snapshot-isolated)",
+    )
+    p.add_argument(
+        "--tag-name",
+        default=None,
+        help="with --mode tag/drop-tag: the immutable ref name "
+        "(snapshot table format only)",
+    )
+    p.add_argument(
+        "--snapshot-version",
+        type=int,
+        default=None,
+        help="with --mode tag: version to tag (default: published head); "
+        "with --mode publish/discard-staged: the staged version",
     )
     args = p.parse_args(argv)
 
@@ -366,6 +394,50 @@ def main(argv: list[str] | None = None) -> int:
                 args.restore_version,
                 keep_versions=max(cfg.keep_versions, 1),
             )
+    elif args.mode in ("tag", "drop-tag", "publish", "discard-staged"):
+        # snapshot-store ops surface: name a training corpus (tag), and
+        # complete/abandon a write-audit-publish cycle staged by a
+        # pipeline run or the library API
+        if cfg.table_format != "snapshot":
+            p.error(f"--mode {args.mode} requires --table-format snapshot")
+        if args.job == "all":
+            p.error(f"--mode {args.mode} requires a single --job")
+        path = os.path.join(cfg.work_dir, JOB_TABLES[args.job][0].name)
+        keep = max(cfg.keep_versions, 1) + 1
+        if args.mode == "tag":
+            if not args.tag_name:
+                p.error("--mode tag requires --tag-name")
+            from callio_etl_spark.snapshots import snapshot_tag
+
+            v = snapshot_tag(
+                spark, path, args.tag_name, version=args.snapshot_version
+            )
+            print(f"tagged {args.tag_name} -> v{v}")
+        elif args.mode == "drop-tag":
+            if not args.tag_name:
+                p.error("--mode drop-tag requires --tag-name")
+            from callio_etl_spark.snapshots import snapshot_drop_tag
+
+            snapshot_drop_tag(spark, path, args.tag_name)
+            print(f"dropped tag {args.tag_name}")
+        elif args.mode == "publish":
+            if args.snapshot_version is None:
+                p.error("--mode publish requires --snapshot-version")
+            from callio_etl_spark.snapshots import snapshot_publish
+
+            v = snapshot_publish(
+                spark, path, args.snapshot_version, keep_snapshots=keep
+            )
+            print(f"published v{args.snapshot_version} -> live v{v}")
+        else:
+            if args.snapshot_version is None:
+                p.error("--mode discard-staged requires --snapshot-version")
+            from callio_etl_spark.snapshots import snapshot_discard_staged
+
+            snapshot_discard_staged(
+                spark, path, args.snapshot_version, keep_snapshots=keep
+            )
+            print(f"discarded staged v{args.snapshot_version}")
     elif args.mode == "curate":
         counts = _curate(spark, cfg)
         log.info("curate: %s", counts)

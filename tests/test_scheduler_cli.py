@@ -425,3 +425,46 @@ def test_cli_snapshot_table_format(tmp_path, monkeypatch):
                  "--restore-version", "1", *base]) == 0
     assert snapshot_read(spark, f"{wd}/call_log").count() == snap_rows
     assert snapshot_history(spark, f"{wd}/call_log")[-1]["op"] == "restore"
+
+    # tag ops: name the head, read it back by tag, drop it
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_publish,
+        snapshot_staged,
+        snapshot_tags,
+    )
+
+    assert main(["--mode", "tag", "--job", "call", "--work-dir", wd,
+                 "--tag-name", "train-v1", *base]) == 0
+    (tv,) = snapshot_tags(spark, f"{wd}/call_log").values()
+    assert snapshot_read(spark, f"{wd}/call_log", tag="train-v1").count() == snap_rows
+    assert tv == snapshot_versions(spark, f"{wd}/call_log")[-1]
+    assert main(["--mode", "drop-tag", "--job", "call", "--work-dir", wd,
+                 "--tag-name", "train-v1", *base]) == 0
+    assert snapshot_tags(spark, f"{wd}/call_log") == {}
+
+    # WAP cycle through the CLI: stage via the library, publish via CLI
+    import pyspark.sql.functions as F
+
+    table = f"{wd}/call_log"
+    m = __import__("callio_etl_spark.snapshots", fromlist=["snapshot_manifest"])
+    pcol = m.snapshot_manifest(spark, table)["partition_col"]
+    staged_df = snapshot_read(spark, table).limit(200)
+    sv = snapshot_partition_overwrite(
+        spark, staged_df, table, pcol, audit=True, keep_snapshots=4
+    )
+    assert snapshot_staged(spark, table) == [sv]
+    assert main(["--mode", "publish", "--job", "call", "--work-dir", wd,
+                 "--snapshot-version", str(sv), *base]) == 0
+    assert snapshot_staged(spark, table) == []
+    assert snapshot_history(spark, table)[-1]["op"] == "publish"
+    # discard path: stage again, discard via CLI, live state untouched
+    live_n = snapshot_read(spark, table).count()
+    sv2 = snapshot_partition_overwrite(
+        spark, staged_df.withColumn("row_hash", F.lit("x")), table, pcol,
+        audit=True, keep_snapshots=4,
+    )
+    assert main(["--mode", "discard-staged", "--job", "call", "--work-dir", wd,
+                 "--snapshot-version", str(sv2), *base]) == 0
+    assert snapshot_staged(spark, table) == []
+    assert snapshot_read(spark, table).count() == live_n
