@@ -61,24 +61,41 @@ from callio_etl_spark.io import (
 SNAP_DIR = "__snap__"
 _MANIFEST_RE_PREFIX = "m"  # m000001.json
 _TAG_PREFIX = "tag_"  # tag_<name>.json — one file per tag (atomic create)
+#: x000003.json — a DISCARDED staged version's number, tombstoned so no
+#: later commit can reuse it: a reader/auditor still pinned to that
+#: version must error, never silently read an unrelated commit's rows.
+_TOMBSTONE_PREFIX = "x"
 
 
 def _snap_dir(path: str) -> str:
     return f"{path.rstrip('/')}/{SNAP_DIR}"
 
 
-def _manifest_versions(jvm, fs, path: str) -> list[int]:
+def _numbered(jvm, fs, path: str, prefix: str) -> list[int]:
     sd = _snap_dir(path)
     if not _exists(jvm, fs, sd):
         return []
     out = []
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sd)):
         name = st.getPath().getName()
-        if name.startswith(_MANIFEST_RE_PREFIX) and name.endswith(".json"):
-            digits = name[len(_MANIFEST_RE_PREFIX) : -len(".json")]
+        if name.startswith(prefix) and name.endswith(".json"):
+            digits = name[len(prefix) : -len(".json")]
             if digits.isdigit():
                 out.append(int(digits))
     return sorted(out)
+
+
+def _manifest_versions(jvm, fs, path: str) -> list[int]:
+    return _numbered(jvm, fs, path, _MANIFEST_RE_PREFIX)
+
+
+def _next_version(jvm, fs, path: str) -> int:
+    """The next commit number: past every manifest AND every tombstone,
+    so a discarded staged version's number is never reassigned."""
+    taken = _manifest_versions(jvm, fs, path) + _numbered(
+        jvm, fs, path, _TOMBSTONE_PREFIX
+    )
+    return (max(taken) if taken else 0) + 1
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -234,6 +251,8 @@ def snapshot_tag(
 
 def snapshot_drop_tag(spark: SparkSession, path: str, name: str) -> None:
     """Remove a tag; the next vacuum may reclaim what only it pinned."""
+    if not _valid_tag(name):
+        raise ValueError(f"invalid tag name {name!r} (want [A-Za-z0-9._-]+)")
     path = path.rstrip("/")
     jvm, fs, _ = _hadoop(spark, path)
     acquire_table_lock(spark, path)
@@ -585,27 +604,33 @@ def _staged_blooms(
     out: dict[str, dict] = {}
     if not bloom_cols:
         return out
-    aggs = [
-        F.array_distinct(
-            F.flatten(
-                F.collect_list(F.array(*_bloom_pos_exprs(c, BLOOM_M, BLOOM_K)))
-            )
-        ).alias(f"__bp_{c}")
-        for c in bloom_cols
-    ]
-    rows = (
-        spark.read.parquet(wstaging)
-        .withColumn("__f", F.input_file_name())
-        .groupBy(partition_col, "__f")
-        .agg(*aggs)
-        .collect()
+    staged_df = spark.read.parquet(wstaging).withColumn(
+        "__f", F.input_file_name()
     )
-    for r in rows:
-        leaf = f"{partition_col}={r[partition_col]}"
-        fname = r["__f"].rsplit("/", 1)[-1]
-        out.setdefault(leaf, {})[fname] = {
-            c: _bloom_hex(r[f"__bp_{c}"], BLOOM_M) for c in bloom_cols
-        }
+    # one aggregate per bloom column: explode the k positions and
+    # collect_set them — the partial-aggregate dedups INCREMENTALLY, so
+    # the per-group state is bounded by m distinct ints regardless of
+    # file row count (a collect_list-then-distinct would buffer k*rows
+    # longs per file before deduping — an OOM on big unsplit files)
+    for c in bloom_cols:
+        rows = (
+            staged_df.select(
+                partition_col,
+                "__f",
+                F.explode(
+                    F.array(*_bloom_pos_exprs(c, BLOOM_M, BLOOM_K))
+                ).alias("__p"),
+            )
+            .groupBy(partition_col, "__f")
+            .agg(F.collect_set("__p").alias("__bp"))
+            .collect()
+        )
+        for r in rows:
+            leaf = f"{partition_col}={r[partition_col]}"
+            fname = r["__f"].rsplit("/", 1)[-1]
+            out.setdefault(leaf, {}).setdefault(fname, {})[c] = _bloom_hex(
+                r["__bp"], BLOOM_M
+            )
     return out
 
 
@@ -804,7 +829,7 @@ def snapshot_partition_overwrite(
                 f"table {path} is partitioned by {prev['partition_col']!r}, "
                 f"not {partition_col!r}"
             )
-        version = (versions[-1] if versions else 0) + 1
+        version = _next_version(jvm, fs, path)
         token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"]) if prev else {}
         stats = dict(prev.get("stats", {})) if prev else {}
@@ -946,7 +971,7 @@ def snapshot_append(
             )
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         deletes = dict(prev.get("deletes", {})) if prev else {}
-        version = (versions[-1] if versions else 0) + 1
+        version = _next_version(jvm, fs, path)
         token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"]) if prev else {}
         stats = dict(prev.get("stats", {})) if prev else {}
@@ -1093,7 +1118,7 @@ def snapshot_delete_rows(
         if not staged:  # predicate matched nothing: no-op, no new version
             _delete(jvm, fs, wstaging)
             return prev["version"]
-        version = versions[-1] + 1  # numbered past any staged manifest
+        version = _next_version(jvm, fs, path)
         token = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
         deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
         for leaf in staged:
@@ -1177,7 +1202,7 @@ def snapshot_upsert_rows(
                 f"concurrent commit: table moved v{m['version']} -> "
                 f"v{prev['version']} while staging upsert; retry"
             )
-        version = versions[-1] + 1  # numbered past any staged manifest
+        version = _next_version(jvm, fs, path)
         dtoken = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
         atoken = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
         partitions = dict(prev["partitions"])
@@ -1286,7 +1311,7 @@ def snapshot_delete_partitions(
             for leaf, toks in prev.get("deletes", {}).items()
             if leaf not in doomed
         }
-        version = versions[-1] + 1
+        version = _next_version(jvm, fs, path)
         _write_manifest(
             spark,
             path,
@@ -1348,6 +1373,13 @@ def _vacuum_snapshots(
         if v in keep_pub or v in tagged or metas[v].get("staged")
     ]
     dropped = [v for v in versions if v not in set(kept)]
+    # tombstones below the newest manifest can go: _next_version's max
+    # over manifests alone already clears them, so no number is reusable
+    for tv in _numbered(jvm, fs, path, _TOMBSTONE_PREFIX):
+        if versions and tv < versions[-1]:
+            _delete(
+                jvm, fs, f"{_snap_dir(path)}/{_TOMBSTONE_PREFIX}{tv:06d}.json"
+            )
     live_tokens: dict[str, set[str]] = {}
     partition_cols = set()
     for v in kept:
@@ -1802,12 +1834,17 @@ def snapshot_history(spark: SparkSession, path: str) -> list[dict]:
     count. Metadata-only (reads manifests, never data); older manifests
     written before op recording report op=None."""
     path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
     by_version: dict[int, list[str]] = {}
     for name, v in snapshot_tags(spark, path).items():
         by_version.setdefault(v, []).append(name)
     out = []
-    for v in snapshot_versions(spark, path):
+    # one manifest read per version (snapshot_versions would re-read
+    # every manifest just to drop staged ones — filter inline instead)
+    for v in _manifest_versions(jvm, fs, path):
         m = _read_manifest(spark, path, v)
+        if m.get("staged"):
+            continue
         out.append(
             {
                 "version": v,
@@ -1849,7 +1886,7 @@ def snapshot_restore(
             raise ValueError(
                 f"v{version} is a staged audit commit; use snapshot_publish"
             )
-        new_version = versions[-1] + 1
+        new_version = _next_version(jvm, fs, path)
         manifest = dict(src)
         manifest.update(version=new_version, op="restore")
         _write_manifest(spark, path, manifest)
@@ -1872,12 +1909,27 @@ def snapshot_publish(
     it fails (retry = re-stage against the new head) rather than
     silently discarding that writer's changes — the same serialization
     rule every other commit here follows. The staged manifest itself is
-    removed once published. Returns the new live version."""
+    removed once published. IDEMPOTENT across the crash window between
+    the publish write and the staged-manifest cleanup: the published
+    copy records ``published_from``, so a retry recognizes the earlier
+    success, finishes the cleanup, and returns the same live version
+    instead of misreporting a conflict. Returns the new live version."""
     path = path.rstrip("/")
     jvm, fs, _ = _hadoop(spark, path)
     acquire_table_lock(spark, path)
     try:
         versions = _manifest_versions(jvm, fs, path)
+        # retry-after-crash: a published copy of this staged version
+        # already exists (tombstoned numbering makes published_from
+        # unambiguous — version numbers are never reassigned)
+        for v2 in reversed(versions):
+            m2 = _read_manifest(spark, path, v2)
+            if m2.get("published_from") == version and not m2.get("staged"):
+                if version in versions and _read_manifest(
+                    spark, path, version
+                ).get("staged"):
+                    _delete(jvm, fs, _manifest_path(path, version))
+                return v2
         if version not in versions:
             raise FileNotFoundError(
                 f"no manifest v{version} at {path}; have {versions}"
@@ -1893,11 +1945,13 @@ def snapshot_publish(
                 f"v{m.get('parent', 0)} but the published head is now "
                 f"v{head_v}; re-stage against the new head"
             )
-        new_version = versions[-1] + 1
+        new_version = _next_version(jvm, fs, path)
         manifest = {
             k: v for k, v in m.items() if k not in ("staged", "parent")
         }
-        manifest.update(version=new_version, op="publish")
+        manifest.update(
+            version=new_version, op="publish", published_from=version
+        )
         _write_manifest(spark, path, manifest)
         _delete(jvm, fs, _manifest_path(path, version))
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
@@ -1909,9 +1963,12 @@ def snapshot_publish(
 def snapshot_discard_staged(
     spark: SparkSession, path: str, version: int, keep_snapshots: int = 2
 ) -> None:
-    """Drop a staged audit commit that failed its checks: delete its
-    manifest; the data dirs only it referenced become orphans and the
-    vacuum (run here, under the same lock) sweeps them."""
+    """Drop a staged audit commit that failed its checks: the manifest
+    is renamed to a TOMBSTONE (its number is never reassigned — an
+    auditor still pinned to the discarded version errors instead of
+    silently reading whatever commit lands next), and the data dirs
+    only it referenced become orphans the vacuum (run here, under the
+    same lock) sweeps."""
     path = path.rstrip("/")
     jvm, fs, _ = _hadoop(spark, path)
     acquire_table_lock(spark, path)
@@ -1924,7 +1981,12 @@ def snapshot_discard_staged(
         m = _read_manifest(spark, path, version)
         if not m.get("staged"):
             raise ValueError(f"v{version} is not a staged audit commit")
-        _delete(jvm, fs, _manifest_path(path, version))
+        _rename(
+            jvm,
+            fs,
+            _manifest_path(path, version),
+            f"{_snap_dir(path)}/{_TOMBSTONE_PREFIX}{version:06d}.json",
+        )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
     finally:
         release_table_lock(spark, path)

@@ -1402,3 +1402,76 @@ def test_wap_discard_sweeps_staged_dirs(spark, tmp_path):
     snap.snapshot_discard_staged(spark, p, sv)
     assert not os.path.isdir(f"{p}/d=1/{tok}")
     assert snap.snapshot_read(spark, p).count() == 8
+
+
+def test_wap_discarded_version_numbers_never_reused(spark, tmp_path):
+    """A discarded staged version's number is tombstoned: the next
+    commit takes a HIGHER number, so an auditor still pinned to the
+    discarded version errors instead of silently reading an unrelated
+    commit's rows; publish retried across the crash window between its
+    manifest write and the staged cleanup is idempotent."""
+    p = str(tmp_path / "wapnum")
+    snap.snapshot_partition_overwrite(spark, _df(spark, range(8)), p, "d", keep_snapshots=3)
+    sv = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(8), mult=3), p, "d", keep_snapshots=3, audit=True
+    )
+    snap.snapshot_discard_staged(spark, p, sv)
+    v_next = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(8), mult=5), p, "d", keep_snapshots=3
+    )
+    assert v_next > sv  # number not reused
+    try:
+        snap.snapshot_read(spark, p, version=sv)
+        raise AssertionError("pinned read of a discarded version must error")
+    except FileNotFoundError:
+        pass
+    # crash window: publish wrote its copy but died before deleting the
+    # staged manifest — the retry recognizes published_from and finishes
+    sv2 = snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(8), mult=7), p, "d", keep_snapshots=3, audit=True
+    )
+    calls = {"n": 0}
+    real_delete = snap._delete
+
+    def flaky_delete(jvm, fs, path_):
+        if "__snap__/m" in path_ and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected crash before staged cleanup")
+        return real_delete(jvm, fs, path_)
+
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(snap, "_delete", flaky_delete)
+    try:
+        try:
+            snap.snapshot_publish(spark, p, sv2)
+            raise AssertionError("injected crash did not propagate")
+        except RuntimeError:
+            pass
+    finally:
+        mp.undo()
+    assert snap.snapshot_staged(spark, p) == [sv2]  # stranded manifest
+    v_pub = snap.snapshot_publish(spark, p, sv2)  # retry: idempotent
+    assert snap.snapshot_staged(spark, p) == []
+    assert snap.snapshot_manifest(spark, p)["version"] == v_pub
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == 28 * 7
+    # a second retry after cleanup still returns the same live version
+    assert snap.snapshot_publish(spark, p, sv2) == v_pub
+
+
+def test_drop_tag_rejects_invalid_names(spark, tmp_path):
+    """snapshot_drop_tag validates names like snapshot_tag does — a
+    traversal-shaped name must never build a delete path."""
+    p = str(tmp_path / "tagval")
+    snap.snapshot_partition_overwrite(spark, _df(spark, range(4)), p, "d", keep_snapshots=2)
+    snap.snapshot_tag(spark, p, "ok")
+    # "." and ".." are harmless here (the tag_ filename prefix means no
+    # name is ever a bare path component); separators are the danger
+    for bad in ("x/../../m000001", "a/b", "", "x y", "a\\b"):
+        try:
+            snap.snapshot_drop_tag(spark, p, bad)
+            raise AssertionError(f"invalid tag name accepted: {bad!r}")
+        except ValueError:
+            pass
+    assert snap.snapshot_tags(spark, p) == {"ok": 1}
