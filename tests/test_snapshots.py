@@ -1475,3 +1475,118 @@ def test_drop_tag_rejects_invalid_names(spark, tmp_path):
         except ValueError:
             pass
     assert snap.snapshot_tags(spark, p) == {"ok": 1}
+
+
+def test_snapshot_model_based_wap_sequences(spark, tmp_path):
+    """Model-based check of the staged-commit lifecycle under random
+    interleavings of {published commit, stage, publish, discard}: the
+    live read always equals the published-only model, every in-flight
+    staged version reads back exactly what was staged (immutable under
+    later published commits), publish succeeds iff the head has not
+    moved since staging (and conflicts loudly otherwise), and version
+    numbers are strictly increasing and never reused across discards."""
+    import copy
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        p = str(tmp_path / f"wap_model_{seed}")
+        model: dict[str, dict[int, int]] = {}
+        staged: dict[int, tuple[int, dict]] = {}  # sv -> (parent, state)
+        seen_numbers: set[int] = set()
+        next_id = 5000
+
+        def mk_rows(parts):
+            nonlocal next_id
+            rows = []
+            for d in parts:
+                n = rng.randint(1, 3)
+                rows += [(next_id + i, d, (next_id + i) * 3) for i in range(n)]
+                next_id += n
+            return rows
+
+        def do_overwrite(audit):
+            parts = rng.sample(["0", "1", "2"], rng.randint(1, 2))
+            rows = mk_rows(parts)
+            v = snap.snapshot_partition_overwrite(
+                spark,
+                spark.createDataFrame(rows, "id long, d string, v long"),
+                p, "d", keep_snapshots=6, audit=audit,
+            )
+            state = {
+                **{d_: dict(r_) for d_, r_ in model.items()},
+            }
+            for d in parts:
+                state[f"d={d}"] = {r[0]: r[2] for r in rows if r[1] == d}
+            return v, state
+
+        def head_version():
+            return snap.snapshot_manifest(spark, p)["version"]
+
+        v0, st0 = do_overwrite(audit=False)
+        model = st0
+        seen_numbers.add(v0)
+
+        def flat(state):
+            return {
+                (i, leaf.split("=")[1], v)
+                for leaf, rows_ in state.items()
+                for i, v in rows_.items()
+            }
+
+        for _ in range(14):
+            op = rng.choice(
+                ["commit", "stage", "stage", "publish", "publish", "discard"]
+            )
+            if op == "commit":
+                v, st = do_overwrite(audit=False)
+                model = st
+                assert v not in seen_numbers, "version number reused"
+                seen_numbers.add(v)
+            elif op == "stage":
+                parent = head_version()
+                sv, st = do_overwrite(audit=True)
+                assert sv not in seen_numbers, "version number reused"
+                seen_numbers.add(sv)
+                staged[sv] = (parent, st)
+            elif op == "publish" and staged:
+                sv = rng.choice(sorted(staged))
+                parent, st = staged[sv]
+                if parent == head_version():
+                    v = snap.snapshot_publish(spark, p, sv, keep_snapshots=6)
+                    assert v not in seen_numbers, "version number reused"
+                    seen_numbers.add(v)
+                    model = st
+                    del staged[sv]
+                else:
+                    try:
+                        snap.snapshot_publish(spark, p, sv, keep_snapshots=6)
+                        raise AssertionError(
+                            "publish of a stale-parent stage must conflict"
+                        )
+                    except RuntimeError:
+                        pass  # staged entry remains in flight
+            elif op == "discard" and staged:
+                sv = rng.choice(sorted(staged))
+                snap.snapshot_discard_staged(spark, p, sv, keep_snapshots=6)
+                del staged[sv]
+                try:
+                    snap.snapshot_read(spark, p, version=sv)
+                    raise AssertionError("discarded version still readable")
+                except FileNotFoundError:
+                    pass
+            # invariants after every op
+            got = {
+                (r["id"], str(r["d"]), r["v"])
+                for r in snap.snapshot_read(spark, p).collect()
+            }
+            assert got == flat(model), f"live != published model (seed {seed})"
+            assert set(snap.snapshot_staged(spark, p)) == set(staged)
+            for sv, (_, st) in staged.items():
+                got_s = {
+                    (r["id"], str(r["d"]), r["v"])
+                    for r in snap.snapshot_read(spark, p, version=sv).collect()
+                }
+                assert got_s == flat(st), (
+                    f"staged v{sv} drifted under later commits (seed {seed})"
+                )
