@@ -189,6 +189,7 @@ def run_foreach_batch_snapshot(
     partition_col: str,
     keep_snapshots: int = 3,
     output_mode: str = "update",
+    audit_fn=None,
 ) -> None:
     """Streaming sink with SNAPSHOT-ISOLATED commits: each micro-batch's
     updated rows replace their partitions through ONE manifest publish
@@ -198,6 +199,17 @@ def run_foreach_batch_snapshot(
     while ticks keep landing. This is run_foreach_batch_merge with the
     lakehouse-commit guarantee instead of a bare parquet rewrite.
 
+    ``audit_fn`` arms a per-tick DATA-QUALITY FIREWALL (the streaming
+    form of write-audit-publish): the tick's overwrite is STAGED, the
+    callable receives the staged snapshot's DataFrame (the exact bytes
+    that would go live), and only a truthy return publishes it — a
+    failing tick is discarded and never surfaces to readers, while the
+    stream keeps running (the offset still commits: a poisoned batch is
+    dropped, not retried forever — log inside audit_fn for alerting).
+    The sink is the table's only writer by contract, so any staged
+    manifests found at tick start are leftovers of a crash mid-audit
+    and are discarded before staging anew.
+
     Crash semantics compose with Spark's checkpoint: a batch that dies
     before its manifest publish committed NOTHING (the staged data dirs
     are unreferenced and vacuumed later), and the replayed batch re-runs
@@ -206,18 +218,38 @@ def run_foreach_batch_snapshot(
     as one more (idempotent-in-content) version. Untouched partitions
     carry over by manifest reference, so a tick's commit cost is
     O(partitions it updated)."""
-    from callio_etl_spark.snapshots import snapshot_partition_overwrite
+    from callio_etl_spark.snapshots import (
+        snapshot_discard_staged,
+        snapshot_partition_overwrite,
+        snapshot_publish,
+        snapshot_read,
+        snapshot_staged,
+    )
 
     def commit(batch: DataFrame, _id: int) -> None:
         if batch.isEmpty():
             return
-        snapshot_partition_overwrite(
-            batch.sparkSession,
-            batch,
-            path,
-            partition_col,
-            keep_snapshots=keep_snapshots,
+        spark = batch.sparkSession
+        if audit_fn is None:
+            snapshot_partition_overwrite(
+                spark, batch, path, partition_col,
+                keep_snapshots=keep_snapshots,
+            )
+            return
+        for stale in snapshot_staged(spark, path):
+            snapshot_discard_staged(
+                spark, path, stale, keep_snapshots=keep_snapshots
+            )
+        sv = snapshot_partition_overwrite(
+            spark, batch, path, partition_col,
+            keep_snapshots=keep_snapshots, audit=True,
         )
+        if audit_fn(snapshot_read(spark, path, version=sv)):
+            snapshot_publish(spark, path, sv, keep_snapshots=keep_snapshots)
+        else:
+            snapshot_discard_staged(
+                spark, path, sv, keep_snapshots=keep_snapshots
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(commit)

@@ -757,3 +757,66 @@ def test_streaming_ticks_drive_materialized_view(spark, dirs, tmp_path):
     run_foreach_batch_snapshot(per_user, dirs["ck"], table, "event_type")
     assert advance() == 2
     assert view_rows() == recompute()
+
+
+def test_snapshot_sink_audit_gate_blocks_bad_tick(spark, dirs, tmp_path):
+    """run_foreach_batch_snapshot(audit_fn=...): each tick is STAGED,
+    audited against the exact staged bytes, and published only on a
+    truthy verdict — a failing tick is discarded (readers never see it,
+    no staged manifest lingers) while the stream keeps consuming, and
+    the next good tick publishes on top of the last good state."""
+    from callio_etl_spark.snapshots import (
+        snapshot_read,
+        snapshot_staged,
+        snapshot_versions,
+    )
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "gated_table")
+    verdicts = []
+
+    def audit(staged_df):
+        # gate: no negative event counts may ever go live
+        bad = staged_df.where(F.col("n") <= 0).count()
+        verdicts.append(bad == 0)
+        return bad == 0
+
+    # tick 1: clean -> staged, audited, published
+    _write_batch(spark, dirs["src"], [_row(1, 0, 10, "call"), _row(2, 1, 11, "sms")])
+    counts = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type")
+        .agg(
+            # value == "poison" rows count NEGATIVE: lets tick 2 drive the
+            # aggregate below zero and trip the gate deterministically
+            F.sum(F.when(F.col("value") == "poison", -5).otherwise(1))
+            .cast("long")
+            .alias("n")
+        )
+    )
+    run_foreach_batch_snapshot(counts, dirs["ck"], table, "event_type", audit_fn=audit)
+    assert verdicts == [True]
+    v1 = {r["event_type"]: r["n"] for r in snapshot_read(spark, table).collect()}
+    assert v1 == {"call": 1, "sms": 1}
+    assert snapshot_staged(spark, table) == []
+    # the published history hides the staged intermediate: one live version
+    assert len(snapshot_versions(spark, table)) == 1
+
+    # tick 2: poisoned -> staged, audit fails, DISCARDED; live unchanged
+    _write_batch(spark, dirs["src"], [_row(3, 2, 12, "call", value="poison")])
+    run_foreach_batch_snapshot(counts, dirs["ck"], table, "event_type", audit_fn=audit)
+    assert verdicts == [True, False]
+    assert {
+        r["event_type"]: r["n"] for r in snapshot_read(spark, table).collect()
+    } == v1
+    assert snapshot_staged(spark, table) == []
+
+    # tick 3: clean again -> publishes on top of tick 1's state (the
+    # discarded tick's offsets were consumed, its rows never surface)
+    _write_batch(spark, dirs["src"], [_row(4, 3, 13, "mail")])
+    run_foreach_batch_snapshot(counts, dirs["ck"], table, "event_type", audit_fn=audit)
+    assert verdicts == [True, False, True]
+    live = {r["event_type"]: r["n"] for r in snapshot_read(spark, table).collect()}
+    assert live == {"call": 1, "sms": 1, "mail": 1}
