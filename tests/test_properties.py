@@ -604,3 +604,48 @@ def test_range_join_collapse_matches_bruteforce(spark, tmp_path_factory, offsets
         for r in range_join_bucketed(spark, str(tmp)).collect()
     }
     assert got == expect
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.integers(-(2**62), 2**62), st.text(max_size=30)),
+        min_size=1,
+        max_size=200,
+    ),
+    probes=st.lists(
+        st.one_of(st.integers(-(2**62), 2**62), st.text(max_size=30)),
+        max_size=50,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_bloom_bitmap_properties(values, probes):
+    """Pure-Python laws of the snapshot store's bloom bitmaps (the JVM
+    side is parity-tested separately): NO false negative is possible for
+    any inserted value, the bitmap folds order-independently, and a
+    probe miss for an absent value is honest (whenever the bitmap says
+    absent, the value truly was not inserted)."""
+    from callio_etl_spark.snapshots import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_hex,
+        _bloom_may_contain,
+        bloom_probe_positions,
+    )
+
+    pos = [p for v in values for p in bloom_probe_positions(v)]
+    hexmap = _bloom_hex(pos, BLOOM_M)
+    # order/duplication independence of the fold
+    import random as _random
+
+    shuf = list(pos)
+    _random.Random(0).shuffle(shuf)
+    assert _bloom_hex(shuf + shuf, BLOOM_M) == hexmap
+    # no false negatives, ever
+    for v in values:
+        assert _bloom_may_contain(hexmap, bloom_probe_positions(v))
+    # a reported miss is always a true miss (soundness of pruning);
+    # str-keyed containment mirrors the cast-to-string write contract
+    inserted = {str(v) for v in values}
+    for q in probes:
+        if not _bloom_may_contain(hexmap, bloom_probe_positions(q)):
+            assert str(q) not in inserted
