@@ -1990,3 +1990,82 @@ def snapshot_discard_staged(
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
     finally:
         release_table_lock(spark, path)
+
+
+def snapshot_table_stats(spark: SparkSession, path: str) -> list[dict]:
+    """Maintenance telemetry, METADATA-ONLY (manifest + directory
+    listings, no data read): one dict per live partition with its data
+    dir count, file count, byte size, smallest/largest file, and
+    pending delete-file count. This is the input a maintenance
+    scheduler feeds to ``plan_compactions`` — at 100 TB you compact the
+    partitions whose debt says so, never the table."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    m = snapshot_manifest(spark, path)
+    out = []
+    for leaf in sorted(m["partitions"]):
+        toks = _leaf_toks(m, leaf)
+        n_files = 0
+        total = 0
+        sizes = []
+        for tok in toks:
+            d = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}/{tok}")
+            for st in fs.listStatus(d):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    n_files += 1
+                    sz = st.getLen()
+                    total += sz
+                    sizes.append(sz)
+        out.append(
+            {
+                "partition": leaf,
+                "n_data_dirs": len(toks),
+                "n_files": n_files,
+                "bytes": total,
+                "min_file_bytes": min(sizes) if sizes else 0,
+                "max_file_bytes": max(sizes) if sizes else 0,
+                "n_delete_files": len(m.get("deletes", {}).get(leaf, [])),
+            }
+        )
+    return out
+
+
+def plan_compactions(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 8,
+    max_delete_files: int = 2,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> list[dict]:
+    """Pick the partitions whose small-file or merge-on-read debt
+    crosses the thresholds and return ready-to-run compaction orders:
+    [{partition, value, target_files, reason}]. Debt rules mirror what
+    Delta OPTIMIZE / Iceberg rewrite_data_files target: too many files
+    per partition (append accumulation), pending equality-delete files
+    beyond ``max_delete_files`` (scan-time anti-join debt), or both.
+    ``target_files`` is sized so compacted files land near
+    ``target_file_bytes`` (never 0). Metadata-only; execute each order
+    with ``snapshot_compact_partition(spark, path, value,
+    target_files)`` on whatever schedule the deployment runs
+    maintenance."""
+    orders = []
+    for s in snapshot_table_stats(spark, path):
+        reasons = []
+        if s["n_files"] > max_files:
+            reasons.append(f"{s['n_files']} files > {max_files}")
+        if s["n_delete_files"] > max_delete_files:
+            reasons.append(
+                f"{s['n_delete_files']} delete files > {max_delete_files}"
+            )
+        if not reasons:
+            continue
+        orders.append(
+            {
+                "partition": s["partition"],
+                "value": s["partition"].split("=", 1)[1],
+                "target_files": max(1, round(s["bytes"] / target_file_bytes)),
+                "reason": "; ".join(reasons),
+            }
+        )
+    return orders

@@ -1590,3 +1590,48 @@ def test_snapshot_model_based_wap_sequences(spark, tmp_path):
                 assert got_s == flat(st), (
                     f"staged v{sv} drifted under later commits (seed {seed})"
                 )
+
+
+def test_table_stats_and_compaction_planner(spark, tmp_path):
+    """snapshot_table_stats reads only metadata and reports real debt;
+    plan_compactions flags exactly the partitions over threshold, and
+    executing its orders clears the debt (and the plan empties)."""
+    p = str(tmp_path / "maint")
+    df = spark.range(600).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("d")
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d", max_records_per_file=50, keep_snapshots=3
+    )
+    # pile append debt onto d=1 only
+    for start in (600, 700, 800):
+        snap.snapshot_append(
+            spark,
+            spark.range(start, start + 100).select(
+                F.col("id").alias("k"), F.lit("1").alias("d")
+            ),
+            p, "d", max_records_per_file=25, keep_snapshots=3,
+        )
+    # and merge-on-read debt
+    for kmod in (7, 11, 13):
+        snap.snapshot_delete_rows(
+            spark, p, F.col("k") % 97 == kmod, keys=["k"], keep_snapshots=3
+        )
+    stats = {s["partition"]: s for s in snap.snapshot_table_stats(spark, p)}
+    assert stats["d=1"]["n_data_dirs"] == 4
+    assert stats["d=1"]["n_files"] > stats["d=0"]["n_files"] >= 6
+    assert stats["d=1"]["n_delete_files"] == 3
+    assert stats["d=1"]["bytes"] > 0 and stats["d=1"]["min_file_bytes"] > 0
+    orders = snap.plan_compactions(spark, p, max_files=8, max_delete_files=2)
+    assert [o["value"] for o in orders] == ["0", "1"] or [
+        o["value"] for o in orders
+    ] == ["1"]  # d=0 has 6 files at 50 rows/file -> under threshold
+    by_val = {o["value"]: o for o in orders}
+    assert "delete files" in by_val["1"]["reason"]
+    before = snap.snapshot_read(spark, p).count()
+    for o in orders:
+        snap.snapshot_compact_partition(
+            spark, p, o["value"], target_files=o["target_files"], keep_snapshots=3
+        )
+    assert snap.snapshot_read(spark, p).count() == before
+    assert snap.plan_compactions(spark, p, max_files=8, max_delete_files=2) == []
