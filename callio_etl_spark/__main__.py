@@ -69,10 +69,16 @@ def _tick_snapshot(
     as a month-partitioned manifest commit touching ONLY the months the
     fresh batch hit — untouched months carry over by reference, readers
     get snapshot isolation + pinnable history for free, and the commit
-    cost is O(touched months), not O(table). Correctness of the window
-    restriction is the checkpoint contract itself (C2): rows at or below
-    cutoff are final, and run_tick only merges keys from the fresh slice,
-    so every changed row's month lies in the fresh slice's month set."""
+    cost is O(touched months), not O(table).
+
+    The rewrite set must cover BOTH sides of every merged key: the month
+    its new row lands in (from the fresh slice) AND the month its
+    superseded old row lived in (from the target). An update whose
+    time_col_ms moves across a month boundary would otherwise leave the
+    stale copy behind in the old partition, carried over by manifest
+    reference — a duplicate key in the warehouse. Untouched keys stay
+    final below the cutoff (C2), so months holding none of the fresh
+    keys are safe to carry over."""
     from callio_etl_spark.logging_utils import job_stage
     from callio_etl_spark.snapshots import (
         snapshot_partition_overwrite,
@@ -93,16 +99,33 @@ def _tick_snapshot(
         cutoff = store.cutoff_ms(table.name, TENANT)
         merged, new_ck = run_tick(spark, store, table, batch, target, TENANT)
         if new_ck is not None:
-            months = [
+            fresh = batch.where(
+                (F.col(table.tenant_col) == TENANT)
+                & (F.col(table.time_col_ms) > F.lit(cutoff))
+            )
+            months = {
                 r[0]
-                for r in batch.where(
-                    (F.col(table.tenant_col) == TENANT)
-                    & (F.col(table.time_col_ms) > F.lit(cutoff))
-                )
-                .select(_month_of(table.time_col_ms).alias("ym"))
+                for r in fresh.select(_month_of(table.time_col_ms).alias("ym"))
                 .distinct()
                 .collect()
-            ]
+            }
+            if target is not None:
+                # months where the matched keys' PREVIOUS rows live — a
+                # cross-month update must retire the old copy too, so its
+                # partition joins the rewrite set (metadata-sized collect:
+                # distinct yyyy-MM values only)
+                months |= {
+                    r[0]
+                    for r in target.join(
+                        fresh.select(*table.keys).distinct(),
+                        table.keys,
+                        "left_semi",
+                    )
+                    .select(_month_of(table.time_col_ms).alias("ym"))
+                    .distinct()
+                    .collect()
+                }
+            months = sorted(months)
             out = merged.withColumn("ym", _month_of(table.time_col_ms))
             snapshot_partition_overwrite(
                 spark,

@@ -1517,42 +1517,10 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELTA_MOD = 10  # docs with doc_id % 10 == 0 play the "newly arrived" batch
 
 
-@register(
-    "minhash_incremental_pairs",
-    oracle=f"""
-WITH bands AS (
-{_bands_union_sql()}
-),
-delta AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0)
-SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
-                GREATEST(a.doc_id, b.doc_id) AS doc_b
-FROM delta a
-JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-            AND a.doc_id <> b.doc_id
-""",
-    tags=["llm", "dedup", "incremental"],
-)
-def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL MinHash-LSH dedup — the production form: a newly
-    arrived batch (here: doc_id % {DELTA_MOD} == 0 plays the delta) is
-    checked against the already-indexed corpus AND against itself,
-    without ever re-pairing the index with the index. Emits every
-    candidate pair touching a delta doc, pair-normalized.
-
-    Scale shape — why incremental beats re-running minhash_lsh_pairs per
-    tick: the band-signature table is the persisted index (the same
-    localCheckpoint'd table _band_table materializes; in production a
-    bucketed parquet table keyed on (band, band_key)); each tick computes
-    signatures for |delta| docs only and probes with a delta-to-index
-    equi-join, so the join cost is sum over buckets of
-    |delta_bucket| x |bucket| — linear in the delta for stable bucket
-    occupancy — instead of sum(|bucket|^2) for the full self-join. The
-    full-corpus pair set is the union of every tick's output, which is
-    exactly how the C4/RefinedWeb dedup services run their rolling index.
-    Composes downstream like any pair source: verify with
-    ngram_jaccard_pairs' exact Jaccard, then connected_components_star."""
-    d = _spread(load_table(spark, sf_dir, "documents"))
-    return incremental_pairs_banded(d, ROWS_PER_BAND, N_BANDS)
+# The delta-vs-index incremental operator is registered as
+# ``minhash_incremental_planned`` below the geometry-planning section:
+# its band geometry is DERIVED from the index size (the occupancy
+# policy), so the planner must be defined before the registration runs.
 
 
 def incremental_pairs_banded(
@@ -1711,6 +1679,125 @@ def plan_band_geometry_measured(
     return geometries[-1]
 
 
+#: Reference single-row collision rate for SIZE-DRIVEN geometry planning:
+#: the probability two UNRELATED documents agree on one minhash row, for a
+#: realistic open-vocabulary corpus (~1% — real web corpora measure
+#: 10^-3..10^-2; estimate_row_collision measures ~0.61 on the SYNTHETIC
+#: fixture because its vocabulary is tiny, which is a property of the
+#: fixture, not of text). Size-driven planning holds p fixed at this
+#: reference value and lets the INDEX SIZE pick the key length — the knob
+#: that actually moves per tick in a rolling service — so the plan is a
+#: pure function of COUNT(*) and both engines can derive it exactly.
+P_REF = 0.01
+
+
+def planned_geometry_thresholds(
+    num_hashes: int = NUM_HASHES,
+    p_ref: float = P_REF,
+    target_occupancy: float = TARGET_OCCUPANCY,
+) -> list[tuple[int, int, int]]:
+    """(rows_per_band, n_bands, max_index_size) steps of the size-driven
+    policy: the shortest feasible band key holds while
+    1 + (n-1) * p_ref^r <= target_occupancy, i.e. n <= the INTEGER
+    threshold floor(1 + (target-1)/p_ref^r). Integer thresholds are the
+    cross-engine parity trick: the oracle compares COUNT(*) to the same
+    baked-in integers, so no floating-point pow() in either engine can
+    flip the geometry choice at a boundary."""
+    import math
+
+    return [
+        (r, b, math.floor(1 + (target_occupancy - 1.0) / p_ref**r))
+        for r, b in feasible_band_geometries(num_hashes)
+    ]
+
+
+def plan_band_geometry_for_size(
+    n_docs: int,
+    num_hashes: int = NUM_HASHES,
+    p_ref: float = P_REF,
+    target_occupancy: float = TARGET_OCCUPANCY,
+) -> tuple[int, int]:
+    """The size-driven form of plan_band_geometry: geometry from the
+    index size alone, at the reference collision rate. Deterministic,
+    integer-thresholded (see planned_geometry_thresholds) — the form a
+    rolling dedup service re-plans with on every compaction, and the one
+    the registered ``minhash_incremental_planned`` query runs."""
+    steps = planned_geometry_thresholds(num_hashes, p_ref, target_occupancy)
+    for r, b, thr in steps:
+        if n_docs <= thr:
+            return (r, b)
+    return steps[-1][:2]
+
+
+def _planned_incremental_oracle() -> str:
+    """The delta-vs-index pair oracle with the SAME size-driven geometry
+    derivation in SQL: COUNT(*) picks rows_per_band through the identical
+    integer thresholds, and only the selected banding branch contributes
+    rows. Exact parity with plan_band_geometry_for_size at any corpus
+    size — the planning function and this CASE are generated from one
+    threshold table."""
+    steps = planned_geometry_thresholds()
+    case = " ".join(f"WHEN n <= {thr} THEN {r}" for r, _b, thr in steps[:-1])
+    branches = "\nUNION ALL\n".join(
+        f"SELECT * FROM (\n{_bands_union_sql(r, b)}\n) AS g{r} "
+        f"WHERE (SELECT r FROM sel) = {r}"
+        for r, b, _thr in steps
+    )
+    return f"""
+WITH sel AS (
+  SELECT CASE {case} ELSE {steps[-1][0]} END AS r
+  FROM (SELECT COUNT(*) AS n FROM documents)
+),
+bands AS (
+{branches}
+),
+delta AS (SELECT * FROM bands WHERE doc_id % {DELTA_MOD} = 0)
+SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                GREATEST(a.doc_id, b.doc_id) AS doc_b
+FROM delta a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id <> b.doc_id
+"""
+
+
+@register(
+    "minhash_incremental_planned",
+    oracle=_planned_incremental_oracle(),
+    tags=["llm", "dedup", "incremental", "scale-path"],
+)
+def minhash_incremental_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL MinHash-LSH dedup at the SIZE-PLANNED band geometry —
+    the production form: a newly arrived batch (doc_id % {DELTA_MOD} == 0
+    plays the delta) is checked against the already-indexed corpus AND
+    against itself, never re-pairing the index with the index, and the
+    band-key length is DERIVED from the index size by the occupancy
+    policy (plan_band_geometry_for_size) instead of being frozen — keys
+    lengthen as the index crosses each planned threshold, holding bucket
+    occupancy and keeping the probe join linear in the delta (the
+    FAISS-re-trains-its-quantizer move, SCALE_CURVE's
+    ``minhash_incremental_held`` measured it: exp 1.57 fixed -> 1.13
+    held across the sf0.1 -> sf1 decade). Subsumes the fixed-geometry
+    ``minhash_incremental_pairs`` of earlier rounds: at driver scale the
+    planner picks the same (2, 4) geometry, so the result rows are
+    identical; at 10x it switches to (4, 2) where the fixed form went
+    quadratic-ish.
+
+    Scale shape: the band-signature table is the persisted index (in
+    production a bucketed parquet table keyed on (band, band_key));
+    each tick computes signatures for |delta| docs only and probes with
+    a delta-to-index equi-join — cost sum over buckets of
+    |delta_bucket| x |bucket|, linear in the delta at held occupancy.
+    The index size the planner reads is one COUNT(*) (at 100 TB: the
+    table stats / manifest row count, free). The full-corpus pair set
+    is the union of every tick's output — the C4/RefinedWeb rolling
+    dedup service contract. Composes downstream like any pair source:
+    verify with ngram_jaccard_pairs' exact Jaccard, then
+    connected_components_star."""
+    d = _spread(load_table(spark, sf_dir, "documents"))
+    r, b = plan_band_geometry_for_size(d.count())
+    return incremental_pairs_banded(d, r, b)
+
+
 def plan_cell_bits(
     n_vecs: int, n_base_cells: int, target_cell_size: int = 64
 ) -> int:
@@ -1778,7 +1865,7 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
     tags=["llm", "dedup", "incremental", "scale-path"],
 )
 def minhash_incremental_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minhash_incremental_pairs at the GROWN band geometry
+    """The delta-vs-index probe at the FIXED GROWN band geometry
     ({GROWN_ROWS_PER_BAND} rows/band x {GROWN_N_BANDS} bands) — the
     registered proof that the occupancy-holding knob is a working
     operator, not prose: same signature fold, same delta-vs-index probe,

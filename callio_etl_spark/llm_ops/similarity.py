@@ -2147,7 +2147,7 @@ FROM scored WHERE rn = 1
 )
 def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF index maintenance — the vector-side twin of
-    minhash_incremental_pairs: a newly arrived vector batch (vec_id %
+    minhash_incremental_planned: a newly arrived vector batch (vec_id %
     {VEC_DELTA_MOD} == 0 plays the delta) is assigned to the EXISTING
     index's cells (centroids trained on the already-indexed vectors only
     — no retrain per tick), emitting per-vector (assigned_cell,

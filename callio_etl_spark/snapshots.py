@@ -359,8 +359,13 @@ def snapshot_read(
             if _stat_may_intersect(stats.get(leaf, {}).get(bcol), lo, hi)
         ]
     if not m["partitions"]:
-        # an empty snapshot (everything deleted): zero-row frame; the only
-        # schema the manifest still knows is the partition column
+        # an empty snapshot (everything deleted): zero-row frame with the
+        # COMMITTED schema when the manifest records one, so downstream
+        # unions / view refreshes see the same shape as a non-empty read
+        if "schema" in m:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(m["schema"]))
         return spark.range(0).select(
             F.lit(None).cast("string").alias(m["partition_col"])
         )
@@ -445,7 +450,12 @@ def snapshot_read(
     return _apply_deletes(spark, path, m, keep, reader.parquet(*scan))
 
 
-_TOKEN_VERSION_RE = "__s([0-9]{6})"
+#: Dir tokens are ``__s{version:06d}[del]_{hex}__`` — 06d is zero-PADDING,
+#: not a width cap (version numbers grow forever and are never reused), so
+#: the parse must take every digit up to the `_`/`del` delimiter or a
+#: version past 999999 would be truncated and merge-on-read delete
+#: sequencing would compare against the wrong version.
+_TOKEN_VERSION_RE = "__s([0-9]+)"
 
 
 def _apply_deletes(
@@ -747,6 +757,7 @@ def snapshot_partition_overwrite(
     max_records_per_file: int | None = None,
     audit: bool = False,
     op_name: str = "overwrite",
+    bucket_by: tuple[int, str] | None = None,
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -793,10 +804,40 @@ def snapshot_partition_overwrite(
     read-modify-write; an auditor reads it by the returned version
     (``snapshot_read(version=...)``), runs its checks, then
     ``snapshot_publish`` makes it live atomically — or
-    ``snapshot_discard_staged`` drops it. Iceberg's WAP flow."""
+    ``snapshot_discard_staged`` drops it. Iceberg's WAP flow.
+
+    ``bucket_by=(n, col)`` writes every partition's data HASH-BUCKETED
+    into ``n`` files keyed on ``col`` (Spark's bucketBy writer — bucket
+    ids live in the file names) and records the spec in the manifest, so
+    ``snapshot_read_bucketed`` can expose the on-disk distribution to
+    the planner and joins/aggregations on ``col`` run with NO Exchange —
+    the Iceberg bucket-transform analog for this store. The spec is a
+    TABLE property: once committed, every subsequent overwrite must
+    declare the identical spec (carried-over partitions' files are
+    hashed under it; a divergent rewrite would silently break the
+    shuffle-free contract for readers), and fast appends are refused on
+    bucketed tables (a second data dir per partition has its own bucket
+    file set, which the single-location-per-partition bucketed reader
+    cannot mount — rewrite the partition instead). Mutually exclusive
+    with ``zorder_cols``/``cluster_cols`` (bucketBy+sortBy fixes the
+    in-file order)."""
     path = path.rstrip("/")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
+    if bucket_by:
+        if zorder_cols or cluster_cols:
+            raise ValueError(
+                "bucket_by fixes the layout (bucket hash + in-bucket sort); "
+                "it cannot combine with zorder_cols/cluster_cols"
+            )
+        n_buckets, bucket_col = bucket_by
+        if n_buckets < 1:
+            raise ValueError("bucket_by: n must be >= 1")
+        if bucket_col == partition_col or bucket_col not in df.columns:
+            raise ValueError(
+                f"bucket_by column {bucket_col!r} must be a non-partition "
+                f"column of the frame"
+            )
     jvm, fs, _ = _hadoop(spark, path)
     if zorder_cols:
         z = _zorder_expr(df, zorder_cols)
@@ -809,10 +850,29 @@ def snapshot_partition_overwrite(
     elif cluster_cols:
         df = df.sortWithinPartitions(*cluster_cols)
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
-    writer = df.write.mode("overwrite").partitionBy(partition_col)
-    if max_records_per_file:
-        writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.parquet(wstaging)
+    if bucket_by:
+        # Spark's bucketed writer only runs through the catalog: stage as
+        # a TEMPORARY EXTERNAL table at the staging path (bucket ids are
+        # encoded in the file names), then drop the catalog entry — the
+        # files stay and flow through the normal rename+manifest commit.
+        tmp_tbl = f"__snap_stage_{uuid.uuid4().hex[:10]}"
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .partitionBy(partition_col)
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", wstaging)
+        )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.saveAsTable(tmp_tbl)
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp_tbl}`")
+    else:
+        writer = df.write.mode("overwrite").partitionBy(partition_col)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(wstaging)
     schema_json = json.loads(df.schema.json())
     new_stats, new_fstats = _staged_stats(
         spark, wstaging, partition_col, stats_cols, file_stats
@@ -828,6 +888,17 @@ def snapshot_partition_overwrite(
             raise ValueError(
                 f"table {path} is partitioned by {prev['partition_col']!r}, "
                 f"not {partition_col!r}"
+            )
+        new_spec = (
+            {"n": bucket_by[0], "col": bucket_by[1]} if bucket_by else None
+        )
+        prev_spec = prev.get("bucket_spec") if prev else None
+        if prev is not None and prev_spec != new_spec:
+            raise ValueError(
+                f"bucket spec mismatch at {path}: table declares "
+                f"{prev_spec}, commit declares {new_spec} — the spec is a "
+                f"table property (carried partitions' files are hashed "
+                f"under it); every overwrite must keep it"
             )
         version = _next_version(jvm, fs, path)
         token = f"__s{version:06d}_{uuid.uuid4().hex[:8]}__"
@@ -873,6 +944,8 @@ def snapshot_partition_overwrite(
         }
         if bloom_params:
             manifest["bloom"] = bloom_params
+        if new_spec:
+            manifest["bucket_spec"] = new_spec
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1724,7 +1797,9 @@ def maintain_agg_view(
     live = versions[-1]
 
     def full() -> DataFrame:
-        base = prep(snapshot_read(spark, src_path, version=live))
+        base = snapshot_read(spark, src_path, version=live)
+        if prep is not None:
+            base = prep(base)
         return base.groupBy(*group_cols).agg(
             F.count("*").cast("long").alias("n"),
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
@@ -1732,12 +1807,16 @@ def maintain_agg_view(
 
     v0 = None
     view_old = None
-    try:
+    # Only the missing-view cold start falls back to a full build; any
+    # other read failure (corrupt files, permissions, transient FS error)
+    # propagates — silently recomputing would mask it and, on a flaky
+    # store, turn every incremental refresh into a full recompute.
+    import os
+
+    if os.path.exists(view_path):
         view_old = spark.read.parquet(view_path)
         row = view_old.agg(F.max("_src_version")).first()
         v0 = row[0] if row else None
-    except Exception:
-        pass  # first build
     if v0 == live:
         return live
     if v0 is not None and v0 in versions:

@@ -190,6 +190,13 @@ def run_foreach_batch_snapshot(
     keep_snapshots: int = 3,
     output_mode: str = "update",
     audit_fn=None,
+    merge_keys: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
+    file_stats: bool = False,
+    bloom_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Streaming sink with SNAPSHOT-ISOLATED commits: each micro-batch's
     updated rows replace their partitions through ONE manifest publish
@@ -210,6 +217,27 @@ def run_foreach_batch_snapshot(
     manifests found at tick start are leftovers of a crash mid-audit
     and are discarded before staging anew.
 
+    PARTITION-GRAIN CONTRACT (without ``merge_keys``): the overwrite
+    replaces each touched partition with exactly the batch's rows for
+    it, and with ``outputMode('update')`` a micro-batch carries ONLY
+    the changed aggregate groups — so ``partition_col`` must be the
+    full grouping key (every group is alone in its partition) or the
+    stream must run in ``complete`` mode. If the partition is coarser
+    than the grouping key, an unchanged group sharing a partition with
+    an updated one would be dropped by the rewrite. Pass ``merge_keys``
+    (the full grouping key) to lift that restriction: each tick then
+    UPSERTS into the touched partitions — current rows of those
+    partitions whose key is absent from the batch are carried into the
+    rewrite, so update-mode batches compose with coarse partitions.
+    The carry reads the published head's (immutable) files before
+    anything is staged, so it is safe against the commit it feeds.
+
+    ``cluster_cols`` / ``stats_cols`` / ``zorder_cols`` / ``file_stats``
+    / ``bloom_cols`` thread through to every tick's commit, so a
+    streamed table gets the same data-skipping tiers (partition stats,
+    z-order file pruning, bloom point lookups) a batch-written snapshot
+    table has.
+
     Crash semantics compose with Spark's checkpoint: a batch that dies
     before its manifest publish committed NOTHING (the staged data dirs
     are unreferenced and vacuumed later), and the replayed batch re-runs
@@ -218,6 +246,8 @@ def run_foreach_batch_snapshot(
     as one more (idempotent-in-content) version. Untouched partitions
     carry over by manifest reference, so a tick's commit cost is
     O(partitions it updated)."""
+    import os
+
     from callio_etl_spark.snapshots import (
         snapshot_discard_staged,
         snapshot_partition_overwrite,
@@ -226,14 +256,36 @@ def run_foreach_batch_snapshot(
         snapshot_staged,
     )
 
+    layout = dict(
+        cluster_cols=cluster_cols,
+        stats_cols=stats_cols,
+        zorder_cols=zorder_cols,
+        file_stats=file_stats,
+        bloom_cols=bloom_cols,
+        max_records_per_file=max_records_per_file,
+    )
+
     def commit(batch: DataFrame, _id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        out = batch
+        if merge_keys is not None and os.path.isdir(
+            os.path.join(path, "__snap__")
+        ):
+            # upsert-into-partition: carry the touched partitions' current
+            # rows whose grouping key the batch didn't update
+            current = snapshot_read(spark, path)
+            carried = current.join(
+                batch.select(partition_col).distinct(), partition_col, "left_semi"
+            ).join(
+                batch.select(*merge_keys).distinct(), merge_keys, "left_anti"
+            )
+            out = carried.select(*batch.columns).unionByName(batch)
         if audit_fn is None:
             snapshot_partition_overwrite(
-                spark, batch, path, partition_col,
-                keep_snapshots=keep_snapshots,
+                spark, out, path, partition_col,
+                keep_snapshots=keep_snapshots, **layout,
             )
             return
         for stale in snapshot_staged(spark, path):
@@ -241,8 +293,8 @@ def run_foreach_batch_snapshot(
                 spark, path, stale, keep_snapshots=keep_snapshots
             )
         sv = snapshot_partition_overwrite(
-            spark, batch, path, partition_col,
-            keep_snapshots=keep_snapshots, audit=True,
+            spark, out, path, partition_col,
+            keep_snapshots=keep_snapshots, audit=True, **layout,
         )
         if audit_fn(snapshot_read(spark, path, version=sv)):
             snapshot_publish(spark, path, sv, keep_snapshots=keep_snapshots)
@@ -336,7 +388,7 @@ def read_docs_stream(
 
 
 def neardup_stream(docs: DataFrame, index_bands: DataFrame) -> DataFrame:
-    """minhash_incremental_pairs as a LIVE stream — the rolling dedup
+    """minhash_incremental_planned as a LIVE stream — the rolling dedup
     service shape: each micro-batch of newly arrived documents computes
     its MinHash band signatures IN-PROJECTION (band_projection — pure
     map-side, stream-legal) and stream-static joins the persisted band

@@ -1076,13 +1076,18 @@ def test_incremental_pairs_equal_delta_slice_of_full_pairs(spark):
     """Exactness of the incremental contract: the delta-vs-index pairs
     must be PRECISELY the subset of the full self-join's pairs that touch
     a delta doc — nothing missed (no index-index pair sneaks in, no
-    delta pair dropped)."""
+    delta pair dropped). At this corpus size the planner picks the same
+    (2, 4) geometry minhash_lsh_pairs bands with, so the full self-join
+    is the exact reference."""
     from callio_etl_spark.llm_ops.dedup_ops import (
         DELTA_MOD,
-        minhash_incremental_pairs,
+        minhash_incremental_planned,
         minhash_lsh_pairs,
+        plan_band_geometry_for_size,
     )
 
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert plan_band_geometry_for_size(n) == (2, 4)
     full = {
         (r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(spark, SF_DIR).collect()
     }
@@ -1091,9 +1096,33 @@ def test_incremental_pairs_equal_delta_slice_of_full_pairs(spark):
     }
     inc = {
         (r["doc_a"], r["doc_b"])
-        for r in minhash_incremental_pairs(spark, SF_DIR).collect()
+        for r in minhash_incremental_planned(spark, SF_DIR).collect()
     }
     assert inc == expected and len(inc) > 0
+
+
+def test_size_driven_geometry_policy():
+    """The size-driven planner's steps: integer thresholds, shortest key
+    within the occupancy budget, key growth across the held-run decades
+    (sf0.1's 5k docs -> (2,4); synthetic sf1's 50k -> (4,2)), longest-key
+    fallback past every threshold. Must agree with the closed-form
+    planner at the reference collision rate."""
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        P_REF,
+        plan_band_geometry,
+        plan_band_geometry_for_size,
+        planned_geometry_thresholds,
+    )
+
+    steps = planned_geometry_thresholds()
+    assert [(r, b) for r, b, _ in steps] == [(1, 8), (2, 4), (4, 2), (8, 1)]
+    assert steps[0][2] == 101 and steps[1][2] == 10001
+    for n in (1, 50, 500, 5000, 50_000, 10**9, 10**18):
+        assert plan_band_geometry_for_size(n) == plan_band_geometry(n, P_REF)
+    assert plan_band_geometry_for_size(500) == (2, 4)
+    assert plan_band_geometry_for_size(5000) == (2, 4)
+    assert plan_band_geometry_for_size(50_000) == (4, 2)
+    assert plan_band_geometry_for_size(10**18) == (8, 1)
 
 
 def test_embedding_covariance_matches_numpy(spark):

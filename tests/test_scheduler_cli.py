@@ -468,3 +468,60 @@ def test_cli_snapshot_table_format(tmp_path, monkeypatch):
                  "--snapshot-version", str(sv2), *base]) == 0
     assert snapshot_staged(spark, table) == []
     assert snapshot_read(spark, table).count() == live_n
+
+
+def test_tick_snapshot_cross_month_update_retires_old_row(spark, tmp_path):
+    """An update whose event time crosses a month boundary must rewrite
+    BOTH months: the one the new row lands in and the one holding the
+    superseded copy — otherwise the old row is carried over by manifest
+    reference and the key is duplicated."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import __main__ as cli
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.config import EngineConfig
+    from callio_etl_spark.functions import row_hash
+    from callio_etl_spark.pipeline import IncrementalTable
+    from callio_etl_spark.snapshots import snapshot_read
+
+    jan = 1705276800000  # 2024-01-15
+    jan_old = 1704067200000  # 2024-01-01 (below tick-2 cutoff)
+    feb = 1707523200000  # 2024-02-10
+
+    ticks = [
+        [("PK", 1, jan, "v1"), ("PK", 2, jan_old, "v1")],
+        [("PK", 1, feb, "v2")],  # key 1 moves Jan -> Feb
+    ]
+    state = {"i": 0}
+
+    def prepare(spark_, sf_dir_):
+        rows = ticks[state["i"]]
+        df = spark_.createDataFrame(
+            rows, "tenant string, k long, createTime long, payload string"
+        )
+        return df.withColumn("row_hash", row_hash(df))
+
+    table = IncrementalTable("xmon", ["tenant", "k"], "createTime")
+    cfg = EngineConfig()
+    cfg.work_dir = str(tmp_path)
+    cfg.limit_records = None
+    store = CheckpointStore(
+        spark, str(tmp_path / "update_log"), lookback_days=100000
+    )
+    orig = cli.JOB_TABLES.get("xmon")
+    cli.JOB_TABLES["xmon"] = (table, prepare)
+    try:
+        cli._tick_snapshot(spark, cfg, store, "xmon")
+        state["i"] = 1
+        cli._tick_snapshot(spark, cfg, store, "xmon")
+    finally:
+        if orig is None:
+            cli.JOB_TABLES.pop("xmon", None)
+        else:
+            cli.JOB_TABLES["xmon"] = orig
+
+    got = snapshot_read(spark, str(tmp_path / "xmon"))
+    rows = {(r["k"], r["createTime"]) for r in got.select("k", "createTime").collect()}
+    # key 1 exactly once, at its Feb time; key 2 untouched in Jan
+    assert rows == {(1, feb), (2, jan_old)}
+    assert got.where(F.col("k") == 1).count() == 1

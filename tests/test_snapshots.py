@@ -1635,3 +1635,71 @@ def test_table_stats_and_compaction_planner(spark, tmp_path):
         )
     assert snap.snapshot_read(spark, p).count() == before
     assert snap.plan_compactions(spark, p, max_files=8, max_delete_files=2) == []
+
+
+def test_maintain_agg_view_default_prep_first_build(spark, tmp_path):
+    """First build (and retention-forced full recompute) with the DEFAULT
+    prep=None must work — the incremental path always handled it."""
+    src = str(tmp_path / "src")
+    vw = str(tmp_path / "vw")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(10)],
+        "id long, d string, val double",
+    )
+    snap.snapshot_partition_overwrite(spark, df, src, "d", keep_snapshots=3)
+    assert snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"]) == 1
+    got = {
+        r["d"]: (r["n"], r["sum_val"])
+        for r in spark.read.parquet(vw).collect()
+    }
+    assert got == {"0": (5, 20.0), "1": (5, 25.0)}
+
+
+def test_maintain_agg_view_surfaces_corrupt_view(spark, tmp_path):
+    """A view path that EXISTS but cannot be read is a real failure and
+    must propagate — only the missing-view cold start may fall back to a
+    full build."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    vw = str(tmp_path / "vw")
+    df = spark.createDataFrame([(1, "0", 1.0)], "id long, d string, val double")
+    snap.snapshot_partition_overwrite(spark, df, src, "d", keep_snapshots=3)
+    os.makedirs(vw)
+    with open(os.path.join(vw, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+    with pytest.raises(Exception):
+        snap.maintain_agg_view(spark, src, vw, ["id"], ["d"], ["val"])
+
+
+def test_empty_snapshot_read_keeps_committed_schema(spark, tmp_path):
+    """Deleting every partition must not degrade the read schema: the
+    manifest's committed schema (not a one-column stub) shapes the empty
+    frame, so unions and view refreshes stay consistent."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "0", 5.0), (2, "1", 6.0)], "id long, d string, val double"
+    )
+    snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=3)
+    full_schema = snap.snapshot_read(spark, p).schema
+    snap.snapshot_delete_partitions(spark, p, ["0", "1"], keep_snapshots=3)
+    empty = snap.snapshot_read(spark, p)
+    assert empty.count() == 0
+    assert set(f.name for f in empty.schema) == set(f.name for f in full_schema)
+    # and it unions cleanly with a non-empty historical read
+    v1 = snap.snapshot_read(spark, p, version=1)
+    assert v1.unionByName(empty.select(*v1.columns)).count() == 2
+
+
+def test_token_version_parse_past_six_digits():
+    """Version numbers grow forever; the dir-token parse must take every
+    digit (06d is zero-padding, not a cap) for both data and delete
+    tokens."""
+    import re
+
+    for v in (7, 999999, 1000000, 123456789):
+        data_tok = f"__s{v:06d}_deadbeef__"
+        del_tok = f"__s{v:06d}del_deadbeef__"
+        for tok in (data_tok, del_tok):
+            m = re.search(snap._TOKEN_VERSION_RE, tok)
+            assert m and int(m.group(1)) == v, (tok, m and m.group(1))

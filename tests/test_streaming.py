@@ -820,3 +820,85 @@ def test_snapshot_sink_audit_gate_blocks_bad_tick(spark, dirs, tmp_path):
     assert verdicts == [True, False, True]
     live = {r["event_type"]: r["n"] for r in snapshot_read(spark, table).collect()}
     assert live == {"call": 1, "sms": 1, "mail": 1}
+
+
+def test_snapshot_sink_merge_keys_carries_unchanged_groups(spark, dirs, tmp_path):
+    """update-mode + partition coarser than the grouping key: WITHOUT
+    merge_keys the rewrite of a touched partition would drop the
+    unchanged groups sharing it; with merge_keys (the full grouping key)
+    each tick upserts into the partition and the final state equals the
+    batch recomputation."""
+    from callio_etl_spark.snapshots import snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "mk_table")
+    # tick 1: two groups in the SAME partition (call/u10, call/u11) + sms/u12
+    _write_batch(
+        spark,
+        dirs["src"],
+        [_row(1, 0, 10, "call"), _row(2, 1, 11, "call"), _row(3, 2, 12, "sms")],
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def tick():
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "event_type",
+            merge_keys=["event_type", "user_id"],
+        )
+
+    tick()
+    # tick 2: updates ONLY call/u10 — call/u11 must survive the rewrite
+    _write_batch(spark, dirs["src"], [_row(4, 3, 10, "call")])
+    tick()
+    got = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {("call", 10): 2, ("call", 11): 1, ("sms", 12): 1}
+
+
+def test_snapshot_sink_threads_layout_kwargs(spark, dirs, tmp_path):
+    """bloom_cols / zorder_cols thread through every streamed tick's
+    commit, so a streamed table gets the same point-lookup file pruning a
+    batch-written one has (snapshot_read(point=...) skips files)."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "bl_table")
+    rows1 = [_row(i, i, 100 + i, "call") for i in range(8)]
+    rows2 = [_row(100 + i, 200 + i, 500 + i, "sms") for i in range(8)]
+    _write_batch(spark, dirs["src"], rows1)
+    per_event = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type", "event_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def tick():
+        run_foreach_batch_snapshot(
+            per_event, dirs["ck"], table, "event_type",
+            merge_keys=["event_type", "event_id"],
+            bloom_cols=["event_id"], zorder_cols=["event_id"],
+            max_records_per_file=2,
+        )
+
+    tick()
+    _write_batch(spark, dirs["src"], rows2)
+    tick()
+
+    m = snap.snapshot_manifest(spark, table)
+    assert m.get("bloom"), "streamed commits must record bloom bitmaps"
+    # point probe: prunes to fewer files than the full scan...
+    full_files = snap.snapshot_read(spark, table).inputFiles()
+    probe = snap.snapshot_read(spark, table, point=("event_id", 3))
+    assert len(probe.inputFiles()) < len(full_files)
+    # ...and still returns the row after the exact filter
+    assert probe.where(F.col("event_id") == 3).count() == 1

@@ -77,7 +77,7 @@ HEAVY = [
     # r5 closing additions: moment aggregates, delta-vs-index probe, retrieval
     "embedding_covariance",
     "embedding_pca_project",
-    "minhash_incremental_pairs",
+    "minhash_incremental_planned",
     "bm25_topk",
     "vocab_coverage",
     # r6: the registered scale-path variants + their held-occupancy runs
@@ -114,7 +114,8 @@ def _neardup_bits(extra_bits: int):
 #: honest scaling of the *policy*, not of a deliberately-frozen index.
 HELD: dict[str, dict[str, object]] = {
     # band keys lengthen (2 rows/band -> 4) as the index 10x-es, holding
-    # bucket occupancy ~constant; contrast minhash_incremental_pairs (1.57)
+    # bucket occupancy ~constant; now the registered policy of
+    # minhash_incremental_planned (the fixed-(2,4) form measured 1.57)
     "minhash_incremental_held": {
         "0.01": _minhash_geometry(2, 4),
         "0.1": _minhash_geometry(2, 4),
@@ -153,14 +154,14 @@ CAUSES = {
         "many); the serving path itself is linear in bucket size with the "
         "10 cells held fixed."
     ),
-    "minhash_incremental_pairs": (
-        "delta-to-index probe cost is sum(|delta_bucket| x |bucket|): with "
-        "the 4 bands FIXED for oracle parity on this vocabulary-degenerate "
-        "corpus, 10x rows per bucket grows the product ~100x in hot "
-        "buckets — the sum(bucket^2) family law. Production holds bucket "
-        "occupancy constant by adding bands/rows-per-band as the index "
-        "grows, restoring the linear-in-the-delta contract — measured as "
-        "minhash_incremental_held."
+    "minhash_incremental_planned": (
+        "the size-driven occupancy policy AS the registered operator: the "
+        "planner lengthens band keys as the index crosses each integer "
+        "size threshold ((2,4) at sf0.1 -> (4,2) at sf1), holding bucket "
+        "occupancy and the linear-in-the-delta probe contract the held "
+        "harness run measured (exp 1.57 fixed -> ~1.13 held). Residual "
+        "super-linearity on the synthetic sf1 is OUTPUT-bound (verbatim "
+        "10x replication grows true pairs ~44x)."
     ),
     "semantic_dedup_gemm": (
         "same sum(cluster^2) pair count as semantic_dedup but scored via "
