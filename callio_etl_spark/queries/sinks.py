@@ -1009,6 +1009,96 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_bucketed_snapshot",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 4 = 1
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM o JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=["sink", "snapshot", "bucketed", "join"],
+)
+def sink_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-colocation AND snapshot isolation on the SAME table —
+    closing r7's storage-layer seam where a table could be
+    snapshot-versioned (snapshots.py manifests) or bucket-colocated
+    (catalog saveAsTable, ``sink_bucketed_join``) but not both: two
+    snapshot tables are committed with ``bucket_by=(8, custkey)``
+    (partition dirs hold hash-bucketed file sets; the spec rides in the
+    manifest and every later overwrite must redeclare it), mounted via
+    ``snapshot_read_bucketed`` (temp external catalog tables over the
+    pinned manifests' data dirs — ADD PARTITION metadata only), and
+    sort-merge-joined with an asserted NO-Exchange executed plan. The
+    oracle recomputes the joined aggregate from the raw tables, so a
+    bucket-routing bug (a row hashed into the wrong file would silently
+    drop its join pairs under the shuffle-free plan) breaks the value
+    hash, not just the plan gate.
+
+    100 TB story: the daily fact-dim join on the snapshot warehouse was
+    the one recurring full-table shuffle left (VERDICT r7); with the
+    spec in the manifest the shuffle is paid once at commit and every
+    tick's join reads both sides pre-distributed, while commits stay
+    O(touched partitions) manifest publishes with time travel intact."""
+    from callio_etl_spark.snapshots import (
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read_bucketed,
+    )
+
+    root = _tmp("bsnap")
+    p_ord, p_cust = f"{root}/ord", f"{root}/cust"
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 1)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    snapshot_partition_overwrite(
+        spark, o, p_ord, "o_orderpriority",
+        bucket_by=(8, "o_custkey"), keep_snapshots=2,
+    )
+    snapshot_partition_overwrite(
+        spark, c, p_cust, "c_mktsegment",
+        bucket_by=(8, "c_custkey"), keep_snapshots=2,
+    )
+    for p, col in ((p_ord, "o_custkey"), (p_cust, "c_custkey")):
+        spec = snapshot_manifest(spark, p).get("bucket_spec")
+        if spec != {"n": 8, "col": col}:
+            raise AssertionError(f"manifest bucket spec wrong: {spec}")
+    names = []
+    try:
+        bo, n1 = snapshot_read_bucketed(spark, p_ord)
+        names.append(n1)
+        bc, n2 = snapshot_read_bucketed(spark, p_cust)
+        names.append(n2)
+        joined = bo.hint("merge").join(
+            bc, bo["o_custkey"] == bc["c_custkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan:
+            raise AssertionError("bucketed snapshot join not sort-merge")
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed snapshot join still shuffles:\n" + plan[:2000]
+            )
+        result = joined.groupBy("c_mktsegment").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+        return _materialize_and_clean(result, root)
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+
+@register(
     "sink_wap_publish",
     oracle="""
 WITH base AS (

@@ -507,6 +507,87 @@ def _leaf_toks(m: dict, leaf: str) -> list[str]:
     return [toks] if isinstance(toks, str) else list(toks)
 
 
+def snapshot_read_bucketed(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Read a BUCKET-COLOCATED snapshot with its on-disk distribution
+    exposed to the planner: mounts the pinned manifest's data dirs as a
+    temporary external catalog table declaring the manifest's bucket
+    spec (one ``ADD PARTITION ... LOCATION`` per leaf — metadata only,
+    nothing is copied or listed beyond the referenced dirs), so joins
+    and aggregations on the bucket column run with NO Exchange — the
+    write-once shuffle the spec paid is cashed on every read. Returns
+    ``(df, table_name)``; drop the catalog entry (``DROP TABLE``) when
+    done — it is EXTERNAL, dropping never touches the data.
+
+    The reader VALIDATES the spec before trusting it: the manifest must
+    declare ``bucket_spec`` (written by ``snapshot_partition_overwrite
+    (bucket_by=...)``, the only commit path allowed on a bucketed
+    table), every leaf must hold exactly one data dir, and no delete
+    files may be pending — all three are enforced at commit time, so a
+    violation here means manifest corruption, and scanning mis-declared
+    buckets shuffle-free would silently DROP join pairs. Snapshot
+    isolation carries over: the mounted locations are the pinned
+    version's immutable dirs, so commits racing this read change
+    nothing it sees."""
+    path = path.rstrip("/")
+    m = snapshot_manifest(spark, path, version, tag=tag)
+    spec = m.get("bucket_spec")
+    if not spec:
+        raise ValueError(f"{path} carries no bucket_spec in its manifest")
+    if any(toks for toks in m.get("deletes", {}).values()):
+        raise ValueError(
+            f"{path} has pending merge-on-read delete files; the "
+            f"bucketed read cannot apply them without re-planning the "
+            f"distribution"
+        )
+    multi = sorted(
+        leaf for leaf in m["partitions"] if len(_leaf_toks(m, leaf)) > 1
+    )
+    if multi:
+        raise ValueError(
+            f"bucketed read needs one data dir per partition, got "
+            f"stacked dirs at {multi}"
+        )
+    if "schema" not in m:
+        raise ValueError(f"{path} manifest lacks a committed schema")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(m["schema"])
+    pcol = m["partition_col"]
+    data_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in schema
+        if f.name != pcol
+    )
+    ptype = next(
+        (f.dataType.simpleString() for f in schema if f.name == pcol), "string"
+    )
+    name = f"snapb_{uuid.uuid4().hex[:10]}"
+    # LOCATION makes it external: DROP TABLE removes only the catalog
+    # entry, never the snapshot's data dirs
+    spark.sql(
+        f"CREATE TABLE `{name}` ({data_cols}, `{pcol}` {ptype}) "
+        f"USING parquet PARTITIONED BY (`{pcol}`) "
+        f"CLUSTERED BY (`{spec['col']}`) SORTED BY (`{spec['col']}`) "
+        f"INTO {spec['n']} BUCKETS LOCATION '{path}'"
+    )
+    unescape = (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+    )
+    for leaf in sorted(m["partitions"]):
+        tok = _leaf_toks(m, leaf)[0]
+        val = unescape(leaf.split("=", 1)[1]).replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE `{name}` ADD PARTITION (`{pcol}`='{val}') "
+            f"LOCATION '{path}/{leaf}/{tok}'"
+        )
+    return spark.table(name), name
+
+
 def _json_stat(v):
     """A stat value as it will round-trip through the JSON manifest."""
     if v is None or isinstance(v, (bool, int, float, str)):
@@ -1042,6 +1123,14 @@ def snapshot_append(
                 f"table {path} is partitioned by {prev['partition_col']!r}, "
                 f"not {partition_col!r}"
             )
+        if prev and prev.get("bucket_spec"):
+            raise ValueError(
+                f"table {path} is bucket-colocated "
+                f"({prev['bucket_spec']}): fast appends would stack a "
+                f"second bucket file set onto the partition, which the "
+                f"single-location bucketed reader cannot mount — rewrite "
+                f"the partition via snapshot_partition_overwrite instead"
+            )
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         deletes = dict(prev.get("deletes", {})) if prev else {}
         version = _next_version(jvm, fs, path)
@@ -1165,9 +1254,13 @@ def snapshot_delete_rows(
     jvm, fs, _ = _hadoop(spark, path)
     m = snapshot_manifest(spark, path)
     col = m["partition_col"]
-    if "delete_keys" in m and list(m["delete_keys"]) != list(keys):
+    if m.get("bucket_spec"):
         raise ValueError(
-            f"table {path} records delete_keys={m['delete_keys']}, got {keys}"
+            f"table {path} is bucket-colocated ({m['bucket_spec']}): "
+            f"merge-on-read delete files would break the shuffle-free "
+            f"bucketed read (the anti-join re-plans the distribution) — "
+            f"rewrite the affected partitions via "
+            f"snapshot_partition_overwrite instead"
         )
     doomed = (
         snapshot_read(spark, path, version=m["version"])
@@ -1248,6 +1341,13 @@ def snapshot_upsert_rows(
     jvm, fs, _ = _hadoop(spark, path)
     m = snapshot_manifest(spark, path)
     col = m["partition_col"]
+    if m.get("bucket_spec"):
+        raise ValueError(
+            f"table {path} is bucket-colocated ({m['bucket_spec']}): the "
+            f"MoR upsert stacks unbucketed dirs and delete files the "
+            f"bucketed reader cannot mount — use the copy-on-write merge "
+            f"(merge_write_snapshot / snapshot_partition_overwrite)"
+        )
     if col not in source.columns:
         raise ValueError(f"source must carry the partition column {col!r}")
     if "delete_keys" in m and list(m["delete_keys"]) != list(keys):
@@ -1500,6 +1600,13 @@ def snapshot_compact_partition(
     path = path.rstrip("/")
     m = snapshot_manifest(spark, path)
     col = m["partition_col"]
+    if m.get("bucket_spec"):
+        raise ValueError(
+            f"table {path} is bucket-colocated ({m['bucket_spec']}): a "
+            f"coalesce rewrite would strip the bucket file layout — "
+            f"rewrite the partition via snapshot_partition_overwrite "
+            f"with the same bucket_by to re-lay it out"
+        )
     leaf = f"{col}={value}"
     if leaf not in m["partitions"]:
         raise FileNotFoundError(f"no partition {leaf} in snapshot of {path}")

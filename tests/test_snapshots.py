@@ -1703,3 +1703,90 @@ def test_token_version_parse_past_six_digits():
         for tok in (data_tok, del_tok):
             m = re.search(snap._TOKEN_VERSION_RE, tok)
             assert m and int(m.group(1)) == v, (tok, m and m.group(1))
+
+
+def test_bucketed_snapshot_spec_contract(spark, tmp_path):
+    """bucket_by commits: the spec rides in the manifest and is a table
+    property — carried partitions stay joinable shuffle-free after a
+    same-spec overwrite, a divergent spec is refused, and the write
+    paths that would break the layout (append / MoR delete / MoR upsert
+    / coalesce compaction) are refused with the remedy named."""
+    import pytest
+
+    p = str(tmp_path / "bt")
+    df = spark.createDataFrame(
+        [(i, str(i % 3), i * 10) for i in range(60)], "k long, d string, v long"
+    )
+    v1 = snap.snapshot_partition_overwrite(
+        spark, df, p, "d", bucket_by=(4, "k"), keep_snapshots=3
+    )
+    assert snap.snapshot_manifest(spark, p)["bucket_spec"] == {"n": 4, "col": "k"}
+
+    # same-spec overwrite of ONE partition: carried partitions keep their
+    # bucket files; the mounted table still joins shuffle-free
+    upd = df.where(F.col("d") == "1").withColumn("v", F.col("v") + 1)
+    snap.snapshot_partition_overwrite(
+        spark, upd, p, "d", bucket_by=(4, "k"), keep_snapshots=3
+    )
+    other = str(tmp_path / "bt2")
+    snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame([(i, "x", i) for i in range(0, 60, 2)],
+                              "k long, e string, w long"),
+        other, "e", bucket_by=(4, "k"), keep_snapshots=3,
+    )
+    names = []
+    try:
+        a, n1 = snap.snapshot_read_bucketed(spark, p)
+        names.append(n1)
+        b, n2 = snap.snapshot_read_bucketed(spark, other)
+        names.append(n2)
+        j = a.hint("merge").join(b, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+        assert j.count() == 30  # every even k joins once
+        # post-overwrite content correct in the mounted read
+        assert a.where(F.col("d") == "1").agg(F.sum("v")).first()[0] == sum(
+            i * 10 + 1 for i in range(60) if i % 3 == 1
+        )
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+    # divergent spec refused
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        snap.snapshot_partition_overwrite(
+            spark, upd, p, "d", bucket_by=(8, "k"), keep_snapshots=3
+        )
+    with pytest.raises(ValueError, match="bucket spec mismatch"):
+        snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=3)
+
+    # layout-breaking write paths refused
+    with pytest.raises(ValueError, match="bucket-colocated"):
+        snap.snapshot_append(spark, upd, p, "d", keep_snapshots=3)
+    with pytest.raises(ValueError, match="bucket-colocated"):
+        snap.snapshot_delete_rows(
+            spark, p, F.col("k") == 1, ["k"], keep_snapshots=3
+        )
+    with pytest.raises(ValueError, match="bucket-colocated"):
+        snap.snapshot_upsert_rows(spark, p, upd, ["k"], keep_snapshots=3)
+    with pytest.raises(ValueError, match="bucket-colocated"):
+        snap.snapshot_compact_partition(spark, p, "1", keep_snapshots=3)
+
+    # reader refuses a table without a spec
+    plain = str(tmp_path / "plain")
+    snap.snapshot_partition_overwrite(spark, df, plain, "d", keep_snapshots=3)
+    with pytest.raises(ValueError, match="no bucket_spec"):
+        snap.snapshot_read_bucketed(spark, plain)
+
+    # time travel composes: v1 mounts with v1's content
+    names = []
+    try:
+        a1, n1 = snap.snapshot_read_bucketed(spark, p, version=v1)
+        names.append(n1)
+        assert a1.where(F.col("d") == "1").agg(F.sum("v")).first()[0] == sum(
+            i * 10 for i in range(60) if i % 3 == 1
+        )
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS `{n}`")
