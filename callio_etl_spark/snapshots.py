@@ -346,18 +346,112 @@ def snapshot_read(
     Merge-on-read: if the manifest lists delete files (see
     ``snapshot_delete_rows``), the scan anti-joins them for the scanned
     partitions, so readers always see the LOGICAL content of the pinned
-    version."""
+    version.
+
+    PARTITION-SPEC EVOLUTION (``snapshot_evolve_spec``): a table whose
+    history spans specs (day-era dirs under ``d=...``, month-era dirs
+    under ``ym=...``) is read as one frame — each data dir is evaluated
+    under ITS OWN writing spec (per-spec scan groups, so every old row
+    keeps its original partition value; the groups align on the
+    committed union schema), and pruning applies per spec: ``between``
+    on a group's own partition column prunes by the PARTITION VALUES
+    themselves (exact), on any other column by the recorded stats
+    (conservative keep without them) — Iceberg's
+    evaluate-each-file-under-the-spec-that-wrote-it rule."""
     path = path.rstrip("/")
     m = snapshot_manifest(spark, path, version, tag=tag)
+    prefixes = {leaf.split("=", 1)[0] for leaf in m["partitions"]}
+    if len(prefixes) > 1:
+        from functools import reduce
+
+        outs = []
+        for pc in sorted(prefixes):
+            leaves = {
+                l: t
+                for l, t in m["partitions"].items()
+                if l.split("=", 1)[0] == pc
+            }
+            sub = {
+                **m,
+                "partition_col": pc,
+                "partitions": leaves,
+                "stats": {
+                    l: v for l, v in m.get("stats", {}).items() if l in leaves
+                },
+                "file_stats": {
+                    l: v
+                    for l, v in m.get("file_stats", {}).items()
+                    if l in leaves
+                },
+                "file_blooms": {
+                    l: v
+                    for l, v in m.get("file_blooms", {}).items()
+                    if l in leaves
+                },
+                "deletes": {
+                    l: v
+                    for l, v in m.get("deletes", {}).items()
+                    if l in leaves
+                },
+            }
+            outs.append(_read_single_spec(spark, path, sub, between, point))
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), outs
+        )
+    return _read_single_spec(spark, path, m, between, point)
+
+
+def _leaf_value_may_intersect(spark: SparkSession, leaf: str, lo, hi) -> bool:
+    """Exact partition-value pruning for a leaf under its own spec: keep
+    the leaf iff its (unescaped) partition value can fall in [lo, hi].
+    Values are compared in lo/hi's own type when the path string casts
+    cleanly (int/float partition values are stringified in paths, where
+    lexicographic order lies); NULL partitions and uncastable values are
+    conservatively kept."""
+    raw = leaf.split("=", 1)[1]
+    utils = (
+        spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    )
+    if raw == utils.DEFAULT_PARTITION_NAME():
+        return True
+    val = utils.unescapePathName(raw)
+    try:
+        if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+            v = type(lo)(val)
+        else:
+            v, lo, hi = str(val), str(lo), str(hi)
+        return lo <= v <= hi
+    except (TypeError, ValueError):
+        return True
+
+
+def _read_single_spec(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    between: tuple[str, object, object] | None,
+    point: tuple[str, object] | None,
+) -> DataFrame:
+    """One spec group's scan — the whole single-spec read path (partition
+    prune -> file prune -> bloom prune -> MoR deletes)."""
     keep = sorted(m["partitions"])
     if between is not None:
         bcol, lo, hi = between
-        stats = m.get("stats", {})
-        keep = [
-            leaf
-            for leaf in keep
-            if _stat_may_intersect(stats.get(leaf, {}).get(bcol), lo, hi)
-        ]
+        if bcol == m["partition_col"]:
+            # the group's OWN spec column: the partition values are the
+            # exact truth, no stats needed
+            keep = [
+                leaf
+                for leaf in keep
+                if _leaf_value_may_intersect(spark, leaf, lo, hi)
+            ]
+        else:
+            stats = m.get("stats", {})
+            keep = [
+                leaf
+                for leaf in keep
+                if _stat_may_intersect(stats.get(leaf, {}).get(bcol), lo, hi)
+            ]
     if not m["partitions"]:
         # an empty snapshot (everything deleted): zero-row frame with the
         # COMMITTED schema when the manifest records one, so downstream
@@ -505,6 +599,94 @@ def _leaf_toks(m: dict, leaf: str) -> list[str]:
     or a list once ``snapshot_append`` stacked extra dirs onto the leaf."""
     toks = m["partitions"][leaf]
     return [toks] if isinstance(toks, str) else list(toks)
+
+
+def snapshot_evolve_spec(
+    spark: SparkSession,
+    path: str,
+    new_partition_col: str,
+    keep_snapshots: int = 2,
+) -> int:
+    """EVOLVE the table's partition spec (Iceberg partition-spec
+    evolution, done properly rather than as a re-stamp): a METADATA-ONLY
+    commit after which new writes partition by ``new_partition_col``
+    while every existing data dir stays under the spec that wrote it —
+    nothing is rewritten, old rows keep their original partition values,
+    and ``snapshot_read`` evaluates each dir under its own spec (per-spec
+    scan groups; ``between`` on either spec column prunes exactly within
+    its era and by recorded stats across it). The day->month migration a
+    growing table needs costs one manifest write, not a 100 TB rewrite;
+    old-era partitions migrate lazily, one atomic commit each, via
+    ``snapshot_partition_overwrite(df=<their rows under the new spec>,
+    retire_leaves=[<their old dirs>])``.
+
+    Subsequent overwrites MUST declare the new column (the usual
+    partition-col check now enforces the current spec) and their
+    committed schema UNIONS the table's, so carried old-spec dirs keep
+    reading their columns. Refused on bucketed tables (the bucketed
+    mount declares one partition spec) and while merge-on-read delete
+    files are pending (delete files are assigned under one spec;
+    compact them first). Returns the committed version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        prev = _published_head(spark, jvm, fs, path)
+        if prev is None:
+            raise FileNotFoundError(f"no published snapshot at {path}")
+        if prev["partition_col"] == new_partition_col:
+            raise ValueError(
+                f"table already partitions by {new_partition_col!r}"
+            )
+        if prev.get("bucket_spec"):
+            raise ValueError(
+                f"table {path} is bucket-colocated ({prev['bucket_spec']}): "
+                f"the bucketed mount declares a single partition spec — "
+                f"drop the bucket layout (full rewrite) before evolving"
+            )
+        if any(prev.get("deletes", {}).values()):
+            raise ValueError(
+                f"table {path} has pending merge-on-read delete files; "
+                f"compact them before evolving the partition spec"
+            )
+        version = _next_version(jvm, fs, path)
+        manifest = {
+            **prev,
+            "version": version,
+            "op": "evolve-spec",
+            "partition_col": new_partition_col,
+            "spec_history": prev.get(
+                "spec_history", [prev["partition_col"]]
+            )
+            + [new_partition_col],
+        }
+        for k in ("staged", "parent", "published_from"):
+            manifest.pop(k, None)
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def _union_schema_json(old: dict, new: dict) -> dict:
+    """Union two manifest schema JSONs column-wise (append/evolved-
+    overwrite rule): old columns keep their position, new ones append;
+    a type change is rejected — evolution may widen the column set,
+    never silently rewrite a column's type."""
+    old_fields = {f["name"]: f for f in old["fields"]}
+    fields = list(old["fields"])
+    for f_ in new["fields"]:
+        have = old_fields.get(f_["name"])
+        if have is None:
+            fields.append(f_)
+        elif have["type"] != f_["type"]:
+            raise ValueError(
+                f"schema union changes type of {f_['name']!r}: "
+                f"{have['type']} -> {f_['type']}"
+            )
+    return {**old, "fields": fields}
 
 
 def snapshot_read_bucketed(
@@ -839,6 +1021,7 @@ def snapshot_partition_overwrite(
     audit: bool = False,
     op_name: str = "overwrite",
     bucket_by: tuple[int, str] | None = None,
+    retire_leaves: list[str] | None = None,
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -901,7 +1084,15 @@ def snapshot_partition_overwrite(
     file set, which the single-location-per-partition bucketed reader
     cannot mount — rewrite the partition instead). Mutually exclusive
     with ``zorder_cols``/``cluster_cols`` (bucketBy+sortBy fixes the
-    in-file order)."""
+    in-file order).
+
+    ``retire_leaves`` drops the named partition leaves (exact dir names,
+    e.g. ``d=2024-01-05``) in the SAME commit that lands ``df``'s
+    partitions — the atomic move a spec-evolution migration needs: read
+    an old-spec partition's rows, rewrite them under the current spec,
+    and retire the old dir in one manifest publish, so no reader ever
+    sees the rows doubled or missing. Retired dirs stay pinnable in
+    older versions until retention sweeps them."""
     path = path.rstrip("/")
     if keep_snapshots < 1:
         raise ValueError("keep_snapshots must be >= 1 (the live snapshot)")
@@ -989,6 +1180,16 @@ def snapshot_partition_overwrite(
         blooms = dict(prev.get("file_blooms", {})) if prev else {}
         bloom_params = _bloom_params_for_commit(prev, bloom_cols)
         deletes = dict(prev.get("deletes", {})) if prev else {}
+        for leaf in retire_leaves or []:
+            if leaf not in partitions:
+                raise FileNotFoundError(
+                    f"retire_leaves: no partition dir {leaf!r} at {path}"
+                )
+            partitions.pop(leaf)
+            stats.pop(leaf, None)
+            fstats.pop(leaf, None)
+            blooms.pop(leaf, None)
+            deletes.pop(leaf, None)
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
         for leaf in staged:
             dest_parent = f"{path}/{leaf}"
@@ -1012,6 +1213,13 @@ def snapshot_partition_overwrite(
                     for fname, bm in new_blooms[leaf].items()
                 }
         _delete(jvm, fs, wstaging)
+        if prev and "schema" in prev and any(
+            leaf.split("=", 1)[0] != partition_col for leaf in partitions
+        ):
+            # spec-evolved table with carried old-spec dirs: the committed
+            # schema is the UNION, so those dirs keep reading their
+            # columns (incl. the old spec column) after this rewrite
+            schema_json = _union_schema_json(prev["schema"], schema_json)
         manifest = {
             "version": version,
             "op": op_name,
@@ -1027,6 +1235,8 @@ def snapshot_partition_overwrite(
             manifest["bloom"] = bloom_params
         if new_spec:
             manifest["bucket_spec"] = new_spec
+        if prev and "spec_history" in prev:
+            manifest["spec_history"] = prev["spec_history"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1210,6 +1420,8 @@ def snapshot_append(
         }
         if bloom_params:
             manifest["bloom"] = bloom_params
+        if prev and "spec_history" in prev:
+            manifest["spec_history"] = prev["spec_history"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1261,6 +1473,16 @@ def snapshot_delete_rows(
             f"bucketed read (the anti-join re-plans the distribution) — "
             f"rewrite the affected partitions via "
             f"snapshot_partition_overwrite instead"
+        )
+    if len({leaf.split("=", 1)[0] for leaf in m["partitions"]}) > 1:
+        raise ValueError(
+            f"table {path} spans partition specs (spec evolution): "
+            f"delete files are assigned under one spec — rewrite the "
+            f"affected partitions instead"
+        )
+    if "delete_keys" in m and list(m["delete_keys"]) != list(keys):
+        raise ValueError(
+            f"table {path} records delete_keys={m['delete_keys']}, got {keys}"
         )
     doomed = (
         snapshot_read(spark, path, version=m["version"])
@@ -1347,6 +1569,12 @@ def snapshot_upsert_rows(
             f"MoR upsert stacks unbucketed dirs and delete files the "
             f"bucketed reader cannot mount — use the copy-on-write merge "
             f"(merge_write_snapshot / snapshot_partition_overwrite)"
+        )
+    if len({leaf.split("=", 1)[0] for leaf in m["partitions"]}) > 1:
+        raise ValueError(
+            f"table {path} spans partition specs (spec evolution): the "
+            f"MoR upsert assigns delete files under one spec — use the "
+            f"copy-on-write merge instead"
         )
     if col not in source.columns:
         raise ValueError(f"source must carry the partition column {col!r}")
@@ -1498,6 +1726,16 @@ def snapshot_delete_partitions(
                 "file_blooms": blooms,
                 "deletes": dels,
                 **({"bloom": prev["bloom"]} if "bloom" in prev else {}),
+                **(
+                    {"bucket_spec": prev["bucket_spec"]}
+                    if "bucket_spec" in prev
+                    else {}
+                ),
+                **(
+                    {"spec_history": prev["spec_history"]}
+                    if "spec_history" in prev
+                    else {}
+                ),
                 **(
                     {"delete_keys": prev["delete_keys"]}
                     if "delete_keys" in prev

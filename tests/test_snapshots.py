@@ -1790,3 +1790,88 @@ def test_bucketed_snapshot_spec_contract(spark, tmp_path):
     finally:
         for n in names:
             spark.sql(f"DROP TABLE IF EXISTS `{n}`")
+
+
+def test_partition_spec_evolution_day_to_month(spark, tmp_path):
+    """Spec evolution mid-history (day -> month): a metadata-only commit
+    switches the spec for NEW writes; old dirs are evaluated under their
+    writing spec, so old rows keep their original partition values (no
+    NULL re-stamp), `between` pruning is exact within each era and
+    stats-driven across it, migration is one atomic retire+rewrite
+    commit, and time travel still reads the pre-evolution state."""
+    import pytest
+
+    p = str(tmp_path / "evo")
+    df1 = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", "2024-01", float(i)) for i in range(20)],
+        "k long, d string, ym string, v double",
+    )
+    v1 = snap.snapshot_partition_overwrite(
+        spark, df1, p, "d", stats_cols=["ym"], keep_snapshots=10
+    )
+    v2 = snap.snapshot_evolve_spec(spark, p, "ym", keep_snapshots=10)
+    m = snap.snapshot_manifest(spark, p)
+    assert m["partition_col"] == "ym" and m["spec_history"] == ["d", "ym"]
+    # old spec name rejected now; same-col evolve rejected
+    with pytest.raises(ValueError, match="partitioned by"):
+        snap.snapshot_partition_overwrite(spark, df1, p, "d", keep_snapshots=10)
+    with pytest.raises(ValueError, match="already partitions"):
+        snap.snapshot_evolve_spec(spark, p, "ym")
+
+    df2 = spark.createDataFrame(
+        [(100 + i, f"2024-02-{(i % 3) + 1:02d}", "2024-02", float(i) * 2) for i in range(9)],
+        "k long, d string, ym string, v double",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df2, p, "ym", stats_cols=["d"], keep_snapshots=10
+    )
+
+    # union read: every row keeps ITS OWN partition value, nothing NULL
+    r = snap.snapshot_read(spark, p)
+    assert r.count() == 29
+    assert r.where(F.col("d").isNull() | F.col("ym").isNull()).count() == 0
+    got = {(x["k"], x["d"], x["ym"]) for x in r.collect()}
+    want = {(i, f"2024-01-{(i % 5) + 1:02d}", "2024-01") for i in range(20)} | {
+        (100 + i, f"2024-02-{(i % 3) + 1:02d}", "2024-02") for i in range(9)
+    }
+    assert got == want
+
+    # pruning across the boundary: day-range prune keeps only the two
+    # matching day dirs (month dirs excluded via their d-stats)
+    full_files = len(r.inputFiles())
+    pr = snap.snapshot_read(spark, p, between=("d", "2024-01-02", "2024-01-03"))
+    assert 0 < len(pr.inputFiles()) < full_files
+    assert pr.where(F.col("d").between("2024-01-02", "2024-01-03")).count() == 8
+    assert pr.where(F.col("ym") == "2024-02").count() == 0  # pruned away
+    # month prune symmetric (day dirs excluded via their ym-stats)
+    pr2 = snap.snapshot_read(spark, p, between=("ym", "2024-02", "2024-02"))
+    assert pr2.count() == 9 and len(pr2.inputFiles()) < full_files
+
+    # MoR paths refuse across specs
+    with pytest.raises(ValueError, match="spans partition specs"):
+        snap.snapshot_delete_rows(spark, p, F.col("k") == 1, ["k"])
+    with pytest.raises(ValueError, match="spans partition specs"):
+        snap.snapshot_upsert_rows(spark, p, df2.limit(1), ["k"])
+
+    # time travel: the pre-evolution version still reads day-era only
+    assert snap.snapshot_read(spark, p, version=v1).count() == 20
+    assert "d" in {f.name for f in snap.snapshot_read(spark, p, version=v1).schema}
+
+    # MIGRATION: rewrite the day era under the month spec and retire the
+    # day dirs in ONE commit; the read is single-spec again, row-identical
+    old_rows = snap.snapshot_read(spark, p, version=v1)
+    day_leaves = sorted(snap.snapshot_manifest(spark, p, version=v1)["partitions"])
+    snap.snapshot_partition_overwrite(
+        spark,
+        old_rows.select("k", "d", "ym", "v"),
+        p,
+        "ym",
+        stats_cols=["d"],
+        keep_snapshots=10,
+        retire_leaves=day_leaves,
+    )
+    r2 = snap.snapshot_read(spark, p)
+    assert {(x["k"], x["d"], x["ym"]) for x in r2.collect()} == want
+    assert {leaf.split("=", 1)[0] for leaf in snap.snapshot_manifest(spark, p)["partitions"]} == {"ym"}
+    # the 2024-02 era carried over untouched through the migration commit
+    assert r2.where(F.col("ym") == "2024-02").count() == 9
