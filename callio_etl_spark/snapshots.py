@@ -2079,12 +2079,35 @@ def snapshot_refresh_agg(
     if prep is not None:
         ch = prep(ch)
         assert "_change" in ch.columns, "prep must preserve _change"
-    sign = F.when(
+    signed = ch.withColumn("__sign", _change_sign()).drop("_change")
+    return _fold_signed_delta(view_old, signed, group_cols, sum_cols)
+
+
+def _change_sign():
+    """+1 for rows entering the view's base (insert/update_postimage),
+    -1 for rows leaving it (delete/update_preimage)."""
+    return F.when(
         F.col("_change").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    delta = ch.groupBy(*group_cols).agg(
-        F.sum(sign).cast("long").alias("__dn"),
-        *[F.sum(F.col(c) * sign).alias(f"__d_{c}") for c in sum_cols],
+
+
+def _fold_signed_delta(
+    view_old: DataFrame,
+    signed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Fold a SIGNED row multiset (``__sign`` = +1/-1) into a
+    count+sums view: delta-aggregate, full-outer join on the group key,
+    DECIMAL-exact addition, drop groups whose count reaches zero — the
+    DBToaster delta rule's second half, shared by the single-table and
+    the join-view refresh."""
+    delta = signed.groupBy(*group_cols).agg(
+        F.sum("__sign").cast("long").alias("__dn"),
+        *[
+            F.sum(F.col(c) * F.col("__sign")).alias(f"__d_{c}")
+            for c in sum_cols
+        ],
     )
     sum_names = [f"sum_{c}" for c in sum_cols]
     view_types = dict(view_old.dtypes)
@@ -2105,6 +2128,187 @@ def snapshot_refresh_agg(
     )
     # groups whose last row was deleted vanish, exactly as a recompute
     return out.where(F.col("n") > 0)
+
+
+def snapshot_refresh_agg_join(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    vf_from: int,
+    vf_to: int,
+    vd_from: int,
+    vd_to: int,
+    fact_keys: list[str],
+    dim_keys: list[str],
+    join_cols: list[str],
+    view_old: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    prep_fact=None,
+    prep_dim=None,
+) -> DataFrame:
+    """Incremental maintenance for an aggregate over a FACT ⋈ DIM join —
+    the reporting-view shape (the flagship itself is agg-over-join) the
+    single-table ``snapshot_refresh_agg`` can't maintain: given the
+    materialized ``view_old`` of ``(vf_from, vd_from)`` — schema
+    ``group_cols + [n, sum_<c>...]`` of
+    ``(prep_fact(F) ⋈ prep_dim(D) on join_cols).groupBy(group).agg`` —
+    return the view of ``(vf_to, vd_to)`` from the change feeds alone,
+    by the bilinear delta rule
+
+        Δ(F ⋈ D) = ΔF ⋈ D_new  ∪  F_old ⋈ ΔD
+
+    (exact: expanding with ΔF = F_new − F_old, ΔD = D_new − D_old
+    telescopes to F_new⋈D_new − F_old⋈D_old), with each term carrying
+    its feed's ±1 sign and both folded by the shared DECIMAL-exact
+    delta fold. Either side may be unchanged (pass equal versions);
+    both may change in one refresh — the rule handles simultaneous
+    deltas without double counting.
+
+    Cost model at 100 TB: the ΔF term is delta-sized joined against the
+    (broadcastable) dim — the nightly fact-append case costs touched
+    fact partitions only. The ΔD term joins the FULL fact against the
+    (tiny, broadcast) dim delta — a dim change costs one fact scan, the
+    honest price every materialized-view engine pays when a dimension
+    row flips (and why slowly-changing dims are modeled as SCD2 appends
+    rather than in-place flips when that scan hurts).
+
+    JOIN SEMANTICS: inner equi-join on ``join_cols``. The reference's
+    LEFT joins with COALESCE('Unassigned') defaults are encoded by
+    completing the dim with a default row per unmatched key — which
+    also keeps the delta rule exact (a LEFT join's null-extension flips
+    rows non-linearly and admits no bilinear delta). ``prep_fact`` /
+    ``prep_dim`` are row-local column maps (cast measures to DECIMAL
+    there); they must preserve the ``__sign`` bookkeeping column."""
+
+    def _prep(df, fn):
+        if fn is None:
+            return df
+        out = fn(df)
+        assert "__sign" in out.columns, "prep must preserve __sign"
+        return out
+
+    d_new = snapshot_read(spark, dim_path, version=vd_to).withColumn(
+        "__sign", F.lit(1)
+    )
+    terms = []
+    if vf_to != vf_from:
+        df_feed = snapshot_changes(
+            spark, fact_path, vf_from, vf_to, fact_keys, preimages=True
+        ).withColumn("__sign", _change_sign()).drop("_change")
+        terms.append(
+            _prep(df_feed, prep_fact)
+            .join(_prep(d_new, prep_dim).drop("__sign"), join_cols)
+        )
+    if vd_to != vd_from:
+        dd_feed = snapshot_changes(
+            spark, dim_path, vd_from, vd_to, dim_keys, preimages=True
+        ).withColumn("__sign", _change_sign()).drop("_change")
+        f_old = snapshot_read(spark, fact_path, version=vf_from).withColumn(
+            "__sign", F.lit(1)
+        )
+        terms.append(
+            _prep(f_old, prep_fact)
+            .drop("__sign")
+            .join(F.broadcast(_prep(dd_feed, prep_dim)), join_cols)
+        )
+    if not terms:
+        return view_old
+    from functools import reduce
+
+    cols = sorted(set(group_cols) | set(sum_cols) | {"__sign"})
+    signed = reduce(
+        lambda a, b: a.unionByName(b), [t.select(*cols) for t in terms]
+    )
+    return _fold_signed_delta(view_old, signed, group_cols, sum_cols)
+
+
+def maintain_join_view(
+    spark: SparkSession,
+    fact_path: str,
+    dim_path: str,
+    view_path: str,
+    fact_keys: list[str],
+    dim_keys: list[str],
+    join_cols: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    prep_fact=None,
+    prep_dim=None,
+    keep_versions: int = 0,
+) -> tuple[int, int]:
+    """Keep a materialized FACT ⋈ DIM aggregate view current with BOTH
+    source snapshot tables (the join-view analog of
+    ``maintain_agg_view``): each call advances the view to the sources'
+    live versions — incrementally via ``snapshot_refresh_agg_join``
+    while both base versions are still in retained history, by full
+    recompute on first build or after retention outran the view. The
+    view's provenance (``_fact_version``, ``_dim_version``) travels IN
+    the view so state swaps atomically with the data. Returns the
+    (fact, dim) versions the view now reflects."""
+    from callio_etl_spark.io import atomic_overwrite
+
+    fact_path, dim_path = fact_path.rstrip("/"), dim_path.rstrip("/")
+    vf = snapshot_versions(spark, fact_path)
+    vd = snapshot_versions(spark, dim_path)
+    if not vf or not vd:
+        raise FileNotFoundError("both sources need a committed snapshot")
+    live_f, live_d = vf[-1], vd[-1]
+
+    def _prep(df, fn):
+        return df if fn is None else fn(df.withColumn("__sign", F.lit(1))).drop(
+            "__sign"
+        )
+
+    def full() -> DataFrame:
+        f = _prep(snapshot_read(spark, fact_path, version=live_f), prep_fact)
+        d = _prep(snapshot_read(spark, dim_path, version=live_d), prep_dim)
+        return f.join(d, join_cols).groupBy(*group_cols).agg(
+            F.count("*").cast("long").alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+        )
+
+    import os
+
+    v0f = v0d = None
+    view_old = None
+    if os.path.exists(view_path):
+        view_old = spark.read.parquet(view_path)
+        row = view_old.agg(
+            F.max("_fact_version"), F.max("_dim_version")
+        ).first()
+        v0f, v0d = (row[0], row[1]) if row else (None, None)
+    if (v0f, v0d) == (live_f, live_d):
+        return live_f, live_d
+    if v0f in vf and v0d in vd:
+        out = snapshot_refresh_agg_join(
+            spark,
+            fact_path,
+            dim_path,
+            int(v0f),
+            live_f,
+            int(v0d),
+            live_d,
+            fact_keys,
+            dim_keys,
+            join_cols,
+            view_old.drop("_fact_version", "_dim_version"),
+            group_cols,
+            sum_cols,
+            prep_fact=prep_fact,
+            prep_dim=prep_dim,
+        )
+    else:
+        out = full()
+    atomic_overwrite(
+        spark,
+        out.withColumn("_fact_version", F.lit(live_f)).withColumn(
+            "_dim_version", F.lit(live_d)
+        ),
+        view_path,
+        keep_versions=keep_versions,
+    )
+    return live_f, live_d
 
 
 def maintain_agg_view(

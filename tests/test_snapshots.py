@@ -1875,3 +1875,121 @@ def test_partition_spec_evolution_day_to_month(spark, tmp_path):
     assert {leaf.split("=", 1)[0] for leaf in snap.snapshot_manifest(spark, p)["partitions"]} == {"ym"}
     # the 2024-02 era carried over untouched through the migration commit
     assert r2.where(F.col("ym") == "2024-02").count() == 9
+
+
+def test_join_view_ivm_random_commit_sequences(spark, tmp_path):
+    """Model test for the fact⋈dim join-view IVM: across a seeded random
+    sequence of fact rewrites (deletes / measure updates / key-migrating
+    updates / inserts) and dim rewrites (attribute flips / deletes /
+    births), the maintained view must equal a full recomputation after
+    EVERY maintenance call — the incremental path is exercised for
+    fact-only, dim-only, and simultaneous deltas."""
+    import random
+
+    rng = random.Random(1234)
+    fp, dp, vp = str(tmp_path / "f"), str(tmp_path / "d"), str(tmp_path / "v")
+
+    fact_rows = {i: (i, i % 11, str(i % 4), float(i % 97)) for i in range(300)}
+    dim_rows = {i: (i, f"s{i % 5}") for i in range(11)}
+
+    def fact_df():
+        return spark.createDataFrame(
+            sorted(fact_rows.values()), "fk long, ck long, p string, v double"
+        )
+
+    def dim_df():
+        return spark.createDataFrame(
+            [(k, s, "d") for k, s in sorted(dim_rows.values())],
+            "ck long, seg string, dp string",
+        )
+
+    def prep_f(df):
+        return df.withColumn("val", F.col("v").cast("decimal(18,6)"))
+
+    snap.snapshot_partition_overwrite(spark, fact_df(), fp, "p", keep_snapshots=30)
+    snap.snapshot_partition_overwrite(spark, dim_df(), dp, "dp", keep_snapshots=30)
+
+    def maintain():
+        return snap.maintain_join_view(
+            spark, fp, dp, vp, ["fk"], ["ck"], ["ck"], ["seg"], ["val"],
+            prep_fact=prep_f,
+        )
+
+    def recompute():
+        f = prep_f(snap.snapshot_read(spark, fp))
+        d = snap.snapshot_read(spark, dp)
+        return sorted(
+            map(
+                tuple,
+                f.join(d, "ck")
+                .groupBy("seg")
+                .agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("val").alias("sum_val"),
+                )
+                .collect(),
+            )
+        )
+
+    def view_rows():
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(vp)
+                .drop("_fact_version", "_dim_version")
+                .collect(),
+            )
+        )
+
+    def mutate_fact():
+        parts = sorted({r[2] for r in fact_rows.values()})
+        p = rng.choice(parts)
+        in_p = [k for k, r in fact_rows.items() if r[2] == p]
+        for k in in_p:
+            roll = rng.random()
+            if roll < 0.15:
+                del fact_rows[k]
+            elif roll < 0.35:
+                fk, ck, _, v = fact_rows[k]
+                fact_rows[k] = (fk, ck, p, v + rng.randint(1, 50))
+            elif roll < 0.45:
+                fk, _, _, v = fact_rows[k]
+                fact_rows[k] = (fk, rng.randrange(11), p, v)
+        for _ in range(rng.randint(0, 4)):
+            nk = max(fact_rows, default=0) + rng.randint(1, 9)
+            fact_rows[nk] = (nk, rng.randrange(11), p, float(rng.randint(0, 96)))
+        rewritten = [r for r in fact_rows.values() if r[2] == p]
+        df = spark.createDataFrame(
+            sorted(rewritten) or [(None, None, p, None)],
+            "fk long, ck long, p string, v double",
+        )
+        if not rewritten:
+            snap.snapshot_delete_partitions(spark, fp, [p], keep_snapshots=30)
+        else:
+            snap.snapshot_partition_overwrite(spark, df, fp, "p", keep_snapshots=30)
+
+    def mutate_dim():
+        for k in list(dim_rows):
+            roll = rng.random()
+            if roll < 0.1 and len(dim_rows) > 2:
+                del dim_rows[k]
+            elif roll < 0.4:
+                dim_rows[k] = (k, f"s{rng.randrange(5)}")
+        if rng.random() < 0.5:
+            nk = max(dim_rows) + 1
+            dim_rows[nk] = (nk, f"s{rng.randrange(5)}")
+        snap.snapshot_partition_overwrite(spark, dim_df(), dp, "dp", keep_snapshots=30)
+
+    maintain()
+    assert view_rows() == recompute()
+    for step in range(8):
+        which = rng.random()
+        if which < 0.4:
+            mutate_fact()
+        elif which < 0.7:
+            mutate_dim()
+        else:
+            mutate_fact()
+            mutate_dim()
+        maintain()
+        assert view_rows() == recompute(), f"divergence at step {step}"
