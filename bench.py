@@ -15,6 +15,19 @@ Each query is fully materialized via the noop sink (forces every operator,
 unlike count() which lets Catalyst prune aggregation inputs). A warm-up pass
 on sf0.001 triggers JVM/codegen warm-up so timings reflect plan execution,
 not first-query JIT.
+
+DRIFT CALIBRATION: before the measured sweep, a FIXED synthetic workload
+(pure CPU, data-independent — codegen arithmetic + hash aggregate over
+spark.range) is timed and reported as ``calibration_s`` in both JSON
+lines. Shared-host throughput drift (the +39% ambient level shift that
+cost a session of forensics between the r6 and r7 recordings — see
+BASELINE.md) moves the calibration and the query totals together, so the
+honest cross-recording comparison is the CALIBRATED ratio
+
+    (total_s / calibration_s)  vs  (baseline total_s / calibration_s)
+
+and the 2x bench guard should be read on that ratio whenever the two
+recordings' calibrations differ materially (>10%).
 """
 
 from __future__ import annotations
@@ -25,6 +38,29 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def calibration_seconds(spark) -> float:
+    """The drift yardstick: a FIXED pure-CPU workload with no data
+    dependence — 1B rows of whole-stage-codegen arithmetic folded into
+    one hash aggregate across 32 partitions (the same JVM execution
+    machinery the measured queries spend their time in; ~2 s at the
+    recording host's speed, large enough that scheduler jitter is noise
+    on it). Best-of-3 like every measured query. Deterministic by
+    construction (spark.range), so any change in its timing between
+    recordings is the HOST moving, not the engine."""
+    best = float("inf")
+    cal = (
+        spark.range(0, 1_000_000_000, 1, 32)
+        .selectExpr("xxhash64(id) % 1000003 AS h", "id % 4096 AS g")
+        .groupBy("g")
+        .agg({"h": "sum"})
+    )
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cal.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -45,6 +81,9 @@ def main() -> None:
         queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+
+    # host-speed yardstick, measured AFTER warm-up, BEFORE the sweep
+    calibration = calibration_seconds(spark)
 
     # Best of two passes per query: the first execution at a new scale pays
     # codegen compilation + buffer-pool warm-up that isn't plan cost; min()
@@ -84,6 +123,7 @@ def main() -> None:
                 "metric": "wall_seconds_all_queries",
                 "value": total,
                 "unit": "sec",
+                "calibration_s": calibration,
                 "queries": timings,
                 "sf": sf_val,
             }
@@ -100,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "total_s": total,
                 "n_queries": len(timings),
+                "calibration_s": calibration,
                 "sf": sf_val,
             }
         )
