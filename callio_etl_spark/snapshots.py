@@ -1968,7 +1968,11 @@ def snapshot_changes(
             new = new.withColumn(c, F.lit(None).cast(t))
 
     data_cols = [c for c in new.columns if c not in keys and c != col]
-    join_keys = [col, *keys]
+    # the partition column may itself be one of the keys (e.g. a stream
+    # sink partitioned by part of its grouping key) — dedupe or the
+    # full-outer join sees the same name twice and every downstream
+    # reference is ambiguous
+    join_keys = list(dict.fromkeys([col, *keys]))
     o = old.select(
         *[F.col(c).alias(f"__old_{c}") if c in data_cols else F.col(c) for c in old.columns]
     ).withColumn("__in_old", F.lit(1))

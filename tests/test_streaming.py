@@ -902,3 +902,91 @@ def test_snapshot_sink_threads_layout_kwargs(spark, dirs, tmp_path):
     assert len(probe.inputFiles()) < len(full_files)
     # ...and still returns the row after the exact filter
     assert probe.where(F.col("event_id") == 3).count() == 1
+
+
+def test_streaming_ticks_drive_join_view(spark, dirs, tmp_path):
+    """Composition: streaming snapshot commits on the FACT side + a
+    static dim snapshot + maintain_join_view — after each tick (and
+    after a dim flip) the join view catches up incrementally and equals
+    a recompute of live fact ⋈ live dim."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    fact = str(tmp_path / "jv_fact")
+    dim = str(tmp_path / "jv_dim")
+    view = str(tmp_path / "jv_view")
+
+    dim_df = spark.createDataFrame(
+        [(10, "alpha", "d"), (11, "alpha", "d"), (12, "beta", "d"), (21, "beta", "d")],
+        "user_id long, team string, dp string",
+    )
+    snap.snapshot_partition_overwrite(spark, dim_df, dim, "dp", keep_snapshots=10)
+
+    def prep_f(df):
+        return df.withColumn("ev", F.col("events").cast("decimal(18,6)"))
+
+    def advance():
+        return snap.maintain_join_view(
+            spark, fact, dim, view,
+            ["event_type", "user_id"], ["user_id"], ["user_id"],
+            ["team"], ["ev"], prep_fact=prep_f,
+        )
+
+    def view_rows():
+        return sorted(
+            map(tuple,
+                spark.read.parquet(view)
+                .drop("_fact_version", "_dim_version").collect())
+        )
+
+    def recompute():
+        f = prep_f(snap.snapshot_read(spark, fact))
+        d = snap.snapshot_read(spark, dim)
+        return sorted(
+            map(tuple,
+                f.join(d, "user_id").groupBy("team").agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("ev").alias("sum_ev"),
+                ).collect())
+        )
+
+    _write_batch(
+        spark, dirs["src"],
+        [_row(1, 0, 10, "call"), _row(2, 1, 11, "call"), _row(3, 2, 12, "sms")],
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("events"))
+    )
+
+    def tick():
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], fact, "event_type",
+            merge_keys=["event_type", "user_id"],
+        )
+
+    tick()
+    advance()
+    assert view_rows() == recompute()
+
+    # tick 2: user 12 grows, user 21 appears (new join partner)
+    _write_batch(
+        spark, dirs["src"],
+        [_row(4, 3, 12, "sms"), _row(5, 4, 21, "mail")],
+    )
+    tick()
+    advance()
+    assert view_rows() == recompute()
+
+    # dim flip: user 11 changes team — the fact side is untouched, the
+    # incremental path must retract 11's rows from alpha and add to beta
+    dim_df2 = spark.createDataFrame(
+        [(10, "alpha", "d"), (11, "beta", "d"), (12, "beta", "d"), (21, "beta", "d")],
+        "user_id long, team string, dp string",
+    )
+    snap.snapshot_partition_overwrite(spark, dim_df2, dim, "dp", keep_snapshots=10)
+    advance()
+    assert view_rows() == recompute()
