@@ -68,7 +68,7 @@ def main() -> None:
         "(`bench.py`, noop sink, best-of-3 passes per query after JVM/Python\n"
         "warm-up, per-query GC isolation — steady-state plan execution;\n"
         f"re-recorded: {note}). Subsequent rounds\n"
-        "guard at <=2x per the driver contract.\n\n" + cal_line
+        "guard at <=2x per the driver contract.\n\n" + cal_line +
         "### Accepted jitter band\n\n"
         "Sub-2 s queries carry +-0.3-0.5 s scheduler/GC noise, and run ORDER\n"
         "biases sub-second queries up to ~2x (head-of-run entries pay\n"
