@@ -2285,23 +2285,28 @@ def maintain_join_view(
     if (v0f, v0d) == (live_f, live_d):
         return live_f, live_d
     if v0f in vf and v0d in vd:
-        out = snapshot_refresh_agg_join(
-            spark,
-            fact_path,
-            dim_path,
-            int(v0f),
-            live_f,
-            int(v0d),
-            live_d,
-            fact_keys,
-            dim_keys,
-            join_cols,
-            view_old.drop("_fact_version", "_dim_version"),
-            group_cols,
-            sum_cols,
-            prep_fact=prep_fact,
-            prep_dim=prep_dim,
-        )
+        try:
+            out = snapshot_refresh_agg_join(
+                spark,
+                fact_path,
+                dim_path,
+                int(v0f),
+                live_f,
+                int(v0d),
+                live_d,
+                fact_keys,
+                dim_keys,
+                join_cols,
+                view_old.drop("_fact_version", "_dim_version"),
+                group_cols,
+                sum_cols,
+                prep_fact=prep_fact,
+                prep_dim=prep_dim,
+            )
+        except ValueError:
+            # a feed cannot span these versions (spec evolution between
+            # them): one full rebuild, then incremental resumes
+            out = full()
     else:
         out = full()
     atomic_overwrite(
@@ -2373,17 +2378,24 @@ def maintain_agg_view(
     if v0 == live:
         return live
     if v0 is not None and v0 in versions:
-        out = snapshot_refresh_agg(
-            spark,
-            src_path,
-            int(v0),
-            live,
-            keys,
-            view_old.drop("_src_version"),
-            group_cols,
-            sum_cols,
-            prep=prep,
-        )
+        try:
+            out = snapshot_refresh_agg(
+                spark,
+                src_path,
+                int(v0),
+                live,
+                keys,
+                view_old.drop("_src_version"),
+                group_cols,
+                sum_cols,
+                prep=prep,
+            )
+        except ValueError:
+            # the feed cannot span these versions (a partition-spec
+            # evolution landed in between): degrade to one full rebuild,
+            # after which incremental refresh resumes — the same
+            # degradation rule as a retention gap
+            out = full()
     else:
         out = full()
     atomic_overwrite(

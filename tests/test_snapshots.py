@@ -1993,3 +1993,56 @@ def test_join_view_ivm_random_commit_sequences(spark, tmp_path):
             mutate_dim()
         maintain()
         assert view_rows() == recompute(), f"divergence at step {step}"
+
+
+def test_maintain_view_degrades_across_spec_evolution(spark, tmp_path):
+    """A partition-spec evolution between a view's base version and the
+    live head makes the change feed unspannable; the maintainers must
+    degrade to ONE full rebuild (not crash) and resume incrementally
+    afterwards."""
+    src = str(tmp_path / "src")
+    vw = str(tmp_path / "vw")
+    df1 = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", "2024-01", float(i)) for i in range(12)],
+        "k long, d string, ym string, v double",
+    )
+    snap.snapshot_partition_overwrite(spark, df1, src, "d", keep_snapshots=10)
+
+    def prep(df):
+        return df.withColumn("val", F.col("v").cast("decimal(18,6)"))
+
+    def recompute():
+        return sorted(
+            map(tuple,
+                prep(snap.snapshot_read(spark, src)).groupBy("ym").agg(
+                    F.count("*").cast("long").alias("n"),
+                    F.sum("val").alias("sum_val"),
+                ).collect())
+        )
+
+    def view_rows():
+        return sorted(
+            map(tuple,
+                spark.read.parquet(vw).drop("_src_version").collect())
+        )
+
+    assert snap.maintain_agg_view(spark, src, vw, ["k"], ["ym"], ["val"], prep=prep) == 1
+    assert view_rows() == recompute()
+
+    # evolve day -> month, land a month-era commit, maintain: must not
+    # raise, must match a recompute (full-rebuild degradation)
+    snap.snapshot_evolve_spec(spark, src, "ym", keep_snapshots=10)
+    df2 = spark.createDataFrame(
+        [(100 + i, f"2024-02-0{(i % 2) + 1}", "2024-02", float(i) * 3) for i in range(6)],
+        "k long, d string, ym string, v double",
+    )
+    snap.snapshot_partition_overwrite(spark, df2, src, "ym", keep_snapshots=10)
+    v = snap.maintain_agg_view(spark, src, vw, ["k"], ["ym"], ["val"], prep=prep)
+    assert v == 3
+    assert view_rows() == recompute()
+
+    # post-evolution commits refresh incrementally again (same-spec diff)
+    df3 = df2.withColumn("v", F.col("v") + 1)
+    snap.snapshot_partition_overwrite(spark, df3, src, "ym", keep_snapshots=10)
+    assert snap.maintain_agg_view(spark, src, vw, ["k"], ["ym"], ["val"], prep=prep) == 4
+    assert view_rows() == recompute()
