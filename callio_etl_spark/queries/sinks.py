@@ -1099,6 +1099,93 @@ def sink_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_rename_evolve",
+    oracle="""
+WITH eras AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 2   -- written before the rename
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 6 = 5   -- written after, under 'price'
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM eras GROUP BY o_orderpriority
+""",
+    tags=["sink", "snapshot", "rename"],
+)
+def sink_rename_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-RENAME evolution end to end (snapshots.snapshot_rename_column
+    — Iceberg's field-ID rename resolved by dir-token commit version):
+    commit an era of orders under ``o_totalprice``, RENAME the column to
+    ``price`` in one metadata commit (zero data rewritten), land a
+    second era written under the new name, and read the union — the
+    old era's values surface under ``price`` (the era-aware scan reads
+    each dir under the names it physically stores and aliases to the
+    current schema), so the aggregate breaks the hash if historical
+    values read NULL, double, or under a stale name. The no-NULL
+    invariant is asserted in-query on the mixed-era read.
+
+    100 TB story: renaming a column on a decade-deep table costs one
+    manifest write; old partitions migrate physically only when
+    something else rewrites them (compaction does it for free), and
+    pruning on the renamed column stays safe-conservative for old dirs
+    until they re-record stats."""
+    from callio_etl_spark.snapshots import (
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_rename_column,
+    )
+
+    root = _tmp("rename")
+    path = f"{root}/ord"
+    o = load_table(spark, sf_dir, "orders")
+    era1 = o.where(F.col("o_orderkey") % 6 == 2).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    era2 = o.where(F.col("o_orderkey") % 6 == 5).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").alias("price"),
+    )
+    snapshot_partition_overwrite(
+        spark, era1, path, "o_orderpriority", keep_snapshots=4
+    )
+    snapshot_rename_column(spark, path, "o_totalprice", "price")
+    # era 2 lands in DISTINCT partition dirs?? No — same priorities; a
+    # partition overwrite would retire era 1. Append-shaped history via
+    # union: rewrite each partition with era1+era2 rows would migrate
+    # era1 physically and defeat the test. Instead land era 2 in its own
+    # partitions by suffixing the partition value, keeping era-1 dirs
+    # pre-rename on disk.
+    era2p = era2.withColumn(
+        "o_orderpriority", F.concat(F.col("o_orderpriority"), F.lit("#new"))
+    )
+    snapshot_partition_overwrite(
+        spark, era2p, path, "o_orderpriority", keep_snapshots=4
+    )
+    m = snapshot_manifest(spark, path)
+    if [r["from"] for r in m.get("renames", [])] != ["o_totalprice"]:
+        raise AssertionError(f"rename history wrong: {m.get('renames')}")
+    live = snapshot_read(spark, path)
+    if live.where(F.col("price").isNull()).count() != 0:
+        raise AssertionError("historical values read NULL under the new name")
+    result = live.groupBy(
+        F.regexp_replace("o_orderpriority", "#new$", "").alias(
+            "o_orderpriority"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("price").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return _materialize_and_clean(result, root)
+
+
+@register(
     "ivm_refresh_join",
     oracle="""
 WITH f1 AS (

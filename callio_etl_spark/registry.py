@@ -48,8 +48,8 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
 #: per-round slot ledger). State entering the r8 driver run: the registry
-#: holds 196 queries (r7's 193, minus minhash_incremental_pairs — renamed
-#: to the size-planned minhash_incremental_planned — plus the four r8
+#: holds 197 queries (r7's 193, minus minhash_incremental_pairs — renamed
+#: to the size-planned minhash_incremental_planned — plus the five r8
 #: registrations); every oracle-bearing query has held a green driver
 #: row EXCEPT the r8 registrations. ann_topk_gemm / approx_sketch_stats /
 #: curriculum_bins_approx stay out of the window (rows-only by
@@ -60,15 +60,16 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #:      round (json_extract .. window_range_scan) — the ONLY rows older
 #:      than r4 entering this round; they lead so no oracle-bearing
 #:      query's latest driver row stays older than r4;
-#:   2. the four r8 first-time rows: the size-planned incremental-LSH
+#:   2. the five r8 first-time rows: the size-planned incremental-LSH
 #:      geometry (the occupancy policy as a driver-checked operator),
 #:      the bucket-colocated snapshot join, the partition-spec-evolution
-#:      roundtrip, and the fact⋈dim join-view IVM refresh;
+#:      roundtrip, the fact⋈dim join-view IVM refresh, and the
+#:      column-rename-evolution roundtrip;
 #:   3. three flagship/merge canaries as regression tripwires;
 #:   4. the r4-vintage cohort oldest-first (41 queries whose latest row
-#:      is r4; the first 29 alphabetically fit — ann_recall_ivf ..
-#:      tpch_q19_discounted; the remaining 12, tpch_q20..q9 +
-#:      weighted_sample, hold positions 51-62 and lead the r9 window).
+#:      is r4; the first 28 alphabetically fit — ann_recall_ivf ..
+#:      tpch_q18_large_orders; the remaining 13, tpch_q19..q9 +
+#:      weighted_sample, hold positions 51-63 and lead the r9 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
@@ -88,16 +89,17 @@ DRIVER_PRIORITY: list[str] = [
     "union_tenants",
     "watermark_filter",
     "window_range_scan",
-    # --- r8 first-time oracle-bearing rows (4) ---
+    # --- r8 first-time oracle-bearing rows (5) ---
     "minhash_incremental_planned",
     "sink_bucketed_snapshot",
     "sink_spec_evolve",
     "ivm_refresh_join",
+    "sink_rename_evolve",
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
     "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r4-vintage cohort (29 of 41) ---
+    # --- oldest-first re-checks: the r4-vintage cohort (28 of 41) ---
     "ann_recall_ivf",
     "array_pick",
     "exact_substring_pairs",
@@ -126,9 +128,9 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q16_supplier_count",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    "tpch_q19_discounted",
-    # --- positions 51-62: the cohort's last twelve fall just outside the
+    # --- positions 51-63: the cohort's last thirteen fall just outside the
     #     50-row window this round and lead the r9 window ---
+    "tpch_q19_discounted",
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_orders",
     "tpch_q22_opportunity",

@@ -468,6 +468,7 @@ def _read_single_spec(
         for leaf in sorted(m["partitions"])
         for tok in _leaf_toks(m, leaf)
     ]
+    sch = None
     reader = spark.read.option("basePath", path)
     if "schema" in m:
         # the manifest records the COMMITTED schema: data dirs written by
@@ -476,7 +477,8 @@ def _read_single_spec(
         # to path-string inference, and planning skips footer sampling
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(m["schema"]))
+        sch = StructType.fromJson(m["schema"])
+        reader = reader.schema(sch)
     if not keep:  # every partition pruned: empty frame, real schema
         return reader.parquet(*all_leafs).limit(0)
     probe = None
@@ -541,7 +543,7 @@ def _read_single_spec(
             scan.extend(f"{path}/{leaf}/{key}" for key in cand)
     if not scan:
         return reader.parquet(*all_leafs).limit(0)
-    return _apply_deletes(spark, path, m, keep, reader.parquet(*scan))
+    return _apply_deletes(spark, path, m, keep, _era_scan(spark, path, m, scan, sch))
 
 
 #: Dir tokens are ``__s{version:06d}[del]_{hex}__`` — 06d is zero-PADDING,
@@ -550,6 +552,78 @@ def _read_single_spec(
 #: version past 999999 would be truncated and merge-on-read delete
 #: sequencing would compare against the wrong version.
 _TOKEN_VERSION_RE = "__s([0-9]+)"
+
+
+def _stored_name(renames: list[dict], current: str, dir_version: int) -> str:
+    """The column name a data dir written at ``dir_version`` stores for
+    the CURRENT name ``current``: walk the rename history newest-first,
+    un-applying every rename that happened after the dir was written
+    (chained renames a->b->c resolve era by era)."""
+    name = current
+    for r in sorted(renames, key=lambda r: -r["version"]):
+        if r["version"] > dir_version and r["to"] == name:
+            name = r["from"]
+    return name
+
+
+def _era_scan(spark: SparkSession, path: str, m: dict, dirs: list[str], schema):
+    """Scan data dirs with RENAME-AWARE schemas (Iceberg's field-ID
+    resolution, done with the commit version the dir token carries): dirs
+    are grouped by the name mapping their era implies; each group is read
+    under the names it physically stores and aliased to the current
+    names, so a renamed column's historical values surface under the new
+    name instead of reading NULL. No renames (or no committed schema):
+    one plain scan."""
+    base = spark.read.option("basePath", path)
+    if schema is not None:
+        base = base.schema(schema)
+    renames = m.get("renames") or []
+    if not renames or schema is None:
+        return base.parquet(*dirs)
+    import re as _re
+
+    from pyspark.sql.types import StructField, StructType
+
+    groups: dict[tuple, list[str]] = {}
+    for dpath in dirs:
+        tok = dpath.rsplit("/", 1)[-1]
+        ver = int(_re.search(_TOKEN_VERSION_RE, tok).group(1))
+        mp = tuple(
+            sorted(
+                (f.name, _stored_name(renames, f.name, ver))
+                for f in schema.fields
+                if _stored_name(renames, f.name, ver) != f.name
+            )
+        )
+        groups.setdefault(mp, []).append(dpath)
+    outs = []
+    for mp, dps in sorted(groups.items()):
+        if not mp:
+            outs.append(base.parquet(*sorted(dps)))
+            continue
+        ren = dict(mp)  # current name -> stored name
+        stored = StructType(
+            [
+                StructField(ren.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        df = (
+            spark.read.option("basePath", path)
+            .schema(stored)
+            .parquet(*sorted(dps))
+        )
+        outs.append(
+            df.select(
+                *[
+                    F.col(ren.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs)
 
 
 def _apply_deletes(
@@ -670,6 +744,91 @@ def snapshot_evolve_spec(
         release_table_lock(spark, path)
 
 
+def snapshot_rename_column(
+    spark: SparkSession,
+    path: str,
+    old: str,
+    new: str,
+    keep_snapshots: int = 2,
+) -> int:
+    """RENAME a column in one metadata commit (Iceberg's field-ID rename,
+    resolved here by commit version instead of field ids): no data file
+    is rewritten — the manifest schema carries the new name, the rename
+    is appended to the manifest's ``renames`` history, and every read
+    path resolves each data dir under the names IT stores (the dir token
+    carries its commit version; see ``_era_scan``), so historical values
+    surface under the new name instead of reading NULL. Renames chain
+    (a->b->c across eras) and compose with schema evolution, spec
+    evolution, CDC (the feed reads both sides under the TO-version's
+    names — a rename alone never fabricates updates), and compaction
+    (rewriting a partition migrates it to current names physically).
+
+    Conservative pruning contract: per-partition/per-file stats and
+    blooms recorded under the old name are no longer found under the new
+    one, so ``between``/``point`` pruning on a renamed column keeps old
+    dirs unpruned (never wrong, just unskipped) until a rewrite records
+    fresh stats.
+
+    Refused: renaming the partition column (that is spec evolution),
+    while merge-on-read delete files are pending (delete files store key
+    columns under their writing names; compact first), and on
+    bucket-colocated tables (the bucketed mount declares ONE physical
+    schema and cannot alias per era — rewrite under the new name
+    instead). Returns the committed version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        prev = _published_head(spark, jvm, fs, path)
+        if prev is None:
+            raise FileNotFoundError(f"no published snapshot at {path}")
+        if "schema" not in prev:
+            raise ValueError(f"{path} manifest lacks a committed schema")
+        names = [f["name"] for f in prev["schema"]["fields"]]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        if old == prev["partition_col"]:
+            raise ValueError(
+                "renaming the partition column is spec evolution — use "
+                "snapshot_evolve_spec"
+            )
+        if prev.get("bucket_spec"):
+            raise ValueError(
+                f"table {path} is bucket-colocated ({prev['bucket_spec']}): "
+                f"the bucketed mount cannot alias names per era — rewrite "
+                f"under the new name instead"
+            )
+        if any(prev.get("deletes", {}).values()):
+            raise ValueError(
+                f"table {path} has pending merge-on-read delete files "
+                f"(they store key columns under their writing names); "
+                f"compact them before renaming"
+            )
+        version = _next_version(jvm, fs, path)
+        fields = [
+            {**f, "name": new} if f["name"] == old else f
+            for f in prev["schema"]["fields"]
+        ]
+        manifest = {
+            **prev,
+            "version": version,
+            "op": "rename-column",
+            "schema": {**prev["schema"], "fields": fields},
+            "renames": prev.get("renames", [])
+            + [{"version": version, "from": old, "to": new}],
+        }
+        for k in ("staged", "parent", "published_from"):
+            manifest.pop(k, None)
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
 def _union_schema_json(old: dict, new: dict) -> dict:
     """Union two manifest schema JSONs column-wise (append/evolved-
     overwrite rule): old columns keep their position, new ones append;
@@ -740,6 +899,28 @@ def snapshot_read_bucketed(
 
     schema = StructType.fromJson(m["schema"])
     pcol = m["partition_col"]
+    renames = m.get("renames") or []
+    if renames:
+        # the catalog mount declares ONE physical schema; a dir that
+        # predates a rename stores the old name and would read NULL —
+        # refuse precisely when such a dir is referenced
+        import re as _re
+
+        for leaf in sorted(m["partitions"]):
+            ver = int(
+                _re.search(_TOKEN_VERSION_RE, _leaf_toks(m, leaf)[0]).group(1)
+            )
+            stale = [
+                f.name
+                for f in schema.fields
+                if _stored_name(renames, f.name, ver) != f.name
+            ]
+            if stale:
+                raise ValueError(
+                    f"bucketed read cannot alias renamed columns {stale} "
+                    f"stored under old names in {leaf}; rewrite that "
+                    f"partition under the current names first"
+                )
     data_cols = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in schema
@@ -1237,6 +1418,8 @@ def snapshot_partition_overwrite(
             manifest["bucket_spec"] = new_spec
         if prev and "spec_history" in prev:
             manifest["spec_history"] = prev["spec_history"]
+        if prev and "renames" in prev:
+            manifest["renames"] = prev["renames"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1422,6 +1605,8 @@ def snapshot_append(
             manifest["bloom"] = bloom_params
         if prev and "spec_history" in prev:
             manifest["spec_history"] = prev["spec_history"]
+        if prev and "renames" in prev:
+            manifest["renames"] = prev["renames"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1737,6 +1922,11 @@ def snapshot_delete_partitions(
                     else {}
                 ),
                 **(
+                    {"renames": prev["renames"]}
+                    if "renames" in prev
+                    else {}
+                ),
+                **(
                     {"delete_keys": prev["delete_keys"]}
                     if "delete_keys" in prev
                     else {}
@@ -1883,14 +2073,17 @@ def _read_leafs(spark: SparkSession, path: str, m: dict, leafs: list[str]) -> Da
         for leaf in sorted(leafs)
         for tok in _leaf_toks(m, leaf)
     ]
-    reader = spark.read.option("basePath", path)
+    sch = None
     if "schema" in m:
         from pyspark.sql.types import StructType
 
-        reader = reader.schema(StructType.fromJson(m["schema"]))
-    # delete-aware: the slice a consumer (CDC, compaction) sees is the
-    # version's LOGICAL content, with its delete files applied
-    return _apply_deletes(spark, path, m, leafs, reader.parquet(*paths))
+        sch = StructType.fromJson(m["schema"])
+    # era-aware (renames) + delete-aware: the slice a consumer (CDC,
+    # compaction) sees is the version's LOGICAL content under CURRENT
+    # column names, with its delete files applied
+    return _apply_deletes(
+        spark, path, m, leafs, _era_scan(spark, path, m, paths, sch)
+    )
 
 
 def snapshot_changes(
@@ -1946,6 +2139,18 @@ def snapshot_changes(
     changed = [
         leaf for leaf in pf if leaf in pt and sig(mf, leaf) != sig(mt, leaf)
     ]
+
+    # renames between the versions: read BOTH sides under the TO
+    # version's names (its renames history resolves every older dir's
+    # stored names by commit version), so a renamed column diffs as the
+    # same column — a rename alone (no data commits) changes no leaf
+    # signature and yields an empty feed, as it must
+    if mt.get("renames") != mf.get("renames"):
+        mf = {
+            **mf,
+            **({"schema": mt["schema"]} if "schema" in mt else {}),
+            **({"renames": mt["renames"]} if "renames" in mt else {}),
+        }
 
     old = _read_leafs(spark, path, mf, removed + changed) if removed + changed else None
     new = _read_leafs(spark, path, mt, added + changed) if added + changed else None

@@ -2046,3 +2046,102 @@ def test_maintain_view_degrades_across_spec_evolution(spark, tmp_path):
     snap.snapshot_partition_overwrite(spark, df3, src, "ym", keep_snapshots=10)
     assert snap.maintain_agg_view(spark, src, vw, ["k"], ["ym"], ["val"], prep=prep) == 4
     assert view_rows() == recompute()
+
+
+def test_column_rename_evolution(spark, tmp_path):
+    """Rename a column in one metadata commit: historical dirs resolve
+    under the names they store (dir-token versions), chained renames
+    work era by era, CDC across the rename never fabricates updates,
+    compaction physically migrates a partition to current names, view
+    maintenance keeps working, and the refusal matrix holds."""
+    import pytest
+
+    p = str(tmp_path / "rn")
+    df1 = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(10)],
+        "k long, d string, amount double",
+    )
+    snap.snapshot_partition_overwrite(spark, df1, p, "d", keep_snapshots=20)
+    v_ren = snap.snapshot_rename_column(spark, p, "amount", "value")
+    # read: old dirs' values surface under the NEW name, nothing NULL
+    r = snap.snapshot_read(spark, p)
+    assert set(r.columns) == {"k", "d", "value"}
+    assert r.where(F.col("value").isNull()).count() == 0
+    assert r.agg(F.sum("value")).first()[0] == sum(range(10))
+
+    # a rename alone produces NO change rows
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no partition changed"):
+        snap.snapshot_changes(spark, p, v_ren - 1, v_ren, ["k"])
+
+    # era 2: write under the new name; mixed-era read is seamless
+    df2 = spark.createDataFrame(
+        [(100 + i, str(i % 2), float(i) * 10) for i in range(4)],
+        "k long, d string, value double",
+    )
+    snap.snapshot_partition_overwrite(spark, df2, p, "d", keep_snapshots=20)
+    # the overwrite REPLACED both partitions (df2 covers d=0,1) — rebuild
+    # a mixed-era layout: v1-era dir for d=0 is gone, so recreate with a
+    # fresh table where only d=1 is rewritten
+    p2 = str(tmp_path / "rn2")
+    snap.snapshot_partition_overwrite(spark, df1, p2, "d", keep_snapshots=20)
+    snap.snapshot_rename_column(spark, p2, "amount", "value")
+    upd = spark.createDataFrame(
+        [(100, "1", 1000.0), (3, "1", 33.0)], "k long, d string, value double"
+    )
+    v3 = snap.snapshot_partition_overwrite(spark, upd, p2, "d", keep_snapshots=20)
+    mixed = snap.snapshot_read(spark, p2)
+    got = {(x["k"], x["value"]) for x in mixed.collect()}
+    want = {(i, float(i)) for i in range(10) if i % 2 == 0} | {(100, 1000.0), (3, 33.0)}
+    assert got == want
+
+    # CDC across the rename: only d=1's real changes surface, under the
+    # new name (old era read under stored name 'amount', aliased)
+    ch = snap.snapshot_changes(spark, p2, v3 - 1, v3, ["k"], preimages=True)
+    rows = {(x["k"], x["_change"], x["value"]) for x in ch.collect()}
+    assert (3, "update_preimage", 3.0) in rows
+    assert (3, "update_postimage", 33.0) in rows
+    assert (100, "insert", 1000.0) in rows
+    # deletes of the unrewritten-era rows (1,5,7,9 in d=1)
+    assert (5, "delete", 5.0) in rows
+    assert all(k not in {0, 2, 4, 6, 8} for k, _, _ in rows)  # d=0 untouched
+
+    # chained rename value -> v2: both eras resolve through the chain
+    snap.snapshot_rename_column(spark, p2, "value", "v2")
+    r2 = snap.snapshot_read(spark, p2)
+    assert {(x["k"], x["v2"]) for x in r2.collect()} == want
+
+    # compaction physically migrates a partition to current names
+    snap.snapshot_compact_partition(spark, p2, "0", keep_snapshots=20)
+    files = [
+        f for f in snap.snapshot_read(spark, p2).inputFiles() if "d=0" in f
+    ]
+    raw = spark.read.parquet(*files)
+    assert "v2" in raw.columns and "amount" not in raw.columns
+    assert {(x["k"], x["v2"]) for x in snap.snapshot_read(spark, p2).collect()} == want
+
+    # view maintenance keeps working across a rename (degrades or
+    # refreshes, always correct)
+    vw = str(tmp_path / "rn_vw")
+    def prep(df):
+        return df.withColumn("m", F.col("v2").cast("decimal(18,6)"))
+    snap.maintain_agg_view(spark, p2, vw, ["k"], ["d"], ["m"], prep=prep)
+    got_view = {
+        (x["d"], x["n"], float(x["sum_m"]))
+        for x in spark.read.parquet(vw).drop("_src_version").collect()
+    }
+    exp = {}
+    for k, v in want:
+        dd = "1" if k in (100, 3) else "0"
+        n, sm = exp.get(dd, (0, 0.0))
+        exp[dd] = (n + 1, sm + v)
+    assert got_view == {(d, n, sm) for d, (n, sm) in exp.items()}
+
+    # refusal matrix
+    with pytest.raises(ValueError, match="already exists"):
+        snap.snapshot_rename_column(spark, p2, "k", "v2")
+    with pytest.raises(ValueError, match="spec evolution"):
+        snap.snapshot_rename_column(spark, p2, "d", "day")
+    with pytest.raises(ValueError, match="no column"):
+        snap.snapshot_rename_column(spark, p2, "ghost", "g2")
