@@ -829,6 +829,81 @@ def snapshot_rename_column(
         release_table_lock(spark, path)
 
 
+def snapshot_drop_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    keep_snapshots: int = 2,
+) -> int:
+    """DROP a column in one metadata commit: the field leaves the
+    committed schema (reads stop projecting it; no data file is touched)
+    and a TOMBSTONE rename is recorded so the drop has Iceberg field-id
+    semantics — if a column with the same name is ever ADDED again, data
+    dirs older than the drop read it as NULL instead of resurfacing the
+    dead column's values (their stored name resolves to the tombstone,
+    which no file contains). Same refusal matrix as rename: not the
+    partition column, not on bucketed tables, not the delete-key set,
+    not while delete files are pending."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        prev = _published_head(spark, jvm, fs, path)
+        if prev is None:
+            raise FileNotFoundError(f"no published snapshot at {path}")
+        if "schema" not in prev:
+            raise ValueError(f"{path} manifest lacks a committed schema")
+        names = [f["name"] for f in prev["schema"]["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if name == prev["partition_col"]:
+            raise ValueError("cannot drop the partition column")
+        if prev.get("bucket_spec", {}).get("col") == name:
+            raise ValueError(
+                f"{name!r} is the table's bucket column; rewrite the "
+                f"layout before dropping it"
+            )
+        if name in prev.get("delete_keys", []):
+            raise ValueError(
+                f"{name!r} is part of the table's delete_keys"
+            )
+        if any(prev.get("deletes", {}).values()):
+            raise ValueError(
+                f"table {path} has pending merge-on-read delete files; "
+                f"compact them before dropping columns"
+            )
+        version = _next_version(jvm, fs, path)
+        manifest = {
+            **prev,
+            "version": version,
+            "op": "drop-column",
+            "schema": {
+                **prev["schema"],
+                "fields": [
+                    f for f in prev["schema"]["fields"] if f["name"] != name
+                ],
+            },
+            # tombstone: a future same-named column resolves pre-drop
+            # dirs to this never-written name -> NULL, not resurrection
+            "renames": prev.get("renames", [])
+            + [
+                {
+                    "version": version,
+                    "from": f"__dropped_{name}_{uuid.uuid4().hex[:8]}__",
+                    "to": name,
+                }
+            ],
+        }
+        for k in ("staged", "parent", "published_from"):
+            manifest.pop(k, None)
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
 def _union_schema_json(old: dict, new: dict) -> dict:
     """Union two manifest schema JSONs column-wise (append/evolved-
     overwrite rule): old columns keep their position, new ones append;

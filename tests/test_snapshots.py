@@ -2145,3 +2145,42 @@ def test_column_rename_evolution(spark, tmp_path):
         snap.snapshot_rename_column(spark, p2, "d", "day")
     with pytest.raises(ValueError, match="no column"):
         snap.snapshot_rename_column(spark, p2, "ghost", "g2")
+
+
+def test_column_drop_and_readd_null_semantics(spark, tmp_path):
+    """Dropping a column is metadata-only and has field-id semantics: the
+    column vanishes from reads, and if a SAME-NAMED column is added
+    later, pre-drop dirs read it as NULL (tombstone resolution) instead
+    of resurfacing the dead values — while post-add dirs carry the new
+    values."""
+    import pytest
+
+    p = str(tmp_path / "dr")
+    df1 = spark.createDataFrame(
+        [(i, str(i % 2), float(i), i * 100) for i in range(8)],
+        "k long, d string, v double, secret long",
+    )
+    snap.snapshot_partition_overwrite(spark, df1, p, "d", keep_snapshots=20)
+    snap.snapshot_drop_column(spark, p, "secret")
+    r = snap.snapshot_read(spark, p)
+    assert "secret" not in r.columns
+    assert r.count() == 8
+
+    # re-add the name with NEW values in a rewritten partition; the
+    # carried pre-drop partition must read NULL, never the dead values
+    df2 = spark.createDataFrame(
+        [(100, "1", 9.0, 7)], "k long, d string, v double, secret long"
+    )
+    snap.snapshot_partition_overwrite(spark, df2, p, "d", keep_snapshots=20)
+    r2 = snap.snapshot_read(spark, p)
+    vals = {(x["k"], x["secret"]) for x in r2.collect()}
+    assert (100, 7) in vals
+    assert all(s is None for k, s in vals if k != 100), vals
+    # pre-drop era (d=0 carried) reads NULL, not i*100
+    assert (0, None) in vals and (2, None) in vals
+
+    # refusals
+    with pytest.raises(ValueError, match="partition column"):
+        snap.snapshot_drop_column(spark, p, "d")
+    with pytest.raises(ValueError, match="no column"):
+        snap.snapshot_drop_column(spark, p, "ghost")
