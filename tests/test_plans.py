@@ -490,3 +490,113 @@ def test_pca_projection_axis_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_era_scan_pushes_filters_under_stored_names(spark, tmp_path):
+    """Rename-aware reads keep the optimizer's pushdown: a filter on the
+    CURRENT column name must reach the pre-rename era's parquet scan
+    under its STORED name (Catalyst pushes through the alias), and
+    partition filters must reach every era branch of the union."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+
+    p = str(tmp_path / "era")
+    df1 = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(10)],
+        "k long, d string, amount double",
+    )
+    snap.snapshot_partition_overwrite(spark, df1, p, "d", keep_snapshots=5)
+    snap.snapshot_rename_column(spark, p, "amount", "value")
+    df2 = spark.createDataFrame(
+        [(100, "1#x", 9.0)], "k long, d string, value double"
+    )
+    snap.snapshot_partition_overwrite(spark, df2, p, "d", keep_snapshots=5)
+
+    plan = (
+        snap.snapshot_read(spark, p)
+        .where(F.col("value") > 5.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThan(value,5.0)" in plan  # post-rename era, new name
+    assert "GreaterThan(amount,5.0)" in plan  # pre-rename era, stored name
+
+    plan2 = (
+        snap.snapshot_read(spark, p)
+        .where(F.col("d") == "0")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan2.count("PartitionFilters: [isnotnull(d#") >= 2
+
+
+def test_multi_spec_read_prunes_partitions_per_branch(spark, tmp_path):
+    """A spec-evolved table's union read must keep PartitionFilters in
+    BOTH era branches when filtering on a spec column, and the
+    manifest-level `between` prune must shrink the file list before any
+    Spark job runs (asserted via inputFiles)."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+
+    p = str(tmp_path / "ms")
+    df1 = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", "2024-01", float(i)) for i in range(12)],
+        "k long, d string, ym string, v double",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df1, p, "d", stats_cols=["ym"], keep_snapshots=5
+    )
+    snap.snapshot_evolve_spec(spark, p, "ym")
+    df2 = spark.createDataFrame(
+        [(100 + i, f"2024-02-0{(i % 2) + 1}", "2024-02", float(i)) for i in range(4)],
+        "k long, d string, ym string, v double",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df2, p, "ym", stats_cols=["d"], keep_snapshots=5
+    )
+    full = snap.snapshot_read(spark, p)
+    pruned = snap.snapshot_read(spark, p, between=("d", "2024-01-02", "2024-01-02"))
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    # a filter on the day column prunes day-era partitions in-plan too
+    plan = (
+        full.where(F.col("d") == "2024-01-02")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(d#" in plan  # the day-era branch
+
+
+def test_bucketed_snapshot_scan_declares_buckets(spark, tmp_path):
+    """The mounted bucketed snapshot table must produce a BUCKETED file
+    scan (SelectedBucketsCount in the scan node) so the join requirement
+    is satisfied off disk — the Exchange-free contract's mechanism, not
+    just its absence."""
+    from callio_etl_spark import snapshots as snap
+
+    p = str(tmp_path / "bk")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(40)],
+        "k long, d string, v double",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d", bucket_by=(4, "k"), keep_snapshots=3
+    )
+    bdf, name = snap.snapshot_read_bucketed(spark, p)
+    try:
+        plan = (
+            bdf.groupBy("k")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+        # an aggregation on the bucket key needs no exchange either
+        assert "Exchange" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
