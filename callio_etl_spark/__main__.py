@@ -307,6 +307,9 @@ def main(argv: list[str] | None = None) -> int:
             "drop-tag",
             "publish",
             "discard-staged",
+            "evolve-spec",
+            "rename-column",
+            "drop-column",
         ],
         default="once",
     )
@@ -344,6 +347,21 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="with --mode tag: version to tag (default: published head); "
         "with --mode publish/discard-staged: the staged version",
+    )
+    p.add_argument(
+        "--partition-col",
+        default=None,
+        help="with --mode evolve-spec: the new partition column",
+    )
+    p.add_argument(
+        "--column",
+        default=None,
+        help="with --mode rename-column/drop-column: the (old) column name",
+    )
+    p.add_argument(
+        "--new-name",
+        default=None,
+        help="with --mode rename-column: the new column name",
     )
     args = p.parse_args(argv)
 
@@ -417,6 +435,43 @@ def main(argv: list[str] | None = None) -> int:
                 args.restore_version,
                 keep_versions=max(cfg.keep_versions, 1),
             )
+    elif args.mode in ("evolve-spec", "rename-column", "drop-column"):
+        # table-evolution verbs (snapshot format only): metadata-only
+        # commits — spec evolution and column rename/drop never rewrite
+        # a data file (snapshots.py era-aware reads resolve history)
+        if cfg.table_format != "snapshot":
+            p.error(f"--mode {args.mode} requires --table-format snapshot")
+        if args.job == "all":
+            p.error(f"--mode {args.mode} requires a single --job")
+        path = os.path.join(cfg.work_dir, JOB_TABLES[args.job][0].name)
+        keep = max(cfg.keep_versions, 1) + 1
+        if args.mode == "evolve-spec":
+            if not args.partition_col:
+                p.error("--mode evolve-spec requires --partition-col")
+            from callio_etl_spark.snapshots import snapshot_evolve_spec
+
+            v = snapshot_evolve_spec(
+                spark, path, args.partition_col, keep_snapshots=keep
+            )
+            print(f"evolved spec -> {args.partition_col} at v{v}")
+        elif args.mode == "rename-column":
+            if not args.column or not args.new_name:
+                p.error("--mode rename-column requires --column and --new-name")
+            from callio_etl_spark.snapshots import snapshot_rename_column
+
+            v = snapshot_rename_column(
+                spark, path, args.column, args.new_name, keep_snapshots=keep
+            )
+            print(f"renamed {args.column} -> {args.new_name} at v{v}")
+        else:
+            if not args.column:
+                p.error("--mode drop-column requires --column")
+            from callio_etl_spark.snapshots import snapshot_drop_column
+
+            v = snapshot_drop_column(
+                spark, path, args.column, keep_snapshots=keep
+            )
+            print(f"dropped {args.column} at v{v}")
     elif args.mode in ("tag", "drop-tag", "publish", "discard-staged"):
         # snapshot-store ops surface: name a training corpus (tag), and
         # complete/abandon a write-audit-publish cycle staged by a

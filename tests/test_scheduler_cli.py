@@ -525,3 +525,47 @@ def test_tick_snapshot_cross_month_update_retires_old_row(spark, tmp_path):
     # key 1 exactly once, at its Feb time; key 2 untouched in Jan
     assert rows == {(1, feb), (2, jan_old)}
     assert got.where(F.col("k") == 1).count() == 1
+
+
+def test_cli_evolution_verbs(tmp_path, monkeypatch):
+    """--mode evolve-spec / rename-column / drop-column on the snapshot
+    warehouse: metadata-only commits through the CLI, readable history,
+    and the guard rails (--table-format snapshot, single --job)."""
+    import pyspark.sql.functions as F
+
+    monkeypatch.setenv("DAYS_TO_FETCH_IF_EMPTY", "100000")
+    from callio_etl_spark.__main__ import main
+
+    wd = str(tmp_path / "work")
+    base = ["--sf-dir", "/root/testdata/sf0.001",
+            "--table-format", "snapshot", "--keep-versions", "3",
+            "--work-dir", wd, "--job", "call"]
+    assert main(["--mode", "once", *base]) == 0
+
+    from callio_etl_spark.session import get_spark
+    from callio_etl_spark.snapshots import snapshot_manifest, snapshot_read
+
+    spark = get_spark("cli-evo-test")
+    table = f"{wd}/call_log"
+    before = snapshot_read(spark, table)
+    n = before.count()
+    assert "value" in before.columns
+
+    assert main(["--mode", "rename-column", "--column", "value",
+                 "--new-name", "payload", *base]) == 0
+    r = snapshot_read(spark, table)
+    assert "payload" in r.columns and "value" not in r.columns
+    assert r.where(F.col("payload").isNull()).count() == \
+        before.where(F.col("value").isNull()).count()
+
+    assert main(["--mode", "drop-column", "--column", "payload", *base]) == 0
+    r2 = snapshot_read(spark, table)
+    assert "payload" not in r2.columns and r2.count() == n
+
+    assert main(["--mode", "evolve-spec", "--partition-col", "event_type",
+                 *base]) == 0
+    m = snapshot_manifest(spark, table)
+    assert m["partition_col"] == "event_type"
+    assert m["spec_history"] == ["ym", "event_type"]
+    # the warehouse still reads whole (old ym-era dirs under their spec)
+    assert snapshot_read(spark, table).count() == n
