@@ -1558,6 +1558,111 @@ def incremental_pairs_banded(
     )
 
 
+#: Doc-id buckets partitioning the MAINTAINED band-index table: an
+#: update/delete touches exactly its doc's bucket, so an incremental
+#: maintenance tick rewrites O(touched buckets), never the index.
+INDEX_BUCKETS = 64
+
+
+def maintain_band_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    cursor_file: str,
+    rows_per_band: int = ROWS_PER_BAND,
+    n_bands: int = N_BANDS,
+    keep_snapshots: int = 3,
+) -> int | None:
+    """ROLLING BAND-INDEX MAINTENANCE — the service loop a production
+    near-dup pipeline runs around the incremental-LSH probe: documents
+    land as snapshot commits on ``docs_path``; each call here consumes
+    the table's CDC feed (snapshot_consume_changes — durable cursor,
+    at-least-once, metadata-pruned to the partitions the writers
+    touched) and keeps a (doc_id, band, band_key) index table at
+    ``index_path`` exactly current:
+
+      - inserted/updated docs: band signatures recomputed IN-PROJECTION
+        (band_projection — map-side only) and written;
+      - updated/deleted docs: their old band rows retired.
+
+    The index is partitioned by ``bkt = doc_id % {INDEX_BUCKETS}``, so a
+    tick's writes collapse to a partition overwrite of the touched
+    buckets: carried rows of those buckets are anti-joined by the
+    changed doc_ids (distributed — no driver-side id list) and unioned
+    with the fresh bands, one manifest commit. Cost per tick:
+    O(|delta| signatures + touched buckets' index rows); the full index
+    is never rewritten, and `streaming.neardup_stream` /
+    `minhash_incremental_planned`-style probes read the index table as
+    their static side. Idempotent per CDC contract: a replayed batch
+    rewrites the same buckets to the same content.
+
+    Returns the docs version now reflected, or None if already current.
+    Parity (pytest, random commit sequences): after every call the
+    index equals ``band_projection`` of the live docs exactly."""
+    from callio_etl_spark.snapshots import (
+        snapshot_consume_changes,
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    def process(batch: DataFrame) -> None:
+        changed = batch.select("doc_id", "text", "_change").localCheckpoint(
+            eager=True
+        )
+        bkt = (F.col("doc_id") % INDEX_BUCKETS).cast("int").alias("bkt")
+        changed_ids = changed.select("doc_id").distinct()
+        touched = [
+            r["bkt"]
+            for r in changed_ids.select(bkt).distinct().collect()
+        ]  # ≤ INDEX_BUCKETS values — metadata-sized
+        fresh = band_projection(
+            changed.where(F.col("_change") != "delete"),
+            rows_per_band,
+            n_bands,
+        ).select("doc_id", "band", "band_key", bkt)
+        import os
+
+        exists = os.path.isdir(os.path.join(index_path, "__snap__"))
+        if exists:
+            carried = (
+                snapshot_read(spark, index_path)
+                .where(F.col("bkt").isin(touched))
+                .join(changed_ids, "doc_id", "left_anti")
+            )
+            out = carried.select(*fresh.columns).unionByName(fresh)
+        else:
+            out = fresh
+        out = out.localCheckpoint(eager=True)
+        with_rows = {r["bkt"] for r in out.select("bkt").distinct().collect()}
+        if with_rows:
+            snapshot_partition_overwrite(
+                spark, out, index_path, "bkt", keep_snapshots=keep_snapshots
+            )
+        if exists:
+            # a touched bucket whose every doc was deleted writes NO rows,
+            # so the dynamic overwrite cannot replace it — retire the
+            # emptied buckets with a metadata delete
+            from callio_etl_spark.snapshots import (
+                snapshot_delete_partitions,
+                snapshot_manifest,
+            )
+
+            leaves = snapshot_manifest(spark, index_path)["partitions"]
+            emptied = sorted(
+                b
+                for b in set(touched) - with_rows
+                if f"bkt={b}" in leaves
+            )
+            if emptied:
+                snapshot_delete_partitions(
+                    spark, index_path, emptied, keep_snapshots=keep_snapshots
+                )
+
+    return snapshot_consume_changes(
+        spark, docs_path, cursor_file, ["doc_id"], process
+    )
+
+
 #: The grown geometry: same 8 min-hashes, re-banded 4-per-band into 2 keys.
 #: Doubling the key length squares the per-band collision probability (for
 #: J~uniform corpora), which is the occupancy-holding move for a 10x index.

@@ -1661,3 +1661,101 @@ def test_capped_pairs_drop_only_oversized_buckets(spark, tmp_path):
     assert any(k[0] < 50_000 for k in capped) or not any(
         k[0] < 50_000 for k in grouped
     )
+
+
+def test_maintain_band_index_tracks_live_corpus(spark, tmp_path):
+    """Rolling band-index maintenance (CDC + snapshot store + LSH): over
+    a seeded random sequence of document commits (inserts, text edits,
+    deletions — including emptying whole id-buckets), the maintained
+    index must equal band_projection of the LIVE corpus after every
+    tick, and each tick must touch only the changed docs' buckets."""
+    import random
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        INDEX_BUCKETS,
+        band_projection,
+        maintain_band_index,
+    )
+
+    rng = random.Random(77)
+    docs_p = str(tmp_path / "docs")
+    idx_p = str(tmp_path / "idx")
+    cursor = str(tmp_path / "cursor.json")
+
+    corpus = {
+        i: (i, f"alpha beta w{i % 9} gamma doc{i}", str(i % 4))
+        for i in range(40)
+    }
+
+    def docs_df():
+        return spark.createDataFrame(
+            sorted(corpus.values()), "doc_id long, text string, p string"
+        )
+
+    def commit_part(p):
+        rows = [r for r in corpus.values() if r[2] == p]
+        if rows:
+            snap.snapshot_partition_overwrite(
+                spark,
+                spark.createDataFrame(rows, "doc_id long, text string, p string"),
+                docs_p, "p", keep_snapshots=30,
+            )
+        else:
+            snap.snapshot_delete_partitions(spark, docs_p, [p], keep_snapshots=30)
+
+    def expected_index():
+        if not corpus:
+            return set()
+        return {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in band_projection(docs_df().select("doc_id", "text")).collect()
+        }
+
+    def live_index():
+        import os
+
+        if not os.path.isdir(os.path.join(idx_p, "__snap__")):
+            return set()
+        got = snap.snapshot_read(spark, idx_p)
+        return {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in got.select("doc_id", "band", "band_key").collect()
+        }
+
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(), docs_p, "p", keep_snapshots=30
+    )
+    assert maintain_band_index(spark, docs_p, idx_p, cursor) is not None
+    assert live_index() == expected_index()
+    assert maintain_band_index(spark, docs_p, idx_p, cursor) is None  # current
+
+    for step in range(5):
+        p = rng.choice(["0", "1", "2", "3"])
+        for k in [k for k, r in corpus.items() if r[2] == p]:
+            roll = rng.random()
+            if roll < 0.25:
+                del corpus[k]
+            elif roll < 0.55:
+                corpus[k] = (k, f"edited v{step} text{k} delta", p)
+        if rng.random() < 0.6:
+            nk = max(corpus, default=0) + 1 + rng.randint(0, 3)
+            corpus[nk] = (nk, f"fresh doc {nk} epsilon", p)
+        commit_part(p)
+        maintain_band_index(spark, docs_p, idx_p, cursor)
+        assert live_index() == expected_index(), f"divergence at step {step}"
+
+    # adversarial: delete EVERY doc of one id-bucket so its index leaf
+    # must be retired by the metadata delete, not carried stale
+    victims = [k for k in corpus if k % INDEX_BUCKETS == 1]
+    if victims:
+        parts = {corpus[k][2] for k in victims}
+        for k in victims:
+            del corpus[k]
+        for p in sorted(parts):
+            commit_part(p)
+        maintain_band_index(spark, docs_p, idx_p, cursor)
+        assert live_index() == expected_index()
+        assert all(
+            r[0] % INDEX_BUCKETS != 1 for r in live_index()
+        )
