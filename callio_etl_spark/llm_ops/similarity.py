@@ -2168,3 +2168,163 @@ def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = e.where(F.col("vec_id") % VEC_DELTA_MOD != 0)
     delta = e.where(F.col("vec_id") % VEC_DELTA_MOD == 0)
     return assign_to_cells(delta, _cvec(idx))
+
+
+#: vec_id buckets partitioning the maintained index's FORWARD MAP: the
+#: map answers "which cell holds vec X's posting" in O(its bucket), the
+#: lookup every incremental retirement needs (FAISS's id->list map role).
+VINDEX_BUCKETS = 64
+
+
+def maintain_vector_index(
+    spark: SparkSession,
+    vecs_path: str,
+    index_path: str,
+    fwd_path: str,
+    cursor_file: str,
+    cells: DataFrame,
+    keep_snapshots: int = 3,
+) -> int | None:
+    """ROLLING IVF POSTINGS MAINTENANCE — the vector twin of
+    ``dedup_ops.maintain_band_index``: vectors land as snapshot commits
+    on ``vecs_path`` (vec_id, embedding, ...); each call consumes the
+    table's CDC feed and keeps TWO snapshot tables exactly current
+    against the fixed quantizer ``cells`` (label, cv):
+
+      - ``index_path``: the postings, (vec_id, assigned_cell,
+        centroid_cos) PARTITIONED BY assigned_cell — a cell-probe ANN
+        query prunes to its cell's partitions off the manifest;
+      - ``fwd_path``: the forward map, (vec_id, assigned_cell)
+        partitioned by ``vec_id % {VINDEX_BUCKETS}`` — the O(bucket)
+        lookup that locates a changed vector's OLD posting without
+        scanning the postings table (FAISS's id-map role; without it
+        every tick would pay a full-index anti-join).
+
+    Tick flow (all distributed, one partition-overwrite commit per
+    table, O(|delta| + touched partitions)): assign the delta in-row
+    against the broadcast quantizer (assign_to_cells — map-side), look
+    up old cells through the forward map's touched buckets, rewrite the
+    union of old+new cell partitions (carried postings anti-joined by
+    the changed ids, plus the fresh assignments), and rewrite the
+    touched forward buckets; cells/buckets emptied by deletions are
+    retired by metadata deletes. Centroid refresh stays a separate
+    batch job (the ivf_train_rounds pass) exactly as in FAISS —
+    re-assignments it causes arrive as ordinary updates.
+
+    Returns the vectors version now reflected, or None if current.
+    Parity (pytest, random commit sequences): postings ==
+    assign_to_cells(live vectors) and the forward map matches, after
+    every tick."""
+    import os
+
+    from callio_etl_spark.snapshots import (
+        snapshot_consume_changes,
+        snapshot_delete_partitions,
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    cells = cells.localCheckpoint(eager=True)
+
+    def _retire_empty(path: str, col: str, touched, with_rows) -> None:
+        leaves = snapshot_manifest(spark, path)["partitions"]
+        emptied = sorted(
+            v for v in set(touched) - set(with_rows) if f"{col}={v}" in leaves
+        )
+        if emptied:
+            snapshot_delete_partitions(
+                spark, path, emptied, keep_snapshots=keep_snapshots
+            )
+
+    def process(batch: DataFrame) -> None:
+        changed = batch.select("vec_id", "embedding", "_change").localCheckpoint(
+            eager=True
+        )
+        changed_ids = changed.select("vec_id").distinct()
+        bkt = (F.col("vec_id") % VINDEX_BUCKETS).cast("int").alias("bkt")
+        fresh = assign_to_cells(
+            changed.where(F.col("_change") != "delete").select(
+                "vec_id",
+                F.lit(-1).cast("int").alias("label"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            ),
+            cells,
+        ).select("vec_id", "assigned_cell", "centroid_cos").localCheckpoint(
+            eager=True
+        )
+
+        idx_exists = os.path.isdir(os.path.join(index_path, "__snap__"))
+        fwd_exists = os.path.isdir(os.path.join(fwd_path, "__snap__"))
+
+        # old cells via the forward map's touched buckets (O(buckets))
+        old_cells = []
+        if fwd_exists:
+            tb = [r["bkt"] for r in changed_ids.select(bkt).distinct().collect()]
+            old_cells = [
+                r["assigned_cell"]
+                for r in snapshot_read(spark, fwd_path)
+                .where(F.col("bkt").isin(tb))
+                .join(changed_ids, "vec_id", "left_semi")
+                .select("assigned_cell")
+                .distinct()
+                .collect()
+            ]
+        new_cells = [
+            r["assigned_cell"]
+            for r in fresh.select("assigned_cell").distinct().collect()
+        ]
+        touched_cells = sorted(set(old_cells) | set(new_cells))
+
+        # postings: rewrite the touched cell partitions
+        if idx_exists:
+            carried = (
+                snapshot_read(spark, index_path)
+                .where(F.col("assigned_cell").isin(touched_cells))
+                .join(changed_ids, "vec_id", "left_anti")
+            )
+            out = carried.select(*fresh.columns).unionByName(fresh)
+        else:
+            out = fresh
+        out = out.localCheckpoint(eager=True)
+        cells_with_rows = {
+            r["assigned_cell"]
+            for r in out.select("assigned_cell").distinct().collect()
+        }
+        if cells_with_rows:
+            snapshot_partition_overwrite(
+                spark, out, index_path, "assigned_cell",
+                keep_snapshots=keep_snapshots,
+            )
+        if idx_exists:
+            _retire_empty(
+                index_path, "assigned_cell", touched_cells, cells_with_rows
+            )
+
+        # forward map: rewrite the touched id buckets
+        fwd_fresh = fresh.select("vec_id", "assigned_cell", bkt)
+        if fwd_exists:
+            tb = [r["bkt"] for r in changed_ids.select(bkt).distinct().collect()]
+            fcarried = (
+                snapshot_read(spark, fwd_path)
+                .where(F.col("bkt").isin(tb))
+                .join(changed_ids, "vec_id", "left_anti")
+            )
+            fout = fcarried.select(*fwd_fresh.columns).unionByName(fwd_fresh)
+        else:
+            tb = []
+            fout = fwd_fresh
+        fout = fout.localCheckpoint(eager=True)
+        bkts_with_rows = {
+            r["bkt"] for r in fout.select("bkt").distinct().collect()
+        }
+        if bkts_with_rows:
+            snapshot_partition_overwrite(
+                spark, fout, fwd_path, "bkt", keep_snapshots=keep_snapshots
+            )
+        if fwd_exists:
+            _retire_empty(fwd_path, "bkt", tb, bkts_with_rows)
+
+    return snapshot_consume_changes(
+        spark, vecs_path, cursor_file, ["vec_id"], process
+    )

@@ -1759,3 +1759,119 @@ def test_maintain_band_index_tracks_live_corpus(spark, tmp_path):
         assert all(
             r[0] % INDEX_BUCKETS != 1 for r in live_index()
         )
+
+
+def test_maintain_vector_index_tracks_live_vectors(spark, tmp_path):
+    """Rolling IVF postings maintenance: across a seeded random sequence
+    of vector commits (inserts, embedding edits that MOVE vectors across
+    cells, deletions), the postings table must equal
+    assign_to_cells(live vectors) and the forward map must agree with
+    the postings, after every tick — with postings partitioned by cell
+    so a probe prunes off the manifest."""
+    import random
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.similarity import (
+        assign_to_cells,
+        maintain_vector_index,
+    )
+
+    rng = random.Random(55)
+    vp = str(tmp_path / "vecs")
+    ip = str(tmp_path / "idx")
+    fp = str(tmp_path / "fwd")
+    cursor = str(tmp_path / "vcursor.json")
+
+    # a fixed 3-cell quantizer on axis-ish directions
+    cells = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0]), (1, [0.0, 1.0, 0.1]), (2, [0.1, 0.0, 1.0])],
+        "label int, cv array<double>",
+    )
+
+    def vec_for(k, axis):
+        base = [0.05, 0.05, 0.05]
+        base[axis % 3] = 1.0 + (k % 5) * 0.01
+        return [float(x) for x in base]
+
+    vectors = {
+        i: (i, vec_for(i, i), str(i % 3)) for i in range(30)
+    }
+
+    def vdf():
+        return spark.createDataFrame(
+            [(k, v, p) for k, v, p in sorted(vectors.values())],
+            "vec_id long, embedding array<float>, p string",
+        )
+
+    def commit_part(p):
+        rows = [r for r in vectors.values() if r[2] == p]
+        if rows:
+            snap.snapshot_partition_overwrite(
+                spark,
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<float>, p string"
+                ),
+                vp, "p", keep_snapshots=30,
+            )
+        else:
+            snap.snapshot_delete_partitions(spark, vp, [p], keep_snapshots=30)
+
+    def expected():
+        if not vectors:
+            return set()
+        prepped = vdf().select(
+            "vec_id",
+            F.lit(-1).cast("int").alias("label"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        return {
+            (r["vec_id"], r["assigned_cell"])
+            for r in assign_to_cells(prepped, cells).collect()
+        }
+
+    def live():
+        import os
+
+        if not os.path.isdir(os.path.join(ip, "__snap__")):
+            return set(), set()
+        idx = {
+            (r["vec_id"], r["assigned_cell"])
+            for r in snap.snapshot_read(spark, ip).collect()
+        }
+        fwd = {
+            (r["vec_id"], r["assigned_cell"])
+            for r in snap.snapshot_read(spark, fp)
+            .select("vec_id", "assigned_cell")
+            .collect()
+        }
+        return idx, fwd
+
+    def tick():
+        return maintain_vector_index(spark, vp, ip, fp, cursor, cells)
+
+    snap.snapshot_partition_overwrite(spark, vdf(), vp, "p", keep_snapshots=30)
+    assert tick() is not None
+    idx, fwd = live()
+    assert idx == expected() and fwd == idx
+    assert tick() is None  # current
+
+    for step in range(4):
+        p = rng.choice(["0", "1", "2"])
+        for k in [k for k, r in vectors.items() if r[2] == p]:
+            roll = rng.random()
+            if roll < 0.2:
+                del vectors[k]
+            elif roll < 0.55:
+                # rotate to another axis: the vector MOVES cells
+                vectors[k] = (k, vec_for(k, k + step + 1), p)
+        if rng.random() < 0.7:
+            nk = max(vectors, default=0) + 1 + rng.randint(0, 2)
+            vectors[nk] = (nk, vec_for(nk, nk), p)
+        commit_part(p)
+        tick()
+        idx, fwd = live()
+        assert idx == expected(), f"postings diverged at step {step}"
+        assert fwd == idx, f"forward map diverged at step {step}"
+        # the postings really are cell-partitioned (manifest pruning)
+        m = snap.snapshot_manifest(spark, ip)
+        assert all(l.startswith("assigned_cell=") for l in m["partitions"])
