@@ -649,3 +649,67 @@ def test_bloom_bitmap_properties(values, probes):
     for q in probes:
         if not _bloom_may_contain(hexmap, bloom_probe_positions(q)):
             assert str(q) not in inserted
+
+
+# ---------------------------------------------------------------- renames
+
+
+@given(
+    n_renames=st.integers(0, 6),
+    dir_version=st.integers(1, 50),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_stored_name_resolution_laws(n_renames, dir_version, data):
+    """The era-resolution function under random CHAINED rename histories:
+    (1) no renames -> identity; (2) a dir newer than every rename stores
+    the current name; (3) replaying the renames that postdate the dir,
+    oldest-first, maps the stored name back to the current name (the
+    round-trip law the reader depends on)."""
+    from callio_etl_spark.snapshots import _stored_name
+
+    # build a chained history over one column: name0 -> name1 -> ... at
+    # strictly increasing versions
+    versions = sorted(
+        data.draw(
+            st.lists(
+                st.integers(2, 60), min_size=n_renames, max_size=n_renames,
+                unique=True,
+            )
+        )
+    )
+    names = [f"n{i}" for i in range(n_renames + 1)]
+    renames = [
+        {"version": v, "from": names[i], "to": names[i + 1]}
+        for i, v in enumerate(versions)
+    ]
+    current = names[-1]
+
+    assert _stored_name([], current, dir_version) == current  # (1)
+    if not renames or dir_version >= max(r["version"] for r in renames):
+        assert _stored_name(renames, current, dir_version) == current  # (2)
+
+    stored = _stored_name(renames, current, dir_version)
+    # (3) replay the renames the dir predates, oldest-first
+    replay = stored
+    for r in sorted(renames, key=lambda r: r["version"]):
+        if r["version"] > dir_version and r["from"] == replay:
+            replay = r["to"]
+    assert replay == current
+
+
+@given(dir_version=st.integers(1, 30), drop_v=st.integers(2, 20), readd=st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_drop_tombstone_never_resolves_to_live_name(dir_version, drop_v, readd):
+    """Drop semantics: a pre-drop dir's stored name for the (re-added)
+    column is the tombstone — never the live column name — so dead
+    values cannot resurface; post-drop dirs resolve to the live name."""
+    from callio_etl_spark.snapshots import _stored_name
+
+    tomb = "__dropped_secret_abc123__"
+    renames = [{"version": drop_v, "from": tomb, "to": "secret"}]
+    stored = _stored_name(renames, "secret", dir_version)
+    if dir_version < drop_v:
+        assert stored == tomb
+    else:
+        assert stored == "secret"
