@@ -820,6 +820,13 @@ def snapshot_rename_column(
             "renames": prev.get("renames", [])
             + [{"version": version, "from": old, "to": new}],
         }
+        if old in manifest.get("delete_keys", []):
+            # the established MoR key set follows the rename (no delete
+            # FILES are pending — checked above — so nothing on disk
+            # still stores the old key name)
+            manifest["delete_keys"] = [
+                new if k == old else k for k in manifest["delete_keys"]
+            ]
         for k in ("staged", "parent", "published_from"):
             manifest.pop(k, None)
         _write_manifest(spark, path, manifest)

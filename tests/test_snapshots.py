@@ -2184,3 +2184,28 @@ def test_column_drop_and_readd_null_semantics(spark, tmp_path):
         snap.snapshot_drop_column(spark, p, "d")
     with pytest.raises(ValueError, match="no column"):
         snap.snapshot_drop_column(spark, p, "ghost")
+
+
+def test_rename_follows_delete_keys(spark, tmp_path):
+    """Renaming a column that is part of the table's established MoR
+    delete-key set updates the recorded delete_keys (no delete files are
+    pending — the rename refuses otherwise), so later MoR deletes under
+    the new name keep working end to end."""
+    p = str(tmp_path / "rk")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(10)],
+        "k long, d string, v double",
+    )
+    snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=10)
+    # establish the delete-key set, then COMPACT the debt away
+    snap.snapshot_delete_rows(spark, p, F.col("k") == 0, ["k"], keep_snapshots=10)
+    for val in ("0", "1"):
+        snap.snapshot_compact_partition(spark, p, val, keep_snapshots=10)
+    assert not any(snap.snapshot_manifest(spark, p).get("deletes", {}).values())
+
+    snap.snapshot_rename_column(spark, p, "k", "key")
+    assert snap.snapshot_manifest(spark, p)["delete_keys"] == ["key"]
+    # MoR delete under the NEW key name works
+    snap.snapshot_delete_rows(spark, p, F.col("key") == 5, ["key"], keep_snapshots=10)
+    left = {r["key"] for r in snap.snapshot_read(spark, p).collect()}
+    assert left == {1, 2, 3, 4, 6, 7, 8, 9}
