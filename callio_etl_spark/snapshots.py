@@ -586,8 +586,14 @@ def _era_scan(spark: SparkSession, path: str, m: dict, dirs: list[str], schema):
 
     groups: dict[tuple, list[str]] = {}
     for dpath in dirs:
-        tok = dpath.rsplit("/", 1)[-1]
-        ver = int(_re.search(_TOKEN_VERSION_RE, tok).group(1))
+        # entries are dir paths (…/leaf/token) OR file paths when the
+        # between/point tiers pruned to individual files
+        # (…/leaf/token/file) — the commit version rides in the token
+        # component either way; take the LAST match so a table rooted
+        # under a token-looking user path can't confuse the parse
+        ver = int(
+            list(_re.finditer(_TOKEN_VERSION_RE, dpath))[-1].group(1)
+        )
         mp = tuple(
             sorted(
                 (f.name, _stored_name(renames, f.name, ver))

@@ -2209,3 +2209,34 @@ def test_rename_follows_delete_keys(spark, tmp_path):
     snap.snapshot_delete_rows(spark, p, F.col("key") == 5, ["key"], keep_snapshots=10)
     left = {r["key"] for r in snap.snapshot_read(spark, p).collect()}
     assert left == {1, 2, 3, 4, 6, 7, 8, 9}
+
+
+def test_rename_composes_with_file_pruning_tiers(spark, tmp_path):
+    """between/point pruning hands _era_scan FILE paths (not dir paths);
+    the era resolution must still parse the commit version from the
+    token component, so a rename composes with z-order file skipping and
+    bloom point lookups on an UNRENAMED column."""
+    p = str(tmp_path / "rnp")
+    df = spark.createDataFrame(
+        [(i, "a", float(i), i * 7) for i in range(64)],
+        "k long, d string, v double, probe long",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df, p, "d",
+        zorder_cols=["k"], stats_cols=["k"], file_stats=True,
+        bloom_cols=["probe"], max_records_per_file=8, keep_snapshots=10,
+    )
+    snap.snapshot_rename_column(spark, p, "v", "value")
+
+    full = snap.snapshot_read(spark, p)
+    assert full.agg(F.sum("value")).first()[0] == float(sum(range(64)))
+
+    # file-level range pruning composes with the rename-era alias
+    pr = snap.snapshot_read(spark, p, between=("k", 3, 5))
+    assert 0 < len(pr.inputFiles()) < len(full.inputFiles())
+    assert pr.where(F.col("k").between(3, 5)).agg(F.sum("value")).first()[0] == 12.0
+
+    # bloom point lookup likewise
+    pp = snap.snapshot_read(spark, p, point=("probe", 21))
+    assert 0 < len(pp.inputFiles()) < len(full.inputFiles())
+    assert pp.where(F.col("probe") == 21).select("value").first()[0] == 3.0
