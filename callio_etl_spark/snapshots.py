@@ -657,7 +657,15 @@ def _apply_deletes(
         for leaf, toks in sorted(dels.items())
         for tok in toks
     ]
-    ver = F.regexp_extract(F.input_file_name(), _TOKEN_VERSION_RE, 1).cast("int")
+    # the commit version rides in the file's PARENT component (the token
+    # dir); extracting from that component alone — not the whole path —
+    # keeps a table rooted under a token-looking user path from
+    # corrupting the sequence comparison
+    ver = F.regexp_extract(
+        F.element_at(F.split(F.input_file_name(), "/"), -2),
+        _TOKEN_VERSION_RE,
+        1,
+    ).cast("int")
     pc_type = dict(df.dtypes)[col]
     dmax = (
         spark.read.option("basePath", path)

@@ -2240,3 +2240,24 @@ def test_rename_composes_with_file_pruning_tiers(spark, tmp_path):
     pp = snap.snapshot_read(spark, p, point=("probe", 21))
     assert 0 < len(pp.inputFiles()) < len(full.inputFiles())
     assert pp.where(F.col("probe") == 21).select("value").first()[0] == 3.0
+
+
+def test_mor_sequencing_survives_token_looking_table_path(spark, tmp_path):
+    """A table rooted under a path that itself matches the token pattern
+    must not corrupt merge-on-read sequencing (versions are parsed from
+    the file's parent component only)."""
+    p = str(tmp_path / "__s999999_deadbeef__" / "t")
+    df = spark.createDataFrame(
+        [(i, str(i % 2), float(i)) for i in range(10)],
+        "k long, d string, v double",
+    )
+    snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=10)
+    snap.snapshot_delete_rows(spark, p, F.col("k") < 3, ["k"], keep_snapshots=10)
+    # re-append key 1 AFTER the delete: sequence semantics must revive it
+    snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(1, "1", 99.0)], "k long, d string, v double"),
+        p, "d", keep_snapshots=10,
+    )
+    got = {(r["k"], r["v"]) for r in snap.snapshot_read(spark, p).collect()}
+    assert got == {(1, 99.0)} | {(i, float(i)) for i in range(3, 10)}
