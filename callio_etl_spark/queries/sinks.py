@@ -1390,10 +1390,7 @@ def sink_spec_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     live = snapshot_read(spark, path)
     n_files = len(live.inputFiles())
-    day_lo, day_hi = (
-        era1.agg(F.min("d"), F.max("d")).first()[0],
-        era1.agg(F.min("d")).first()[0],
-    )
+    day_lo = era1.agg(F.min("d")).first()[0]
     # one-day probe: exact value pruning on day dirs, stats pruning on
     # month dirs — must scan strictly fewer files, return the day's rows
     probe = snapshot_read(spark, path, between=("d", day_lo, day_lo))

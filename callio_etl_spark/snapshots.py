@@ -398,6 +398,18 @@ def snapshot_read(
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), outs
         )
+    if prefixes:
+        # The group's spec column is what the leaves were WRITTEN under,
+        # not the manifest's current (possibly evolved) spec. Between a
+        # metadata-only snapshot_evolve_spec commit and the first new-spec
+        # write, every leaf still carries the OLD column — exact
+        # value-pruning on the NEW column against old-era leaf values
+        # would compare disjoint domains and silently drop every row, so
+        # the single-prefix path derives the column from the actual
+        # prefix exactly as the multi-prefix branch does.
+        (pc,) = prefixes
+        if pc != m["partition_col"]:
+            m = {**m, "partition_col": pc}
     return _read_single_spec(spark, path, m, between, point)
 
 
@@ -2573,11 +2585,16 @@ def maintain_join_view(
             *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
         )
 
-    import os
+    from callio_etl_spark.io import _exists as _fs_exists
+    from callio_etl_spark.io import _hadoop
 
     v0f = v0d = None
     view_old = None
-    if os.path.exists(view_path):
+    # FS-agnostic existence probe: os.path is always False on
+    # hdfs://-/s3a://-style view paths, which would turn every refresh
+    # into a silent full rebuild.
+    jvm, fs, _ = _hadoop(spark, view_path)
+    if _fs_exists(jvm, fs, view_path):
         view_old = spark.read.parquet(view_path)
         row = view_old.agg(
             F.max("_fact_version"), F.max("_dim_version")
@@ -2669,10 +2686,14 @@ def maintain_agg_view(
     # Only the missing-view cold start falls back to a full build; any
     # other read failure (corrupt files, permissions, transient FS error)
     # propagates — silently recomputing would mask it and, on a flaky
-    # store, turn every incremental refresh into a full recompute.
-    import os
+    # store, turn every incremental refresh into a full recompute. The
+    # probe goes through the Hadoop FS so non-local view paths (hdfs://,
+    # s3a://) get the same cold-start-vs-incremental split.
+    from callio_etl_spark.io import _exists as _fs_exists
+    from callio_etl_spark.io import _hadoop
 
-    if os.path.exists(view_path):
+    jvm, fs, _ = _hadoop(spark, view_path)
+    if _fs_exists(jvm, fs, view_path):
         view_old = spark.read.parquet(view_path)
         row = view_old.agg(F.max("_src_version")).first()
         v0 = row[0] if row else None

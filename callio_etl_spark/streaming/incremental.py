@@ -246,8 +246,7 @@ def run_foreach_batch_snapshot(
     as one more (idempotent-in-content) version. Untouched partitions
     carry over by manifest reference, so a tick's commit cost is
     O(partitions it updated)."""
-    import os
-
+    from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
         snapshot_discard_staged,
         snapshot_partition_overwrite,
@@ -270,9 +269,17 @@ def run_foreach_batch_snapshot(
             return
         spark = batch.sparkSession
         out = batch
-        if merge_keys is not None and os.path.isdir(
-            os.path.join(path, "__snap__")
-        ):
+        if merge_keys is not None:
+            # Probe table existence through the Hadoop FS abstraction —
+            # an os.path check is always False on hdfs://-/s3a://-style
+            # warehouses, which would silently skip the carry and let
+            # each tick's partition overwrite drop unchanged groups
+            # sharing a partition with updated ones.
+            jvm, fs, _ = _hadoop(spark, path)
+            has_table = _exists(jvm, fs, path.rstrip("/") + "/__snap__")
+        else:
+            has_table = False
+        if has_table:
             # upsert-into-partition: carry the touched partitions' current
             # rows whose grouping key the batch didn't update
             current = snapshot_read(spark, path)

@@ -1877,6 +1877,47 @@ def test_partition_spec_evolution_day_to_month(spark, tmp_path):
     assert r2.where(F.col("ym") == "2024-02").count() == 9
 
 
+def test_spec_evolution_read_between_before_first_new_spec_write(
+    spark, tmp_path
+):
+    """The metadata-only-evolve window: after snapshot_evolve_spec but
+    BEFORE any new-spec write, every leaf still carries the OLD partition
+    column while the manifest's partition_col is the NEW one. A `between`
+    on the new column must NOT exact-prune old-era leaf values against
+    the new column's domain (d=2024-01-05 vs ym bounds would prune every
+    leaf — silent row loss); the spec column is the leaves' actual
+    prefix, so the read falls to stats pruning (exact with recorded
+    stats, conservative keep without)."""
+    # with ym stats recorded: the probe is still exact via stats
+    p = str(tmp_path / "evo_window")
+    df1 = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", "2024-01", float(i)) for i in range(20)],
+        "k long, d string, ym string, v double",
+    )
+    snap.snapshot_partition_overwrite(
+        spark, df1, p, "d", stats_cols=["ym"], keep_snapshots=10
+    )
+    snap.snapshot_evolve_spec(spark, p, "ym", keep_snapshots=10)
+    r = snap.snapshot_read(spark, p, between=("ym", "2024-01", "2024-01"))
+    assert r.count() == 20  # was 0 before the fix
+    # a genuinely-disjoint range still prunes (stats are exact here)
+    r_miss = snap.snapshot_read(spark, p, between=("ym", "2024-03", "2024-03"))
+    assert r_miss.count() == 0 and len(r_miss.inputFiles()) == 0
+    # between on the leaves' own column stays exact value pruning
+    r_day = snap.snapshot_read(
+        spark, p, between=("d", "2024-01-02", "2024-01-02")
+    )
+    assert r_day.count() == 4
+    assert 0 < len(r_day.inputFiles()) < 20
+
+    # without stats for the new column: conservative keep, zero row loss
+    p2 = str(tmp_path / "evo_window_nostats")
+    snap.snapshot_partition_overwrite(spark, df1, p2, "d", keep_snapshots=10)
+    snap.snapshot_evolve_spec(spark, p2, "ym", keep_snapshots=10)
+    r2 = snap.snapshot_read(spark, p2, between=("ym", "2024-01", "2024-01"))
+    assert r2.count() == 20
+
+
 def test_join_view_ivm_random_commit_sequences(spark, tmp_path):
     """Model test for the fact⋈dim join-view IVM: across a seeded random
     sequence of fact rewrites (deletes / measure updates / key-migrating
