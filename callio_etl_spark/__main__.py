@@ -88,8 +88,11 @@ def _tick_snapshot(
     table, prepare = JOB_TABLES[job]
     path = os.path.join(cfg.work_dir, table.name)
     with job_stage(spark, f"tick:{table.name}"):
+        from callio_etl_spark.io import _exists, _hadoop
+
+        jvm, fs, _ = _hadoop(spark, path)
         target = None
-        if os.path.isdir(os.path.join(path, "__snap__")):
+        if _exists(jvm, fs, path.rstrip("/") + "/__snap__"):
             target = snapshot_read(spark, path).drop("ym")
         batch = prepare(spark, cfg.sf_dir)
         if cfg.limit_records:
@@ -156,8 +159,11 @@ def _tick(spark: SparkSession, cfg: EngineConfig, store: CheckpointStore, job: s
     # rendered the cluster way) and gives operators a cancellable group.
     with job_stage(spark, f"tick:{table.name}"):
         recover_table(spark, path)
+        from callio_etl_spark.io import _exists, _hadoop
+
+        jvm, fs, _ = _hadoop(spark, path)
         target = None
-        if os.path.isdir(path):
+        if _exists(jvm, fs, path):
             target = spark.read.parquet(path)
         batch = prepare(spark, cfg.sf_dir)
         if cfg.limit_records:

@@ -1620,9 +1620,13 @@ def maintain_band_index(
             rows_per_band,
             n_bands,
         ).select("doc_id", "band", "band_key", bkt)
-        import os
+        from callio_etl_spark.io import _exists, _hadoop
 
-        exists = os.path.isdir(os.path.join(index_path, "__snap__"))
+        # Hadoop-FS probe (not os.path): the index may live on an
+        # hdfs://-/s3a://-style warehouse where a local check is always
+        # False and the carry would silently drop untouched bucket rows.
+        jvm, fs, _ = _hadoop(spark, index_path)
+        exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
         if exists:
             carried = (
                 snapshot_read(spark, index_path)
@@ -1693,6 +1697,96 @@ def feasible_band_geometries(num_hashes: int = NUM_HASHES) -> list[tuple[int, in
     return [
         (r, num_hashes // r) for r in range(1, num_hashes + 1) if num_hashes % r == 0
     ]
+
+
+@register(
+    "maintain_band_index",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+  FROM base WHERE doc_id % 5 <> 1 AND doc_id % {INDEX_BUCKETS} <> 9
+  UNION ALL
+  SELECT doc_id + {2000 * INDEX_BUCKETS} AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % {INDEX_BUCKETS} <> 9
+),
+bands AS (
+{_bands_union_sql(table="final")}
+)
+SELECT doc_id, band, band_key FROM bands
+""",
+    tags=["llm", "dedup", "cdc", "index", "sink"],
+)
+def maintain_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING BAND-INDEX MAINTENANCE end to end — the driver row for
+    ``maintain_band_index`` (the near-dup index service, VERDICT r8 item
+    1): commit a base corpus as a snapshot table, build the index from
+    its CDC feed, then land ONE adversarial rewrite exercising every
+    change class — deletions (% 5), text edits whose band keys must be
+    retired-and-recomputed (% 7 -> ' rev2'), inserts (the held-out % 3
+    cohort, id-shifted by a multiple of {INDEX_BUCKETS} so bucket
+    residues are preserved), and the EMPTIED-BUCKET class (every doc of
+    id-bucket 9 deleted, and no insert lands there — the index leaf must
+    be retired by a metadata delete, not carried stale) — and tick the
+    maintainer again. The result is the maintained index itself
+    (doc_id, band, band_key); the oracle recomputes the banding from the
+    FINAL corpus directly, so a stale band row, a missed retirement, a
+    double-applied update, or an un-retired empty bucket all break the
+    hash.
+
+    Cost shape at 100 TB: each tick computes signatures for the delta
+    only (map-side band_projection) and rewrites only the touched
+    id-buckets' partitions — the full index is never rebuilt; the oracle
+    side is the O(corpus) recompute the service exists to avoid."""
+    from callio_etl_spark.queries.sinks import _materialize_and_clean, _tmp
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("bandidx")
+    docs_p, idx_p = f"{root}/docs", f"{root}/idx"
+    cursor = f"{root}/cursor.json"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    part = (F.col("doc_id") % 4).cast("string").alias("p")
+    base = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text", part)
+    snapshot_partition_overwrite(spark, base, docs_p, "p", keep_snapshots=5)
+    v0 = maintain_band_index(spark, docs_p, idx_p, cursor)
+
+    survivors = (
+        base.where(
+            (F.col("doc_id") % 5 != 1) & (F.col("doc_id") % INDEX_BUCKETS != 9)
+        ).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    inserts = (
+        d.where(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % INDEX_BUCKETS != 9)
+        )
+        .select(
+            (F.col("doc_id") + 2000 * INDEX_BUCKETS).alias("doc_id"), "text"
+        )
+        .select("doc_id", "text", part)
+    )
+    snapshot_partition_overwrite(
+        spark, survivors.unionByName(inserts), docs_p, "p", keep_snapshots=5
+    )
+    v1 = maintain_band_index(spark, docs_p, idx_p, cursor)
+    if v0 is None or v1 is None or not v1 > v0:
+        raise AssertionError(f"index did not advance: {v0} -> {v1}")
+    idx = snapshot_read(spark, idx_p)
+    if idx.where(F.col("bkt") == 9).count() != 0:
+        raise AssertionError("emptied id-bucket 9 not retired from the index")
+    return _materialize_and_clean(
+        idx.select("doc_id", "band", "band_key"), root
+    )
 
 
 def predicted_bucket_occupancy(

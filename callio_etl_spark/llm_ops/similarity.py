@@ -2215,8 +2215,7 @@ def maintain_vector_index(
     Parity (pytest, random commit sequences): postings ==
     assign_to_cells(live vectors) and the forward map matches, after
     every tick."""
-    import os
-
+    from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
         snapshot_consume_changes,
         snapshot_delete_partitions,
@@ -2254,8 +2253,12 @@ def maintain_vector_index(
             eager=True
         )
 
-        idx_exists = os.path.isdir(os.path.join(index_path, "__snap__"))
-        fwd_exists = os.path.isdir(os.path.join(fwd_path, "__snap__"))
+        # Hadoop-FS probes (not os.path): both tables may live on an
+        # hdfs://-/s3a://-style warehouse where a local check is always
+        # False and the carries would silently drop untouched rows.
+        jvm, fs, _ = _hadoop(spark, index_path)
+        idx_exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
+        fwd_exists = _exists(jvm, fs, fwd_path.rstrip("/") + "/__snap__")
 
         # old cells via the forward map's touched buckets (O(buckets))
         old_cells = []
@@ -2328,3 +2331,124 @@ def maintain_vector_index(
     return snapshot_consume_changes(
         spark, vecs_path, cursor_file, ["vec_id"], process
     )
+
+
+@register(
+    "maintain_vector_index",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % {VEC_DELTA_MOD} <> 0),
+cent AS (
+  SELECT label, CAST(ix AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(v[ix] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM base, range(1, {EMB_DIM} + 1) t(ix)
+  GROUP BY label, ix
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN list_transform(v, x -> -x)
+              ELSE v END AS v
+  FROM base WHERE vec_id % 9 <> 1
+  UNION ALL
+  SELECT vec_id + {2000 * VINDEX_BUCKETS} AS vec_id, v
+  FROM e WHERE vec_id % {VEC_DELTA_MOD} = 0
+),
+scored AS (
+  SELECT f.vec_id, cv.label AS assigned_cell,
+         ROW_NUMBER() OVER (PARTITION BY f.vec_id
+           ORDER BY list_cosine_similarity(f.v, cv.cv) DESC, cv.label ASC
+         ) AS rn
+  FROM final f CROSS JOIN cvec cv
+)
+SELECT vec_id, assigned_cell FROM scored WHERE rn = 1
+""",
+    tags=["llm", "similarity", "cdc", "index", "sink"],
+)
+def maintain_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING IVF POSTINGS MAINTENANCE end to end — the driver row for
+    ``maintain_vector_index`` (VERDICT r8 item 1, the vector twin of
+    ``maintain_band_index``): commit the base vectors (vec_id %
+    {VEC_DELTA_MOD} != 0) as a snapshot table, freeze the quantizer as
+    their per-label centroids, build postings + forward map from the CDC
+    feed, then land ONE adversarial rewrite — deletions (% 9),
+    CROSS-CELL MOVES (% 7: the embedding is negated, so its nearest
+    centroid flips and the old posting must be retired from a DIFFERENT
+    cell partition than the new one lands in), and inserts (the held-out
+    delta cohort, id-shifted by a multiple of {VINDEX_BUCKETS} so
+    forward-map buckets are preserved) — and tick again. The result is
+    the postings table (vec_id, assigned_cell); the oracle recomputes
+    nearest-centroid assignment of the FINAL vectors against the same
+    frozen quantizer, so a stale posting left in the old cell, a missed
+    retirement, or a forward-map divergence breaks the hash (the forward
+    map is additionally asserted in-query to agree with the postings).
+
+    Cost shape at 100 TB: each tick assigns only the delta against the
+    broadcast quantizer and rewrites only the touched cell partitions
+    and forward buckets — O(|delta| + touched partitions); the oracle
+    side is the full-corpus reassignment the service exists to avoid."""
+    from callio_etl_spark.queries.sinks import _materialize_and_clean, _tmp
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("vecidx")
+    vp, ip, fwd = f"{root}/vecs", f"{root}/idx", f"{root}/fwd"
+    cursor = f"{root}/cursor.json"
+    e = _emb(spark, sf_dir)  # (vec_id, label, v: array<double>)
+    base = e.where(F.col("vec_id") % VEC_DELTA_MOD != 0)
+    cells = _cvec(base)  # the frozen coarse quantizer
+    part = (F.col("vec_id") % 4).cast("string").alias("p")
+    base_rows = base.select("vec_id", F.col("v").alias("embedding"), part)
+    snapshot_partition_overwrite(spark, base_rows, vp, "p", keep_snapshots=5)
+    v0 = maintain_vector_index(spark, vp, ip, fwd, cursor, cells)
+
+    survivors = base_rows.where(F.col("vec_id") % 9 != 1).withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 7 == 3,
+            F.transform("embedding", lambda x: -x),
+        ).otherwise(F.col("embedding")),
+    )
+    inserts = (
+        e.where(F.col("vec_id") % VEC_DELTA_MOD == 0)
+        .select(
+            (F.col("vec_id") + 2000 * VINDEX_BUCKETS).alias("vec_id"),
+            F.col("v").alias("embedding"),
+        )
+        .select("vec_id", "embedding", part)
+    )
+    snapshot_partition_overwrite(
+        spark, survivors.unionByName(inserts), vp, "p", keep_snapshots=5
+    )
+    v1 = maintain_vector_index(spark, vp, ip, fwd, cursor, cells)
+    if v0 is None or v1 is None or not v1 > v0:
+        raise AssertionError(f"index did not advance: {v0} -> {v1}")
+
+    postings = snapshot_read(spark, ip).select("vec_id", "assigned_cell")
+    fmap = snapshot_read(spark, fwd).select("vec_id", "assigned_cell")
+    if (
+        postings.exceptAll(fmap).count() != 0
+        or fmap.exceptAll(postings).count() != 0
+    ):
+        raise AssertionError("forward map diverged from the postings")
+    # the cross-cell-move class must actually have moved >= 1 vector
+    moved = (
+        postings.where(F.col("vec_id") % 7 == 3)
+        .join(
+            assign_to_cells(
+                base.where(F.col("vec_id") % 7 == 3).select(
+                    "vec_id", F.lit(-1).cast("int").alias("label"), "v"
+                ),
+                cells,
+            ).select("vec_id", F.col("assigned_cell").alias("old_cell")),
+            "vec_id",
+        )
+        .where(F.col("assigned_cell") != F.col("old_cell"))
+        .count()
+    )
+    if moved == 0:
+        raise AssertionError("negation edit moved no vector across cells")
+    return _materialize_and_clean(postings, root)
