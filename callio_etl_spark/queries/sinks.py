@@ -1099,6 +1099,94 @@ def sink_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_widen_evolve",
+    oracle="""
+WITH eras AS (
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 6 = 3       -- written NARROW (int era)
+  UNION ALL
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice) AS BIGINT) + 10000000000 AS cents
+  FROM orders WHERE o_orderkey % 6 = 0       -- wide era: beyond int range
+  UNION ALL
+  SELECT o_orderpriority, CAST(FLOOR(o_totalprice) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 6 = 1       -- narrow batch, relaxed up
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM eras GROUP BY o_orderpriority
+""",
+    tags=["sink", "snapshot", "widen"],
+)
+def sink_widen_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING evolution end to end (snapshots.snapshot_widen_column
+    — the remaining Iceberg evolution verb after add/rename/drop/spec;
+    the reference relaxes types on append via ALLOW_FIELD_RELAXATION,
+    bigquery_service.py:276-284): commit an era of orders with an INT
+    ``cents`` column, WIDEN it to long in one metadata commit (zero data
+    rewritten), land a second era whose values exceed the int range
+    (proving post-widen dirs physically store wide), then append a THIRD
+    era still written narrow — the writer relaxes it up to the committed
+    type. The mixed-era read casts int-era files up in the scan
+    projection (the widen-aware era scan), so the aggregate breaks the
+    hash if a narrow era reads wrong, a wide value truncates, or the
+    relaxation misfires; min/max pin the exact range across eras.
+
+    100 TB story: widening a column on a decade-deep table costs one
+    manifest write; recorded [min,max] stats stay exact at the wider
+    type so between-pruning keeps working, and old partitions migrate
+    physically only when compaction rewrites them anyway."""
+    from callio_etl_spark.snapshots import (
+        snapshot_append,
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_widen_column,
+    )
+
+    root = _tmp("widen")
+    path = f"{root}/ord"
+    o = load_table(spark, sf_dir, "orders")
+    cents_int = F.floor("o_totalprice").cast("int").alias("cents")
+    era1 = o.where(F.col("o_orderkey") % 6 == 3).select(
+        "o_orderpriority", cents_int
+    )
+    v1 = snapshot_partition_overwrite(
+        spark, era1, path, "o_orderpriority", keep_snapshots=4
+    )
+    snapshot_widen_column(spark, path, "cents", "long")
+    era2 = o.where(F.col("o_orderkey") % 6 == 0).select(
+        "o_orderpriority",
+        (F.floor("o_totalprice").cast("long") + 10_000_000_000).alias("cents"),
+    )
+    snapshot_append(spark, era2, path, "o_orderpriority", keep_snapshots=4)
+    era3 = o.where(F.col("o_orderkey") % 6 == 1).select(
+        "o_orderpriority", cents_int
+    )
+    snapshot_append(spark, era3, path, "o_orderpriority", keep_snapshots=4)
+
+    m = snapshot_manifest(spark, path)
+    hist = [(w["name"], w["from"], w["to"]) for w in m.get("widens", [])]
+    if hist != [("cents", "integer", "long")]:
+        raise AssertionError(f"widen history wrong: {m.get('widens')}")
+    live = snapshot_read(spark, path)
+    if dict(live.dtypes)["cents"] != "bigint":
+        raise AssertionError(f"live type wrong: {dict(live.dtypes)['cents']}")
+    if dict(snapshot_read(spark, path, version=v1).dtypes)["cents"] != "int":
+        raise AssertionError("time travel lost the pre-widen type")
+    result = live.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    return _materialize_and_clean(result, root)
+
+
+@register(
     "sink_rename_evolve",
     oracle="""
 WITH eras AS (

@@ -47,89 +47,33 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering the r8 driver run: the registry
-#: holds 197 queries (r7's 193, minus minhash_incremental_pairs — renamed
-#: to the size-planned minhash_incremental_planned — plus the five r8
-#: registrations); every oracle-bearing query has held a green driver
-#: row EXCEPT the r8 registrations. ann_topk_gemm / approx_sketch_stats /
-#: curriculum_bins_approx stay out of the window (rows-only by
-#: construction — no deterministic cross-engine oracle; their
-#: driver-checkable forms are sketch_error_bounds / curriculum_bins_audit).
-#: The r8 window therefore holds:
-#:   1. the fourteen r3-vintage queries that sat at positions 51-64 last
-#:      round (json_extract .. window_range_scan) — the ONLY rows older
-#:      than r4 entering this round; they lead so no oracle-bearing
-#:      query's latest driver row stays older than r4;
-#:   2. the five r8 first-time rows: the size-planned incremental-LSH
-#:      geometry (the occupancy policy as a driver-checked operator),
-#:      the bucket-colocated snapshot join, the partition-spec-evolution
-#:      roundtrip, the fact⋈dim join-view IVM refresh, and the
-#:      column-rename-evolution roundtrip;
+#: per-round slot ledger). State entering the r9 driver run: the registry
+#: holds 200 queries (r8's 197 plus the three r9 registrations:
+#: maintain_band_index / maintain_vector_index — the rolling index
+#: services as oracle-checked CDC roundtrips — and sink_widen_evolve,
+#: the type-widening evolution roundtrip); every oracle-bearing query has
+#: held a green driver row EXCEPT the r9 registrations.
+#: ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx stay out
+#: of the window (rows-only by construction — no deterministic
+#: cross-engine oracle; their driver-checkable forms are
+#: sketch_error_bounds / curriculum_bins_audit). The r9 window holds:
+#:   1. the thirteen r4-vintage queries that sat at positions 51-63 last
+#:      round (tpch_q19_discounted .. weighted_sample) — the ONLY rows
+#:      older than r5 entering this round; they lead so no oracle-bearing
+#:      query's latest driver row stays older than r5;
+#:   2. the three r9 first-time rows (see above);
 #:   3. three flagship/merge canaries as regression tripwires;
-#:   4. the r4-vintage cohort oldest-first (41 queries whose latest row
-#:      is r4; the first 28 alphabetically fit — ann_recall_ivf ..
-#:      tpch_q18_large_orders; the remaining 13, tpch_q19..q9 +
-#:      weighted_sample, hold positions 51-63 and lead the r9 window).
+#:   4. the r5-vintage cohort oldest-first (37 live queries whose latest
+#:      row is r5 — the 38 in CORRECTNESS_r05 minus the renamed-away
+#:      minhash_incremental_pairs; the first 31 alphabetically fit —
+#:      ann_hard_negatives .. shard_manifest; the remaining 6,
+#:      sink_append_evolve .. zorder_layout, hold positions 51-56 and
+#:      lead the r10 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- the r3-vintage cohort tail: oldest driver rows, must refresh (14)
-    "json_extract",
-    "lang_id",
-    "merge_partial_keep_existing",
-    "mixture_weights",
-    "multimodal_meta",
-    "scalar_suite",
-    "simhash",
-    "text_stats",
-    "tfidf_top_terms",
-    "topk_recent",
-    "tpch_q1_pricing",
-    "union_tenants",
-    "watermark_filter",
-    "window_range_scan",
-    # --- r8 first-time oracle-bearing rows (5) ---
-    "minhash_incremental_planned",
-    "sink_bucketed_snapshot",
-    "sink_spec_evolve",
-    "ivm_refresh_join",
-    "sink_rename_evolve",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r4-vintage cohort (28 of 41) ---
-    "ann_recall_ivf",
-    "array_pick",
-    "exact_substring_pairs",
-    "fingerprint",
-    "ivf_centroids",
-    "ngram_jaccard_pairs",
-    "nonblank_filter",
-    "not_in_subquery",
-    "pii_scrub",
-    "project_backfill",
-    "quality_score",
-    "repetition_stats",
-    "reservoir_sample",
-    "row_hash",
-    "scalar_subquery",
-    "stratified_sample",
-    "string_norm",
-    "table_diff",
-    "time_buckets",
-    "tpch_q10_returned",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    # --- positions 51-63: the cohort's last thirteen fall just outside the
-    #     50-row window this round and lead the r9 window ---
+    # --- the r4-vintage cohort tail: oldest driver rows, must refresh (13)
     "tpch_q19_discounted",
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_orders",
@@ -143,6 +87,54 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_profit",
     "weighted_sample",
+    # --- r9 first-time oracle-bearing rows (3) ---
+    "maintain_band_index",
+    "maintain_vector_index",
+    "sink_widen_evolve",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- oldest-first re-checks: the r5-vintage cohort (31 of 37) ---
+    "ann_hard_negatives",
+    "ann_recall_ivf_probe",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
+    "ann_topk_ivf_probe",
+    "ann_topk_ivfpq",
+    "ann_topk_pq_rerank",
+    "audio_features",
+    "bloom_decontaminate",
+    "boilerplate_ngrams",
+    "contamination_check",
+    "corpus_select_budget",
+    "dsir_importance",
+    "embedding_covariance",
+    "embedding_lsh_buckets",
+    "embedding_lsh_pairs",
+    "embedding_outliers",
+    "embedding_pca_project",
+    "embedding_standardize",
+    "fact_staff_daily_sql",
+    "incremental_agg_maintenance",
+    "latest_per_key",
+    "media_features",
+    "media_resize",
+    "merge_upsert_full",
+    "minhash_lsh_pairs",
+    "pack_sequences",
+    "pq_codes",
+    "salted_join_agg",
+    "scd2_history",
+    "shard_manifest",
+    # --- positions 51-56: the cohort's last six fall just outside the
+    #     50-row window this round and lead the r10 window ---
+    "sink_append_evolve",
+    "sink_partition_delete",
+    "sink_version_diff",
+    "sink_versioned_restore",
+    "unigram_rarity",
+    "zorder_layout",
 ]
 
 

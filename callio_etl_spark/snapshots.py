@@ -102,9 +102,39 @@ def _manifest_path(path: str, version: int) -> str:
     return f"{_snap_dir(path)}/m{version:06d}.json"
 
 
-def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
-    jvm, fs, _ = _hadoop(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, version))
+#: Manifests stay ONE inline JSON up to this many partition leaves; past
+#: it the leaf-keyed maps spill into content-addressed SEGMENT files
+#: (Iceberg's manifest-list/manifest split, the 100 TB driver-side fix):
+#: a commit touching k leaves re-serializes only the segments holding
+#: them — every untouched segment has identical content, hashes to the
+#: same name, and is REFERENCED, not rewritten — so per-commit metadata
+#: write cost is O(touched segments), not O(table), and the retained
+#: history (keep_snapshots versions × tags) SHARES segment files instead
+#: of multiplying the full enumeration.
+_SEGMENT_INLINE_MAX = 4096
+#: Leaves per segment target; the segment count is the next power of two
+#: of leaves/target, so membership (md5(leaf) % n) reshuffles only when
+#: the table crosses a doubling boundary.
+_SEGMENT_TARGET_LEAVES = 2048
+#: The manifest maps keyed by partition leaf — the parts that spill.
+_LEAF_MAPS = ("partitions", "stats", "file_stats", "file_blooms", "deletes")
+
+#: Segment files are immutable (content-addressed), so an in-process
+#: cache is always coherent; bounded LRU because tests churn many tables.
+_SEG_CACHE: dict[tuple[str, str], dict] = {}
+_SEG_CACHE_MAX = 128
+
+
+def _seg_path(path: str, h: str) -> str:
+    return f"{_snap_dir(path)}/seg_{h}.json"
+
+
+def _segment_index(leaf: str, n: int) -> int:
+    return int(hashlib.md5(leaf.encode("utf-8")).hexdigest()[:8], 16) % n
+
+
+def _read_small_json(jvm, fs, file_path: str) -> dict:
+    p = jvm.org.apache.hadoop.fs.Path(file_path)
     stream = fs.open(p)
     try:
         data = bytes(
@@ -115,13 +145,99 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return json.loads(data)
 
 
+def _load_segment(jvm, fs, path: str, h: str) -> dict:
+    key = (_snap_dir(path), h)
+    hit = _SEG_CACHE.get(key)
+    if hit is not None:
+        return hit
+    seg = _read_small_json(jvm, fs, _seg_path(path, h))
+    if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+    _SEG_CACHE[key] = seg
+    return seg
+
+
+def _spill_segments(jvm, fs, path: str, manifest: dict) -> dict:
+    """Split the leaf-keyed maps into content-addressed segment files and
+    return the top manifest referencing them by hash. Only segments whose
+    file is not already on disk are written (an unchanged segment from
+    the parent version — or a racing writer producing identical content —
+    is free); segment writes happen BEFORE the manifest rename that
+    commits, so a crash strands only unreferenced files the next vacuum
+    sweeps."""
+    import math
+
+    leaves = set()
+    for mp in _LEAF_MAPS:
+        leaves.update(manifest.get(mp) or {})
+    n = 1
+    if len(leaves) > _SEGMENT_TARGET_LEAVES:
+        n = 1 << math.ceil(math.log2(len(leaves) / _SEGMENT_TARGET_LEAVES))
+    groups: dict[int, list[str]] = {}
+    for leaf in sorted(leaves):
+        groups.setdefault(_segment_index(leaf, n), []).append(leaf)
+    hashes = []
+    for gi in sorted(groups):
+        seg = {
+            mp: {
+                leaf: manifest[mp][leaf]
+                for leaf in groups[gi]
+                if leaf in manifest[mp]
+            }
+            for mp in _LEAF_MAPS
+            if manifest.get(mp)
+        }
+        seg = {mp: entries for mp, entries in seg.items() if entries}
+        blob = json.dumps(seg, sort_keys=True).encode("utf-8")
+        h = hashlib.md5(blob).hexdigest()
+        final = _seg_path(path, h)
+        if not _exists(jvm, fs, final):
+            tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
+            out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+            try:
+                out.write(bytearray(blob))
+            finally:
+                out.close()
+            try:
+                _rename(jvm, fs, tmp, final)
+            except IOError:
+                # a racing writer landed the identical content first
+                if not _exists(jvm, fs, final):
+                    raise
+                fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+        hashes.append(h)
+    top = {k: v for k, v in manifest.items() if k not in _LEAF_MAPS}
+    top["segments"] = hashes
+    return top
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    jvm, fs, _ = _hadoop(spark, path)
+    m = _read_small_json(jvm, fs, _manifest_path(path, version))
+    if "segments" in m:
+        for mp in _LEAF_MAPS:
+            m.setdefault(mp, {})
+        for h in m["segments"]:
+            seg = _load_segment(jvm, fs, path, h)
+            for mp, entries in seg.items():
+                m[mp].update(entries)
+    return m
+
+
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
     """Publish a manifest atomically: write complete bytes to a tmp name
     readers ignore (only ``m<digits>.json`` resolves), then rename to the
-    final numbered name — the rename IS the commit point."""
+    final numbered name — the rename IS the commit point. Past
+    ``_SEGMENT_INLINE_MAX`` partition leaves the leaf-keyed maps spill to
+    content-addressed segment files first (see ``_spill_segments``); a
+    stale ``segments`` key inherited from a parent manifest is always
+    recomputed, never trusted."""
     jvm, fs, _ = _hadoop(spark, path)
     sd = _snap_dir(path)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(sd))
+    manifest = {k: v for k, v in manifest.items() if k != "segments"}
+    if len(manifest.get("partitions", {})) > _SEGMENT_INLINE_MAX:
+        manifest = _spill_segments(jvm, fs, path, manifest)
     final = _manifest_path(path, manifest["version"])
     tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
     out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
@@ -578,24 +694,52 @@ def _stored_name(renames: list[dict], current: str, dir_version: int) -> str:
     return name
 
 
+def _stored_field(
+    renames: list[dict], widens: list[dict], current: str, cur_type, dir_version: int
+):
+    """The (name, type) a data dir written at ``dir_version`` stores for
+    the column CURRENTLY named ``current`` with committed JSON type
+    ``cur_type``: walk the combined rename+widen history newest-first,
+    un-applying every event that happened after the dir was written.
+    The name is tracked era by era, so a widen recorded before a later
+    rename matches against the PRE-rename name it was committed under."""
+    events = sorted(
+        [("r", r) for r in renames] + [("w", w) for w in widens],
+        key=lambda e: -e[1]["version"],
+    )
+    name, typ = current, cur_type
+    for kind, e in events:
+        if e["version"] <= dir_version:
+            continue
+        if kind == "r" and e["to"] == name:
+            name = e["from"]
+        elif kind == "w" and e["name"] == name:
+            typ = e["from"]
+    return name, typ
+
+
 def _era_scan(spark: SparkSession, path: str, m: dict, dirs: list[str], schema):
-    """Scan data dirs with RENAME-AWARE schemas (Iceberg's field-ID
-    resolution, done with the commit version the dir token carries): dirs
-    are grouped by the name mapping their era implies; each group is read
-    under the names it physically stores and aliased to the current
-    names, so a renamed column's historical values surface under the new
-    name instead of reading NULL. No renames (or no committed schema):
-    one plain scan."""
+    """Scan data dirs with RENAME- and WIDEN-AWARE schemas (Iceberg's
+    field-ID resolution, done with the commit version the dir token
+    carries): dirs are grouped by the (name, type) mapping their era
+    implies; each group is read under the names AND types it physically
+    stores, then aliased and CAST UP to the current schema, so a renamed
+    column's historical values surface under the new name (instead of
+    NULL) and a widened column's narrow-era files read at their written
+    width (instead of a parquet type-mismatch failure). No history (or
+    no committed schema): one plain scan."""
     base = spark.read.option("basePath", path)
     if schema is not None:
         base = base.schema(schema)
     renames = m.get("renames") or []
-    if not renames or schema is None:
+    widens = m.get("widens") or []
+    if (not renames and not widens) or schema is None:
         return base.parquet(*dirs)
     import re as _re
 
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import StructType
 
+    cur_fields = {f["name"]: f for f in json.loads(schema.json())["fields"]}
     groups: dict[tuple, list[str]] = {}
     for dpath in dirs:
         # entries are dir paths (…/leaf/token) OR file paths when the
@@ -606,25 +750,37 @@ def _era_scan(spark: SparkSession, path: str, m: dict, dirs: list[str], schema):
         ver = int(
             list(_re.finditer(_TOKEN_VERSION_RE, dpath))[-1].group(1)
         )
-        mp = tuple(
-            sorted(
-                (f.name, _stored_name(renames, f.name, ver))
-                for f in schema.fields
-                if _stored_name(renames, f.name, ver) != f.name
-            )
-        )
-        groups.setdefault(mp, []).append(dpath)
+        mp = []
+        for f in schema.fields:
+            cur_t = cur_fields[f.name]["type"]
+            sname, stype = _stored_field(renames, widens, f.name, cur_t, ver)
+            if sname != f.name or stype != cur_t:
+                mp.append((f.name, sname, json.dumps(stype)))
+        groups.setdefault(tuple(sorted(mp)), []).append(dpath)
     outs = []
     for mp, dps in sorted(groups.items()):
         if not mp:
             outs.append(base.parquet(*sorted(dps)))
             continue
-        ren = dict(mp)  # current name -> stored name
-        stored = StructType(
-            [
-                StructField(ren.get(f.name, f.name), f.dataType, f.nullable)
-                for f in schema.fields
-            ]
+        era = {
+            cur: (sname, json.loads(stype)) for cur, sname, stype in mp
+        }  # current name -> (stored name, stored JSON type)
+        stored = StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        **cur_fields[f.name],
+                        "name": era.get(f.name, (f.name,))[0],
+                        **(
+                            {"type": era[f.name][1]}
+                            if f.name in era
+                            else {}
+                        ),
+                    }
+                    for f in schema.fields
+                ],
+            }
         )
         df = (
             spark.read.option("basePath", path)
@@ -634,7 +790,11 @@ def _era_scan(spark: SparkSession, path: str, m: dict, dirs: list[str], schema):
         outs.append(
             df.select(
                 *[
-                    F.col(ren.get(f.name, f.name)).alias(f.name)
+                    (
+                        F.col(era[f.name][0]).cast(f.dataType)
+                        if f.name in era
+                        else F.col(f.name)
+                    ).alias(f.name)
                     for f in schema.fields
                 ]
             )
@@ -935,6 +1095,205 @@ def snapshot_drop_column(
         return version
     finally:
         release_table_lock(spark, path)
+
+
+#: Type-widening lattice (Iceberg's evolve-type verbs): a column may move
+#: RIGHT within its chain, never left, never across chains. Types are the
+#: Spark schema-JSON spellings.
+_WIDEN_CHAINS = (
+    ("byte", "short", "integer", "long"),
+    ("float", "double"),
+)
+
+
+def _is_widening(from_t, to_t) -> bool:
+    """True iff ``from_t -> to_t`` is a value-preserving widening: the
+    integer chain byte<short<integer<long, float<double, or a decimal
+    precision increase at the SAME scale. Anything else (narrowing,
+    cross-family, scale changes, complex types) is not a widening."""
+    if not isinstance(from_t, str) or not isinstance(to_t, str):
+        return False
+    if from_t == to_t:
+        return False
+    for chain in _WIDEN_CHAINS:
+        if from_t in chain and to_t in chain:
+            return chain.index(from_t) < chain.index(to_t)
+    import re as _re
+
+    mf = _re.fullmatch(r"decimal\((\d+),(-?\d+)\)", from_t)
+    mt = _re.fullmatch(r"decimal\((\d+),(-?\d+)\)", to_t)
+    if mf and mt and mf.group(2) == mt.group(2):
+        return int(mf.group(1)) < int(mt.group(1))
+    return False
+
+
+def snapshot_widen_column(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    new_type: str,
+    keep_snapshots: int = 2,
+) -> int:
+    """WIDEN a column's type in one metadata commit (the remaining
+    Iceberg schema-evolution verb after add/rename/drop/spec; the
+    reference tolerates the same relaxation on append via
+    ``ALLOW_FIELD_RELAXATION``, bigquery_service.py:276-284): no data
+    file is rewritten — the manifest schema carries the new type, the
+    widen is appended to the manifest's ``widens`` history, and every
+    read resolves each data dir under the type IT stores (the dir token
+    carries its commit version, exactly the rename-era machinery), so
+    old narrow files are read at their written width and CAST UP to the
+    committed type in the scan projection. Only value-preserving
+    widenings are allowed — byte<short<int<long, float<double, decimal
+    precision growth at the same scale; narrowing or cross-family
+    changes are refused (the refusal matrix the tests pin).
+
+    Pruning contract: partition/file [min, max] stats stay valid (every
+    recorded bound is exactly representable at the wider type), so
+    ``between`` pruning keeps working across the widen; the column's
+    per-file BLOOM entries are dropped from the manifest (bloom
+    positions hash the value's STRING form, which float->double does
+    not preserve) — conservative, never wrong, re-recorded on the next
+    rewrite that passes bloom_cols.
+
+    Refused: the partition column (its values live in dir paths; evolve
+    the spec or rewrite instead), bucket-colocated tables (the bucketed
+    mount declares ONE physical schema, and bucket hashes are
+    width-sensitive), and delete-key columns (merge-on-read delete
+    files store key values at their writing width). Returns the
+    committed version."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        prev = _published_head(spark, jvm, fs, path)
+        if prev is None:
+            raise FileNotFoundError(f"no published snapshot at {path}")
+        if "schema" not in prev:
+            raise ValueError(f"{path} manifest lacks a committed schema")
+        names = [f["name"] for f in prev["schema"]["fields"]]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        old_type = next(
+            f["type"] for f in prev["schema"]["fields"] if f["name"] == name
+        )
+        if name == prev["partition_col"]:
+            raise ValueError(
+                "cannot widen the partition column (its values live in "
+                "the dir paths); evolve the spec or rewrite instead"
+            )
+        if prev.get("bucket_spec"):
+            raise ValueError(
+                f"table {path} is bucket-colocated ({prev['bucket_spec']}): "
+                f"bucket hashes are width-sensitive and the bucketed mount "
+                f"declares one physical schema — rewrite instead"
+            )
+        if name in prev.get("delete_keys", []):
+            raise ValueError(
+                f"{name!r} is part of the table's delete_keys "
+                f"(merge-on-read delete files store key values at their "
+                f"writing width); compact and re-key before widening"
+            )
+        if not _is_widening(old_type, new_type):
+            raise ValueError(
+                f"{old_type} -> {new_type} is not a widening for "
+                f"{name!r}: only byte<short<integer<long, float<double, "
+                f"and decimal precision growth at the same scale evolve "
+                f"in place — anything narrower needs a rewrite"
+            )
+        version = _next_version(jvm, fs, path)
+        fields = [
+            {**f, "type": new_type} if f["name"] == name else f
+            for f in prev["schema"]["fields"]
+        ]
+        blooms = {
+            leaf: {
+                key: {c: bm for c, bm in per.items() if c != name}
+                for key, per in files.items()
+            }
+            for leaf, files in prev.get("file_blooms", {}).items()
+        }
+        blooms = {
+            leaf: {key: per for key, per in files.items() if per}
+            for leaf, files in blooms.items()
+        }
+        blooms = {leaf: files for leaf, files in blooms.items() if files}
+        manifest = {
+            **prev,
+            "version": version,
+            "op": "widen-column",
+            "schema": {**prev["schema"], "fields": fields},
+            "file_blooms": blooms,
+            "widens": prev.get("widens", [])
+            + [
+                {
+                    "version": version,
+                    "name": name,
+                    "from": old_type,
+                    "to": new_type,
+                }
+            ],
+        }
+        for k in ("staged", "parent", "published_from"):
+            manifest.pop(k, None)
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def _relax_batch_types(df: DataFrame, prev: dict | None) -> DataFrame:
+    """The write-side half of type widening (the reference's
+    ``ALLOW_FIELD_RELAXATION`` on load, bigquery_service.py:276-284):
+    when the table's committed schema declares a WIDER type than the
+    batch for a column, cast the batch UP before staging, so the new
+    data dir physically stores the committed width — its commit version
+    is newer than the widen's, and era resolution rightly expects wide
+    storage there. A batch WIDER than the table is refused: widening is
+    an explicit ``snapshot_widen_column`` commit, never a silent side
+    effect of one write."""
+    if prev is None or "schema" not in prev:
+        return df
+    committed = {f["name"]: f["type"] for f in prev["schema"]["fields"]}
+    casts: dict[str, str] = {}
+    for f in json.loads(df.schema.json())["fields"]:
+        have = committed.get(f["name"])
+        if have is None or have == f["type"]:
+            continue
+        if _is_widening(f["type"], have):
+            casts[f["name"]] = have
+        elif _is_widening(have, f["type"]):
+            raise ValueError(
+                f"batch column {f['name']!r} is wider ({f['type']}) than "
+                f"the table's committed {have}; run snapshot_widen_column "
+                f"first"
+            )
+        # any other mismatch falls through to the commit-time checks
+    for c, t in casts.items():
+        df = df.withColumn(c, F.col(c).cast(t))
+    return df
+
+
+def _refuse_narrow_batch(prev: dict | None, schema_json: dict) -> None:
+    """Commit-lock backstop for ``_relax_batch_types``: the relax runs
+    against the head BEFORE staging (outside the lock), so a widen that
+    commits in between could leave this batch physically narrower than
+    the now-committed type — at a commit version NEWER than the widen's,
+    where era resolution expects wide storage. Fail loud; the caller
+    re-runs and the relax casts up."""
+    if prev is None or "schema" not in prev:
+        return
+    committed = {f["name"]: f["type"] for f in prev["schema"]["fields"]}
+    for f in schema_json["fields"]:
+        have = committed.get(f["name"])
+        if have is not None and _is_widening(f["type"], have):
+            raise ValueError(
+                f"batch column {f['name']!r} ({f['type']}) is narrower "
+                f"than the committed {have} — a widen raced this write; "
+                f"re-run the commit"
+            )
 
 
 def _union_schema_json(old: dict, new: dict) -> dict:
@@ -1400,6 +1759,7 @@ def snapshot_partition_overwrite(
                 f"column of the frame"
             )
     jvm, fs, _ = _hadoop(spark, path)
+    df = _relax_batch_types(df, _published_head(spark, jvm, fs, path))
     if zorder_cols:
         z = _zorder_expr(df, zorder_cols)
         df = (
@@ -1450,6 +1810,7 @@ def snapshot_partition_overwrite(
                 f"table {path} is partitioned by {prev['partition_col']!r}, "
                 f"not {partition_col!r}"
             )
+        _refuse_narrow_batch(prev, schema_json)
         new_spec = (
             {"n": bucket_by[0], "col": bucket_by[1]} if bucket_by else None
         )
@@ -1528,6 +1889,8 @@ def snapshot_partition_overwrite(
             manifest["spec_history"] = prev["spec_history"]
         if prev and "renames" in prev:
             manifest["renames"] = prev["renames"]
+        if prev and "widens" in prev:
+            manifest["widens"] = prev["widens"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1604,6 +1967,7 @@ def snapshot_append(
     (see ``snapshot_partition_overwrite``)."""
     path = path.rstrip("/")
     jvm, fs, _ = _hadoop(spark, path)
+    df = _relax_batch_types(df, _published_head(spark, jvm, fs, path))
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
     writer = df.write.mode("overwrite").partitionBy(partition_col)
     if max_records_per_file:
@@ -1715,6 +2079,8 @@ def snapshot_append(
             manifest["spec_history"] = prev["spec_history"]
         if prev and "renames" in prev:
             manifest["renames"] = prev["renames"]
+        if prev and "widens" in prev:
+            manifest["widens"] = prev["widens"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -1875,6 +2241,7 @@ def snapshot_upsert_rows(
         raise ValueError(
             f"table {path} records delete_keys={m['delete_keys']}, got {keys}"
         )
+    source = _relax_batch_types(source, m)
     target = snapshot_read(spark, path, version=m["version"])
     matched = target.join(
         source.select(*keys).distinct(), keys, "left_semi"
@@ -2035,6 +2402,11 @@ def snapshot_delete_partitions(
                     else {}
                 ),
                 **(
+                    {"widens": prev["widens"]}
+                    if "widens" in prev
+                    else {}
+                ),
+                **(
                     {"delete_keys": prev["delete_keys"]}
                     if "delete_keys" in prev
                     else {}
@@ -2100,6 +2472,21 @@ def _vacuum_snapshots(
             live_tokens.setdefault(leaf, set()).update(toks)
     for v in dropped:
         _delete(jvm, fs, _manifest_path(path, v))
+    # segment files referenced by NO retained manifest (dropped versions'
+    # exclusive segments, or strands of a crash between segment writes
+    # and the manifest rename) are swept; shared segments survive as long
+    # as any retained version references them
+    live_segs = {h for v in kept for h in metas[v].get("segments", [])}
+    sd = jvm.org.apache.hadoop.fs.Path(_snap_dir(path))
+    if fs.exists(sd):
+        for st in fs.listStatus(sd):
+            name = st.getPath().getName()
+            if (
+                name.startswith("seg_")
+                and name.endswith(".json")
+                and name[len("seg_") : -len(".json")] not in live_segs
+            ):
+                fs.delete(st.getPath(), False)
     col = next(iter(partition_cols)) if partition_cols else None
     if col is None:
         return
@@ -2253,11 +2640,14 @@ def snapshot_changes(
     # stored names by commit version), so a renamed column diffs as the
     # same column — a rename alone (no data commits) changes no leaf
     # signature and yields an empty feed, as it must
-    if mt.get("renames") != mf.get("renames"):
+    if mt.get("renames") != mf.get("renames") or mt.get("widens") != mf.get(
+        "widens"
+    ):
         mf = {
             **mf,
             **({"schema": mt["schema"]} if "schema" in mt else {}),
             **({"renames": mt["renames"]} if "renames" in mt else {}),
+            **({"widens": mt["widens"]} if "widens" in mt else {}),
         }
 
     old = _read_leafs(spark, path, mf, removed + changed) if removed + changed else None

@@ -197,6 +197,7 @@ def run_foreach_batch_snapshot(
     file_stats: bool = False,
     bloom_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
+    post_commit_fn=None,
 ) -> None:
     """Streaming sink with SNAPSHOT-ISOLATED commits: each micro-batch's
     updated rows replace their partitions through ONE manifest publish
@@ -245,7 +246,16 @@ def run_foreach_batch_snapshot(
     commit replays too — the re-publish lands the same partition contents
     as one more (idempotent-in-content) version. Untouched partitions
     carry over by manifest reference, so a tick's commit cost is
-    O(partitions it updated)."""
+    O(partitions it updated).
+
+    ``post_commit_fn(spark)`` runs after each tick's commit goes LIVE
+    (after the overwrite, or after a successful audit publish — never
+    after a discard), in the same foreachBatch invocation: the hook for
+    DERIVED-STATE maintenance that must advance in lockstep with the
+    landed data (rolling band/vector indexes via the table's CDC feed,
+    view refreshes). A crash between commit and hook is safe when the
+    hook is cursor-driven (the CDC cursor hasn't advanced, so the next
+    tick's hook folds both commits)."""
     from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
         snapshot_discard_staged,
@@ -294,6 +304,8 @@ def run_foreach_batch_snapshot(
                 spark, out, path, partition_col,
                 keep_snapshots=keep_snapshots, **layout,
             )
+            if post_commit_fn is not None:
+                post_commit_fn(spark)
             return
         for stale in snapshot_staged(spark, path):
             snapshot_discard_staged(
@@ -305,6 +317,10 @@ def run_foreach_batch_snapshot(
         )
         if audit_fn(snapshot_read(spark, path, version=sv)):
             snapshot_publish(spark, path, sv, keep_snapshots=keep_snapshots)
+            # derived state advances only on PUBLISHED ticks — a
+            # discarded batch must not leak into the maintained index
+            if post_commit_fn is not None:
+                post_commit_fn(spark)
         else:
             snapshot_discard_staged(
                 spark, path, sv, keep_snapshots=keep_snapshots
@@ -437,6 +453,50 @@ def neardup_stream(docs: DataFrame, index_bands: DataFrame) -> DataFrame:
         # the delta has one row per (doc, band) and the index one per
         # (doc, band) — and streaming dedup state without a watermark
         # would grow unboundedly. Cross-band collapse belongs downstream.
+    )
+
+
+def run_docs_ingest_with_band_index(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    docs_path: str,
+    index_path: str,
+    cursor_file: str,
+    partition_col: str,
+    keep_snapshots: int = 3,
+    output_mode: str = "update",
+) -> None:
+    """DOCUMENT INGESTION WITH A LIVE NEAR-DUP INDEX — the composed
+    rolling-dedup service loop (closes VERDICT r8 item 6): each
+    micro-batch lands in the docs snapshot table AND advances the
+    persisted (doc_id, band, band_key) index in the SAME tick, so
+    ``neardup_stream`` probes (which read the index table as their
+    static side per micro-batch) are never more than one tick stale.
+
+    Composition, not new machinery: ``run_foreach_batch_snapshot`` with
+    ``merge_keys=['doc_id']`` (replay-idempotent upsert-into-partition
+    commits) and a ``post_commit_fn`` that runs
+    ``dedup_ops.maintain_band_index`` — the index maintainer consumes
+    the docs table's CDC feed from its durable cursor, so a tick's index
+    work is O(|batch| signatures + touched id-buckets), a replayed batch
+    diffs to an empty feed (no-op), and a crash BETWEEN the data commit
+    and the index tick self-heals (the cursor hasn't advanced; the next
+    tick folds both commits). Parity contract (two-tick test): after
+    every tick, index == band_projection of the live docs table."""
+    from callio_etl_spark.llm_ops.dedup_ops import maintain_band_index
+
+    run_foreach_batch_snapshot(
+        stream_df,
+        checkpoint_dir,
+        docs_path,
+        partition_col,
+        keep_snapshots=keep_snapshots,
+        output_mode=output_mode,
+        merge_keys=["doc_id"],
+        post_commit_fn=lambda spark: maintain_band_index(
+            spark, docs_path, index_path, cursor_file,
+            keep_snapshots=keep_snapshots,
+        ),
     )
 
 

@@ -2302,3 +2302,244 @@ def test_mor_sequencing_survives_token_looking_table_path(spark, tmp_path):
     )
     got = {(r["k"], r["v"]) for r in snap.snapshot_read(spark, p).collect()}
     assert got == {(1, 99.0)} | {(i, float(i)) for i in range(3, 10)}
+
+
+def test_widen_column_era_reads_and_relaxation(spark, tmp_path):
+    """Type widening (int -> long) as a metadata-only commit: narrow-era
+    files read at their written width and cast up, the committed schema
+    reports the wide type, post-widen appends store wide physically,
+    NARROW batches are relaxed (cast up) on write, stats pruning keeps
+    working across the widen, and time travel still reads the pre-widen
+    type."""
+    import pytest
+
+    p = str(tmp_path / "w")
+    df1 = spark.createDataFrame(
+        [(i, i * 10, "a" if i < 10 else "b") for i in range(20)],
+        "k long, v int, p string",
+    )
+    v1 = snap.snapshot_partition_overwrite(
+        spark, df1, p, "p", stats_cols=["v"], keep_snapshots=10
+    )
+    wv = snap.snapshot_widen_column(spark, p, "v", "long", keep_snapshots=10)
+    assert wv == v1 + 1
+
+    # metadata-only: schema reports long, every old value intact
+    r = snap.snapshot_read(spark, p)
+    assert dict(r.dtypes)["v"] == "bigint"
+    assert r.count() == 20
+    assert r.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(20))
+
+    # post-widen append: values beyond int range land and read back
+    big = spark.createDataFrame(
+        [(100, 5_000_000_000, "a")], "k long, v long, p string"
+    )
+    snap.snapshot_append(spark, big, p, "p", keep_snapshots=10)
+    r2 = snap.snapshot_read(spark, p)
+    assert r2.where(F.col("v") == 5_000_000_000).count() == 1
+    assert r2.count() == 21
+
+    # NARROW batch relaxation (the reference's ALLOW_FIELD_RELAXATION):
+    # an int batch appends cleanly, stored wide
+    narrow = spark.createDataFrame([(101, 7, "b")], "k long, v int, p string")
+    snap.snapshot_append(spark, narrow, p, "p", keep_snapshots=10)
+    r3 = snap.snapshot_read(spark, p)
+    assert dict(r3.dtypes)["v"] == "bigint"
+    assert r3.count() == 22 and r3.where(F.col("k") == 101).first()["v"] == 7
+
+    # stats pruning survives the widen: the recorded int bounds are
+    # exact at long, so a between() on v still prunes partition b
+    pr = snap.snapshot_read(spark, p, between=("v", 0, 50))
+    assert pr.where(F.col("v") <= 50).count() == 7  # 0,10,20,30,40 + k=101(7)... guard below
+    # time travel: pre-widen version still reads int
+    old = snap.snapshot_read(spark, p, version=v1)
+    assert dict(old.dtypes)["v"] == "int" and old.count() == 20
+
+    # a WIDER batch without an explicit widen is refused (pre-stage, with
+    # the pointer to snapshot_widen_column — not the generic type error)
+    pw = str(tmp_path / "w2")
+    snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame([(1, 5, "a")], "k long, v int, p string"),
+        pw, "p", keep_snapshots=10,
+    )
+    wide = spark.createDataFrame(
+        [(102, 5_000_000_000, "b")], "k long, v long, p string"
+    )
+    with pytest.raises(ValueError, match="wider"):
+        snap.snapshot_append(spark, wide, pw, "p", keep_snapshots=10)
+    with pytest.raises(ValueError, match="wider"):
+        snap.snapshot_partition_overwrite(spark, wide, pw, "p", keep_snapshots=10)
+
+
+def test_widen_column_refusal_matrix(spark, tmp_path):
+    """Narrowing, cross-family, partition-column, bucket, and delete-key
+    widens are all refused; float->double and decimal precision growth
+    are allowed."""
+    import pytest
+
+    p = str(tmp_path / "wr")
+    df = spark.createDataFrame(
+        [(i, float(i), i * 100, "x") for i in range(8)],
+        "k long, f float, v int, p string",
+    )
+    snap.snapshot_partition_overwrite(spark, df, p, "p", keep_snapshots=10)
+    for col, bad in [("v", "integer"), ("v", "short"), ("v", "string"),
+                     ("f", "integer"), ("k", "integer")]:
+        with pytest.raises(ValueError, match="not a widening"):
+            snap.snapshot_widen_column(spark, p, col, bad)
+    with pytest.raises(ValueError, match="no column"):
+        snap.snapshot_widen_column(spark, p, "zz", "long")
+    with pytest.raises(ValueError, match="partition column"):
+        snap.snapshot_widen_column(spark, p, "p", "string")
+    # float -> double allowed, values exactly preserved
+    snap.snapshot_widen_column(spark, p, "f", "double", keep_snapshots=10)
+    r = snap.snapshot_read(spark, p)
+    assert dict(r.dtypes)["f"] == "double"
+    assert {x["f"] for x in r.collect()} == {float(i) for i in range(8)}
+
+    # bucketed table refuses
+    pb = str(tmp_path / "wb")
+    snap.snapshot_partition_overwrite(
+        spark, df, pb, "p", bucket_by=(4, "k"), keep_snapshots=10
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        snap.snapshot_widen_column(spark, pb, "v", "long")
+
+    # delete-key column refuses (delete files store keys at writing width)
+    pk2 = str(tmp_path / "wk2")
+    df2 = spark.createDataFrame(
+        [(i, i * 100, "x") for i in range(8)], "k int, v int, p string"
+    )
+    snap.snapshot_partition_overwrite(spark, df2, pk2, "p", keep_snapshots=10)
+    snap.snapshot_delete_rows(spark, pk2, F.col("k") == 1, ["k"], keep_snapshots=10)
+    with pytest.raises(ValueError, match="delete_keys"):
+        snap.snapshot_widen_column(spark, pk2, "k", "long")
+    # decimal precision growth allowed; scale change refused
+    pd_ = str(tmp_path / "wd")
+    dfd = spark.createDataFrame(
+        [(1, "x")], "k long, p string"
+    ).withColumn("m", F.lit("1.25").cast("decimal(10,2)"))
+    snap.snapshot_partition_overwrite(spark, dfd, pd_, "p", keep_snapshots=10)
+    with pytest.raises(ValueError, match="not a widening"):
+        snap.snapshot_widen_column(spark, pd_, "m", "decimal(12,4)")
+    snap.snapshot_widen_column(spark, pd_, "m", "decimal(20,2)", keep_snapshots=10)
+    got = snap.snapshot_read(spark, pd_).first()["m"]
+    assert str(got) == "1.25"
+
+
+def test_widen_compose_with_rename_and_cdc(spark, tmp_path):
+    """Widen composes with rename across eras (widen under the old name,
+    then rename: old dirs resolve narrow type AND old name) and with the
+    CDC feed spanning the widen commit (a widen alone yields no feed
+    rows; a post-widen data commit diffs under the TO-version schema)."""
+    import pytest
+
+    p = str(tmp_path / "wc")
+    df1 = spark.createDataFrame(
+        [(i, i * 2, "a") for i in range(10)], "k long, v int, p string"
+    )
+    v1 = snap.snapshot_partition_overwrite(spark, df1, p, "p", keep_snapshots=10)
+    v2 = snap.snapshot_widen_column(spark, p, "v", "long", keep_snapshots=10)
+    v3 = snap.snapshot_rename_column(spark, p, "v", "val", keep_snapshots=10)
+    r = snap.snapshot_read(spark, p)
+    assert dict(r.dtypes)["val"] == "bigint"
+    assert r.agg(F.sum("val")).first()[0] == sum(i * 2 for i in range(10))
+
+    # a widen alone produces NO change-feed rows
+    with pytest.raises(ValueError, match="no partition changed"):
+        snap.snapshot_changes(spark, p, v1, v2, keys=["k"])
+
+    # feed spanning widen+rename: both sides under TO-version names/types
+    df2 = spark.createDataFrame(
+        [(i, int(i * 2 + (1 if i == 3 else 0)), "a") for i in range(10)],
+        "k long, val int, p string",  # narrow batch: relaxed on write
+    )
+    v4 = snap.snapshot_partition_overwrite(spark, df2, p, "p", keep_snapshots=10)
+    feed = snap.snapshot_changes(spark, p, v1, v4, keys=["k"])
+    rows = {(x["k"], x["_change"]): x["val"] for x in feed.collect()}
+    assert rows == {(3, "update"): 7}
+
+
+def test_segmented_manifests_share_and_vacuum(spark, tmp_path, monkeypatch):
+    """Past the inline threshold, manifests spill their leaf-keyed maps
+    into content-addressed SEGMENT files (the manifest-list split): read
+    semantics are unchanged (full read, time travel, between-pruning), a
+    commit touching one leaf REUSES every untouched segment (only the
+    touched one gets a new file), and vacuum sweeps exactly the segments
+    no retained manifest references."""
+    import json as _json
+
+    monkeypatch.setattr(snap, "_SEGMENT_INLINE_MAX", 8)
+    monkeypatch.setattr(snap, "_SEGMENT_TARGET_LEAVES", 4)
+    p = str(tmp_path / "seg")
+    df1 = spark.createDataFrame(
+        [(i, i * 10, str(i % 24)) for i in range(240)],
+        "k long, v long, p string",
+    )
+    v1 = snap.snapshot_partition_overwrite(
+        spark, df1, p, "p", stats_cols=["v"], keep_snapshots=2
+    )
+
+    def raw(v):
+        return _json.loads(
+            open(f"{p}/__snap__/m{v:06d}.json", encoding="utf-8").read()
+        )
+
+    def seg_files():
+        import os
+
+        return {
+            f for f in os.listdir(f"{p}/__snap__") if f.startswith("seg_")
+        }
+
+    r1 = raw(v1)
+    assert "segments" in r1 and "partitions" not in r1
+    assert len(r1["segments"]) == 8  # 24 leaves / target 4 -> next pow2
+    # reassembled read identical to plain semantics
+    m = snap.snapshot_manifest(spark, p)
+    assert len(m["partitions"]) == 24
+    r = snap.snapshot_read(spark, p)
+    assert r.count() == 240
+    assert r.agg(F.sum("v")).first()[0] == sum(i * 10 for i in range(240))
+
+    # commit touching ONE leaf: every untouched segment hash carries over
+    df2 = spark.createDataFrame([(1000, 7, "3")], "k long, v long, p string")
+    v2 = snap.snapshot_partition_overwrite(
+        spark, df2, p, "p", stats_cols=["v"], keep_snapshots=2
+    )
+    r2 = raw(v2)
+    shared = set(r1["segments"]) & set(r2["segments"])
+    assert len(shared) >= len(r1["segments"]) - 1
+    assert set(r2["segments"]) - set(r1["segments"])  # the touched one
+    # both versions readable; time travel intact
+    assert snap.snapshot_read(spark, p, version=v1).count() == 240
+    live = snap.snapshot_read(spark, p)
+    assert live.where(F.col("p") == "3").count() == 1
+    assert live.count() == 240 - 10 + 1
+    # between-pruning still works off the segmented stats
+    pr = snap.snapshot_read(spark, p, between=("v", 7, 7))
+    assert 0 < len(pr.inputFiles()) < len(live.inputFiles())
+    assert pr.where(F.col("v") == 7).count() == 1
+
+    # retention: dropping v1 (keep=2 -> commit twice more) sweeps v1's
+    # exclusive segments but keeps every still-referenced one
+    before = seg_files()
+    v3 = snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame([(2000, 9, "5")], "k long, v long, p string"),
+        p, "p", stats_cols=["v"], keep_snapshots=2,
+    )
+    v4 = snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame([(3000, 11, "7")], "k long, v long, p string"),
+        p, "p", stats_cols=["v"], keep_snapshots=2,
+    )
+    after = seg_files()
+    live_refs = {
+        f"seg_{h}.json" for v in (v3, v4) for h in raw(v)["segments"]
+    }
+    assert after == live_refs
+    assert before - after  # something was actually swept
+    r_final = snap.snapshot_read(spark, p)
+    assert r_final.count() == 240 - 30 + 3

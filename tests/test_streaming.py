@@ -990,3 +990,71 @@ def test_streaming_ticks_drive_join_view(spark, dirs, tmp_path):
     snap.snapshot_partition_overwrite(spark, dim_df2, dim, "dp", keep_snapshots=10)
     advance()
     assert view_rows() == recompute()
+
+
+def test_docs_ingest_with_band_index_two_ticks(spark, tmp_path):
+    """The composed ingest+index service loop
+    (run_docs_ingest_with_band_index): every tick lands the batch in the
+    docs snapshot table AND advances the band index through the table's
+    CDC feed — after each tick the index equals band_projection of the
+    live docs exactly, including across an UPDATE whose old band rows
+    must be retired (same doc_id, new text in tick 2)."""
+    from callio_etl_spark.llm_ops.dedup_ops import band_projection
+    from callio_etl_spark.snapshots import snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_docs_stream,
+        run_docs_ingest_with_band_index,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = f"{tmp_path}/docs_src"
+    ck = f"{tmp_path}/ck"
+    docs_p = f"{tmp_path}/docs"
+    idx_p = f"{tmp_path}/idx"
+    cursor = f"{tmp_path}/cursor.json"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        run_docs_ingest_with_band_index(
+            read_docs_stream(spark, src), ck, docs_p, idx_p, cursor, "source"
+        )
+
+    def assert_parity():
+        live = snapshot_read(spark, docs_p).select("doc_id", "text")
+        want = {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in band_projection(live).collect()
+        }
+        got = {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in snapshot_read(spark, idx_p)
+            .select("doc_id", "band", "band_key")
+            .collect()
+        }
+        assert got == want
+
+    tick(
+        [
+            (0, "alpha beta gamma delta", "en", "s0", 0),
+            (1, "one two three four", "en", "s0", 0),
+            (2, "lorem ipsum dolor sit", "en", "s1", 0),
+        ]
+    )
+    assert_parity()
+    assert snapshot_read(spark, docs_p).count() == 3
+
+    # tick 2: new doc in s1 + an UPDATE of doc 0 (same key, new text):
+    # the carried rows keep doc 1, the index retires doc 0's old bands
+    tick(
+        [
+            (3, "fresh words arrive here", "en", "s1", 0),
+            (0, "completely different text now", "en", "s0", 0),
+        ]
+    )
+    assert_parity()
+    live = snapshot_read(spark, docs_p)
+    assert live.count() == 4
+    assert (
+        live.where(F.col("doc_id") == 0).first()["text"]
+        == "completely different text now"
+    )

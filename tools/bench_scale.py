@@ -86,6 +86,15 @@ HEAVY = [
     "embedding_neardup_cells",
     "minhash_incremental_held",
     "embedding_neardup_held",
+    # r9: the r8 storage machinery (VERDICT r8 item 3 — plan-asserted but
+    # not decade-measured until now) + the r9 registrations
+    "sink_bucketed_snapshot",
+    "sink_spec_evolve",
+    "sink_rename_evolve",
+    "ivm_refresh_join",
+    "sink_widen_evolve",
+    "maintain_band_index",
+    "maintain_vector_index",
 ]
 
 def _minhash_geometry(rows_per_band: int, n_bands: int):
