@@ -1099,6 +1099,89 @@ def sink_bucketed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_segmented_manifest",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 0
+),
+final AS (
+  SELECT o_orderkey, o_custkey FROM base WHERE o_orderkey % 120 <> 8
+  UNION ALL
+  SELECT o_orderkey, o_custkey + 1000 AS o_custkey
+  FROM base WHERE o_orderkey % 120 = 8
+)
+SELECT CAST(o_orderkey % 6 AS BIGINT) AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM final GROUP BY grp
+""",
+    tags=["sink", "snapshot", "manifest", "scale-path"],
+)
+def sink_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED-MANIFEST commits end to end (snapshots._spill_segments —
+    Iceberg's manifest-list split, the 100 TB driver-side metadata fix):
+    with the spill thresholds lowered to driver scale, commit a 60-leaf
+    table (the manifest spills into 4 content-addressed segment files),
+    rewrite ONE leaf, and assert the second commit REUSED 3 of the 4
+    segments by hash (only the touched leaf's segment got a new file) —
+    then read the live table and aggregate, so the oracle breaks if
+    reassembly drops a leaf, resurrects the replaced partition, or the
+    shared segments point at stale content. The scale claim this pins:
+    per-commit metadata write cost is O(touched leaves), not O(table),
+    and retained history shares segment files."""
+    import json as _json
+
+    from callio_etl_spark import snapshots as _snap
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+
+    root = _tmp("segman")
+    path = f"{root}/ord"
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 120).cast("string").alias("pk"),
+    )
+    saved = (_snap._SEGMENT_INLINE_MAX, _snap._SEGMENT_TARGET_LEAVES)
+    try:
+        _snap._SEGMENT_INLINE_MAX = 16
+        _snap._SEGMENT_TARGET_LEAVES = 16
+        v1 = snapshot_partition_overwrite(
+            spark, base, path, "pk", keep_snapshots=4
+        )
+        touched = base.where(F.col("o_orderkey") % 120 == 8).withColumn(
+            "o_custkey", F.col("o_custkey") + 1000
+        )
+        v2 = snapshot_partition_overwrite(
+            spark, touched, path, "pk", keep_snapshots=4
+        )
+        with open(f"{path}/__snap__/m{v1:06d}.json", encoding="utf-8") as f:
+            r1 = _json.load(f)
+        with open(f"{path}/__snap__/m{v2:06d}.json", encoding="utf-8") as f:
+            r2 = _json.load(f)
+        s1, s2 = r1.get("segments", []), r2.get("segments", [])
+        if len(s1) != 4 or "partitions" in r1:
+            raise AssertionError(f"expected 4 spilled segments, got {r1.keys()} {len(s1)}")
+        if len(set(s1) & set(s2)) != 3 or len(set(s2) - set(s1)) != 1:
+            raise AssertionError(
+                f"one-leaf commit must reuse 3/4 segments: {s1} vs {s2}"
+            )
+        live = snapshot_read(spark, path)
+        result = live.groupBy(
+            (F.col("o_orderkey") % 6).cast("long").alias("grp")
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("o_custkey").cast("long").alias("cust_sum"),
+        )
+        return _materialize_and_clean(result, root)
+    finally:
+        _snap._SEGMENT_INLINE_MAX, _snap._SEGMENT_TARGET_LEAVES = saved
+
+
+@register(
     "sink_widen_evolve",
     oracle="""
 WITH eras AS (
