@@ -2260,10 +2260,12 @@ def maintain_vector_index(
         idx_exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
         fwd_exists = _exists(jvm, fs, fwd_path.rstrip("/") + "/__snap__")
 
-        # old cells via the forward map's touched buckets (O(buckets))
+        # old cells via the forward map's touched buckets (O(buckets));
+        # the touched-bucket list is collected ONCE and reused by the
+        # forward-map rewrite below — it is the same set by definition
         old_cells = []
+        tb = [r["bkt"] for r in changed_ids.select(bkt).distinct().collect()]
         if fwd_exists:
-            tb = [r["bkt"] for r in changed_ids.select(bkt).distinct().collect()]
             old_cells = [
                 r["assigned_cell"]
                 for r in snapshot_read(spark, fwd_path)
@@ -2307,7 +2309,6 @@ def maintain_vector_index(
         # forward map: rewrite the touched id buckets
         fwd_fresh = fresh.select("vec_id", "assigned_cell", bkt)
         if fwd_exists:
-            tb = [r["bkt"] for r in changed_ids.select(bkt).distinct().collect()]
             fcarried = (
                 snapshot_read(spark, fwd_path)
                 .where(F.col("bkt").isin(tb))
@@ -2315,7 +2316,6 @@ def maintain_vector_index(
             )
             fout = fcarried.select(*fwd_fresh.columns).unionByName(fwd_fresh)
         else:
-            tb = []
             fout = fwd_fresh
         fout = fout.localCheckpoint(eager=True)
         bkts_with_rows = {

@@ -2543,3 +2543,80 @@ def test_segmented_manifests_share_and_vacuum(spark, tmp_path, monkeypatch):
     assert before - after  # something was actually swept
     r_final = snap.snapshot_read(spark, p)
     assert r_final.count() == 240 - 30 + 3
+
+
+def test_segmented_manifests_compose_with_wap_restore_tags_cdc(
+    spark, tmp_path, monkeypatch
+):
+    """The segment spill is invisible to every manifest consumer: staged
+    write-audit-publish commits spill and publish correctly (a discarded
+    audit's exclusive segments are swept, a published one re-references
+    them), RESTORE re-spills to the SAME content hashes (zero new
+    segment files), tags pin segments against retention, and the CDC
+    feed diffs two segmented versions exactly."""
+    import json as _json
+    import os
+
+    monkeypatch.setattr(snap, "_SEGMENT_INLINE_MAX", 8)
+    monkeypatch.setattr(snap, "_SEGMENT_TARGET_LEAVES", 4)
+    p = str(tmp_path / "segc")
+    df1 = spark.createDataFrame(
+        [(i, i * 10, str(i % 20)) for i in range(200)],
+        "k long, v long, p string",
+    )
+    v1 = snap.snapshot_partition_overwrite(spark, df1, p, "p", keep_snapshots=4)
+    snap.snapshot_tag(spark, p, "base", version=v1)
+
+    def raw(v):
+        return _json.loads(open(f"{p}/__snap__/m{v:06d}.json").read())
+
+    def seg_files():
+        return {f for f in os.listdir(f"{p}/__snap__") if f.startswith("seg_")}
+
+    # WAP: stage a one-leaf rewrite, audit fails -> discard; then stage
+    # again and publish
+    bad = spark.createDataFrame([(9999, -1, "3")], "k long, v long, p string")
+    sv = snap.snapshot_partition_overwrite(
+        spark, bad, p, "p", keep_snapshots=4, audit=True
+    )
+    assert "segments" in raw(sv)
+    snap.snapshot_discard_staged(spark, p, sv, keep_snapshots=4)
+    good = spark.createDataFrame([(5000, 77, "3")], "k long, v long, p string")
+    sv2 = snap.snapshot_partition_overwrite(
+        spark, good, p, "p", keep_snapshots=4, audit=True
+    )
+    v2 = snap.snapshot_publish(spark, p, sv2, keep_snapshots=4)
+    live = snap.snapshot_read(spark, p)
+    assert live.where(F.col("k") == 5000).count() == 1
+    assert live.where(F.col("k") == 9999).count() == 0
+    assert live.count() == 200 - 10 + 1
+
+    # CDC across two segmented versions: exactly the rewritten leaf diffs
+    feed = snap.snapshot_changes(spark, p, v1, v2, keys=["k"])
+    changes = {(r["k"], r["_change"]) for r in feed.collect()}
+    assert (5000, "insert") in changes
+    assert all(c in ("insert", "delete", "update") for _, c in changes)
+    assert {k for k, c in changes if c == "delete"} == {
+        i for i in range(200) if i % 20 == 3
+    }
+
+    # RESTORE the tagged base: re-spill reuses the same content hashes —
+    # no new segment files appear
+    before = seg_files()
+    v3 = snap.snapshot_restore(spark, p, v1, keep_snapshots=4)
+    assert seg_files() == before
+    assert set(raw(v3)["segments"]) == set(raw(v1)["segments"])
+    assert snap.snapshot_read(spark, p).count() == 200
+
+    # retention churn: the tag pins v1's segments through unrelated commits
+    for i in range(4):
+        snap.snapshot_partition_overwrite(
+            spark,
+            spark.createDataFrame(
+                [(6000 + i, i, str(i % 20))], "k long, v long, p string"
+            ),
+            p, "p", keep_snapshots=2,
+        )
+    assert snap.snapshot_read(spark, p, tag="base").count() == 200
+    for h in raw(v1)["segments"]:
+        assert f"seg_{h}.json" in seg_files()
