@@ -2460,6 +2460,16 @@ def test_widen_compose_with_rename_and_cdc(spark, tmp_path):
     rows = {(x["k"], x["_change"]): x["val"] for x in feed.collect()}
     assert rows == {(3, "update"): 7}
 
+    # compaction migrates the partition physically to the current
+    # (widened, renamed) schema: one data dir, values unchanged, and the
+    # rewritten files store wide — a subsequent read needs no era cast
+    snap.snapshot_compact_partition(spark, p, "a", keep_snapshots=10)
+    rc = snap.snapshot_read(spark, p)
+    assert dict(rc.dtypes)["val"] == "bigint"
+    assert rc.agg(F.sum("val")).first()[0] == sum(i * 2 for i in range(10)) + 1
+    m = snap.snapshot_manifest(spark, p)
+    assert len(m["partitions"]) == 1
+
 
 def test_segmented_manifests_share_and_vacuum(spark, tmp_path, monkeypatch):
     """Past the inline threshold, manifests spill their leaf-keyed maps
