@@ -2431,18 +2431,37 @@ def _partition_leaves(jvm, fs, table_dir: str, partition_col: str) -> list[str]:
 
 
 def _vacuum_snapshots(
-    spark: SparkSession, jvm, fs, path: str, keep_snapshots: int
+    spark: SparkSession,
+    jvm,
+    fs,
+    path: str,
+    keep_snapshots: int,
+    sweep_leaves=None,
+    full_sweep: bool = False,
 ) -> None:
     """Under the commit lock: drop manifests beyond the newest
-    ``keep_snapshots`` and every data dir no retained manifest references
-    (which also sweeps orphans from writers that crashed between their
-    data-dir renames and the manifest publish). TAGGED versions are
-    pinned regardless of age — their manifests and the data dirs they
-    reference survive until the tag is dropped (Iceberg's tag
-    retention). STAGED write-audit-publish manifests are pinned too
-    (their data dirs are referenced by no published manifest; sweeping
-    them would tear an audit in flight) — publish/discard is their
-    only exit; retention counts PUBLISHED versions only."""
+    ``keep_snapshots`` and reclaim the data dirs no retained manifest
+    references. The reclaim sweep is SCOPED to the leaves that can
+    actually hold newly-dead dirs — the dropped manifests' leaves plus
+    any caller-supplied ``sweep_leaves`` (a discarded staged commit's
+    leaves) — so a commit's vacuum cost is O(retained manifests +
+    newly-dead leaves), never an O(table) directory walk: per-leaf
+    listStatus through py4j measured ~2.5 ms/leaf, a 20 s tax per
+    one-row commit at 8k leaves and unbounded at 100 TB. Orphan dirs
+    from writers that crashed between their data-dir renames and the
+    manifest publish live in leaves no manifest names; the explicit
+    maintenance action ``snapshot_remove_orphans`` (``full_sweep=True``
+    here) walks the whole table for them — Iceberg's separate
+    remove_orphan_files procedure, for the same reason. The full sweep
+    also covers every spec era's leaves, not just the current
+    partition column's.
+
+    TAGGED versions are pinned regardless of age — their manifests and
+    the data dirs they reference survive until the tag is dropped
+    (Iceberg's tag retention). STAGED write-audit-publish manifests are
+    pinned too (their data dirs are referenced by no published manifest;
+    sweeping them would tear an audit in flight) — publish/discard is
+    their only exit; retention counts PUBLISHED versions only."""
     versions = _manifest_versions(jvm, fs, path)
     metas = {v: _read_manifest(spark, path, v) for v in versions}
     tagged = set(snapshot_tags(spark, path).values())
@@ -2462,20 +2481,23 @@ def _vacuum_snapshots(
                 jvm, fs, f"{_snap_dir(path)}/{_TOMBSTONE_PREFIX}{tv:06d}.json"
             )
     live_tokens: dict[str, set[str]] = {}
-    partition_cols = set()
     for v in kept:
         m = metas[v]
-        partition_cols.add(m["partition_col"])
         for leaf in m["partitions"]:
             live_tokens.setdefault(leaf, set()).update(_leaf_toks(m, leaf))
         for leaf, toks in m.get("deletes", {}).items():
             live_tokens.setdefault(leaf, set()).update(toks)
+    candidates = set(sweep_leaves or [])
     for v in dropped:
+        m = metas[v]
+        candidates.update(m["partitions"])
+        candidates.update(m.get("deletes", {}))
         _delete(jvm, fs, _manifest_path(path, v))
     # segment files referenced by NO retained manifest (dropped versions'
     # exclusive segments, or strands of a crash between segment writes
     # and the manifest rename) are swept; shared segments survive as long
-    # as any retained version references them
+    # as any retained version references them. The __snap__ listing is
+    # bounded by retention x segments, not by table size.
     live_segs = {h for v in kept for h in metas[v].get("segments", [])}
     sd = jvm.org.apache.hadoop.fs.Path(_snap_dir(path))
     if fs.exists(sd):
@@ -2487,11 +2509,14 @@ def _vacuum_snapshots(
                 and name[len("seg_") : -len(".json")] not in live_segs
             ):
                 fs.delete(st.getPath(), False)
-    col = next(iter(partition_cols)) if partition_cols else None
-    if col is None:
-        return
-    for leaf in _partition_leaves(jvm, fs, path, col):
+    if full_sweep:
+        from callio_etl_spark.io import _partition_leaves as _all_leaves
+
+        candidates.update(_all_leaves(jvm, fs, path))
+    for leaf in sorted(candidates):
         leaf_path = jvm.org.apache.hadoop.fs.Path(f"{path}/{leaf}")
+        if not fs.exists(leaf_path):
+            continue
         for st in fs.listStatus(leaf_path):
             name = st.getPath().getName()
             if (
@@ -2503,6 +2528,31 @@ def _vacuum_snapshots(
                 fs.delete(st.getPath(), True)
         if not fs.listStatus(leaf_path):
             fs.delete(leaf_path, True)
+
+
+def snapshot_remove_orphans(
+    spark: SparkSession, path: str, keep_snapshots: int = 2
+) -> None:
+    """MAINTENANCE: full-table orphan sweep (Iceberg's
+    remove_orphan_files, run as its own action for the same reason it is
+    one there): walks every partition leaf and deletes data dirs no
+    retained manifest references — the strands of writers that crashed
+    between their data-dir renames and the manifest publish. Per-commit
+    vacuums deliberately do NOT pay this O(table) listing (they reclaim
+    exactly the dropped manifests' leaves); schedule this with the
+    compaction planner's cadence. Safe under the commit lock: an
+    in-flight writer's freshly-renamed dirs cannot be swept because its
+    manifest publishes under the same lock before this can run."""
+    path = path.rstrip("/")
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        _vacuum_snapshots(
+            spark, jvm, fs, path, keep_snapshots, full_sweep=True
+        )
+    finally:
+        release_table_lock(spark, path)
 
 
 def snapshot_compact_partition(
@@ -3343,7 +3393,16 @@ def snapshot_discard_staged(
             _manifest_path(path, version),
             f"{_snap_dir(path)}/{_TOMBSTONE_PREFIX}{version:06d}.json",
         )
-        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        # the discarded commit's leaves are exactly where its now-orphan
+        # data dirs live — hand them to the scoped sweep
+        _vacuum_snapshots(
+            spark,
+            jvm,
+            fs,
+            path,
+            keep_snapshots,
+            sweep_leaves=set(m["partitions"]) | set(m.get("deletes", {})),
+        )
     finally:
         release_table_lock(spark, path)
 

