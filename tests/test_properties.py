@@ -713,3 +713,70 @@ def test_drop_tombstone_never_resolves_to_live_name(dir_version, drop_v, readd):
         assert stored == tomb
     else:
         assert stored == "secret"
+
+
+@given(
+    n_events=st.integers(0, 8),
+    dir_version=st.integers(1, 80),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_stored_field_widen_rename_interleave_laws(n_events, dir_version, data):
+    """_stored_field under random INTERLEAVED rename/widen histories over
+    one column: (1) empty history -> identity; (2) a dir newer than every
+    event stores the current (name, type); (3) the resolved (name, type)
+    equals a forward simulation of the column's life stopped at the dir's
+    commit version — the reader law era casting depends on; (4) widens
+    recorded under era-local names resolve for dirs of ANY era."""
+    from callio_etl_spark.snapshots import _stored_field
+
+    versions = sorted(
+        data.draw(
+            st.lists(
+                st.integers(2, 90), min_size=n_events, max_size=n_events,
+                unique=True,
+            )
+        )
+    )
+    kinds = data.draw(
+        st.lists(
+            st.sampled_from(["rename", "widen"]),
+            min_size=n_events, max_size=n_events,
+        )
+    )
+    chain = ["byte", "short", "integer", "long"]
+    # forward-simulate the column's life, recording the histories the
+    # manifest would hold (renames under era-local names, widens under
+    # the name current AT WIDEN TIME) and the (name, type) timeline
+    name, typ = "c0", "byte"
+    renames, widens = [], []
+    timeline = [(1, name, typ)]  # (version, name, type) from this version on
+    ri = ti = 0
+    for v, kind in zip(versions, kinds):
+        if kind == "rename":
+            ri += 1
+            renames.append({"version": v, "from": name, "to": f"c{ri}"})
+            name = f"c{ri}"
+        else:
+            if chain.index(typ) == len(chain) - 1:
+                continue  # fully widened: no-op event
+            nxt = chain[chain.index(typ) + 1]
+            widens.append(
+                {"version": v, "name": name, "from": typ, "to": nxt}
+            )
+            typ = nxt
+        timeline.append((v, name, typ))
+
+    got = _stored_field(renames, widens, name, typ, dir_version)
+
+    # (1) empty history -> identity
+    assert _stored_field([], [], name, typ, dir_version) == (name, typ)
+    # (2) dir newer than every event -> current pair
+    if not versions or dir_version >= max(versions):
+        assert got == (name, typ)
+    # (3) forward simulation stopped at the dir's version
+    want = max(
+        ((v, n, t) for v, n, t in timeline if v <= dir_version),
+        key=lambda e: e[0],
+    )
+    assert got == (want[1], want[2])
