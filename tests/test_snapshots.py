@@ -2638,3 +2638,32 @@ def test_segmented_manifests_compose_with_wap_restore_tags_cdc(
     assert snap.snapshot_read(spark, p, tag="base").count() == 200
     for h in raw(v1)["segments"]:
         assert f"seg_{h}.json" in seg_files()
+
+
+def test_remove_orphans_covers_all_spec_eras(spark, tmp_path):
+    """The full orphan sweep lists EVERY spec era's leaves: an orphan
+    strand in an old-era (day) leaf of a spec-evolved (month) table is
+    deleted, while live dirs of both eras survive."""
+    import os
+
+    p = str(tmp_path / "evoorph")
+    df1 = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", "2024-01") for i in range(12)],
+        "k long, d string, ym string",
+    )
+    snap.snapshot_partition_overwrite(spark, df1, p, "d", keep_snapshots=5)
+    snap.snapshot_evolve_spec(spark, p, "ym", keep_snapshots=5)
+    df2 = spark.createDataFrame(
+        [(100 + i, f"2024-02-{(i % 2) + 1:02d}", "2024-02") for i in range(6)],
+        "k long, d string, ym string",
+    )
+    snap.snapshot_partition_overwrite(spark, df2, p, "ym", keep_snapshots=5)
+
+    # plant a crashed-writer strand inside an OLD-era leaf
+    strand = f"{p}/d=2024-01-01/__s000099_deadbeef__"
+    os.makedirs(strand)
+    open(f"{strand}/part-orphan.parquet", "w").write("x")
+    snap.snapshot_remove_orphans(spark, p, keep_snapshots=5)
+    assert not os.path.isdir(strand)
+    r = snap.snapshot_read(spark, p)
+    assert r.count() == 18  # both eras intact
