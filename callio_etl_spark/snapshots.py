@@ -2547,6 +2547,11 @@ def snapshot_remove_orphans(
     jvm, fs, _ = _hadoop(spark, path)
     acquire_table_lock(spark, path)
     try:
+        if not _manifest_versions(jvm, fs, path):
+            # nothing is referenced by anything: a full sweep here would
+            # delete every token-named dir under a path that is not (yet)
+            # a snapshot table — refuse instead of destroying
+            raise FileNotFoundError(f"no committed snapshot at {path}")
         _vacuum_stale_stagings(jvm, fs, path)
         _vacuum_snapshots(
             spark, jvm, fs, path, keep_snapshots, full_sweep=True
