@@ -2667,3 +2667,46 @@ def test_remove_orphans_covers_all_spec_eras(spark, tmp_path):
     assert not os.path.isdir(strand)
     r = snap.snapshot_read(spark, p)
     assert r.count() == 18  # both eras intact
+
+
+def test_disjoint_concurrent_writers_compose_segmented(
+    spark, tmp_path, monkeypatch
+):
+    """The disjoint-writers law under SEGMENTED manifests: racing commits
+    serialize on the table lock, each re-spills against the state it
+    read, content-addressed segment writes from both writers are benign
+    (identical content -> identical file), and the final snapshot carries
+    both updates with a consistent segment set."""
+    import json as _json
+
+    monkeypatch.setattr(snap, "_SEGMENT_INLINE_MAX", 2)
+    monkeypatch.setattr(snap, "_SEGMENT_TARGET_LEAVES", 2)
+    p = str(tmp_path / "twoseg")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(20)), p, "d", keep_snapshots=10
+    )
+    errors: list[Exception] = []
+
+    def writer(part: str, mult: int):
+        try:
+            upd = (
+                _df(spark, range(20))
+                .where(F.col("d") == part)
+                .withColumn("id", F.col("id") * mult)
+            )
+            snap.snapshot_partition_overwrite(spark, upd, p, "d", keep_snapshots=10)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    ta = threading.Thread(target=writer, args=("1", 100))
+    tb = threading.Thread(target=writer, args=("2", 1000))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors, errors
+    assert snap.snapshot_versions(spark, p) == [1, 2, 3]
+    got = snap.snapshot_read(spark, p).agg(F.sum("id")).first()[0]
+    assert got == 40 + 55 + 100 * 45 + 1000 * 50
+    # the head manifest is segmented and every referenced segment exists
+    head = _json.loads(open(f"{p}/__snap__/m000003.json").read())
+    assert "segments" in head and "partitions" not in head
+    for h in head["segments"]:
+        assert os.path.exists(f"{p}/__snap__/seg_{h}.json")
