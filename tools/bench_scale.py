@@ -95,6 +95,7 @@ HEAVY = [
     "sink_widen_evolve",
     "maintain_band_index",
     "maintain_vector_index",
+    "stream_ingest_band_index",
 ]
 
 def _minhash_geometry(rows_per_band: int, n_bands: int):
