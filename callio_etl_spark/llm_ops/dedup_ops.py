@@ -1572,6 +1572,7 @@ def maintain_band_index(
     rows_per_band: int = ROWS_PER_BAND,
     n_bands: int = N_BANDS,
     keep_snapshots: int = 3,
+    plan_geometry: bool = False,
 ) -> int | None:
     """ROLLING BAND-INDEX MAINTENANCE — the service loop a production
     near-dup pipeline runs around the incremental-LSH probe: documents
@@ -1596,13 +1597,27 @@ def maintain_band_index(
     their static side. Idempotent per CDC contract: a replayed batch
     rewrites the same buckets to the same content.
 
+    GEOMETRY PINNING: the band geometry is a TABLE property of the
+    index, not a per-call argument to trust — a caller re-planning
+    (r, b) between ticks would silently mix incompatible band keys. An
+    existing index's recorded ``band.rows_per_band`` / ``band.n_bands``
+    properties always win over the arguments; ``plan_geometry=True``
+    derives the geometry from the FIRST batch's size through the
+    integer occupancy thresholds (``plan_band_geometry_for_size`` — the
+    minhash_incremental_planned policy) and records it on the index's
+    manifest, so the service starts at the size-appropriate key length
+    and every later tick reads the frozen choice back. Re-keying is an
+    explicit full rebuild, never a drift.
+
     Returns the docs version now reflected, or None if already current.
     Parity (pytest, random commit sequences): after every call the
     index equals ``band_projection`` of the live docs exactly."""
     from callio_etl_spark.snapshots import (
         snapshot_consume_changes,
+        snapshot_manifest,
         snapshot_partition_overwrite,
         snapshot_read,
+        snapshot_set_properties,
     )
 
     def process(batch: DataFrame) -> None:
@@ -1615,11 +1630,6 @@ def maintain_band_index(
             r["bkt"]
             for r in changed_ids.select(bkt).distinct().collect()
         ]  # ≤ INDEX_BUCKETS values — metadata-sized
-        fresh = band_projection(
-            changed.where(F.col("_change") != "delete"),
-            rows_per_band,
-            n_bands,
-        ).select("doc_id", "band", "band_key", bkt)
         from callio_etl_spark.io import _exists, _hadoop
 
         # Hadoop-FS probe (not os.path): the index may live on an
@@ -1627,6 +1637,22 @@ def maintain_band_index(
         # False and the carry would silently drop untouched bucket rows.
         jvm, fs, _ = _hadoop(spark, index_path)
         exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
+        r_use, b_use = rows_per_band, n_bands
+        planned_now = False
+        if exists:
+            props = snapshot_manifest(spark, index_path).get("properties", {})
+            if "band.rows_per_band" in props:
+                # the index's recorded geometry is the truth: fresh keys
+                # must be band-compatible with the carried ones
+                r_use = int(props["band.rows_per_band"])
+                b_use = int(props["band.n_bands"])
+        elif plan_geometry:
+            n_docs = changed.where(F.col("_change") != "delete").count()
+            r_use, b_use = plan_band_geometry_for_size(n_docs)
+            planned_now = True
+        fresh = band_projection(
+            changed.where(F.col("_change") != "delete"), r_use, b_use
+        ).select("doc_id", "band", "band_key", bkt)
         if exists:
             carried = (
                 snapshot_read(spark, index_path)
@@ -1642,14 +1668,18 @@ def maintain_band_index(
             snapshot_partition_overwrite(
                 spark, out, index_path, "bkt", keep_snapshots=keep_snapshots
             )
+            if planned_now:
+                snapshot_set_properties(
+                    spark,
+                    index_path,
+                    {"band.rows_per_band": r_use, "band.n_bands": b_use},
+                    keep_snapshots=keep_snapshots,
+                )
         if exists:
             # a touched bucket whose every doc was deleted writes NO rows,
             # so the dynamic overwrite cannot replace it — retire the
             # emptied buckets with a metadata delete
-            from callio_etl_spark.snapshots import (
-                snapshot_delete_partitions,
-                snapshot_manifest,
-            )
+            from callio_etl_spark.snapshots import snapshot_delete_partitions
 
             leaves = snapshot_manifest(spark, index_path)["partitions"]
             emptied = sorted(
@@ -1699,28 +1729,9 @@ def feasible_band_geometries(num_hashes: int = NUM_HASHES) -> list[tuple[int, in
     ]
 
 
-@register(
-    "maintain_band_index",
-    oracle=f"""
-WITH base AS (
-  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
-),
-final AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
-  FROM base WHERE doc_id % 5 <> 1 AND doc_id % {INDEX_BUCKETS} <> 9
-  UNION ALL
-  SELECT doc_id + {2000 * INDEX_BUCKETS} AS doc_id, text
-  FROM documents WHERE doc_id % 3 = 0 AND doc_id % {INDEX_BUCKETS} <> 9
-),
-bands AS (
-{_bands_union_sql(table="final")}
-)
-SELECT doc_id, band, band_key FROM bands
-""",
-    tags=["llm", "dedup", "cdc", "index", "sink"],
-)
-def maintain_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _band_index_roundtrip(
+    spark: SparkSession, sf_dir: str, plan_geometry: bool
+) -> DataFrame:
     """ROLLING BAND-INDEX MAINTENANCE end to end — the driver row for
     ``maintain_band_index`` (the near-dup index service, VERDICT r8 item
     1): commit a base corpus as a snapshot table, build the index from
@@ -1744,6 +1755,7 @@ def maintain_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     from callio_etl_spark.queries.sinks import _materialize_and_clean, _tmp
     from callio_etl_spark.snapshots import (
         snapshot_partition_overwrite,
+        snapshot_properties,
         snapshot_read,
     )
 
@@ -1754,7 +1766,18 @@ def maintain_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     part = (F.col("doc_id") % 4).cast("string").alias("p")
     base = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text", part)
     snapshot_partition_overwrite(spark, base, docs_p, "p", keep_snapshots=5)
-    v0 = maintain_band_index(spark, docs_p, idx_p, cursor)
+    v0 = maintain_band_index(
+        spark, docs_p, idx_p, cursor, plan_geometry=plan_geometry
+    )
+    if plan_geometry:
+        want = plan_band_geometry_for_size(base.count())
+        got = snapshot_properties(spark, idx_p)
+        pinned = (
+            int(got.get("band.rows_per_band", -1)),
+            int(got.get("band.n_bands", -1)),
+        )
+        if pinned != want:
+            raise AssertionError(f"geometry not pinned: {pinned} != {want}")
 
     survivors = (
         base.where(
@@ -1778,7 +1801,14 @@ def maintain_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     snapshot_partition_overwrite(
         spark, survivors.unionByName(inserts), docs_p, "p", keep_snapshots=5
     )
-    v1 = maintain_band_index(spark, docs_p, idx_p, cursor)
+    # the second tick passes a WRONG geometry on purpose: the index's
+    # pinned properties (or the default build geometry) must win
+    v1 = maintain_band_index(
+        spark, docs_p, idx_p, cursor,
+        rows_per_band=(8 if plan_geometry else ROWS_PER_BAND),
+        n_bands=(1 if plan_geometry else N_BANDS),
+        plan_geometry=plan_geometry,
+    )
     if v0 is None or v1 is None or not v1 > v0:
         raise AssertionError(f"index did not advance: {v0} -> {v1}")
     idx = snapshot_read(spark, idx_p)
@@ -1866,6 +1896,32 @@ def stream_ingest_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"landed corpus wrong: {docs_n} != {expect}")
     idx = snapshot_read(spark, idx_p).select("doc_id", "band", "band_key")
     return _materialize_and_clean(idx, root)
+
+
+@register(
+    "maintain_band_index",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+  FROM base WHERE doc_id % 5 <> 1 AND doc_id % {INDEX_BUCKETS} <> 9
+  UNION ALL
+  SELECT doc_id + {2000 * INDEX_BUCKETS} AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % {INDEX_BUCKETS} <> 9
+),
+bands AS (
+{_bands_union_sql(table="final")}
+)
+SELECT doc_id, band, band_key FROM bands
+""",
+    tags=["llm", "dedup", "cdc", "index", "sink"],
+)
+def maintain_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _band_index_roundtrip — the FIXED default-geometry form."""
+    return _band_index_roundtrip(spark, sf_dir, plan_geometry=False)
 
 
 def predicted_bucket_occupancy(
@@ -2036,6 +2092,64 @@ FROM delta a
 JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
             AND a.doc_id <> b.doc_id
 """
+
+
+def _maintained_planned_oracle() -> str:
+    """The maintained-index oracle with the SAME size-driven geometry
+    derivation in SQL as plan_band_geometry_for_size: the INITIAL
+    corpus's COUNT(*) picks rows_per_band through the identical integer
+    thresholds (geometry is pinned at first build — the index table
+    property — so the FINAL corpus is banded at the initial choice),
+    and only the selected banding branch contributes rows."""
+    steps = planned_geometry_thresholds()
+    case = " ".join(f"WHEN n <= {thr} THEN {r}" for r, _b, thr in steps[:-1])
+    branches = "\nUNION ALL\n".join(
+        f"SELECT * FROM (\n{_bands_union_sql(r, b, table='final')}\n) AS g{r} "
+        f"WHERE (SELECT r FROM sel) = {r}"
+        for r, b, _thr in steps
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+),
+sel AS (
+  SELECT CASE {case} ELSE {steps[-1][0]} END AS r
+  FROM (SELECT COUNT(*) AS n FROM base)
+),
+final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS text
+  FROM base WHERE doc_id % 5 <> 1 AND doc_id % {INDEX_BUCKETS} <> 9
+  UNION ALL
+  SELECT doc_id + {2000 * INDEX_BUCKETS} AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % {INDEX_BUCKETS} <> 9
+),
+bands AS (
+{branches}
+)
+SELECT doc_id, band, band_key FROM bands
+"""
+
+
+@register(
+    "maintain_band_index_planned",
+    oracle=_maintained_planned_oracle(),
+    tags=["llm", "dedup", "cdc", "index", "sink", "scale-path"],
+)
+def maintain_band_index_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-index service at the SIZE-PLANNED, PROPERTY-PINNED
+    geometry — maintain_band_index(plan_geometry=True): the first tick
+    derives (rows_per_band, n_bands) from the corpus size through the
+    integer occupancy thresholds and records it as TABLE PROPERTIES on
+    the index manifest (snapshot_set_properties); the second tick is
+    deliberately called with a WRONG geometry argument and must use the
+    pinned properties instead — key-compatibility by construction, the
+    drift class a rolling service must exclude. Same adversarial change
+    classes and oracle shape as ``maintain_band_index``, but the oracle
+    derives the geometry from COUNT(*) of the initial corpus through the
+    SAME baked-in thresholds, so a service that re-planned mid-life,
+    ignored the pin, or recorded the wrong choice breaks the hash."""
+    return _band_index_roundtrip(spark, sf_dir, plan_geometry=True)
 
 
 @register(

@@ -48,9 +48,11 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
 #: per-round slot ledger). State entering the r9 driver run: the registry
-#: holds 202 queries (r8's 197 plus the five r9 registrations:
-#: maintain_band_index / maintain_vector_index — the rolling index
-#: services as oracle-checked CDC roundtrips — sink_widen_evolve, the
+#: holds 203 queries (r8's 197 plus the six r9 registrations:
+#: maintain_band_index (+ its size-planned, property-pinned geometry
+#: form maintain_band_index_planned) / maintain_vector_index — the
+#: rolling index services as oracle-checked CDC roundtrips —
+#: sink_widen_evolve, the
 #: type-widening evolution roundtrip, sink_segmented_manifest, the
 #: manifest-list split's segment-reuse contract, and
 #: stream_ingest_band_index, the composed streaming ingest+index loop
@@ -64,13 +66,13 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #:      round (tpch_q19_discounted .. weighted_sample) — the ONLY rows
 #:      older than r5 entering this round; they lead so no oracle-bearing
 #:      query's latest driver row stays older than r5;
-#:   2. the five r9 first-time rows (see above);
+#:   2. the six r9 first-time rows (see above);
 #:   3. three flagship/merge canaries as regression tripwires;
 #:   4. the r5-vintage cohort oldest-first (37 live queries whose latest
 #:      row is r5 — the 38 in CORRECTNESS_r05 minus the renamed-away
-#:      minhash_incremental_pairs; the first 29 alphabetically fit —
-#:      ann_hard_negatives .. salted_join_agg; the remaining 8,
-#:      scd2_history .. zorder_layout, hold positions 51-58 and
+#:      minhash_incremental_pairs; the first 28 alphabetically fit —
+#:      ann_hard_negatives .. pq_codes; the remaining 9,
+#:      salted_join_agg .. zorder_layout, hold positions 51-59 and
 #:      lead the r10 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
@@ -90,8 +92,9 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_profit",
     "weighted_sample",
-    # --- r9 first-time oracle-bearing rows (5) ---
+    # --- r9 first-time oracle-bearing rows (6) ---
     "maintain_band_index",
+    "maintain_band_index_planned",
     "maintain_vector_index",
     "sink_widen_evolve",
     "sink_segmented_manifest",
@@ -100,7 +103,7 @@ DRIVER_PRIORITY: list[str] = [
     "fact_staff_daily",
     "fact_status_pivot",
     "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r5-vintage cohort (29 of 37) ---
+    # --- oldest-first re-checks: the r5-vintage cohort (28 of 37) ---
     "ann_hard_negatives",
     "ann_recall_ivf_probe",
     "ann_recall_pq",
@@ -129,9 +132,9 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_lsh_pairs",
     "pack_sequences",
     "pq_codes",
-    "salted_join_agg",
-    # --- positions 51-58: the cohort's last eight fall just outside the
+    # --- positions 51-59: the cohort's last nine fall just outside the
     #     50-row window this round and lead the r10 window ---
+    "salted_join_agg",
     "scd2_history",
     "shard_manifest",
     "sink_append_evolve",

@@ -930,6 +930,71 @@ def snapshot_evolve_spec(
         release_table_lock(spark, path)
 
 
+def snapshot_set_properties(
+    spark: SparkSession,
+    path: str,
+    props: dict,
+    keep_snapshots: int = 2,
+) -> int:
+    """SET TABLE PROPERTIES in one metadata commit (Iceberg/Delta's
+    ``ALTER TABLE ... SET TBLPROPERTIES``): merge ``props`` into the
+    manifest's ``properties`` map — a ``None`` value UNSETS its key. No
+    data file is touched; properties ride every later commit (data
+    commits carry them like the rename/widen histories), version with
+    the table (time travel reads the properties as of that version), and
+    are the channel operators use to pin table-scoped parameters — e.g.
+    the band index's planned LSH geometry, frozen at build time so later
+    ticks can never silently re-key the index. Keys must be strings and
+    values JSON-serializable. Returns the committed version."""
+    path = path.rstrip("/")
+    if not props:
+        raise ValueError("props must be a non-empty dict")
+    if not all(isinstance(k, str) for k in props):
+        raise ValueError("property keys must be strings")
+    json.dumps(props)  # fail loud on non-serializable values
+    jvm, fs, _ = _hadoop(spark, path)
+    acquire_table_lock(spark, path)
+    try:
+        _vacuum_stale_stagings(jvm, fs, path)
+        prev = _published_head(spark, jvm, fs, path)
+        if prev is None:
+            raise FileNotFoundError(f"no published snapshot at {path}")
+        merged = dict(prev.get("properties", {}))
+        for k, v in props.items():
+            if v is None:
+                merged.pop(k, None)
+            else:
+                merged[k] = v
+        version = _next_version(jvm, fs, path)
+        manifest = {
+            **prev,
+            "version": version,
+            "op": "set-properties",
+            "properties": merged,
+        }
+        if not merged:
+            manifest.pop("properties")
+        for k in ("staged", "parent", "published_from"):
+            manifest.pop(k, None)
+        _write_manifest(spark, path, manifest)
+        _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
+        return version
+    finally:
+        release_table_lock(spark, path)
+
+
+def snapshot_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The table's properties map as of the given (default: latest
+    published) version — empty dict if none were ever set."""
+    return dict(
+        snapshot_manifest(spark, path.rstrip("/"), version).get(
+            "properties", {}
+        )
+    )
+
+
 def snapshot_rename_column(
     spark: SparkSession,
     path: str,
@@ -1891,6 +1956,8 @@ def snapshot_partition_overwrite(
             manifest["renames"] = prev["renames"]
         if prev and "widens" in prev:
             manifest["widens"] = prev["widens"]
+        if prev and "properties" in prev:
+            manifest["properties"] = prev["properties"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -2081,6 +2148,8 @@ def snapshot_append(
             manifest["renames"] = prev["renames"]
         if prev and "widens" in prev:
             manifest["widens"] = prev["widens"]
+        if prev and "properties" in prev:
+            manifest["properties"] = prev["properties"]
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
@@ -2404,6 +2473,11 @@ def snapshot_delete_partitions(
                 **(
                     {"widens": prev["widens"]}
                     if "widens" in prev
+                    else {}
+                ),
+                **(
+                    {"properties": prev["properties"]}
+                    if "properties" in prev
                     else {}
                 ),
                 **(

@@ -2710,3 +2710,41 @@ def test_disjoint_concurrent_writers_compose_segmented(
     assert "segments" in head and "partitions" not in head
     for h in head["segments"]:
         assert os.path.exists(f"{p}/__snap__/seg_{h}.json")
+
+
+def test_table_properties_set_carry_unset_travel(spark, tmp_path):
+    """Table properties: a metadata-only set commit, merge semantics,
+    None unsets, every data commit carries them, and time travel reads
+    the properties as of the pinned version."""
+    import pytest
+
+    p = str(tmp_path / "props")
+    snap.snapshot_partition_overwrite(
+        spark, _df(spark, range(8)), p, "d", keep_snapshots=10
+    )
+    assert snap.snapshot_properties(spark, p) == {}
+    v2 = snap.snapshot_set_properties(
+        spark, p, {"band.rows": 2, "owner": "etl"}, keep_snapshots=10
+    )
+    assert snap.snapshot_properties(spark, p) == {"band.rows": 2, "owner": "etl"}
+    # data commits carry properties
+    snap.snapshot_append(
+        spark,
+        spark.createDataFrame([(100, "1")], "id long, d string"),
+        p, "d", keep_snapshots=10,
+    )
+    assert snap.snapshot_properties(spark, p) == {"band.rows": 2, "owner": "etl"}
+    # merge + unset
+    snap.snapshot_set_properties(
+        spark, p, {"band.rows": 4, "owner": None}, keep_snapshots=10
+    )
+    assert snap.snapshot_properties(spark, p) == {"band.rows": 4}
+    # time travel
+    assert snap.snapshot_properties(spark, p, version=v2) == {
+        "band.rows": 2, "owner": "etl",
+    }
+    # validation
+    with pytest.raises(ValueError, match="non-empty"):
+        snap.snapshot_set_properties(spark, p, {})
+    with pytest.raises(TypeError):
+        snap.snapshot_set_properties(spark, p, {"x": object()})
