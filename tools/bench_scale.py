@@ -96,6 +96,7 @@ HEAVY = [
     "maintain_band_index",
     "maintain_vector_index",
     "stream_ingest_band_index",
+    "maintain_band_index_planned",
 ]
 
 def _minhash_geometry(rows_per_band: int, n_bands: int):
