@@ -2211,10 +2211,21 @@ def maintain_vector_index(
     batch job (the ivf_train_rounds pass) exactly as in FAISS —
     re-assignments it causes arrive as ordinary updates.
 
+    QUANTIZER PINNING: the index records a fingerprint of ``cells``
+    (md5 over the sorted (label, centroid) rows) as a table property at
+    first build and REFUSES a later tick whose quantizer does not match
+    — postings assigned under two different quantizers would silently
+    mix incompatible cells, the same drift class the band index's
+    geometry pin excludes. A centroid refresh is an explicit re-index
+    (rebuild against the new cells), never a drift.
+
     Returns the vectors version now reflected, or None if current.
     Parity (pytest, random commit sequences): postings ==
     assign_to_cells(live vectors) and the forward map matches, after
     every tick."""
+    import hashlib as _hashlib
+    import json as _json
+
     from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
         snapshot_consume_changes,
@@ -2222,9 +2233,18 @@ def maintain_vector_index(
         snapshot_manifest,
         snapshot_partition_overwrite,
         snapshot_read,
+        snapshot_set_properties,
     )
 
     cells = cells.localCheckpoint(eager=True)
+    cells_fp = _hashlib.md5(
+        _json.dumps(
+            sorted(
+                (int(r["label"]), [float(x) for x in r["cv"]])
+                for r in cells.collect()
+            )
+        ).encode("utf-8")
+    ).hexdigest()
 
     def _retire_empty(path: str, col: str, touched, with_rows) -> None:
         leaves = snapshot_manifest(spark, path)["partitions"]
@@ -2259,6 +2279,17 @@ def maintain_vector_index(
         jvm, fs, _ = _hadoop(spark, index_path)
         idx_exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
         fwd_exists = _exists(jvm, fs, fwd_path.rstrip("/") + "/__snap__")
+        if idx_exists:
+            rec = snapshot_manifest(spark, index_path).get(
+                "properties", {}
+            ).get("ivf.quantizer_md5")
+            if rec is not None and rec != cells_fp:
+                raise ValueError(
+                    f"quantizer drift: index {index_path} was built "
+                    f"against quantizer {rec}, tick passed {cells_fp}; "
+                    f"a centroid refresh is an explicit re-index, never "
+                    f"a silent mix of cells"
+                )
 
         # old cells via the forward map's touched buckets (O(buckets));
         # the touched-bucket list is collected ONCE and reused by the
@@ -2301,6 +2332,13 @@ def maintain_vector_index(
                 spark, out, index_path, "assigned_cell",
                 keep_snapshots=keep_snapshots,
             )
+            if not idx_exists:
+                snapshot_set_properties(
+                    spark,
+                    index_path,
+                    {"ivf.quantizer_md5": cells_fp},
+                    keep_snapshots=keep_snapshots,
+                )
         if idx_exists:
             _retire_empty(
                 index_path, "assigned_cell", touched_cells, cells_with_rows

@@ -1875,3 +1875,56 @@ def test_maintain_vector_index_tracks_live_vectors(spark, tmp_path):
         # the postings really are cell-partitioned (manifest pruning)
         m = snap.snapshot_manifest(spark, ip)
         assert all(l.startswith("assigned_cell=") for l in m["partitions"])
+
+
+def test_maintain_vector_index_refuses_quantizer_drift(spark, tmp_path):
+    """The IVF index pins its quantizer fingerprint as a table property
+    at first build; a later tick handed a DIFFERENT quantizer must
+    refuse (postings under two quantizers would silently mix cells),
+    while the same quantizer keeps ticking."""
+    import pytest
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.similarity import maintain_vector_index
+
+    vp = str(tmp_path / "vecs")
+    ip, fp = str(tmp_path / "idx"), str(tmp_path / "fwd")
+    cursor = str(tmp_path / "cursor.json")
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)], str(i % 2)) for i in range(12)],
+        "vec_id long, embedding array<double>, p string",
+    )
+    cells = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "label int, cv array<double>",
+    )
+    snap.snapshot_partition_overwrite(spark, vecs, vp, "p", keep_snapshots=5)
+    assert maintain_vector_index(spark, vp, ip, fp, cursor, cells) is not None
+    assert "ivf.quantizer_md5" in snap.snapshot_properties(spark, ip)
+
+    # same quantizer: a new commit ticks fine
+    snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(100, [0.5, 0.5, 0.0], "0")],
+            "vec_id long, embedding array<double>, p string",
+        ),
+        vp, "p", keep_snapshots=5,
+    )
+    assert maintain_vector_index(spark, vp, ip, fp, cursor, cells) is not None
+
+    # drifted quantizer: refused before any write
+    drifted = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "label int, cv array<double>",
+    )
+    snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(101, [0.1, 0.9, 0.0], "1")],
+            "vec_id long, embedding array<double>, p string",
+        ),
+        vp, "p", keep_snapshots=5,
+    )
+    with pytest.raises(ValueError, match="quantizer drift"):
+        maintain_vector_index(spark, vp, ip, fp, cursor, drifted)
