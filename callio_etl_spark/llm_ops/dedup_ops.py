@@ -2094,6 +2094,77 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 """
 
 
+def rebuild_band_index(
+    spark: SparkSession,
+    docs_path: str,
+    index_path: str,
+    cursor_file: str,
+    keep_snapshots: int = 3,
+    target_occupancy: float = TARGET_OCCUPANCY,
+) -> tuple[int, int]:
+    """EXPLICIT RE-KEY of the rolling band index — the rebuild verb the
+    geometry pin points to: re-plan (rows_per_band, n_bands) from the
+    CURRENT corpus size through the integer occupancy thresholds, band
+    the whole live corpus at the new geometry in one pass, replace the
+    index (buckets emptied since the last geometry are retired in the
+    SAME commit via retire_leaves), re-pin the new geometry as table
+    properties, and acknowledge the consumer cursor at the docs version
+    the rebuild derived from — a full re-derivation supersedes every
+    change up to that version, so the next maintain tick consumes only
+    commits that landed after it (commits racing the rebuild are simply
+    the next tick's delta). This is the compaction-cadence operation a
+    production service runs when the index crosses an occupancy
+    threshold; between rebuilds `maintain_band_index` refuses to drift.
+    Returns the (rows_per_band, n_bands) now pinned."""
+    from callio_etl_spark.io import _exists, _hadoop
+    from callio_etl_spark.snapshots import (
+        _write_cursor,
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_set_properties,
+        snapshot_versions,
+    )
+
+    docs_path, index_path = docs_path.rstrip("/"), index_path.rstrip("/")
+    # resolve the version BEFORE reading: a commit racing the rebuild
+    # lands after v and stays in the feed for the next tick
+    v = snapshot_versions(spark, docs_path)[-1]
+    docs = snapshot_read(spark, docs_path, version=v).select("doc_id", "text")
+    n = docs.count()
+    if n == 0:
+        raise ValueError("rebuild needs a non-empty corpus")
+    r, b = plan_band_geometry_for_size(n, target_occupancy=target_occupancy)
+    bkt = (F.col("doc_id") % INDEX_BUCKETS).cast("int").alias("bkt")
+    fresh = (
+        band_projection(docs, r, b)
+        .select("doc_id", "band", "band_key", bkt)
+        .localCheckpoint(eager=True)
+    )
+    present = {row["bkt"] for row in fresh.select("bkt").distinct().collect()}
+    retire: list[str] = []
+    jvm, fs, _ = _hadoop(spark, index_path)
+    if _exists(jvm, fs, index_path + "/__snap__"):
+        leaves = snapshot_manifest(spark, index_path)["partitions"]
+        retire = sorted(
+            leaf
+            for leaf in leaves
+            if int(leaf.split("=", 1)[1]) not in present
+        )
+    snapshot_partition_overwrite(
+        spark, fresh, index_path, "bkt",
+        keep_snapshots=keep_snapshots, retire_leaves=retire or None,
+    )
+    snapshot_set_properties(
+        spark,
+        index_path,
+        {"band.rows_per_band": r, "band.n_bands": b},
+        keep_snapshots=keep_snapshots,
+    )
+    _write_cursor(cursor_file, v, docs_path)
+    return r, b
+
+
 def _maintained_planned_oracle() -> str:
     """The maintained-index oracle with the SAME size-driven geometry
     derivation in SQL as plan_band_geometry_for_size: the INITIAL

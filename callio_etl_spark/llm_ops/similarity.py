@@ -2176,6 +2176,24 @@ def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 VINDEX_BUCKETS = 64
 
 
+def _quantizer_fp(cells: DataFrame) -> str:
+    """Content fingerprint of a quantizer (md5 over the sorted
+    (label, centroid) rows) — the identity the index pins as a table
+    property so ticks and rebuilds can prove which cells their postings
+    were assigned under."""
+    import hashlib as _hashlib
+    import json as _json
+
+    return _hashlib.md5(
+        _json.dumps(
+            sorted(
+                (int(r["label"]), [float(x) for x in r["cv"]])
+                for r in cells.collect()
+            )
+        ).encode("utf-8")
+    ).hexdigest()
+
+
 def maintain_vector_index(
     spark: SparkSession,
     vecs_path: str,
@@ -2223,9 +2241,6 @@ def maintain_vector_index(
     Parity (pytest, random commit sequences): postings ==
     assign_to_cells(live vectors) and the forward map matches, after
     every tick."""
-    import hashlib as _hashlib
-    import json as _json
-
     from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
         snapshot_consume_changes,
@@ -2237,14 +2252,7 @@ def maintain_vector_index(
     )
 
     cells = cells.localCheckpoint(eager=True)
-    cells_fp = _hashlib.md5(
-        _json.dumps(
-            sorted(
-                (int(r["label"]), [float(x) for x in r["cv"]])
-                for r in cells.collect()
-            )
-        ).encode("utf-8")
-    ).hexdigest()
+    cells_fp = _quantizer_fp(cells)
 
     def _retire_empty(path: str, col: str, touched, with_rows) -> None:
         leaves = snapshot_manifest(spark, path)["partitions"]
@@ -2369,6 +2377,95 @@ def maintain_vector_index(
     return snapshot_consume_changes(
         spark, vecs_path, cursor_file, ["vec_id"], process
     )
+
+
+def rebuild_vector_index(
+    spark: SparkSession,
+    vecs_path: str,
+    index_path: str,
+    fwd_path: str,
+    cursor_file: str,
+    cells: DataFrame,
+    keep_snapshots: int = 3,
+) -> str:
+    """EXPLICIT RE-INDEX against a (possibly refreshed) quantizer — the
+    rebuild verb the quantizer pin points to: assign the whole live
+    corpus to ``cells`` in one broadcast-argmax pass, replace the
+    postings and forward-map tables (cells/buckets emptied since the
+    old quantizer are retired in the SAME commits via retire_leaves),
+    re-pin the new quantizer's fingerprint as a table property, and
+    acknowledge the consumer cursor at the vectors version the rebuild
+    derived from (racing commits stay in the feed for the next tick).
+    This is what runs after an ``ivf_train_rounds`` centroid refresh;
+    between rebuilds `maintain_vector_index` refuses a drifted
+    quantizer. Returns the fingerprint now pinned."""
+    from callio_etl_spark.io import _exists, _hadoop
+    from callio_etl_spark.snapshots import (
+        _write_cursor,
+        snapshot_manifest,
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_set_properties,
+        snapshot_versions,
+    )
+
+    vecs_path = vecs_path.rstrip("/")
+    index_path, fwd_path = index_path.rstrip("/"), fwd_path.rstrip("/")
+    cells = cells.localCheckpoint(eager=True)
+    fp = _quantizer_fp(cells)
+    v = snapshot_versions(spark, vecs_path)[-1]
+    vecs = snapshot_read(spark, vecs_path, version=v)
+    fresh = (
+        assign_to_cells(
+            vecs.select(
+                "vec_id",
+                F.lit(-1).cast("int").alias("label"),
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            ),
+            cells,
+        )
+        .select("vec_id", "assigned_cell", "centroid_cos")
+        .localCheckpoint(eager=True)
+    )
+    if fresh.isEmpty():
+        raise ValueError("rebuild needs a non-empty vector corpus")
+    jvm, fs, _ = _hadoop(spark, index_path)
+
+    def _retire(path: str, col: str, present) -> list[str]:
+        if not _exists(jvm, fs, path + "/__snap__"):
+            return []
+        leaves = snapshot_manifest(spark, path)["partitions"]
+        return sorted(
+            leaf
+            for leaf in leaves
+            if int(leaf.split("=", 1)[1]) not in present
+        )
+
+    cells_present = {
+        r["assigned_cell"]
+        for r in fresh.select("assigned_cell").distinct().collect()
+    }
+    snapshot_partition_overwrite(
+        spark, fresh, index_path, "assigned_cell",
+        keep_snapshots=keep_snapshots,
+        retire_leaves=_retire(index_path, "assigned_cell", cells_present)
+        or None,
+    )
+    snapshot_set_properties(
+        spark, index_path, {"ivf.quantizer_md5": fp},
+        keep_snapshots=keep_snapshots,
+    )
+    bkt = (F.col("vec_id") % VINDEX_BUCKETS).cast("int").alias("bkt")
+    fwd = fresh.select("vec_id", "assigned_cell", bkt).localCheckpoint(
+        eager=True
+    )
+    bkts_present = {r["bkt"] for r in fwd.select("bkt").distinct().collect()}
+    snapshot_partition_overwrite(
+        spark, fwd, fwd_path, "bkt", keep_snapshots=keep_snapshots,
+        retire_leaves=_retire(fwd_path, "bkt", bkts_present) or None,
+    )
+    _write_cursor(cursor_file, v, vecs_path)
+    return fp
 
 
 @register(

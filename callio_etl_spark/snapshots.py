@@ -3248,6 +3248,20 @@ def maintain_agg_view(
     return live
 
 
+def _write_cursor(cursor_file: str, version: int, table: str) -> None:
+    """Atomically acknowledge a consumer cursor (tmp + rename): shared by
+    snapshot_consume_changes and the index REBUILD verbs, whose full
+    re-derivation from version v supersedes every change up to v."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(cursor_file) or "."
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"version": version, "table": table}, fh)
+    os.replace(tmp, cursor_file)
+
+
 def snapshot_consume_changes(
     spark: SparkSession,
     path: str,
@@ -3300,14 +3314,7 @@ def snapshot_consume_changes(
             "the cursor) or raise retention"
         )
     process(batch)
-    import os
-    import tempfile
-
-    d = os.path.dirname(cursor_file) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"version": live, "table": path}, fh)
-    os.replace(tmp, cursor_file)  # atomic ack
+    _write_cursor(cursor_file, live, path)  # atomic ack
     return live
 
 

@@ -1928,3 +1928,153 @@ def test_maintain_vector_index_refuses_quantizer_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="quantizer drift"):
         maintain_vector_index(spark, vp, ip, fp, cursor, drifted)
+
+
+def test_rebuild_band_index_rekeys_and_resumes(spark, tmp_path):
+    """The full band-index lifecycle: build PLANNED at a small corpus
+    (short keys), grow the corpus past an occupancy threshold, REBUILD —
+    the geometry re-plans, the properties re-pin, the index equals
+    band_projection at the NEW geometry, the cursor acknowledges the
+    rebuild's version (an immediate tick is a no-op) — and later ticks
+    maintain at the new geometry."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        band_projection,
+        maintain_band_index,
+        plan_band_geometry_for_size,
+        rebuild_band_index,
+    )
+
+    docs_p, idx_p = str(tmp_path / "docs"), str(tmp_path / "idx")
+    cursor = str(tmp_path / "cursor.json")
+    occ = 1.05  # thresholds: r=1 up to 6 docs, r=2 up to 501
+
+    def docs_df(n):
+        return spark.createDataFrame(
+            [(i, f"w{i} alpha beta gamma t{i % 7}", str(i % 2)) for i in range(n)],
+            "doc_id long, text string, p string",
+        )
+
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(5), docs_p, "p", keep_snapshots=10
+    )
+    # build at the small-corpus geometry: plan manually, pin via args
+    r0, b0 = plan_band_geometry_for_size(5, target_occupancy=occ)
+    assert (r0, b0) == (1, 8)
+    assert maintain_band_index(
+        spark, docs_p, idx_p, cursor, rows_per_band=r0, n_bands=b0
+    ) is not None
+
+    # grow the corpus past the r=1 threshold and rebuild
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(40), docs_p, "p", keep_snapshots=10
+    )
+    r1, b1 = rebuild_band_index(
+        spark, docs_p, idx_p, cursor, target_occupancy=occ
+    )
+    assert (r1, b1) == (2, 4)
+    props = snap.snapshot_properties(spark, idx_p)
+    assert (int(props["band.rows_per_band"]), int(props["band.n_bands"])) == (2, 4)
+    # the rebuild superseded the pending feed: an immediate tick no-ops
+    assert maintain_band_index(spark, docs_p, idx_p, cursor) is None
+
+    def expect(n):
+        return {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in band_projection(
+                docs_df(n).select("doc_id", "text"), r1, b1
+            ).collect()
+        }
+
+    def got():
+        return {
+            (r["doc_id"], r["band"], r["band_key"])
+            for r in snap.snapshot_read(spark, idx_p)
+            .select("doc_id", "band", "band_key")
+            .collect()
+        }
+
+    assert got() == expect(40)
+    # later ticks maintain at the PINNED new geometry (args ignored)
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(44), docs_p, "p", keep_snapshots=10
+    )
+    assert maintain_band_index(
+        spark, docs_p, idx_p, cursor, rows_per_band=8, n_bands=1
+    ) is not None
+    assert got() == expect(44)
+
+
+def test_rebuild_vector_index_reindexes_after_quantizer_refresh(spark, tmp_path):
+    """The quantizer-refresh lifecycle: build against cells A, REBUILD
+    against refreshed cells B — postings equal assign_to_cells(live, B),
+    emptied cell partitions are retired, the fingerprint re-pins (ticks
+    with B proceed, ticks with A now refuse), and the cursor
+    acknowledges the rebuild's version."""
+    import pytest
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.similarity import (
+        assign_to_cells,
+        maintain_vector_index,
+        rebuild_vector_index,
+    )
+
+    vp = str(tmp_path / "vecs")
+    ip, fwd = str(tmp_path / "idx"), str(tmp_path / "fwd")
+    cursor = str(tmp_path / "cursor.json")
+    vecs = spark.createDataFrame(
+        [(i, [1.0 if i % 2 else 0.0, 0.0 if i % 2 else 1.0, 0.1], str(i % 2))
+         for i in range(10)],
+        "vec_id long, embedding array<double>, p string",
+    )
+    cells_a = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "label int, cv array<double>",
+    )
+    # cells B: cell 2 moves far away so it EMPTIES (retire path)
+    cells_b = spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0]), (1, [0.1, 1.0, 0.0]), (2, [-1.0, -1.0, -1.0])],
+        "label int, cv array<double>",
+    )
+    snap.snapshot_partition_overwrite(spark, vecs, vp, "p", keep_snapshots=10)
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a) is not None
+
+    fp_b = rebuild_vector_index(spark, vp, ip, fwd, cursor, cells_b)
+    assert snap.snapshot_properties(spark, ip)["ivf.quantizer_md5"] == fp_b
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_b) is None
+
+    def live_vecs():
+        v = snap.snapshot_read(spark, vp)
+        return v.select(
+            "vec_id",
+            F.lit(-1).cast("int").alias("label"),
+            F.col("embedding").alias("v"),
+        )
+
+    want = {
+        (r["vec_id"], r["assigned_cell"])
+        for r in assign_to_cells(live_vecs(), cells_b).collect()
+    }
+    got = {
+        (r["vec_id"], r["assigned_cell"])
+        for r in snap.snapshot_read(spark, ip).select(
+            "vec_id", "assigned_cell"
+        ).collect()
+    }
+    assert got == want
+    # a tick with the OLD quantizer refuses; with B it proceeds
+    snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame(
+            [(200, [0.9, 0.2, 0.0], "0")],
+            "vec_id long, embedding array<double>, p string",
+        ),
+        vp, "p", keep_snapshots=10,
+    )
+    with pytest.raises(ValueError, match="quantizer drift"):
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a)
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_b) is not None
+    assert snap.snapshot_read(spark, ip).where(
+        F.col("vec_id") == 200
+    ).count() == 1
