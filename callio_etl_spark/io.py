@@ -162,6 +162,28 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
     _delete(jvm, fs, path.rstrip("/") + LOCK_SUFFIX)
 
 
+#: Derived path for an index table's SERVICE lock — a second mutex layered
+#: above the per-commit table lock that serializes whole maintenance
+#: SEQUENCES (a maintain tick's read-pin -> commit -> cursor ack, a
+#: rebuild's read -> overwrite -> re-pin -> cursor ack). The per-commit
+#: lock alone cannot exclude a rebuild interleaving BETWEEN a tick's
+#: commits: the tick could band its delta against the pre-rebuild pin
+#: after the index was already rewritten, and its cursor ack could move
+#: the rebuilt cursor backwards.
+SERVICE_LOCK_INFIX = ".__service"
+
+
+def acquire_service_lock(spark: SparkSession, path: str) -> str:
+    """Take the table's service lock (see SERVICE_LOCK_INFIX). Reuses the
+    table-lock primitive on a derived path, so it composes with — never
+    conflicts with — the per-commit locks the inner operations take."""
+    return acquire_table_lock(spark, path.rstrip("/") + SERVICE_LOCK_INFIX)
+
+
+def release_service_lock(spark: SparkSession, path: str) -> None:
+    release_table_lock(spark, path.rstrip("/") + SERVICE_LOCK_INFIX)
+
+
 def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S) -> None:
     """Drop writer-unique staging dirs (<path>.__staging__.<token>) left by
     writers that died BEFORE taking the lock — they are invisible to

@@ -1607,17 +1607,32 @@ def maintain_band_index(
     minhash_incremental_planned policy) and records it on the index's
     manifest, so the service starts at the size-appropriate key length
     and every later tick reads the frozen choice back. Re-keying is an
-    explicit full rebuild, never a drift.
+    explicit full rebuild, never a drift. The pin commits ATOMICALLY
+    with the index data (``snapshot_partition_overwrite(properties=)``)
+    — a separate follow-up commit would leave a crash window with live
+    index data and no pin; an index found WITHOUT a pin (built before
+    pinning existed, or by a writer that crashed inside that old
+    window) has the geometry this tick used backfilled onto its commit,
+    so the invariant "index exists => pin exists" self-heals.
+
+    A tick's whole read-pin -> commit -> cursor-ack sequence runs under
+    the index's SERVICE lock (io.acquire_service_lock), serializing it
+    against ``rebuild_band_index`` — without it a tick racing a rebuild
+    could band its delta against the pre-rebuild pin and move the
+    rebuilt cursor backwards.
 
     Returns the docs version now reflected, or None if already current.
     Parity (pytest, random commit sequences): after every call the
     index equals ``band_projection`` of the live docs exactly."""
+    from callio_etl_spark.io import (
+        acquire_service_lock,
+        release_service_lock,
+    )
     from callio_etl_spark.snapshots import (
         snapshot_consume_changes,
         snapshot_manifest,
         snapshot_partition_overwrite,
         snapshot_read,
-        snapshot_set_properties,
     )
 
     def process(batch: DataFrame) -> None:
@@ -1638,7 +1653,7 @@ def maintain_band_index(
         jvm, fs, _ = _hadoop(spark, index_path)
         exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
         r_use, b_use = rows_per_band, n_bands
-        planned_now = False
+        pin_now = True  # every build/backfill pins atomically with its data
         if exists:
             props = snapshot_manifest(spark, index_path).get("properties", {})
             if "band.rows_per_band" in props:
@@ -1646,10 +1661,13 @@ def maintain_band_index(
                 # must be band-compatible with the carried ones
                 r_use = int(props["band.rows_per_band"])
                 b_use = int(props["band.n_bands"])
+                pin_now = False
+            # else: pre-pin index (or a crashed pre-fix writer's follow-up
+            # never landed) — backfill the geometry this tick uses so the
+            # drift protection is never silently disabled
         elif plan_geometry:
             n_docs = changed.where(F.col("_change") != "delete").count()
             r_use, b_use = plan_band_geometry_for_size(n_docs)
-            planned_now = True
         fresh = band_projection(
             changed.where(F.col("_change") != "delete"), r_use, b_use
         ).select("doc_id", "band", "band_key", bkt)
@@ -1666,15 +1684,13 @@ def maintain_band_index(
         with_rows = {r["bkt"] for r in out.select("bkt").distinct().collect()}
         if with_rows:
             snapshot_partition_overwrite(
-                spark, out, index_path, "bkt", keep_snapshots=keep_snapshots
+                spark, out, index_path, "bkt", keep_snapshots=keep_snapshots,
+                properties=(
+                    {"band.rows_per_band": r_use, "band.n_bands": b_use}
+                    if pin_now
+                    else None
+                ),
             )
-            if planned_now:
-                snapshot_set_properties(
-                    spark,
-                    index_path,
-                    {"band.rows_per_band": r_use, "band.n_bands": b_use},
-                    keep_snapshots=keep_snapshots,
-                )
         if exists:
             # a touched bucket whose every doc was deleted writes NO rows,
             # so the dynamic overwrite cannot replace it — retire the
@@ -1692,9 +1708,13 @@ def maintain_band_index(
                     spark, index_path, emptied, keep_snapshots=keep_snapshots
                 )
 
-    return snapshot_consume_changes(
-        spark, docs_path, cursor_file, ["doc_id"], process
-    )
+    acquire_service_lock(spark, index_path)
+    try:
+        return snapshot_consume_changes(
+            spark, docs_path, cursor_file, ["doc_id"], process
+        )
+    finally:
+        release_service_lock(spark, index_path)
 
 
 #: The grown geometry: same 8 min-hashes, re-banded 4-per-band into 2 keys.
@@ -2115,54 +2135,71 @@ def rebuild_band_index(
     the next tick's delta). This is the compaction-cadence operation a
     production service runs when the index crosses an occupancy
     threshold; between rebuilds `maintain_band_index` refuses to drift.
-    Returns the (rows_per_band, n_bands) now pinned."""
-    from callio_etl_spark.io import _exists, _hadoop
+
+    The new geometry is re-pinned ATOMICALLY with the index overwrite
+    (one manifest publish carries data + properties — no crash window
+    between them), and the whole read -> overwrite -> cursor-ack
+    sequence holds the index's SERVICE lock, so a maintain tick can
+    never interleave: it either completes before the rebuild reads (its
+    commits are part of the rebuilt corpus) or starts after the cursor
+    is acked at the rebuild version. Returns the (rows_per_band,
+    n_bands) now pinned."""
+    from callio_etl_spark.io import (
+        _exists,
+        _hadoop,
+        acquire_service_lock,
+        release_service_lock,
+    )
     from callio_etl_spark.snapshots import (
         _write_cursor,
         snapshot_manifest,
         snapshot_partition_overwrite,
         snapshot_read,
-        snapshot_set_properties,
         snapshot_versions,
     )
 
     docs_path, index_path = docs_path.rstrip("/"), index_path.rstrip("/")
-    # resolve the version BEFORE reading: a commit racing the rebuild
-    # lands after v and stays in the feed for the next tick
-    v = snapshot_versions(spark, docs_path)[-1]
-    docs = snapshot_read(spark, docs_path, version=v).select("doc_id", "text")
-    n = docs.count()
-    if n == 0:
-        raise ValueError("rebuild needs a non-empty corpus")
-    r, b = plan_band_geometry_for_size(n, target_occupancy=target_occupancy)
-    bkt = (F.col("doc_id") % INDEX_BUCKETS).cast("int").alias("bkt")
-    fresh = (
-        band_projection(docs, r, b)
-        .select("doc_id", "band", "band_key", bkt)
-        .localCheckpoint(eager=True)
-    )
-    present = {row["bkt"] for row in fresh.select("bkt").distinct().collect()}
-    retire: list[str] = []
-    jvm, fs, _ = _hadoop(spark, index_path)
-    if _exists(jvm, fs, index_path + "/__snap__"):
-        leaves = snapshot_manifest(spark, index_path)["partitions"]
-        retire = sorted(
-            leaf
-            for leaf in leaves
-            if int(leaf.split("=", 1)[1]) not in present
+    acquire_service_lock(spark, index_path)
+    try:
+        # resolve the version BEFORE reading: a commit racing the rebuild
+        # lands after v and stays in the feed for the next tick
+        v = snapshot_versions(spark, docs_path)[-1]
+        docs = snapshot_read(spark, docs_path, version=v).select(
+            "doc_id", "text"
         )
-    snapshot_partition_overwrite(
-        spark, fresh, index_path, "bkt",
-        keep_snapshots=keep_snapshots, retire_leaves=retire or None,
-    )
-    snapshot_set_properties(
-        spark,
-        index_path,
-        {"band.rows_per_band": r, "band.n_bands": b},
-        keep_snapshots=keep_snapshots,
-    )
-    _write_cursor(cursor_file, v, docs_path)
-    return r, b
+        n = docs.count()
+        if n == 0:
+            raise ValueError("rebuild needs a non-empty corpus")
+        r, b = plan_band_geometry_for_size(
+            n, target_occupancy=target_occupancy
+        )
+        bkt = (F.col("doc_id") % INDEX_BUCKETS).cast("int").alias("bkt")
+        fresh = (
+            band_projection(docs, r, b)
+            .select("doc_id", "band", "band_key", bkt)
+            .localCheckpoint(eager=True)
+        )
+        present = {
+            row["bkt"] for row in fresh.select("bkt").distinct().collect()
+        }
+        retire: list[str] = []
+        jvm, fs, _ = _hadoop(spark, index_path)
+        if _exists(jvm, fs, index_path + "/__snap__"):
+            leaves = snapshot_manifest(spark, index_path)["partitions"]
+            retire = sorted(
+                leaf
+                for leaf in leaves
+                if int(leaf.split("=", 1)[1]) not in present
+            )
+        snapshot_partition_overwrite(
+            spark, fresh, index_path, "bkt",
+            keep_snapshots=keep_snapshots, retire_leaves=retire or None,
+            properties={"band.rows_per_band": r, "band.n_bands": b},
+        )
+        _write_cursor(cursor_file, v, docs_path)
+        return r, b
+    finally:
+        release_service_lock(spark, index_path)
 
 
 def _maintained_planned_oracle() -> str:

@@ -2235,20 +2235,32 @@ def maintain_vector_index(
     — postings assigned under two different quantizers would silently
     mix incompatible cells, the same drift class the band index's
     geometry pin excludes. A centroid refresh is an explicit re-index
-    (rebuild against the new cells), never a drift.
+    (rebuild against the new cells), never a drift. The fingerprint
+    commits ATOMICALLY with the postings
+    (``snapshot_partition_overwrite(properties=)``); an existing index
+    found WITHOUT a pin (pre-pin build, or a pre-fix writer that
+    crashed before its follow-up properties commit) has this tick's
+    fingerprint backfilled onto its commit — the drift check is never
+    silently disabled. The tick sequence holds the index's SERVICE
+    lock (io.acquire_service_lock), serializing it against
+    ``rebuild_vector_index``.
 
     Returns the vectors version now reflected, or None if current.
     Parity (pytest, random commit sequences): postings ==
     assign_to_cells(live vectors) and the forward map matches, after
     every tick."""
-    from callio_etl_spark.io import _exists, _hadoop
+    from callio_etl_spark.io import (
+        _exists,
+        _hadoop,
+        acquire_service_lock,
+        release_service_lock,
+    )
     from callio_etl_spark.snapshots import (
         snapshot_consume_changes,
         snapshot_delete_partitions,
         snapshot_manifest,
         snapshot_partition_overwrite,
         snapshot_read,
-        snapshot_set_properties,
     )
 
     cells = cells.localCheckpoint(eager=True)
@@ -2287,17 +2299,24 @@ def maintain_vector_index(
         jvm, fs, _ = _hadoop(spark, index_path)
         idx_exists = _exists(jvm, fs, index_path.rstrip("/") + "/__snap__")
         fwd_exists = _exists(jvm, fs, fwd_path.rstrip("/") + "/__snap__")
+        pin_now = True  # first build / backfill: pin rides the data commit
         if idx_exists:
             rec = snapshot_manifest(spark, index_path).get(
                 "properties", {}
             ).get("ivf.quantizer_md5")
-            if rec is not None and rec != cells_fp:
-                raise ValueError(
-                    f"quantizer drift: index {index_path} was built "
-                    f"against quantizer {rec}, tick passed {cells_fp}; "
-                    f"a centroid refresh is an explicit re-index, never "
-                    f"a silent mix of cells"
-                )
+            if rec is not None:
+                if rec != cells_fp:
+                    raise ValueError(
+                        f"quantizer drift: index {index_path} was built "
+                        f"against quantizer {rec}, tick passed {cells_fp}; "
+                        f"a centroid refresh is an explicit re-index, "
+                        f"never a silent mix of cells"
+                    )
+                pin_now = False
+            # else: index exists with NO recorded fingerprint (pre-pin
+            # build, or a pre-fix writer crashed before its follow-up
+            # properties commit) — backfill this tick's fingerprint so
+            # the drift protection is never permanently disabled
 
         # old cells via the forward map's touched buckets (O(buckets));
         # the touched-bucket list is collected ONCE and reused by the
@@ -2339,14 +2358,10 @@ def maintain_vector_index(
             snapshot_partition_overwrite(
                 spark, out, index_path, "assigned_cell",
                 keep_snapshots=keep_snapshots,
+                properties=(
+                    {"ivf.quantizer_md5": cells_fp} if pin_now else None
+                ),
             )
-            if not idx_exists:
-                snapshot_set_properties(
-                    spark,
-                    index_path,
-                    {"ivf.quantizer_md5": cells_fp},
-                    keep_snapshots=keep_snapshots,
-                )
         if idx_exists:
             _retire_empty(
                 index_path, "assigned_cell", touched_cells, cells_with_rows
@@ -2374,9 +2389,13 @@ def maintain_vector_index(
         if fwd_exists:
             _retire_empty(fwd_path, "bkt", tb, bkts_with_rows)
 
-    return snapshot_consume_changes(
-        spark, vecs_path, cursor_file, ["vec_id"], process
-    )
+    acquire_service_lock(spark, index_path)
+    try:
+        return snapshot_consume_changes(
+            spark, vecs_path, cursor_file, ["vec_id"], process
+        )
+    finally:
+        release_service_lock(spark, index_path)
 
 
 def rebuild_vector_index(
@@ -2398,14 +2417,23 @@ def rebuild_vector_index(
     derived from (racing commits stay in the feed for the next tick).
     This is what runs after an ``ivf_train_rounds`` centroid refresh;
     between rebuilds `maintain_vector_index` refuses a drifted
-    quantizer. Returns the fingerprint now pinned."""
-    from callio_etl_spark.io import _exists, _hadoop
+    quantizer. The new fingerprint is re-pinned ATOMICALLY with the
+    postings overwrite (one manifest publish carries data +
+    properties), and the whole read -> overwrite -> re-pin ->
+    cursor-ack sequence holds the index's SERVICE lock, so a maintain
+    tick can never interleave against the half-rebuilt state. Returns
+    the fingerprint now pinned."""
+    from callio_etl_spark.io import (
+        _exists,
+        _hadoop,
+        acquire_service_lock,
+        release_service_lock,
+    )
     from callio_etl_spark.snapshots import (
         _write_cursor,
         snapshot_manifest,
         snapshot_partition_overwrite,
         snapshot_read,
-        snapshot_set_properties,
         snapshot_versions,
     )
 
@@ -2413,59 +2441,64 @@ def rebuild_vector_index(
     index_path, fwd_path = index_path.rstrip("/"), fwd_path.rstrip("/")
     cells = cells.localCheckpoint(eager=True)
     fp = _quantizer_fp(cells)
-    v = snapshot_versions(spark, vecs_path)[-1]
-    vecs = snapshot_read(spark, vecs_path, version=v)
-    fresh = (
-        assign_to_cells(
-            vecs.select(
-                "vec_id",
-                F.lit(-1).cast("int").alias("label"),
-                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-            ),
-            cells,
+    acquire_service_lock(spark, index_path)
+    try:
+        v = snapshot_versions(spark, vecs_path)[-1]
+        vecs = snapshot_read(spark, vecs_path, version=v)
+        fresh = (
+            assign_to_cells(
+                vecs.select(
+                    "vec_id",
+                    F.lit(-1).cast("int").alias("label"),
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("v"),
+                ),
+                cells,
+            )
+            .select("vec_id", "assigned_cell", "centroid_cos")
+            .localCheckpoint(eager=True)
         )
-        .select("vec_id", "assigned_cell", "centroid_cos")
-        .localCheckpoint(eager=True)
-    )
-    if fresh.isEmpty():
-        raise ValueError("rebuild needs a non-empty vector corpus")
-    jvm, fs, _ = _hadoop(spark, index_path)
+        if fresh.isEmpty():
+            raise ValueError("rebuild needs a non-empty vector corpus")
+        jvm, fs, _ = _hadoop(spark, index_path)
 
-    def _retire(path: str, col: str, present) -> list[str]:
-        if not _exists(jvm, fs, path + "/__snap__"):
-            return []
-        leaves = snapshot_manifest(spark, path)["partitions"]
-        return sorted(
-            leaf
-            for leaf in leaves
-            if int(leaf.split("=", 1)[1]) not in present
+        def _retire(path: str, col: str, present) -> list[str]:
+            if not _exists(jvm, fs, path + "/__snap__"):
+                return []
+            leaves = snapshot_manifest(spark, path)["partitions"]
+            return sorted(
+                leaf
+                for leaf in leaves
+                if int(leaf.split("=", 1)[1]) not in present
+            )
+
+        cells_present = {
+            r["assigned_cell"]
+            for r in fresh.select("assigned_cell").distinct().collect()
+        }
+        snapshot_partition_overwrite(
+            spark, fresh, index_path, "assigned_cell",
+            keep_snapshots=keep_snapshots,
+            retire_leaves=_retire(index_path, "assigned_cell", cells_present)
+            or None,
+            properties={"ivf.quantizer_md5": fp},
         )
-
-    cells_present = {
-        r["assigned_cell"]
-        for r in fresh.select("assigned_cell").distinct().collect()
-    }
-    snapshot_partition_overwrite(
-        spark, fresh, index_path, "assigned_cell",
-        keep_snapshots=keep_snapshots,
-        retire_leaves=_retire(index_path, "assigned_cell", cells_present)
-        or None,
-    )
-    snapshot_set_properties(
-        spark, index_path, {"ivf.quantizer_md5": fp},
-        keep_snapshots=keep_snapshots,
-    )
-    bkt = (F.col("vec_id") % VINDEX_BUCKETS).cast("int").alias("bkt")
-    fwd = fresh.select("vec_id", "assigned_cell", bkt).localCheckpoint(
-        eager=True
-    )
-    bkts_present = {r["bkt"] for r in fwd.select("bkt").distinct().collect()}
-    snapshot_partition_overwrite(
-        spark, fwd, fwd_path, "bkt", keep_snapshots=keep_snapshots,
-        retire_leaves=_retire(fwd_path, "bkt", bkts_present) or None,
-    )
-    _write_cursor(cursor_file, v, vecs_path)
-    return fp
+        bkt = (F.col("vec_id") % VINDEX_BUCKETS).cast("int").alias("bkt")
+        fwd = fresh.select("vec_id", "assigned_cell", bkt).localCheckpoint(
+            eager=True
+        )
+        bkts_present = {
+            r["bkt"] for r in fwd.select("bkt").distinct().collect()
+        }
+        snapshot_partition_overwrite(
+            spark, fwd, fwd_path, "bkt", keep_snapshots=keep_snapshots,
+            retire_leaves=_retire(fwd_path, "bkt", bkts_present) or None,
+        )
+        _write_cursor(cursor_file, v, vecs_path)
+        return fp
+    finally:
+        release_service_lock(spark, index_path)
 
 
 @register(

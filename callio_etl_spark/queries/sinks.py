@@ -1145,10 +1145,9 @@ def sink_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         (F.col("o_orderkey") % 120).cast("string").alias("pk"),
     )
-    saved = (_snap._SEGMENT_INLINE_MAX, _snap._SEGMENT_TARGET_LEAVES)
-    try:
-        _snap._SEGMENT_INLINE_MAX = 16
-        _snap._SEGMENT_TARGET_LEAVES = 16
+    # scoped override (ContextVar): a concurrent commit elsewhere in this
+    # driver keeps the production spill thresholds
+    with _snap.segment_thresholds(16, 16):
         v1 = snapshot_partition_overwrite(
             spark, base, path, "pk", keep_snapshots=4
         )
@@ -1177,8 +1176,6 @@ def sink_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_custkey").cast("long").alias("cust_sum"),
         )
         return _materialize_and_clean(result, root)
-    finally:
-        _snap._SEGMENT_INLINE_MAX, _snap._SEGMENT_TARGET_LEAVES = saved
 
 
 @register(

@@ -40,6 +40,8 @@ where a full Iceberg binding takes over.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import hashlib
 import json
 import uuid
@@ -116,6 +118,36 @@ _SEGMENT_INLINE_MAX = 4096
 #: of leaves/target, so membership (md5(leaf) % n) reshuffles only when
 #: the table crosses a doubling boundary.
 _SEGMENT_TARGET_LEAVES = 2048
+
+#: Scoped (per-context) override of the spill thresholds — NEVER mutate
+#: the module globals to lower them for a test/bench: a snapshot commit
+#: executing concurrently in the same driver would silently spill its
+#: manifests at the lowered values. A ContextVar is confined to the
+#: calling context, so concurrent queries keep the production defaults.
+_SEGMENT_OVERRIDE: "contextvars.ContextVar[tuple[int, int] | None]" = (
+    contextvars.ContextVar("segment_thresholds", default=None)
+)
+
+
+@contextlib.contextmanager
+def segment_thresholds(inline_max: int, target_leaves: int):
+    """Scope lowered manifest-spill thresholds to the enclosed block
+    (driver-scale tests exercise the segmented path on 60-leaf tables
+    this way). Confined to the current execution context — concurrent
+    commits elsewhere in the driver are unaffected."""
+    tok = _SEGMENT_OVERRIDE.set((int(inline_max), int(target_leaves)))
+    try:
+        yield
+    finally:
+        _SEGMENT_OVERRIDE.reset(tok)
+
+
+def _segment_limits() -> tuple[int, int]:
+    ov = _SEGMENT_OVERRIDE.get()
+    return ov if ov is not None else (
+        _SEGMENT_INLINE_MAX,
+        _SEGMENT_TARGET_LEAVES,
+    )
 #: The manifest maps keyed by partition leaf — the parts that spill.
 _LEAF_MAPS = ("partitions", "stats", "file_stats", "file_blooms", "deletes")
 
@@ -157,27 +189,65 @@ def _load_segment(jvm, fs, path: str, h: str) -> dict:
     return seg
 
 
-def _spill_segments(jvm, fs, path: str, manifest: dict) -> dict:
+def _spill_segments(
+    jvm,
+    fs,
+    path: str,
+    manifest: dict,
+    parent: dict | None = None,
+    touched: set[str] | None = None,
+) -> dict:
     """Split the leaf-keyed maps into content-addressed segment files and
     return the top manifest referencing them by hash. Only segments whose
     file is not already on disk are written (an unchanged segment from
     the parent version — or a racing writer producing identical content —
     is free); segment writes happen BEFORE the manifest rename that
     commits, so a crash strands only unreferenced files the next vacuum
-    sweeps."""
+    sweeps.
+
+    Driver CPU is O(touched segments), not O(table): when the caller
+    passes its ``parent`` manifest and the set of ``touched`` leaves
+    (every leaf whose entry in ANY leaf map may differ — added,
+    rewritten, or removed), and the segment count is unchanged from the
+    parent, the untouched segments' hashes are carried VERBATIM from
+    the parent's ``segments`` list — no re-serialization, no re-hash.
+    Segments are positional (one slot per ``md5(leaf) % n`` group, an
+    empty group writes the constant ``{}`` segment) and the count is
+    recorded as ``seg_n`` so alignment with the parent is provable; a
+    parent without ``seg_n`` (pre-reuse format) or with a different n
+    (doubling boundary crossed) falls back to a full recompute."""
     import math
 
     leaves = set()
     for mp in _LEAF_MAPS:
         leaves.update(manifest.get(mp) or {})
+    _, target_leaves = _segment_limits()
     n = 1
-    if len(leaves) > _SEGMENT_TARGET_LEAVES:
-        n = 1 << math.ceil(math.log2(len(leaves) / _SEGMENT_TARGET_LEAVES))
-    groups: dict[int, list[str]] = {}
+    if len(leaves) > target_leaves:
+        n = 1 << math.ceil(math.log2(len(leaves) / target_leaves))
+    groups: dict[int, list[str]] = {gi: [] for gi in range(n)}
     for leaf in sorted(leaves):
-        groups.setdefault(_segment_index(leaf, n), []).append(leaf)
+        groups[_segment_index(leaf, n)].append(leaf)
+    parent_hashes = None
+    touched_gis: set[int] | None = None
+    if (
+        parent is not None
+        and touched is not None
+        and parent.get("seg_n") == n
+        and len(parent.get("segments") or []) == n
+    ):
+        parent_hashes = parent["segments"]
+        touched_gis = {_segment_index(leaf, n) for leaf in touched}
     hashes = []
-    for gi in sorted(groups):
+    for gi in range(n):
+        if (
+            parent_hashes is not None
+            and gi not in touched_gis
+        ):
+            # untouched segment: identical content by the caller's
+            # touched-leaves contract — reuse the parent's hash verbatim
+            hashes.append(parent_hashes[gi])
+            continue
         seg = {
             mp: {
                 leaf: manifest[mp][leaf]
@@ -208,6 +278,7 @@ def _spill_segments(jvm, fs, path: str, manifest: dict) -> dict:
         hashes.append(h)
     top = {k: v for k, v in manifest.items() if k not in _LEAF_MAPS}
     top["segments"] = hashes
+    top["seg_n"] = n
     return top
 
 
@@ -224,20 +295,39 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     return m
 
 
-def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+def _write_manifest(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    parent: dict | None = None,
+    touched: set[str] | None = None,
+) -> None:
     """Publish a manifest atomically: write complete bytes to a tmp name
     readers ignore (only ``m<digits>.json`` resolves), then rename to the
     final numbered name — the rename IS the commit point. Past
     ``_SEGMENT_INLINE_MAX`` partition leaves the leaf-keyed maps spill to
     content-addressed segment files first (see ``_spill_segments``); a
-    stale ``segments`` key inherited from a parent manifest is always
-    recomputed, never trusted."""
+    stale ``segments``/``seg_n`` key inherited from a parent manifest is
+    always recomputed, never trusted.
+
+    ``parent``/``touched`` enable the spill's O(touched-segments) hash
+    reuse: pass the manifest this commit was derived from and the exact
+    set of partition leaves whose entries changed (added, rewritten, or
+    removed — in ANY leaf map). Omitting them is always CORRECT, just
+    O(table-leaves) driver CPU on a spilling commit; passing an
+    under-inclusive ``touched`` set would publish stale segment content,
+    so callers must err on the side of inclusion."""
     jvm, fs, _ = _hadoop(spark, path)
     sd = _snap_dir(path)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(sd))
-    manifest = {k: v for k, v in manifest.items() if k != "segments"}
-    if len(manifest.get("partitions", {})) > _SEGMENT_INLINE_MAX:
-        manifest = _spill_segments(jvm, fs, path, manifest)
+    manifest = {
+        k: v for k, v in manifest.items() if k not in ("segments", "seg_n")
+    }
+    inline_max, _ = _segment_limits()
+    if len(manifest.get("partitions", {})) > inline_max:
+        manifest = _spill_segments(
+            jvm, fs, path, manifest, parent=parent, touched=touched
+        )
     final = _manifest_path(path, manifest["version"])
     tmp = f"{final}.tmp.{uuid.uuid4().hex[:8]}"
     out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
@@ -923,7 +1013,7 @@ def snapshot_evolve_spec(
         }
         for k in ("staged", "parent", "published_from"):
             manifest.pop(k, None)
-        _write_manifest(spark, path, manifest)
+        _write_manifest(spark, path, manifest, parent=prev, touched=set())
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -976,7 +1066,7 @@ def snapshot_set_properties(
             manifest.pop("properties")
         for k in ("staged", "parent", "published_from"):
             manifest.pop(k, None)
-        _write_manifest(spark, path, manifest)
+        _write_manifest(spark, path, manifest, parent=prev, touched=set())
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -1080,7 +1170,7 @@ def snapshot_rename_column(
             ]
         for k in ("staged", "parent", "published_from"):
             manifest.pop(k, None)
-        _write_manifest(spark, path, manifest)
+        _write_manifest(spark, path, manifest, parent=prev, touched=set())
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -1155,7 +1245,7 @@ def snapshot_drop_column(
         }
         for k in ("staged", "parent", "published_from"):
             manifest.pop(k, None)
-        _write_manifest(spark, path, manifest)
+        _write_manifest(spark, path, manifest, parent=prev, touched=set())
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -1302,7 +1392,12 @@ def snapshot_widen_column(
         }
         for k in ("staged", "parent", "published_from"):
             manifest.pop(k, None)
-        _write_manifest(spark, path, manifest)
+        # only leaves carrying bloom entries can differ from prev (the
+        # widened column's blooms are dropped); a superset is always safe
+        _write_manifest(
+            spark, path, manifest, parent=prev,
+            touched=set(prev.get("file_blooms", {})),
+        )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -1735,6 +1830,7 @@ def snapshot_partition_overwrite(
     op_name: str = "overwrite",
     bucket_by: tuple[int, str] | None = None,
     retire_leaves: list[str] | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -1798,6 +1894,14 @@ def snapshot_partition_overwrite(
     cannot mount — rewrite the partition instead). Mutually exclusive
     with ``zorder_cols``/``cluster_cols`` (bucketBy+sortBy fixes the
     in-file order).
+
+    ``properties`` merges table properties into the manifest IN THE SAME
+    commit that lands the data (``snapshot_set_properties`` semantics:
+    ``None`` unsets a key) — the atomicity an index pin needs: a
+    geometry/quantizer fingerprint committed in a separate follow-up
+    would leave a crash window in which the index data is live but the
+    pin is absent or stale, and the next maintenance tick would silently
+    key its delta against the wrong parameters.
 
     ``retire_leaves`` drops the named partition leaves (exact dir names,
     e.g. ``d=2024-01-05``) in the SAME commit that lands ``df``'s
@@ -1956,14 +2060,27 @@ def snapshot_partition_overwrite(
             manifest["renames"] = prev["renames"]
         if prev and "widens" in prev:
             manifest["widens"] = prev["widens"]
-        if prev and "properties" in prev:
-            manifest["properties"] = prev["properties"]
+        merged_props = dict(prev.get("properties", {})) if prev else {}
+        if properties:
+            if not all(isinstance(k, str) for k in properties):
+                raise ValueError("property keys must be strings")
+            json.dumps(properties)  # fail loud on non-serializable values
+            for pk, pv in properties.items():
+                if pv is None:
+                    merged_props.pop(pk, None)
+                else:
+                    merged_props[pk] = pv
+        if merged_props:
+            manifest["properties"] = merged_props
         if prev and "delete_keys" in prev:
             manifest["delete_keys"] = prev["delete_keys"]
         if audit:
             manifest["staged"] = True
             manifest["parent"] = prev["version"] if prev else 0
-        _write_manifest(spark, path, manifest)
+        _write_manifest(
+            spark, path, manifest, parent=prev,
+            touched=set(staged) | set(retire_leaves or []),
+        )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -2155,7 +2272,9 @@ def snapshot_append(
         if audit:
             manifest["staged"] = True
             manifest["parent"] = prev["version"] if prev else 0
-        _write_manifest(spark, path, manifest)
+        _write_manifest(
+            spark, path, manifest, parent=prev, touched=set(staged)
+        )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -2250,7 +2369,9 @@ def snapshot_delete_rows(
             deletes=deletes,
             delete_keys=list(keys),
         )
-        _write_manifest(spark, path, manifest)
+        _write_manifest(
+            spark, path, manifest, parent=prev, touched=set(staged)
+        )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -2340,12 +2461,15 @@ def snapshot_upsert_rows(
         fstats = dict(prev.get("file_stats", {}))
         blooms = dict(prev.get("file_blooms", {}))
         deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
+        touched_leaves: set[str] = set()
         for leaf in _partition_leaves(jvm, fs, dstaging, col):
             dest_parent = f"{path}/{leaf}"
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
             _rename(jvm, fs, f"{dstaging}/{leaf}", f"{dest_parent}/{dtoken}")
             deletes.setdefault(leaf, []).append(dtoken)
+            touched_leaves.add(leaf)
         for leaf in _partition_leaves(jvm, fs, astaging, col):
+            touched_leaves.add(leaf)
             dest_parent = f"{path}/{leaf}"
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
             _rename(jvm, fs, f"{astaging}/{leaf}", f"{dest_parent}/{atoken}")
@@ -2388,7 +2512,9 @@ def snapshot_upsert_rows(
             delete_keys=list(keys),
             schema=schema_json,
         )
-        _write_manifest(spark, path, manifest)
+        _write_manifest(
+            spark, path, manifest, parent=prev, touched=touched_leaves
+        )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
     finally:
@@ -2487,6 +2613,8 @@ def snapshot_delete_partitions(
                 ),
                 **({"schema": prev["schema"]} if "schema" in prev else {}),
             },
+            parent=prev,
+            touched=set(doomed),
         )
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return version
@@ -3381,7 +3509,7 @@ def snapshot_restore(
         new_version = _next_version(jvm, fs, path)
         manifest = dict(src)
         manifest.update(version=new_version, op="restore")
-        _write_manifest(spark, path, manifest)
+        _write_manifest(spark, path, manifest, parent=src, touched=set())
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return new_version
     finally:
@@ -3444,7 +3572,7 @@ def snapshot_publish(
         manifest.update(
             version=new_version, op="publish", published_from=version
         )
-        _write_manifest(spark, path, manifest)
+        _write_manifest(spark, path, manifest, parent=m, touched=set())
         _delete(jvm, fs, _manifest_path(path, version))
         _vacuum_snapshots(spark, jvm, fs, path, keep_snapshots)
         return new_version

@@ -54,8 +54,11 @@ def main() -> None:
     for n in LEAVES:
         row: dict[str, object] = {}
         for mode in ("segmented", "inline"):
-            saved = snap._SEGMENT_INLINE_MAX
-            snap._SEGMENT_INLINE_MAX = 256 if mode == "segmented" else n + 1
+            inline_max = 256 if mode == "segmented" else n + 1
+            ctx = snap.segment_thresholds(
+                inline_max, snap._SEGMENT_TARGET_LEAVES
+            )
+            ctx.__enter__()
             root = tempfile.mkdtemp(prefix=f"callio_manifest_{mode}_")
             p = f"{root}/t"
             try:
@@ -93,7 +96,7 @@ def main() -> None:
                     time.perf_counter() - t0, 3
                 )
             finally:
-                snap._SEGMENT_INLINE_MAX = saved
+                ctx.__exit__(None, None, None)
                 shutil.rmtree(root, ignore_errors=True)
         out[str(n)] = row
         print(f"leaves={n}: {row}", file=sys.stderr)
