@@ -2261,6 +2261,120 @@ def maintain_band_index_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rebuild_band_index",
+    oracle=_maintained_planned_oracle(),
+    tags=["llm", "dedup", "cdc", "index", "sink", "scale-path"],
+)
+def rebuild_band_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXPLICIT RE-KEY verb as an oracle-checked roundtrip — the
+    rebuild half of the geometry-pin story (``rebuild_band_index``; the
+    maintain half is ``maintain_band_index_planned``): the index is
+    FIRST built from a tiny seed corpus (doc_id % 97 == 7 of the base —
+    the planner pins the short-key geometry its size warrants), then the
+    FULL base corpus lands and a maintain tick grows the index AT THE
+    OLD PIN (pins forbid drift, so the now-overcrowded geometry is kept
+    — exactly the occupancy debt a production service accrues), then
+    ``rebuild_band_index`` re-plans from the grown corpus size through
+    the integer occupancy thresholds, re-bands EVERYTHING at the new
+    geometry, re-pins it ATOMICALLY with the overwrite, and acks the
+    consumer cursor — and finally the standard adversarial rewrite
+    (deletes / band-key edits / id-shifted inserts / the emptied-bucket
+    class) lands and a maintain tick with DELIBERATELY WRONG geometry
+    arguments must band the delta at the REBUILT pin. The oracle
+    recomputes the banding of the final corpus at the geometry the BASE
+    corpus size selects (the rebuild-time choice, via the same baked-in
+    integer thresholds), so a rebuild that kept the seed-era keys, a
+    tick that ignored the new pin, or a cursor ack that replayed the
+    pre-rebuild feed all break the hash.
+
+    Cost shape at 100 TB: the rebuild is the one deliberate O(corpus)
+    pass (compaction cadence — FAISS's re-train); every tick around it
+    stays O(delta + touched id-buckets)."""
+    from callio_etl_spark.queries.sinks import _materialize_and_clean, _tmp
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    root = _tmp("bandrebuild")
+    docs_p, idx_p = f"{root}/docs", f"{root}/idx"
+    cursor = f"{root}/cursor.json"
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    part = (F.col("doc_id") % 4).cast("string").alias("p")
+    base = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text", part)
+
+    # 1. seed build: tiny corpus -> planner pins the short-key geometry
+    seed = base.where(F.col("doc_id") % 97 == 7)
+    snapshot_partition_overwrite(spark, seed, docs_p, "p", keep_snapshots=5)
+    v0 = maintain_band_index(
+        spark, docs_p, idx_p, cursor, plan_geometry=True
+    )
+    seed_geom = plan_band_geometry_for_size(seed.count())
+
+    # 2. growth: the full base lands; the tick must keep the seed pin
+    snapshot_partition_overwrite(spark, base, docs_p, "p", keep_snapshots=5)
+    v1 = maintain_band_index(
+        spark, docs_p, idx_p, cursor, plan_geometry=True
+    )
+    got = snapshot_properties(spark, idx_p)
+    pinned = (
+        int(got.get("band.rows_per_band", -1)),
+        int(got.get("band.n_bands", -1)),
+    )
+    if pinned != seed_geom:
+        raise AssertionError(
+            f"growth tick drifted the pin: {pinned} != {seed_geom}"
+        )
+
+    # 3. explicit rebuild: re-plan from the grown size, re-key, re-pin
+    want = plan_band_geometry_for_size(base.count())
+    got_rb = rebuild_band_index(spark, docs_p, idx_p, cursor)
+    if got_rb != want:
+        raise AssertionError(f"rebuild planned {got_rb}, expected {want}")
+    if maintain_band_index(spark, docs_p, idx_p, cursor) is not None:
+        raise AssertionError(
+            "rebuild did not ack the cursor: the next tick replayed the "
+            "pre-rebuild feed"
+        )
+
+    # 4. adversarial rewrite at the NEW pin; wrong args must lose
+    survivors = (
+        base.where(
+            (F.col("doc_id") % 5 != 1) & (F.col("doc_id") % INDEX_BUCKETS != 9)
+        ).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 2, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    inserts = (
+        d.where(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % INDEX_BUCKETS != 9)
+        )
+        .select(
+            (F.col("doc_id") + 2000 * INDEX_BUCKETS).alias("doc_id"), "text"
+        )
+        .select("doc_id", "text", part)
+    )
+    snapshot_partition_overwrite(
+        spark, survivors.unionByName(inserts), docs_p, "p", keep_snapshots=5
+    )
+    v2 = maintain_band_index(
+        spark, docs_p, idx_p, cursor, rows_per_band=NUM_HASHES, n_bands=1
+    )
+    if v0 is None or v1 is None or v2 is None or not v0 < v1 < v2:
+        raise AssertionError(f"index did not advance: {v0} -> {v1} -> {v2}")
+    idx = snapshot_read(spark, idx_p)
+    if idx.where(F.col("bkt") == 9).count() != 0:
+        raise AssertionError("emptied id-bucket 9 not retired from the index")
+    return _materialize_and_clean(
+        idx.select("doc_id", "band", "band_key"), root
+    )
+
+
+@register(
     "minhash_incremental_planned",
     oracle=_planned_incremental_oracle(),
     tags=["llm", "dedup", "incremental", "scale-path"],

@@ -2502,6 +2502,261 @@ def rebuild_vector_index(
 
 
 @register(
+    "rebuild_vector_index",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+base AS (SELECT * FROM e WHERE vec_id % {VEC_DELTA_MOD} <> 0),
+cent AS (
+  SELECT label, CAST(ix AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(v[ix] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM (SELECT * FROM base WHERE vec_id % 2 = 0), range(1, {EMB_DIM} + 1) t(ix)
+  GROUP BY label, ix
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+c1 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN list_transform(v, x -> -x)
+              ELSE v END AS v
+  FROM base WHERE vec_id % 9 <> 1
+  UNION ALL
+  SELECT vec_id + {2000 * VINDEX_BUCKETS} AS vec_id, v
+  FROM e WHERE vec_id % {VEC_DELTA_MOD} = 0
+),
+c2 AS (
+  SELECT vec_id, CASE WHEN vec_id % 11 = 5 THEN list_transform(v, x -> -x)
+                      ELSE v END AS v
+  FROM c1
+),
+final AS (
+  SELECT vec_id, CASE WHEN vec_id % 13 = 1 THEN list_transform(v, x -> -x)
+                      ELSE v END AS v
+  FROM c2
+),
+scored AS (
+  SELECT f.vec_id, cv.label AS assigned_cell,
+         ROW_NUMBER() OVER (PARTITION BY f.vec_id
+           ORDER BY list_cosine_similarity(f.v, cv.cv) DESC, cv.label ASC
+         ) AS rn
+  FROM final f CROSS JOIN cvec cv
+)
+SELECT vec_id, assigned_cell FROM scored WHERE rn = 1
+""",
+    tags=["llm", "similarity", "cdc", "index", "sink", "scale-path"],
+)
+def rebuild_vector_index_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXPLICIT RE-INDEX verb as an oracle-checked roundtrip — the
+    rebuild half of the quantizer-pin story (``rebuild_vector_index``;
+    the maintain half is ``maintain_vector_index``): build postings +
+    forward map against the frozen base-corpus quantizer, land the
+    standard adversarial rewrite (deletes % 9, cross-cell negation
+    moves % 7, id-shifted inserts) and tick — then REFRESH the
+    quantizer (centroids re-trained on the even-id half of the base, a
+    different fingerprint), commit a further delta (negate % 11) and
+    prove the tick at the refreshed cells is REFUSED (quantizer drift;
+    the cursor must not advance), run ``rebuild_vector_index`` against
+    the new cells — full re-assignment, emptied cells/buckets retired,
+    fingerprint re-pinned ATOMICALLY with the postings overwrite,
+    cursor acked at the rebuild-time version (the refused delta is
+    subsumed, proven by a no-op tick) — and land one more delta
+    (negate % 13) consumed at the new pin. The oracle recomputes
+    nearest-centroid assignment of the FINAL vectors against the
+    REFRESHED quantizer, so a rebuild that kept old-cell postings, a
+    refusal that half-applied, a cursor that replayed or skipped, or a
+    tick that mixed quantizers all break the hash (forward-map parity
+    and the pinned fingerprint are additionally asserted in-query).
+
+    Cost shape at 100 TB: the rebuild is the one deliberate O(corpus)
+    broadcast-argmax pass (what runs after an ivf_train_rounds
+    centroid refresh); every tick around it stays O(|delta| + touched
+    cell partitions / forward buckets)."""
+    from callio_etl_spark.queries.sinks import _materialize_and_clean, _tmp
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_properties,
+        snapshot_read,
+    )
+
+    root = _tmp("vecrebuild")
+    vp, ip, fwd = f"{root}/vecs", f"{root}/idx", f"{root}/fwd"
+    cursor = f"{root}/cursor.json"
+    e = _emb(spark, sf_dir)
+    base = e.where(F.col("vec_id") % VEC_DELTA_MOD != 0)
+    cells1 = _cvec(base)
+    part = (F.col("vec_id") % 4).cast("string").alias("p")
+    base_rows = base.select("vec_id", F.col("v").alias("embedding"), part)
+    snapshot_partition_overwrite(spark, base_rows, vp, "p", keep_snapshots=5)
+    v0 = maintain_vector_index(spark, vp, ip, fwd, cursor, cells1)
+
+    def _flip(df: DataFrame, mod: int, res: int) -> DataFrame:
+        return df.withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % mod == res,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+
+    survivors = _flip(base_rows.where(F.col("vec_id") % 9 != 1), 7, 3)
+    inserts = (
+        e.where(F.col("vec_id") % VEC_DELTA_MOD == 0)
+        .select(
+            (F.col("vec_id") + 2000 * VINDEX_BUCKETS).alias("vec_id"),
+            F.col("v").alias("embedding"),
+        )
+        .select("vec_id", "embedding", part)
+    )
+    corpus1 = survivors.unionByName(inserts)
+    snapshot_partition_overwrite(spark, corpus1, vp, "p", keep_snapshots=5)
+    v1 = maintain_vector_index(spark, vp, ip, fwd, cursor, cells1)
+    if v0 is None or v1 is None or not v1 > v0:
+        raise AssertionError(f"index did not advance: {v0} -> {v1}")
+
+    # quantizer refresh + a pending delta: the drifted tick must refuse
+    cells2 = _cvec(base.where(F.col("vec_id") % 2 == 0))
+    corpus2 = _flip(corpus1, 11, 5)
+    snapshot_partition_overwrite(spark, corpus2, vp, "p", keep_snapshots=5)
+    try:
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells2)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("drifted-quantizer tick was not refused")
+
+    fp = rebuild_vector_index(spark, vp, ip, fwd, cursor, cells2)
+    if maintain_vector_index(spark, vp, ip, fwd, cursor, cells2) is not None:
+        raise AssertionError(
+            "rebuild did not ack the cursor: the next tick replayed the "
+            "pre-rebuild feed"
+        )
+    pinned = snapshot_properties(spark, ip).get("ivf.quantizer_md5")
+    if pinned != fp:
+        raise AssertionError(f"pin not re-recorded: {pinned} != {fp}")
+
+    # post-rebuild delta consumed at the new pin
+    corpus3 = _flip(corpus2, 13, 1)
+    snapshot_partition_overwrite(spark, corpus3, vp, "p", keep_snapshots=5)
+    if maintain_vector_index(spark, vp, ip, fwd, cursor, cells2) is None:
+        raise AssertionError("post-rebuild delta not consumed")
+
+    postings = snapshot_read(spark, ip).select("vec_id", "assigned_cell")
+    fmap = snapshot_read(spark, fwd).select("vec_id", "assigned_cell")
+    if (
+        postings.exceptAll(fmap).count() != 0
+        or fmap.exceptAll(postings).count() != 0
+    ):
+        raise AssertionError("forward map diverged from the postings")
+    return _materialize_and_clean(postings, root)
+
+
+@register(
+    "stream_ingest_vector_index",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT label, CAST(ix AS BIGINT) AS dim,
+         CAST(SUM(CAST(FLOOR(v[ix] * 1e10) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1e10 / COUNT(*) AS c
+  FROM e, range(1, {EMB_DIM} + 1) t(ix)
+  GROUP BY label, ix
+),
+cvec AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label),
+b1 AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+final AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 14 = 0 THEN list_transform(v, x -> -x)
+              ELSE v END AS v
+  FROM b1
+  UNION ALL
+  SELECT vec_id, v FROM e WHERE vec_id % 2 = 1
+),
+scored AS (
+  SELECT f.vec_id, cv.label AS assigned_cell,
+         ROW_NUMBER() OVER (PARTITION BY f.vec_id
+           ORDER BY list_cosine_similarity(f.v, cv.cv) DESC, cv.label ASC
+         ) AS rn
+  FROM final f CROSS JOIN cvec cv
+)
+SELECT vec_id, assigned_cell FROM scored WHERE rn = 1
+""",
+    tags=["llm", "similarity", "streaming", "cdc", "index"],
+)
+def stream_ingest_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED vector streaming service loop as an oracle-checked
+    roundtrip (streaming.run_vectors_ingest_with_ivf_index — the IVF
+    twin of ``stream_ingest_band_index``, closing VERDICT r9 item 3):
+    two landing-zone batches arrive as file-source micro-batch ticks —
+    the even half of the vectors, then the odd half PLUS in-place
+    UPDATES of the % 14 == 0 vectors (same vec_id, embedding NEGATED,
+    so the nearest centroid flips and the old posting must be retired
+    from a different cell partition than the new one lands in) — and
+    each tick both lands the batch in the vectors snapshot table
+    (replay-idempotent merge-keys commits) and advances the persisted
+    postings + forward map through the table's CDC cursor in the same
+    foreachBatch call, the frozen full-corpus quantizer pin riding
+    every tick. The result is the postings after tick 2; the oracle
+    recomputes nearest-centroid assignment of the FINAL vectors against
+    the same quantizer, so a tick that lost the carry, a stale posting
+    for an updated vector, or an index that lagged a tick all break
+    the hash.
+
+    Scale shape: per tick the index work is O(|batch| assignments +
+    touched cell partitions / forward buckets) and the data commit
+    O(touched partitions) — the rolling ANN-ingest service contract,
+    exercised through the actual Structured Streaming sink rather than
+    direct calls."""
+    import shutil
+    import tempfile
+
+    from callio_etl_spark.queries.sinks import _materialize_and_clean
+    from callio_etl_spark.snapshots import snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_vector_stream,
+        run_vectors_ingest_with_ivf_index,
+    )
+
+    root = tempfile.mkdtemp(prefix="callio_streamvec_")
+    src_dir, ck = f"{root}/src", f"{root}/ck"
+    vp, ip, fwd = f"{root}/vecs", f"{root}/idx", f"{root}/fwd"
+    cursor = f"{root}/cursor.json"
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cells = _cvec(_emb(spark, sf_dir))  # frozen full-corpus quantizer
+
+    def tick(batch: DataFrame) -> None:
+        batch.write.mode("append").parquet(src_dir)
+        run_vectors_ingest_with_ivf_index(
+            read_vector_stream(spark, src_dir), ck, vp, ip, fwd, cursor,
+            "label", cells,
+        )
+
+    tick(e.where(F.col("vec_id") % 2 == 0))
+    updates = (
+        e.where(F.col("vec_id") % 14 == 0)
+        .withColumn("embedding", F.transform("embedding", lambda x: -x))
+    )
+    tick(e.where(F.col("vec_id") % 2 == 1).unionByName(updates))
+
+    landed = snapshot_read(spark, vp).count()
+    expect = e.count()
+    if landed != expect:
+        shutil.rmtree(root, ignore_errors=True)
+        raise AssertionError(f"landed vectors wrong: {landed} != {expect}")
+    postings = snapshot_read(spark, ip).select("vec_id", "assigned_cell")
+    fmap = snapshot_read(spark, fwd).select("vec_id", "assigned_cell")
+    if (
+        postings.exceptAll(fmap).count() != 0
+        or fmap.exceptAll(postings).count() != 0
+    ):
+        shutil.rmtree(root, ignore_errors=True)
+        raise AssertionError("forward map diverged from the postings")
+    return _materialize_and_clean(postings, root)
+
+
+@register(
     "maintain_vector_index",
     oracle=f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1179,6 +1179,86 @@ def sink_segmented_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_remove_orphans",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT CAST(o_orderkey % 8 AS BIGINT) AS pk_grp,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+FROM base GROUP BY pk_grp
+""",
+    tags=["sink", "snapshot", "maintenance"],
+)
+def sink_remove_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORPHAN-FILE MAINTENANCE end to end (snapshots.snapshot_remove_orphans
+    — Iceberg's remove_orphan_files split, the explicit O(table) walk the
+    scoped per-commit vacuums deliberately skip): commit a corpus, then
+    inject exactly what a writer that CRASHED between its data-dir
+    renames and the manifest publish leaves behind — a token-named data
+    dir full of real parquet rows inside a live partition leaf, and
+    another inside a leaf NO manifest has ever named — run the sweep,
+    and return the table's aggregate. The contract this pins from both
+    sides: the sweep must REMOVE every unreferenced strand (asserted
+    in-query via the filesystem — including the now-empty alien leaf
+    dir) and must NOT touch any referenced dir, so the oracle (the
+    committed corpus, which never included the orphan rows) breaks if a
+    sweep bug deletes live data, and the assertions fail if it leaves
+    strands. Snapshot reads are manifest-driven, so the orphans were
+    invisible to readers even BEFORE the sweep — the sweep reclaims
+    storage, not correctness.
+
+    100 TB story: this is the scheduled-maintenance half of the r9
+    vacuum split — per-commit reclaim stays O(newly-dead leaves) while
+    crashed-writer strands (whose leaves no manifest names) are found
+    only by this explicit full walk, at compaction cadence."""
+    from callio_etl_spark.io import _exists, _hadoop
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+        snapshot_remove_orphans,
+    )
+
+    root = _tmp("orphans")
+    path = f"{root}/ord"
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderkey") % 8).cast("string").alias("pk"),
+    )
+    snapshot_partition_overwrite(spark, base, path, "pk", keep_snapshots=2)
+
+    # the crashed writer's strands: token-named dirs with REAL parquet
+    # rows (poisoned +5 so a resurrection would break the oracle), one
+    # in a live leaf, one in a leaf no manifest has ever named
+    strand_rows = base.where(F.col("pk") == "3").withColumn(
+        "o_custkey", F.col("o_custkey") + 5
+    )
+    orphan_live = f"{path}/pk=3/__s000099_deadbeef__"
+    orphan_alien = f"{path}/pk=99/__s000098_cafebabe__"
+    strand_rows.drop("pk").write.parquet(orphan_live)
+    strand_rows.drop("pk").write.parquet(orphan_alien)
+
+    snapshot_remove_orphans(spark, path, keep_snapshots=2)
+
+    jvm, fs, _ = _hadoop(spark, path)
+    if _exists(jvm, fs, orphan_live) or _exists(jvm, fs, orphan_alien):
+        raise AssertionError("orphan sweep left crashed-writer strands")
+    if _exists(jvm, fs, f"{path}/pk=99"):
+        raise AssertionError("emptied alien leaf dir not removed")
+    live = snapshot_read(spark, path)
+    result = live.groupBy(
+        (F.col("o_orderkey") % 8).cast("long").alias("pk_grp")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("o_custkey").cast("long").alias("cust_sum"),
+    )
+    return _materialize_and_clean(result, root)
+
+
+@register(
     "sink_widen_evolve",
     oracle="""
 WITH eras AS (

@@ -47,93 +47,38 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering the r9 driver run: the registry
-#: holds 203 queries (r8's 197 plus the six r9 registrations:
-#: maintain_band_index (+ its size-planned, property-pinned geometry
-#: form maintain_band_index_planned) / maintain_vector_index — the
-#: rolling index services as oracle-checked CDC roundtrips —
-#: sink_widen_evolve, the
-#: type-widening evolution roundtrip, sink_segmented_manifest, the
-#: manifest-list split's segment-reuse contract, and
-#: stream_ingest_band_index, the composed streaming ingest+index loop
-#: through the actual Structured Streaming sink); every oracle-bearing
-#: query has held a green driver row EXCEPT the r9 registrations.
-#: ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx stay out
-#: of the window (rows-only by construction — no deterministic
-#: cross-engine oracle; their driver-checkable forms are
-#: sketch_error_bounds / curriculum_bins_audit). The r9 window holds:
-#:   1. the thirteen r4-vintage queries that sat at positions 51-63 last
-#:      round (tpch_q19_discounted .. weighted_sample) — the ONLY rows
-#:      older than r5 entering this round; they lead so no oracle-bearing
-#:      query's latest driver row stays older than r5;
-#:   2. the six r9 first-time rows (see above);
+#: per-round slot ledger). State entering the r10 driver run: the
+#: registry holds 207 queries (r9's 203 plus the four r10 registrations:
+#: rebuild_band_index / rebuild_vector_index — the explicit re-key /
+#: re-index verbs the geometry and quantizer pins point to, as
+#: oracle-checked roundtrips (seed-geometry build -> growth at the old
+#: pin -> rebuild re-plans/re-pins/acks -> adversarial tick at the new
+#: pin; quantizer refresh -> drifted tick REFUSED -> rebuild -> delta at
+#: the new pin) — stream_ingest_vector_index, the composed IVF streaming
+#: ingest+index loop through the actual Structured Streaming sink, and
+#: sink_remove_orphans, the crashed-writer orphan sweep); every
+#: oracle-bearing query has held a green driver row EXCEPT the r10
+#: registrations. ann_topk_gemm / approx_sketch_stats /
+#: curriculum_bins_approx stay out of the window (rows-only by
+#: construction — no deterministic cross-engine oracle; their
+#: driver-checkable forms are sketch_error_bounds /
+#: curriculum_bins_audit). The r10 window holds:
+#:   1. the nine r5-vintage queries that sat at positions 51-59 last
+#:      round (salted_join_agg .. zorder_layout) — the ONLY rows older
+#:      than r6 entering this round; they lead so no oracle-bearing
+#:      query's latest driver row stays older than r6;
+#:   2. the four r10 first-time rows (see above);
 #:   3. three flagship/merge canaries as regression tripwires;
-#:   4. the r5-vintage cohort oldest-first (37 live queries whose latest
-#:      row is r5 — the 38 in CORRECTNESS_r05 minus the renamed-away
-#:      minhash_incremental_pairs; the first 28 alphabetically fit —
-#:      ann_hard_negatives .. pq_codes; the remaining 9,
-#:      salted_join_agg .. zorder_layout, hold positions 51-59 and
-#:      lead the r10 window).
+#:   4. the r6-vintage cohort oldest-first (47 live queries whose
+#:      latest row is r6; the first 34 alphabetically fit —
+#:      array_hof_suite .. percentile_summary; the remaining 13,
+#:      pivot_event_types .. vocab_coverage, hold positions 51-63 and
+#:      lead the r11 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- the r4-vintage cohort tail: oldest driver rows, must refresh (13)
-    "tpch_q19_discounted",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_topk",
-    "tpch_q4_priority",
-    "tpch_q5_volume",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_profit",
-    "weighted_sample",
-    # --- r9 first-time oracle-bearing rows (6) ---
-    "maintain_band_index",
-    "maintain_band_index_planned",
-    "maintain_vector_index",
-    "sink_widen_evolve",
-    "sink_segmented_manifest",
-    "stream_ingest_band_index",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r5-vintage cohort (28 of 37) ---
-    "ann_hard_negatives",
-    "ann_recall_ivf_probe",
-    "ann_recall_pq",
-    "ann_recall_pq_rerank",
-    "ann_topk_ivf_probe",
-    "ann_topk_ivfpq",
-    "ann_topk_pq_rerank",
-    "audio_features",
-    "bloom_decontaminate",
-    "boilerplate_ngrams",
-    "contamination_check",
-    "corpus_select_budget",
-    "dsir_importance",
-    "embedding_covariance",
-    "embedding_lsh_buckets",
-    "embedding_lsh_pairs",
-    "embedding_outliers",
-    "embedding_pca_project",
-    "embedding_standardize",
-    "fact_staff_daily_sql",
-    "incremental_agg_maintenance",
-    "latest_per_key",
-    "media_features",
-    "media_resize",
-    "merge_upsert_full",
-    "minhash_lsh_pairs",
-    "pack_sequences",
-    "pq_codes",
-    # --- positions 51-59: the cohort's last nine fall just outside the
-    #     50-row window this round and lead the r10 window ---
+    # --- the r5-vintage cohort tail: oldest driver rows, must refresh (9)
     "salted_join_agg",
     "scd2_history",
     "shard_manifest",
@@ -143,6 +88,65 @@ DRIVER_PRIORITY: list[str] = [
     "sink_versioned_restore",
     "unigram_rarity",
     "zorder_layout",
+    # --- r10 first-time oracle-bearing rows (4) ---
+    "rebuild_band_index",
+    "rebuild_vector_index",
+    "stream_ingest_vector_index",
+    "sink_remove_orphans",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- oldest-first re-checks: the r6-vintage cohort (34 of 47) ---
+    "array_hof_suite",
+    "asof_join_latest_order",
+    "bigram_lm_score",
+    "bitwise_agg_suite",
+    "bm25_topk",
+    "bpe_pair_counts",
+    "bpe_segment_docs",
+    "bpe_train_merges",
+    "char_diversity",
+    "cross_source_neardup",
+    "cube_agg",
+    "curriculum_bins",
+    "date_fn_suite",
+    "date_spine_fill",
+    "dedup_pipeline",
+    "dedup_span_removal",
+    "distinct_rows",
+    "domain_stats",
+    "embedding_decontaminate",
+    "embedding_neardup_cells",
+    "grouping_sets_explicit",
+    "hashed_classifier_score",
+    "heavy_hitters_cms",
+    "hopping_window_agg",
+    "hybrid_rrf_fusion",
+    "ivf_delta_assign",
+    "ivf_train_rounds",
+    "join_anti",
+    "join_semi",
+    "json_map_suite",
+    "length_batching",
+    "minhash_incremental_grown",
+    "null_semantics_suite",
+    "percentile_summary",
+    # --- positions 51-63: the cohort's last thirteen fall just outside
+    #     the 50-row window this round and lead the r11 window ---
+    "pivot_event_types",
+    "pmi_cooccurrence",
+    "posexplode_tokens",
+    "profile_columns",
+    "range_join_bucketed",
+    "regexp_suite",
+    "rollup_agg",
+    "semantic_dedup",
+    "semantic_dedup_gemm",
+    "sink_compact_vacuum",
+    "sketch_error_bounds",
+    "token_dist_drift",
+    "vocab_coverage",
 ]
 
 
