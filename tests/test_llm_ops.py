@@ -2078,3 +2078,154 @@ def test_rebuild_vector_index_reindexes_after_quantizer_refresh(spark, tmp_path)
     assert snap.snapshot_read(spark, ip).where(
         F.col("vec_id") == 200
     ).count() == 1
+
+
+def test_band_index_pin_commits_atomically_and_backfills(spark, tmp_path):
+    """r10 ADVICE fix: the geometry pin rides the SAME manifest publish
+    as the index data (no follow-up set-properties commit — the crash
+    window between data and pin is gone), and an existing index found
+    WITHOUT a pin (pre-fix build / crashed follow-up) has the tick's
+    geometry backfilled onto its commit, so drift protection self-heals
+    instead of staying silently disabled."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.dedup_ops import maintain_band_index
+
+    docs_p, idx_p = str(tmp_path / "docs"), str(tmp_path / "idx")
+    cursor = str(tmp_path / "cursor.json")
+
+    def docs_df(n, suffix=""):
+        return spark.createDataFrame(
+            [(i, f"w{i} alpha beta{suffix} t{i % 5}", str(i % 2)) for i in range(n)],
+            "doc_id long, text string, p string",
+        )
+
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(6), docs_p, "p", keep_snapshots=10
+    )
+    assert maintain_band_index(
+        spark, docs_p, idx_p, cursor, plan_geometry=True
+    ) is not None
+    # ATOMIC: the pin is readable at the exact version the data commit
+    # produced, and the history holds NO separate set-properties commit
+    ops = [h["op"] for h in snap.snapshot_history(spark, idx_p)]
+    assert "set-properties" not in ops
+    props = snap.snapshot_properties(spark, idx_p)
+    assert "band.rows_per_band" in props
+
+    # BACKFILL: simulate a pre-pin index (unset the properties), land a
+    # delta, tick with explicit args — the pin must be re-recorded
+    snap.snapshot_set_properties(
+        spark, idx_p,
+        {"band.rows_per_band": None, "band.n_bands": None},
+        keep_snapshots=10,
+    )
+    assert "band.rows_per_band" not in snap.snapshot_properties(spark, idx_p)
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(6, suffix="x"), docs_p, "p", keep_snapshots=10
+    )
+    assert maintain_band_index(
+        spark, docs_p, idx_p, cursor, rows_per_band=2, n_bands=4
+    ) is not None
+    props = snap.snapshot_properties(spark, idx_p)
+    assert (int(props["band.rows_per_band"]), int(props["band.n_bands"])) == (2, 4)
+
+
+def test_vector_index_pin_backfilled_when_missing(spark, tmp_path):
+    """r10 ADVICE fix (similarity.py:2343): an index that exists with NO
+    recorded quantizer fingerprint (pre-pin build, or the first build's
+    old follow-up properties commit never landed) has the tick's
+    fingerprint backfilled — and the NEXT drifted tick is refused, so
+    the protection is never permanently disabled."""
+    import pytest as _pytest
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.similarity import maintain_vector_index
+
+    vp, ip, fwd = (
+        str(tmp_path / "vecs"), str(tmp_path / "idx"), str(tmp_path / "fwd")
+    )
+    cursor = str(tmp_path / "cursor.json")
+    cells_a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, cv array<double>"
+    )
+    cells_b = spark.createDataFrame(
+        [(0, [0.6, 0.8]), (1, [0.8, 0.6])], "label int, cv array<double>"
+    )
+
+    def vecs_df(ids):
+        return spark.createDataFrame(
+            [(i, [float(i % 3), float((i + 1) % 3)], str(i % 2)) for i in ids],
+            "vec_id long, embedding array<float>, p string",
+        )
+
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(8)), vp, "p", keep_snapshots=10
+    )
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a) is not None
+    assert "ivf.quantizer_md5" in snap.snapshot_properties(spark, ip)
+
+    # strip the pin (pre-fix table), land a delta, tick: pin backfilled
+    snap.snapshot_set_properties(
+        spark, ip, {"ivf.quantizer_md5": None}, keep_snapshots=10
+    )
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(8, 12)), vp, "p", keep_snapshots=10
+    )
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a) is not None
+    pinned = snap.snapshot_properties(spark, ip).get("ivf.quantizer_md5")
+    assert pinned is not None
+    # and the re-armed pin refuses a drifted quantizer again
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(12, 14)), vp, "p", keep_snapshots=10
+    )
+    with _pytest.raises(ValueError, match="quantizer drift"):
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells_b)
+
+
+def test_maintain_and_rebuild_hold_service_lock(spark, tmp_path, monkeypatch):
+    """r10 ADVICE fix (dedup_ops rebuild/maintain race): both the
+    maintain tick and the rebuild hold the index's SERVICE lock across
+    their whole sequence (observed at their inner commit calls) and
+    release it after — the mutex that serializes a rebuild against a
+    racing tick so the tick can never band against a pre-rebuild pin or
+    move the rebuilt cursor backwards."""
+    import os
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        maintain_band_index,
+        rebuild_band_index,
+    )
+
+    docs_p, idx_p = str(tmp_path / "docs"), str(tmp_path / "idx")
+    cursor = str(tmp_path / "cursor.json")
+    lock_file = idx_p + cio.SERVICE_LOCK_INFIX + cio.LOCK_SUFFIX
+    d = spark.createDataFrame(
+        [(i, f"w{i} alpha beta t{i % 5}", str(i % 2)) for i in range(8)],
+        "doc_id long, text string, p string",
+    )
+    snap.snapshot_partition_overwrite(spark, d, docs_p, "p", keep_snapshots=10)
+
+    observed = {}
+    real = snap.snapshot_consume_changes
+
+    def spy_consume(*a, **k):
+        observed["tick"] = os.path.exists(lock_file)
+        return real(*a, **k)
+
+    monkeypatch.setattr(snap, "snapshot_consume_changes", spy_consume)
+    assert maintain_band_index(spark, docs_p, idx_p, cursor) is not None
+    assert observed["tick"], "maintain tick ran without the service lock"
+    assert not os.path.exists(lock_file), "maintain leaked the service lock"
+
+    real_ow = snap.snapshot_partition_overwrite
+
+    def spy_ow(*a, **k):
+        observed["rebuild"] = os.path.exists(lock_file)
+        return real_ow(*a, **k)
+
+    monkeypatch.setattr(snap, "snapshot_partition_overwrite", spy_ow)
+    rebuild_band_index(spark, docs_p, idx_p, cursor)
+    assert observed["rebuild"], "rebuild committed without the service lock"
+    assert not os.path.exists(lock_file), "rebuild leaked the service lock"

@@ -2748,3 +2748,114 @@ def test_table_properties_set_carry_unset_travel(spark, tmp_path):
         snap.snapshot_set_properties(spark, p, {})
     with pytest.raises(TypeError):
         snap.snapshot_set_properties(spark, p, {"x": object()})
+
+
+def test_partition_overwrite_properties_atomic(spark, tmp_path):
+    """snapshot_partition_overwrite(properties=): table properties merge
+    in the SAME manifest publish as the data — set, carry, unset all ride
+    data commits with no separate set-properties version (the atomicity
+    the index pins rely on)."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+
+    path = str(tmp_path / "t")
+    d = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    v1 = snap.snapshot_partition_overwrite(
+        spark, d, path, "p", keep_snapshots=5,
+        properties={"a": 1, "b": "x"},
+    )
+    assert snap.snapshot_properties(spark, path) == {"a": 1, "b": "x"}
+    # plain commit carries them; properties= merges and None unsets
+    v2 = snap.snapshot_partition_overwrite(
+        spark, d, path, "p", keep_snapshots=5
+    )
+    assert snap.snapshot_properties(spark, path) == {"a": 1, "b": "x"}
+    v3 = snap.snapshot_partition_overwrite(
+        spark, d, path, "p", keep_snapshots=5,
+        properties={"b": None, "c": [1, 2]},
+    )
+    assert snap.snapshot_properties(spark, path) == {"a": 1, "c": [1, 2]}
+    # every version above is a DATA commit — no set-properties op exists
+    ops = [h["op"] for h in snap.snapshot_history(spark, path)]
+    assert ops.count("overwrite") == 3 and "set-properties" not in ops
+    # time travel reads the properties as-of each version
+    assert snap.snapshot_properties(spark, path, version=v2) == {
+        "a": 1, "b": "x"
+    }
+    assert v1 < v2 < v3
+
+
+def test_segment_thresholds_scoped_to_context(spark):
+    """The spill thresholds override is a ContextVar, not a module
+    global: a concurrent thread (another query running in the same
+    driver) keeps the production defaults while the override is live."""
+    import threading
+
+    from callio_etl_spark import snapshots as snap
+
+    seen: dict[str, tuple] = {}
+    with snap.segment_thresholds(2, 2):
+        assert snap._segment_limits() == (2, 2)
+
+        def other():
+            seen["other"] = snap._segment_limits()
+
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+    assert seen["other"] == (
+        snap._SEGMENT_INLINE_MAX, snap._SEGMENT_TARGET_LEAVES
+    )
+    assert snap._segment_limits() == (
+        snap._SEGMENT_INLINE_MAX, snap._SEGMENT_TARGET_LEAVES
+    )
+
+
+def test_metadata_commit_reuses_all_segments(spark, tmp_path):
+    """Segment-hash reuse (r10 ADVICE fix): a metadata-only commit on a
+    spilled table touches ZERO leaves, so its manifest must reference the
+    parent's segment files VERBATIM (same hashes, same seg_n) — the
+    O(touched)-CPU contract; and a one-leaf data commit recomputes only
+    that leaf's segment."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+
+    path = str(tmp_path / "t")
+    d = spark.range(40).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("p")
+    )
+    with snap.segment_thresholds(8, 8):
+        v1 = snap.snapshot_partition_overwrite(
+            spark, d, path, "p", keep_snapshots=5
+        )
+        v2 = snap.snapshot_set_properties(
+            spark, path, {"note": "meta-only"}, keep_snapshots=5
+        )
+        one = spark.createDataFrame([(999, "7")], "k long, p string")
+        v3 = snap.snapshot_partition_overwrite(
+            spark, one, path, "p", keep_snapshots=5
+        )
+
+    def top(v):
+        with open(f"{path}/__snap__/m{v:06d}.json", encoding="utf-8") as f:
+            return _json.load(f)
+
+    t1, t2, t3 = top(v1), top(v2), top(v3)
+    assert t1.get("seg_n") and len(t1["segments"]) == t1["seg_n"]
+    # metadata-only commit: identical segment list, reused verbatim
+    assert t2["segments"] == t1["segments"]
+    # one-leaf commit: exactly one segment replaced
+    assert t3["seg_n"] == t1["seg_n"]
+    diff = [i for i, (a, b) in enumerate(zip(t1["segments"], t3["segments"])) if a != b]
+    assert len(diff) == 1
+    # and the reassembled reads stay correct
+    assert snap.snapshot_read(spark, path).count() == 40
+    assert snap.snapshot_read(spark, path).where(
+        F.col("k") == 999
+    ).count() == 1
