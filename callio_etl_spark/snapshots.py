@@ -44,6 +44,7 @@ import contextlib
 import contextvars
 import hashlib
 import json
+import threading
 import uuid
 
 import pyspark.sql.functions as F
@@ -153,8 +154,12 @@ _LEAF_MAPS = ("partitions", "stats", "file_stats", "file_blooms", "deletes")
 
 #: Segment files are immutable (content-addressed), so an in-process
 #: cache is always coherent; bounded LRU because tests churn many tables.
+#: The lock guards the dict against the PARALLEL loader below (eviction
+#: iterates the dict; a concurrent insert would break the iteration) —
+#: FS reads themselves stay unlocked and concurrent.
 _SEG_CACHE: dict[tuple[str, str], dict] = {}
 _SEG_CACHE_MAX = 128
+_SEG_CACHE_LOCK = threading.Lock()
 
 
 def _seg_path(path: str, h: str) -> str:
@@ -179,14 +184,33 @@ def _read_small_json(jvm, fs, file_path: str) -> dict:
 
 def _load_segment(jvm, fs, path: str, h: str) -> dict:
     key = (_snap_dir(path), h)
-    hit = _SEG_CACHE.get(key)
+    with _SEG_CACHE_LOCK:
+        hit = _SEG_CACHE.get(key)
     if hit is not None:
         return hit
     seg = _read_small_json(jvm, fs, _seg_path(path, h))
-    if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
-        _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
-    _SEG_CACHE[key] = seg
+    with _SEG_CACHE_LOCK:
+        if len(_SEG_CACHE) >= _SEG_CACHE_MAX:
+            _SEG_CACHE.pop(next(iter(_SEG_CACHE)))
+        _SEG_CACHE[key] = seg
     return seg
+
+
+def _load_segments(jvm, fs, path: str, hashes: list[str]) -> list[dict]:
+    """Load many segment files, IN PARALLEL past a handful: each load is
+    ~4 py4j round trips (~50 ms of gateway latency, not I/O), so a cold
+    full resolve of a 16-segment manifest is latency-bound serial —
+    threads overlap the round trips (py4j is thread-safe; each thread
+    gets its own gateway connection) and cut the resolve to ~the slowest
+    single load. Order of the result matches ``hashes``."""
+    if len(hashes) <= 2:
+        return [_load_segment(jvm, fs, path, h) for h in hashes]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(hashes))) as ex:
+        return list(
+            ex.map(lambda h: _load_segment(jvm, fs, path, h), hashes)
+        )
 
 
 def _spill_segments(
@@ -282,16 +306,58 @@ def _spill_segments(
     return top
 
 
-def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+def _read_manifest(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    leaves: list[str] | None = None,
+) -> dict:
+    """Resolve a manifest: top file + (for spilled tables) its segments.
+
+    ``leaves`` enables PARTIAL resolution — the segmented read path's
+    O(touched) half: when the caller knows exactly which partition
+    leaves it needs (a point read on the partition column), only the
+    segments holding them (``md5(leaf) % seg_n``) are loaded, so a
+    point lookup against a 100k-leaf table reads the small top manifest
+    plus ONE segment instead of the whole enumeration. The partial
+    manifest is a READ-ONLY projection (its leaf maps cover only the
+    requested leaves) — commit paths must never build on one, which is
+    why only ``snapshot_read``'s point probe passes ``leaves``. Guards
+    (any failing -> full resolve, always correct): the table must spill
+    positionally (``seg_n`` present), must not span partition specs
+    (old-spec dirs can hold any value of the probe column), and every
+    requested leaf must belong to the manifest's partition column."""
     jvm, fs, _ = _hadoop(spark, path)
     m = _read_small_json(jvm, fs, _manifest_path(path, version))
     if "segments" in m:
         for mp in _LEAF_MAPS:
             m.setdefault(mp, {})
-        for h in m["segments"]:
-            seg = _load_segment(jvm, fs, path, h)
+        n = m.get("seg_n")
+        partial = (
+            leaves is not None
+            and n
+            and len(m["segments"]) == n
+            and "spec_history" not in m
+            and all(
+                leaf.split("=", 1)[0] == m.get("partition_col")
+                for leaf in leaves
+            )
+        )
+        if partial:
+            need = sorted({_segment_index(leaf, n) for leaf in leaves})
+            hashes = [m["segments"][gi] for gi in need]
+        else:
+            hashes = m["segments"]
+        for seg in _load_segments(jvm, fs, path, hashes):
             for mp, entries in seg.items():
                 m[mp].update(entries)
+        if partial:
+            # a projection must never masquerade as the full enumeration
+            keep = set(leaves)
+            for mp in _LEAF_MAPS:
+                m[mp] = {
+                    leaf: v for leaf, v in m[mp].items() if leaf in keep
+                }
     return m
 
 
@@ -476,11 +542,14 @@ def snapshot_manifest(
     path: str,
     version: int | None = None,
     tag: str | None = None,
+    leaves: list[str] | None = None,
 ) -> dict:
     """The committed manifest (latest published, a pinned ``version``,
     or a named ``tag`` — mutually exclusive). An explicit ``version``
     may name a STAGED manifest: that is the auditor's read path in the
-    write-audit-publish flow."""
+    write-audit-publish flow. ``leaves`` requests PARTIAL segment
+    resolution (see ``_read_manifest`` — a read-only projection for
+    point probes; never feed it to a commit)."""
     jvm, fs, _ = _hadoop(spark, path)
     if tag is not None:
         if version is not None:
@@ -495,6 +564,14 @@ def snapshot_manifest(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     if version is None:
+        if leaves is not None:
+            # head resolution stays cheap on the partial path: 'staged'
+            # is a top-manifest field, so each probe loads at most the
+            # requested leaves' segments
+            for v in reversed(versions):
+                m = _read_manifest(spark, path, v, leaves=leaves)
+                if not m.get("staged"):
+                    return m
         head = _published_head(spark, jvm, fs, path)
         if head is None:
             raise FileNotFoundError(
@@ -505,7 +582,7 @@ def snapshot_manifest(
         raise FileNotFoundError(
             f"no snapshot version {version} at {path}; have {versions}"
         )
-    return _read_manifest(spark, path, version)
+    return _read_manifest(spark, path, version, leaves=leaves)
 
 
 def snapshot_read(
@@ -565,7 +642,31 @@ def snapshot_read(
     (conservative keep without them) — Iceberg's
     evaluate-each-file-under-the-spec-that-wrote-it rule."""
     path = path.rstrip("/")
-    m = snapshot_manifest(spark, path, version, tag=tag)
+    want_leaves = None
+    if point is not None and all(
+        v is not None
+        for v in (
+            point[1]
+            if isinstance(point[1], (list, tuple, set))
+            else [point[1]]
+        )
+    ):
+        vals = point[1]
+        if not isinstance(vals, (list, tuple, set)):
+            vals = [vals]
+        # A point probe ON the partition column names its leaves exactly
+        # (f"{col}={escaped(v)}" — the SAME path escaping the writer
+        # used, or the leaf would miss) — the segmented read path then
+        # resolves only their segments (top manifest + touched segments,
+        # O(probe) metadata at any leaf count). _read_manifest falls
+        # back to a full resolve unless the col really is the partition
+        # column, the table spills positionally, and no spec evolution
+        # is recorded.
+        esc = (
+            spark.sparkContext._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+        )
+        want_leaves = [f"{point[0]}={esc(str(v))}" for v in vals]
+    m = snapshot_manifest(spark, path, version, tag=tag, leaves=want_leaves)
     prefixes = {leaf.split("=", 1)[0] for leaf in m["partitions"]}
     if len(prefixes) > 1:
         from functools import reduce

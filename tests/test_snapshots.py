@@ -2859,3 +2859,59 @@ def test_metadata_commit_reuses_all_segments(spark, tmp_path):
     assert snap.snapshot_read(spark, path).where(
         F.col("k") == 999
     ).count() == 1
+
+
+def test_point_read_resolves_only_touched_segments(spark, tmp_path):
+    """The segmented READ path (r10): a point probe ON the partition
+    column of a spilled table resolves the top manifest plus ONLY the
+    probed leaves' segments — observed via the segment cache — and the
+    scan is exact (that partition's rows; empty frame with the committed
+    schema for an absent value). Non-partition-column probes and
+    evolved-spec tables fall back to the full resolve."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+
+    path = str(tmp_path / "t")
+    d = spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.col("id").cast("string").alias("p"),
+    )
+    with snap.segment_thresholds(8, 8):
+        snap.snapshot_partition_overwrite(
+            spark, d, path, "p", keep_snapshots=3
+        )
+        # count segment loads for a cold point probe
+        snap._SEG_CACHE.clear()
+        got = snap.snapshot_read(spark, path, point=("p", 17)).collect()
+        assert {(r["k"], r["v"]) for r in got} == {(17, 34)}
+        n_loaded = sum(
+            1 for (sd, _h) in snap._SEG_CACHE if sd == snap._snap_dir(path)
+        )
+        top = snap._read_small_json(
+            *snap._hadoop(spark, path)[:2],
+            snap._manifest_path(
+                path, snap.snapshot_versions(spark, path)[-1]
+            ),
+        )
+        assert top["seg_n"] > 1
+        assert 1 <= n_loaded < top["seg_n"], (n_loaded, top["seg_n"])
+
+        # IN-list probe: exactly the named partitions
+        got = snap.snapshot_read(spark, path, point=("p", [3, 44])).collect()
+        assert {r["k"] for r in got} == {3, 44}
+
+        # absent value: empty frame, committed schema
+        missing = snap.snapshot_read(spark, path, point=("p", 999))
+        assert missing.count() == 0
+        assert set(missing.columns) == {"k", "v", "p"}
+
+        # non-partition-column probe: full resolve, unchanged semantics
+        snap._SEG_CACHE.clear()
+        got = snap.snapshot_read(spark, path, point=("k", 17)).collect()
+        assert (17, 34) in {(r["k"], r["v"]) for r in got}
+        n_loaded = sum(
+            1 for (sd, _h) in snap._SEG_CACHE if sd == snap._snap_dir(path)
+        )
+        assert n_loaded == top["seg_n"]

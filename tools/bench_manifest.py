@@ -89,17 +89,38 @@ def main() -> None:
                 row[f"{mode}_commit_new_meta_files"] = len(new)
                 row[f"{mode}_total_meta_bytes"] = sum(after.values())
                 row[f"{mode}_one_leaf_commit_s"] = round(commit_s, 3)
+                snap._SEG_CACHE.clear()
                 t0 = time.perf_counter()
                 m = snap.snapshot_manifest(spark, p)
                 assert len(m["partitions"]) == n
                 row[f"{mode}_manifest_read_s"] = round(
                     time.perf_counter() - t0, 3
                 )
+                # the r10 partial READ path: a point probe on the
+                # partition column resolves top manifest + ONE segment
+                snap._SEG_CACHE.clear()
+                t0 = time.perf_counter()
+                mp_ = snap.snapshot_manifest(spark, p, leaves=["p=3"])
+                assert "p=3" in mp_["partitions"]
+                row[f"{mode}_point_manifest_read_s"] = round(
+                    time.perf_counter() - t0, 4
+                )
+                row[f"{mode}_point_segments_loaded"] = sum(
+                    1
+                    for (sd, _h) in snap._SEG_CACHE
+                    if sd == snap._snap_dir(p)
+                )
             finally:
                 ctx.__exit__(None, None, None)
                 shutil.rmtree(root, ignore_errors=True)
         out[str(n)] = row
         print(f"leaves={n}: {row}", file=sys.stderr)
+    # subset runs MERGE into the existing file (incremental re-measure)
+    if os.path.exists("MANIFEST_BENCH.json"):
+        with open("MANIFEST_BENCH.json") as f:
+            prior = json.load(f).get("leaves", {})
+        prior.update(out)
+        out = prior
     with open("MANIFEST_BENCH.json", "w") as f:
         json.dump({"leaves": out}, f, indent=2)
     spark.stop()

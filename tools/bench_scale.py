@@ -97,6 +97,13 @@ HEAVY = [
     "maintain_vector_index",
     "stream_ingest_band_index",
     "maintain_band_index_planned",
+    # r10: the rebuild verbs (the deliberate O(corpus) compaction-cadence
+    # pass around O(delta) ticks), the composed IVF streaming loop, and
+    # the explicit O(table) orphan walk
+    "rebuild_band_index",
+    "rebuild_vector_index",
+    "stream_ingest_vector_index",
+    "sink_remove_orphans",
 ]
 
 def _minhash_geometry(rows_per_band: int, n_bands: int):
@@ -142,6 +149,31 @@ HELD: dict[str, dict[str, object]] = {
 }
 
 CAUSES = {
+    "rebuild_band_index": (
+        "the DELIBERATE O(corpus) pass: seed build + growth tick + full "
+        "re-band at the re-planned geometry + adversarial tick — the "
+        "compaction-cadence verb around O(delta) ticks; at any sf the "
+        "wall-clock floor is ~8 sequential snapshot commits' latency, so "
+        "the decade exponent reads the commit floor, not the data."
+    ),
+    "rebuild_vector_index": (
+        "same shape on the vector side: refusal roundtrip + full "
+        "broadcast-argmax re-assignment + two-table overwrite x several "
+        "ticks; fixed multi-commit latency floor dominates below cluster "
+        "scale."
+    ),
+    "stream_ingest_vector_index": (
+        "two real Structured Streaming ticks, each a snapshot commit + "
+        "CDC index tick across postings and forward map — fixed "
+        "commit-latency floor at ANY scale factor, the same analysis as "
+        "stream_ingest_band_index (r9)."
+    ),
+    "sink_remove_orphans": (
+        "the explicit O(table-leaves) maintenance walk (8 leaves here + "
+        "two injected strands): cost is the per-leaf listStatus sweep, "
+        "deliberately split out of per-commit vacuums; commit/inject "
+        "latency dominates at test scale."
+    ),
     "semantic_dedup": (
         "COLLAPSED late r6 (exp 2.09 -> -0.28): the pair join now runs "
         "over distinct (label, vector) content groups, so verbatim "
