@@ -2939,6 +2939,59 @@ def _read_leafs(spark: SparkSession, path: str, m: dict, leafs: list[str]) -> Da
     )
 
 
+def _manifest_pair_pruned(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> tuple[dict, dict]:
+    """Resolve a CDC window's two manifests, SEGMENT-HASH PRE-DIFFED:
+    when both versions spilled at the same segment geometry, a segment
+    whose content hash is identical on both sides holds — for every
+    leaf map at once — exactly the same leaf entries, so none of its
+    leaves can be removed/added/changed; only DIFFERING segments are
+    loaded (for both sides). A consumer tick's driver-side metadata
+    cost is then O(changed segments), matching the write side's
+    O(touched) — without this, every maintain tick against a 100k-leaf
+    table would pay the full enumeration just to diff it. Falls back to
+    full resolves when either side is inline, pre-``seg_n``, or the
+    geometry crossed a doubling boundary between the versions (always
+    correct, just O(table)). The projections are complete for every
+    leaf whose entries differ, which is all ``snapshot_changes``
+    consumes them for."""
+    jvm, fs, _ = _hadoop(spark, path)
+    versions = _manifest_versions(jvm, fs, path)
+    for v in (v_from, v_to):
+        if v not in versions:
+            raise FileNotFoundError(
+                f"no snapshot version {v} at {path}; have {versions}"
+            )
+    tf = _read_small_json(jvm, fs, _manifest_path(path, v_from))
+    tt = _read_small_json(jvm, fs, _manifest_path(path, v_to))
+    n = tf.get("seg_n")
+    if (
+        not n
+        or tt.get("seg_n") != n
+        or len(tf.get("segments") or []) != n
+        or len(tt.get("segments") or []) != n
+    ):
+        return (
+            _read_manifest(spark, path, v_from),
+            _read_manifest(spark, path, v_to),
+        )
+    gis = [gi for gi in range(n) if tf["segments"][gi] != tt["segments"][gi]]
+
+    def resolve(top: dict) -> dict:
+        for mp in _LEAF_MAPS:
+            top.setdefault(mp, {})
+        segs = _load_segments(
+            jvm, fs, path, [top["segments"][gi] for gi in gis]
+        )
+        for seg in segs:
+            for mp, entries in seg.items():
+                top[mp].update(entries)
+        return top
+
+    return resolve(tf), resolve(tt)
+
+
 def snapshot_changes(
     spark: SparkSession,
     path: str,
@@ -2966,13 +3019,14 @@ def snapshot_changes(
     CHANGED between the versions are read at all — untouched partitions
     (carried over by reference) can contain no changes by construction,
     so an incremental consumer pays I/O proportional to what the writers
-    touched, not to the table. Within the changed slice it is one
-    full-outer join on (partition leaf, keys) + a row compare."""
+    touched, not to the table. On a spilled (segmented) table even the
+    DRIVER-SIDE diff is pruned: segments whose content hash matches on
+    both sides are never loaded (``_manifest_pair_pruned``), so the
+    tick's metadata cost is O(changed segments), not O(leaves). Within
+    the changed slice it is one full-outer join on (partition leaf,
+    keys) + a row compare."""
     path = path.rstrip("/")
-    mf, mt = (
-        snapshot_manifest(spark, path, v_from),
-        snapshot_manifest(spark, path, v_to),
-    )
+    mf, mt = _manifest_pair_pruned(spark, path, v_from, v_to)
     col = mf["partition_col"]
     if mt["partition_col"] != col:
         raise ValueError("partition column changed between versions")
