@@ -18,6 +18,7 @@ gives parquet row-group min/max data skipping on those columns.
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 
@@ -107,20 +108,87 @@ def _touch(jvm, fs, path: str) -> None:
     fs.create(jvm.org.apache.hadoop.fs.Path(path)).close()
 
 
-def _try_create_exclusive(jvm, fs, path: str) -> bool:
+def _try_create_exclusive(jvm, fs, path: str, content: str = "") -> bool:
     """Atomic create-if-absent (overwrite=false): exactly one of N
     concurrent callers wins — the mutual-exclusion primitive on HDFS and
     POSIX (object stores without atomic create need a real table format's
-    commit service instead; same boundary as the rename note above)."""
+    commit service instead; same boundary as the rename note above).
+    ``content`` (the winner's ownership token) is written into the file
+    on the same exclusive stream."""
     try:
-        fs.create(jvm.org.apache.hadoop.fs.Path(path), False).close()
-        return True
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(path), False)
     except Exception:
         return False
+    try:
+        if content:
+            out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+    return True
 
 
 def _mtime_s(jvm, fs, path: str) -> float:
     return fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path)).getModificationTime() / 1000.0
+
+
+#: Live heartbeats for locks held by THIS process: lock path -> (stop
+#: event, fired flag, ownership token). The beat keeps a long-held lock's
+#: mtime fresh so the stale-reclaim path (built for crashed holders) can
+#: never fire against a holder that is merely SLOW — the service lock
+#: wraps whole rebuild sequences (O(corpus) at 100 TB), and even a commit
+#: lock's in-lock rename loop is O(staged leaves), so "legitimate hold
+#: duration" is not bounded by milliseconds the way the original stale
+#: rationale assumed.
+_LOCK_BEATS: dict[
+    str, tuple[threading.Event, threading.Event, str, threading.Lock]
+] = {}
+_LOCK_BEATS_GUARD = threading.Lock()
+
+
+def _read_lock_token(jvm, fs, p) -> str:
+    stream = fs.open(p)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def _start_lock_heartbeat(
+    spark: SparkSession, lock: str, token: str, stale_s: float
+) -> None:
+    stop, fired = threading.Event(), threading.Event()
+    mutex = threading.Lock()  # serializes beat writes against release
+    with _LOCK_BEATS_GUARD:
+        old = _LOCK_BEATS.pop(lock, None)
+        _LOCK_BEATS[lock] = (stop, fired, token, mutex)
+    if old is not None:
+        old[0].set()  # defensive: same-process re-acquire after a leak
+
+    def beat() -> None:
+        # own py4j gateway connection per thread (py4j is thread-safe)
+        jvm, fs, _ = _hadoop(spark, lock)
+        p = jvm.org.apache.hadoop.fs.Path(lock)
+        while not stop.wait(stale_s / 4.0):
+            try:
+                with mutex:
+                    if stop.is_set():
+                        return  # release won the race: never resurrect
+                    if _read_lock_token(jvm, fs, p) != token:
+                        return  # reclaimed by another holder: respect it
+                    fired.set()
+                    out = fs.create(p, True)  # refresh mtime, keep token
+                    try:
+                        out.write(bytearray(token.encode("utf-8")))
+                    finally:
+                        out.close()
+            except Exception:
+                return  # lock gone (released concurrently): stop beating
+
+    threading.Thread(
+        target=beat, daemon=True, name=f"lockbeat:{lock}"
+    ).start()
 
 
 def acquire_table_lock(
@@ -135,12 +203,24 @@ def acquire_table_lock(
     older than ``stale_s`` is presumed crashed and reclaimed (the next
     committer's recover_table call then heals whatever the dead writer
     left mid-swap). Raises TimeoutError after ``timeout_s`` — a committer
-    must never silently skip the swap it staged."""
+    must never silently skip the swap it staged.
+
+    A LIVE holder is never mistaken for a crashed one: the winner writes
+    an ownership token into the lock file and a daemon heartbeat re-touches
+    it every ``stale_s/4`` while held, so only a holder whose process
+    actually died stops refreshing and becomes reclaimable. The heartbeat
+    verifies its token before each touch (a reclaim that somehow raced in
+    is respected, never overwritten), and release deletes the lock only if
+    the token still matches once a heartbeat has fired — the fast path
+    (sub-``stale_s/4`` holds, i.e. every plain commit) pays no extra
+    round trips."""
     jvm, fs, _ = _hadoop(spark, path)
     lock = path.rstrip("/") + LOCK_SUFFIX
+    token = uuid.uuid4().hex
     deadline = time.monotonic() + timeout_s
     while True:
-        if _try_create_exclusive(jvm, fs, lock):
+        if _try_create_exclusive(jvm, fs, lock, content=token):
+            _start_lock_heartbeat(spark, lock, token, stale_s)
             return lock
         try:
             if time.time() - _mtime_s(jvm, fs, lock) > stale_s:
@@ -159,7 +239,44 @@ def acquire_table_lock(
 
 def release_table_lock(spark: SparkSession, path: str) -> None:
     jvm, fs, _ = _hadoop(spark, path)
-    _delete(jvm, fs, path.rstrip("/") + LOCK_SUFFIX)
+    lock = path.rstrip("/") + LOCK_SUFFIX
+    with _LOCK_BEATS_GUARD:
+        rec = _LOCK_BEATS.pop(lock, None)
+    if rec is not None:
+        stop, fired, token, mutex = rec
+        stop.set()
+        if fired.is_set():
+            # the lock lived past a beat interval: verify ownership before
+            # deleting — if a reclaim somehow raced the heartbeat, the file
+            # now belongs to another holder and must be left alone. The
+            # mutex excludes an in-flight beat write (which could otherwise
+            # resurrect the file after this delete). Sub-interval holds —
+            # every plain commit — skip all of this: plain delete.
+            with mutex:
+                try:
+                    if (
+                        _read_lock_token(
+                            jvm, fs, jvm.org.apache.hadoop.fs.Path(lock)
+                        )
+                        != token
+                    ):
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "lock %s was reclaimed while held (token "
+                            "mismatch on release); leaving the new "
+                            "holder's lock intact",
+                            lock,
+                        )
+                        return
+                except Exception:
+                    return  # already gone
+                _delete(jvm, fs, lock)
+                return
+        with mutex:
+            _delete(jvm, fs, lock)
+        return
+    _delete(jvm, fs, lock)
 
 
 #: Derived path for an index table's SERVICE lock — a second mutex layered

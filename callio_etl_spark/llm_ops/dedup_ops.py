@@ -1655,16 +1655,46 @@ def maintain_band_index(
         r_use, b_use = rows_per_band, n_bands
         pin_now = True  # every build/backfill pins atomically with its data
         if exists:
-            props = snapshot_manifest(spark, index_path).get("properties", {})
+            # leaves=[] → top-manifest-only resolve on a spilled index
+            # (properties are a top field): the pin check stays O(1)
+            # metadata even against a 100k-bucket index on a cold driver
+            props = snapshot_manifest(spark, index_path, leaves=[]).get(
+                "properties", {}
+            )
             if "band.rows_per_band" in props:
                 # the index's recorded geometry is the truth: fresh keys
                 # must be band-compatible with the carried ones
                 r_use = int(props["band.rows_per_band"])
                 b_use = int(props["band.n_bands"])
                 pin_now = False
-            # else: pre-pin index (or a crashed pre-fix writer's follow-up
-            # never landed) — backfill the geometry this tick uses so the
-            # drift protection is never silently disabled
+            else:
+                # pre-pin index (or a crashed pre-fix writer's follow-up
+                # never landed) — backfill a pin so drift protection is
+                # never silently disabled. The geometry is INFERRED from
+                # the index's own rows, not taken from the caller's args:
+                # band_key is a concat of rows_per_band 4-hex-char minhash
+                # slices and every doc emits all n_bands bands, so one
+                # bucket's rows determine both parameters exactly —
+                # backfilling caller args could pin a geometry the index
+                # was never banded at and mix incompatible keys. One
+                # partition probe (any bucket works), only on this rare
+                # self-heal path.
+                leaves = snapshot_manifest(spark, index_path)["partitions"]
+                if leaves:
+                    probe_bkt = int(next(iter(sorted(leaves))).split("=")[1])
+                    got = (
+                        snapshot_read(
+                            spark, index_path, point=("bkt", probe_bkt)
+                        )
+                        .agg(
+                            F.max(F.length("band_key")).alias("kl"),
+                            F.max("band").alias("mb"),
+                        )
+                        .first()
+                    )
+                    if got["kl"] is not None:
+                        r_use = int(got["kl"]) // HASH_HEX_CHARS
+                        b_use = int(got["mb"]) + 1
         elif plan_geometry:
             n_docs = changed.where(F.col("_change") != "delete").count()
             r_use, b_use = plan_band_geometry_for_size(n_docs)
@@ -1682,31 +1712,40 @@ def maintain_band_index(
             out = fresh
         out = out.localCheckpoint(eager=True)
         with_rows = {r["bkt"] for r in out.select("bkt").distinct().collect()}
+        retire: list[str] = []
+        if exists:
+            # a touched bucket whose every doc was deleted writes NO rows,
+            # so the dynamic overwrite cannot replace it — retire the
+            # emptied buckets IN THE SAME COMMIT (retire_leaves): one
+            # manifest publish per tick instead of two, and readers never
+            # see the post-overwrite/pre-retirement half state
+            cand = sorted(set(touched) - with_rows)
+            # partial resolve: membership of the candidate buckets only —
+            # O(touched) metadata, never the index's full enumeration
+            leaves = snapshot_manifest(
+                spark, index_path, leaves=[f"bkt={b}" for b in cand]
+            )["partitions"]
+            retire = [f"bkt={b}" for b in cand if f"bkt={b}" in leaves]
         if with_rows:
             snapshot_partition_overwrite(
                 spark, out, index_path, "bkt", keep_snapshots=keep_snapshots,
+                retire_leaves=retire or None,
                 properties=(
                     {"band.rows_per_band": r_use, "band.n_bands": b_use}
                     if pin_now
                     else None
                 ),
             )
-        if exists:
-            # a touched bucket whose every doc was deleted writes NO rows,
-            # so the dynamic overwrite cannot replace it — retire the
-            # emptied buckets with a metadata delete
+        elif retire:
+            # pure-delete tick with nothing to write: metadata-only retire
             from callio_etl_spark.snapshots import snapshot_delete_partitions
 
-            leaves = snapshot_manifest(spark, index_path)["partitions"]
-            emptied = sorted(
-                b
-                for b in set(touched) - with_rows
-                if f"bkt={b}" in leaves
+            snapshot_delete_partitions(
+                spark,
+                index_path,
+                [lf.split("=", 1)[1] for lf in retire],
+                keep_snapshots=keep_snapshots,
             )
-            if emptied:
-                snapshot_delete_partitions(
-                    spark, index_path, emptied, keep_snapshots=keep_snapshots
-                )
 
     acquire_service_lock(spark, index_path)
     try:

@@ -2266,15 +2266,27 @@ def maintain_vector_index(
     cells = cells.localCheckpoint(eager=True)
     cells_fp = _quantizer_fp(cells)
 
-    def _retire_empty(path: str, col: str, touched, with_rows) -> None:
-        leaves = snapshot_manifest(spark, path)["partitions"]
-        emptied = sorted(
-            v for v in set(touched) - set(with_rows) if f"{col}={v}" in leaves
+    def _emptied(path: str, col: str, touched, with_rows) -> list[str]:
+        """Leaf names of touched partitions left with no rows — computed
+        BEFORE the tick's overwrite so retirement rides the same commit
+        (retire_leaves): one manifest publish per table per tick, and
+        readers never see the post-overwrite/pre-retirement half state.
+        Partial resolve: membership of the candidates only — O(touched)
+        metadata, never the table's full enumeration."""
+        cand = sorted(set(touched) - set(with_rows))
+        leaves = snapshot_manifest(
+            spark, path, leaves=[f"{col}={v}" for v in cand]
+        )["partitions"]
+        return [f"{col}={v}" for v in cand if f"{col}={v}" in leaves]
+
+    def _retire_only(path: str, retire: list[str]) -> None:
+        # pure-delete tick with nothing to write: metadata-only retire
+        snapshot_delete_partitions(
+            spark,
+            path,
+            [lf.split("=", 1)[1] for lf in retire],
+            keep_snapshots=keep_snapshots,
         )
-        if emptied:
-            snapshot_delete_partitions(
-                spark, path, emptied, keep_snapshots=keep_snapshots
-            )
 
     def process(batch: DataFrame) -> None:
         changed = batch.select("vec_id", "embedding", "_change").localCheckpoint(
@@ -2301,7 +2313,10 @@ def maintain_vector_index(
         fwd_exists = _exists(jvm, fs, fwd_path.rstrip("/") + "/__snap__")
         pin_now = True  # first build / backfill: pin rides the data commit
         if idx_exists:
-            rec = snapshot_manifest(spark, index_path).get(
+            # leaves=[] → top-manifest-only resolve on a spilled index
+            # (properties are a top field): the pin check stays O(1)
+            # metadata even against a 100k-cell index on a cold driver
+            rec = snapshot_manifest(spark, index_path, leaves=[]).get(
                 "properties", {}
             ).get("ivf.quantizer_md5")
             if rec is not None:
@@ -2313,10 +2328,56 @@ def maintain_vector_index(
                         f"never a silent mix of cells"
                     )
                 pin_now = False
-            # else: index exists with NO recorded fingerprint (pre-pin
-            # build, or a pre-fix writer crashed before its follow-up
-            # properties commit) — backfill this tick's fingerprint so
-            # the drift protection is never permanently disabled
+            else:
+                # index exists with NO recorded fingerprint (pre-pin
+                # build, or a pre-fix writer crashed before its follow-up
+                # properties commit). Unlike the band index, the quantizer
+                # cannot be inferred from the postings — so PROVE the
+                # tick's cells match before backfilling: re-assign a
+                # sample of existing postings (excluding this batch's
+                # changed ids, whose rows are legitimately stale) under
+                # the tick's cells. Nearest-centroid assignment is
+                # deterministic, so a genuinely same-quantizer index
+                # agrees exactly; one disagreement means the unpinned
+                # index was built against OTHER centroids and pinning
+                # this fingerprint would bless the very mix the pin
+                # exists to exclude. Rare self-heal path only — a pinned
+                # index never runs this.
+                sample = (
+                    snapshot_read(spark, index_path)
+                    .join(changed_ids, "vec_id", "left_anti")
+                    .select("vec_id", "assigned_cell")
+                    .limit(256)
+                    .localCheckpoint(eager=True)
+                )
+                vecs_now = snapshot_read(spark, vecs_path).select(
+                    "vec_id", "embedding"
+                )
+                re_cells = assign_to_cells(
+                    sample.join(vecs_now, "vec_id").select(
+                        "vec_id",
+                        F.lit(-1).cast("int").alias("label"),
+                        F.transform(
+                            "embedding", lambda x: x.cast("double")
+                        ).alias("v"),
+                    ),
+                    cells,
+                ).select("vec_id", F.col("assigned_cell").alias("re_cell"))
+                disagree = (
+                    sample.join(re_cells, "vec_id")
+                    .where(F.col("assigned_cell") != F.col("re_cell"))
+                    .count()
+                )
+                if disagree:
+                    raise ValueError(
+                        f"index {index_path} has no pinned quantizer and "
+                        f"{disagree} sampled postings disagree with the "
+                        f"tick's cells — it was built against a different "
+                        f"quantizer; run rebuild_vector_index to re-assign "
+                        f"and re-pin instead of mixing cells"
+                    )
+                # sample agrees: backfill this tick's fingerprint so the
+                # drift protection is never permanently disabled
 
         # old cells via the forward map's touched buckets (O(buckets));
         # the touched-bucket list is collected ONCE and reused by the
@@ -2354,18 +2415,22 @@ def maintain_vector_index(
             r["assigned_cell"]
             for r in out.select("assigned_cell").distinct().collect()
         }
+        idx_retire = (
+            _emptied(index_path, "assigned_cell", touched_cells, cells_with_rows)
+            if idx_exists
+            else []
+        )
         if cells_with_rows:
             snapshot_partition_overwrite(
                 spark, out, index_path, "assigned_cell",
                 keep_snapshots=keep_snapshots,
+                retire_leaves=idx_retire or None,
                 properties=(
                     {"ivf.quantizer_md5": cells_fp} if pin_now else None
                 ),
             )
-        if idx_exists:
-            _retire_empty(
-                index_path, "assigned_cell", touched_cells, cells_with_rows
-            )
+        elif idx_retire:
+            _retire_only(index_path, idx_retire)
 
         # forward map: rewrite the touched id buckets
         fwd_fresh = fresh.select("vec_id", "assigned_cell", bkt)
@@ -2382,12 +2447,18 @@ def maintain_vector_index(
         bkts_with_rows = {
             r["bkt"] for r in fout.select("bkt").distinct().collect()
         }
+        fwd_retire = (
+            _emptied(fwd_path, "bkt", tb, bkts_with_rows)
+            if fwd_exists
+            else []
+        )
         if bkts_with_rows:
             snapshot_partition_overwrite(
-                spark, fout, fwd_path, "bkt", keep_snapshots=keep_snapshots
+                spark, fout, fwd_path, "bkt", keep_snapshots=keep_snapshots,
+                retire_leaves=fwd_retire or None,
             )
-        if fwd_exists:
-            _retire_empty(fwd_path, "bkt", tb, bkts_with_rows)
+        elif fwd_retire:
+            _retire_only(fwd_path, fwd_retire)
 
     acquire_service_lock(spark, index_path)
     try:

@@ -306,6 +306,38 @@ def _spill_segments(
     return top
 
 
+def _move_staged_leaves(
+    jvm, fs, staging: str, path: str, leaves: list[str], token: str
+) -> None:
+    """Move every staged partition leaf under the table as
+    ``<path>/<leaf>/<token>`` (mkdirs + rename), IN PARALLEL past a
+    handful: each move is ~2 py4j round trips of pure gateway latency,
+    so the in-lock phase of a wide commit (100k staged leaves) would
+    otherwise be minutes of serial driver round trips held under the
+    table lock — long enough to trip the stale-reclaim window. Threads
+    overlap the latency (py4j is thread-safe; each thread gets its own
+    gateway connection), the same treatment ``_load_segments`` gives
+    the manifest read path. Order is irrelevant: every move is an
+    independent (leaf, token) pair and the manifest that makes them
+    live publishes strictly after all of them. A failed move raises —
+    the commit never publishes, and the already-moved token dirs are
+    exactly the strands ``snapshot_remove_orphans`` sweeps."""
+
+    def move(leaf: str) -> None:
+        dest_parent = f"{path}/{leaf}"
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+        _rename(jvm, fs, f"{staging}/{leaf}", f"{dest_parent}/{token}")
+
+    if len(leaves) <= 2:
+        for leaf in leaves:
+            move(leaf)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(leaves))) as ex:
+        list(ex.map(move, leaves))
+
+
 def _read_manifest(
     spark: SparkSession,
     path: str,
@@ -2111,10 +2143,8 @@ def snapshot_partition_overwrite(
             blooms.pop(leaf, None)
             deletes.pop(leaf, None)
         staged = _partition_leaves(jvm, fs, wstaging, partition_col)
+        _move_staged_leaves(jvm, fs, wstaging, path, staged, token)
         for leaf in staged:
-            dest_parent = f"{path}/{leaf}"
-            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
-            _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
             partitions[leaf] = token
             stats.pop(leaf, None)  # rewritten: old ranges no longer valid
             fstats.pop(leaf, None)
@@ -2290,10 +2320,8 @@ def snapshot_append(
         fstats = dict(prev.get("file_stats", {})) if prev else {}
         blooms = dict(prev.get("file_blooms", {})) if prev else {}
         bloom_params = _bloom_params_for_commit(prev, bloom_cols)
+        _move_staged_leaves(jvm, fs, wstaging, path, staged, token)
         for leaf in staged:
-            dest_parent = f"{path}/{leaf}"
-            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
-            _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
             fresh_f = {
                 f"{token}/{fname}": st
                 for fname, st in new_fstats.get(leaf, {}).items()
@@ -2457,10 +2485,8 @@ def snapshot_delete_rows(
         version = _next_version(jvm, fs, path)
         token = f"__s{version:06d}del_{uuid.uuid4().hex[:8]}__"
         deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
+        _move_staged_leaves(jvm, fs, wstaging, path, staged, token)
         for leaf in staged:
-            dest_parent = f"{path}/{leaf}"
-            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
-            _rename(jvm, fs, f"{wstaging}/{leaf}", f"{dest_parent}/{token}")
             deletes.setdefault(leaf, []).append(token)
         _delete(jvm, fs, wstaging)
         manifest = dict(prev)
@@ -2563,17 +2589,15 @@ def snapshot_upsert_rows(
         blooms = dict(prev.get("file_blooms", {}))
         deletes = {k: list(v) for k, v in prev.get("deletes", {}).items()}
         touched_leaves: set[str] = set()
-        for leaf in _partition_leaves(jvm, fs, dstaging, col):
-            dest_parent = f"{path}/{leaf}"
-            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
-            _rename(jvm, fs, f"{dstaging}/{leaf}", f"{dest_parent}/{dtoken}")
+        dleaves = _partition_leaves(jvm, fs, dstaging, col)
+        _move_staged_leaves(jvm, fs, dstaging, path, dleaves, dtoken)
+        for leaf in dleaves:
             deletes.setdefault(leaf, []).append(dtoken)
             touched_leaves.add(leaf)
-        for leaf in _partition_leaves(jvm, fs, astaging, col):
+        aleaves = _partition_leaves(jvm, fs, astaging, col)
+        _move_staged_leaves(jvm, fs, astaging, path, aleaves, atoken)
+        for leaf in aleaves:
             touched_leaves.add(leaf)
-            dest_parent = f"{path}/{leaf}"
-            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
-            _rename(jvm, fs, f"{astaging}/{leaf}", f"{dest_parent}/{atoken}")
             if leaf not in partitions:
                 partitions[leaf] = atoken
             else:
@@ -2733,6 +2757,32 @@ def _partition_leaves(jvm, fs, table_dir: str, partition_col: str) -> list[str]:
     return sorted(out)
 
 
+def _newly_dead_leaves(dropped: dict, live_tokens: dict) -> set:
+    """The leaves a dropped manifest can actually orphan data dirs in:
+    those holding at least one token (data dir or delete file) that NO
+    retained manifest still references. The carry-by-reference model
+    means a dropped version shares almost every token with its kept
+    successor, so at steady state (every commit drops one version) this
+    is the set of leaves the intervening commits TOUCHED — sweeping the
+    dropped manifest's full leaf enumeration instead would be an
+    O(table) listStatus walk on every commit (~2.5 ms/leaf through
+    py4j: minutes per one-row commit at 100k leaves), re-introducing
+    exactly the per-commit table walk the scoped vacuum exists to
+    avoid. Pure dict math, no FS calls."""
+    out = set()
+    for leaf in dropped["partitions"]:
+        toks = set(_leaf_toks(dropped, leaf))
+        toks.update(dropped.get("deletes", {}).get(leaf, []))
+        if toks - live_tokens.get(leaf, set()):
+            out.add(leaf)
+    for leaf, dtoks in dropped.get("deletes", {}).items():
+        if leaf not in dropped["partitions"] and set(dtoks) - live_tokens.get(
+            leaf, set()
+        ):
+            out.add(leaf)
+    return out
+
+
 def _vacuum_snapshots(
     spark: SparkSession,
     jvm,
@@ -2745,12 +2795,17 @@ def _vacuum_snapshots(
     """Under the commit lock: drop manifests beyond the newest
     ``keep_snapshots`` and reclaim the data dirs no retained manifest
     references. The reclaim sweep is SCOPED to the leaves that can
-    actually hold newly-dead dirs — the dropped manifests' leaves plus
-    any caller-supplied ``sweep_leaves`` (a discarded staged commit's
-    leaves) — so a commit's vacuum cost is O(retained manifests +
-    newly-dead leaves), never an O(table) directory walk: per-leaf
-    listStatus through py4j measured ~2.5 ms/leaf, a 20 s tax per
-    one-row commit at 8k leaves and unbounded at 100 TB. Orphan dirs
+    actually hold newly-dead dirs — the leaves where a dropped
+    manifest's tokens are not all still referenced by a kept one
+    (``_newly_dead_leaves``: at steady state, exactly the leaves the
+    intervening commits touched), plus any caller-supplied
+    ``sweep_leaves`` (a discarded staged commit's leaves) — so a
+    commit's vacuum cost is O(retained manifests + touched leaves),
+    never an O(table) directory walk: per-leaf listStatus through py4j
+    measured ~2.5 ms/leaf, a 20 s tax per one-row commit at 8k leaves
+    and unbounded at 100 TB. (Sweeping the dropped version's FULL leaf
+    enumeration would re-introduce that walk on every commit past
+    retention depth, which is every commit at steady state.) Orphan dirs
     from writers that crashed between their data-dir renames and the
     manifest publish live in leaves no manifest names; the explicit
     maintenance action ``snapshot_remove_orphans`` (``full_sweep=True``
@@ -2792,9 +2847,7 @@ def _vacuum_snapshots(
             live_tokens.setdefault(leaf, set()).update(toks)
     candidates = set(sweep_leaves or [])
     for v in dropped:
-        m = metas[v]
-        candidates.update(m["partitions"])
-        candidates.update(m.get("deletes", {}))
+        candidates |= _newly_dead_leaves(metas[v], live_tokens)
         _delete(jvm, fs, _manifest_path(path, v))
     # segment files referenced by NO retained manifest (dropped versions'
     # exclusive segments, or strands of a crash between segment writes

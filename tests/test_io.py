@@ -1013,3 +1013,53 @@ def test_live_commit_lock_blocks_until_released(spark, tmp_path):
     t.join()
     assert released.is_set(), "commit finished while the lock was held"
     assert [r["w"] for r in spark.read.parquet(p).collect()] == ["new"]
+
+
+def test_lock_heartbeat_prevents_live_reclaim(spark, tmp_path):
+    """A LIVE holder is never mistaken for a crashed one: the heartbeat
+    refreshes the lock's mtime every stale_s/4, so a waiter that arrives
+    after stale_s must still TIME OUT rather than reclaim — the stale
+    window reclaims crashed holders only. The SERVICE lock wraps whole
+    rebuild sequences (O(corpus) at scale), so 'held longer than stale_s'
+    is a legitimate state, not a crash signal."""
+    import pytest as _pytest
+
+    from callio_etl_spark.io import acquire_table_lock, release_table_lock
+
+    p = str(tmp_path / "beat_t")
+    lock = acquire_table_lock(spark, p, stale_s=1.0)
+    try:
+        time.sleep(1.6)  # > stale_s: only the heartbeat keeps it fresh
+        with _pytest.raises(TimeoutError):
+            acquire_table_lock(spark, p, timeout_s=0.8, stale_s=1.0)
+        assert os.path.exists(lock)
+    finally:
+        release_table_lock(spark, p)
+    assert not os.path.exists(lock), "release must delete the beaten lock"
+    # and the table is immediately acquirable again
+    acquire_table_lock(spark, p)
+    release_table_lock(spark, p)
+    assert not os.path.exists(lock)
+
+
+def test_lock_release_respects_a_reclaimed_lock(spark, tmp_path):
+    """If a reclaim somehow races the heartbeat (holder paused past the
+    stale window), the original holder must NOT delete the new holder's
+    lock on release: ownership is token-checked once a beat has fired,
+    so split-brain never cascades into a second mutual-exclusion loss."""
+    from callio_etl_spark import io as cio
+    from callio_etl_spark.io import acquire_table_lock, release_table_lock
+
+    p = str(tmp_path / "reclaim_t")
+    lock = acquire_table_lock(spark, p, stale_s=0.8)
+    _stop, fired, _token, mutex = cio._LOCK_BEATS[lock]
+    assert fired.wait(15), "heartbeat never fired"
+    with mutex:  # serialize with the beat: no in-flight write can revert us
+        with open(lock, "w") as fh:
+            fh.write("someone-else")  # a waiter's reclaim + re-acquire
+    time.sleep(0.45)  # next beat observes the foreign token and stops
+    release_table_lock(spark, p)
+    assert os.path.exists(lock), "release deleted a lock it no longer owned"
+    with open(lock) as fh:
+        assert fh.read() == "someone-else"
+    os.remove(lock)

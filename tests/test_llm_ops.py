@@ -2113,7 +2113,19 @@ def test_band_index_pin_commits_atomically_and_backfills(spark, tmp_path):
     assert "band.rows_per_band" in props
 
     # BACKFILL: simulate a pre-pin index (unset the properties), land a
-    # delta, tick with explicit args — the pin must be re-recorded
+    # delta, tick with DELIBERATELY WRONG explicit args — the backfill
+    # must pin the geometry the index was actually banded at (inferred
+    # from its own rows: band_key length + max band), NOT the caller's
+    # args, and the delta must be banded at the inferred geometry too —
+    # trusting the args here would mix incompatible band keys, the very
+    # drift the pin excludes
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        HASH_HEX_CHARS,
+        plan_band_geometry_for_size,
+    )
+
+    true_geom = plan_band_geometry_for_size(6)
+    assert true_geom != (2, 4), "pick wrong-args != the planned geometry"
     snap.snapshot_set_properties(
         spark, idx_p,
         {"band.rows_per_band": None, "band.n_bands": None},
@@ -2127,7 +2139,17 @@ def test_band_index_pin_commits_atomically_and_backfills(spark, tmp_path):
         spark, docs_p, idx_p, cursor, rows_per_band=2, n_bands=4
     ) is not None
     props = snap.snapshot_properties(spark, idx_p)
-    assert (int(props["band.rows_per_band"]), int(props["band.n_bands"])) == (2, 4)
+    assert (
+        int(props["band.rows_per_band"]), int(props["band.n_bands"])
+    ) == true_geom
+    idx = snap.snapshot_read(spark, idx_p)
+    key_lens = {
+        r[0] for r in idx.select(F.length("band_key")).distinct().collect()
+    }
+    assert key_lens == {true_geom[0] * HASH_HEX_CHARS}, (
+        "delta banded at a different key length than the carried rows"
+    )
+    assert idx.agg(F.max("band")).first()[0] == true_geom[1] - 1
 
 
 def test_vector_index_pin_backfilled_when_missing(spark, tmp_path):
@@ -2180,6 +2202,60 @@ def test_vector_index_pin_backfilled_when_missing(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="quantizer drift"):
         maintain_vector_index(spark, vp, ip, fwd, cursor, cells_b)
+
+
+def test_vector_index_backfill_refuses_disagreeing_cells(spark, tmp_path):
+    """The pin backfill must not bless a quantizer mix: an UNPINNED index
+    ticked with cells that DISAGREE with its existing postings (sampled
+    postings re-assigned under the tick's cells land in different
+    partitions) is refused with a rebuild pointer — backfilling that
+    fingerprint would permanently record the wrong quantizer over an
+    index assigned under another one."""
+    import pytest as _pytest
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.similarity import maintain_vector_index
+
+    vp, ip, fwd = (
+        str(tmp_path / "vecs"), str(tmp_path / "idx"), str(tmp_path / "fwd")
+    )
+    cursor = str(tmp_path / "cursor.json")
+    cells_a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, cv array<double>"
+    )
+    # swapped labels: every vector re-assigns to the OTHER cell, so the
+    # sample check must observe 100% disagreement
+    cells_swapped = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "label int, cv array<double>"
+    )
+
+    def vecs_df(ids, part_base=0):
+        return spark.createDataFrame(
+            [
+                (i, [float(1 + i % 3), float(i % 2)], str(part_base + i % 2))
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, p string",
+        )
+
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(8)), vp, "p", keep_snapshots=10
+    )
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a) is not None
+    snap.snapshot_set_properties(
+        spark, ip, {"ivf.quantizer_md5": None}, keep_snapshots=10
+    )
+    # the delta lands in NEW partitions (p=2/3): the original postings are
+    # NOT in the change feed, so the sample check sees them
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(8, 12), part_base=2), vp, "p", keep_snapshots=10
+    )
+    with _pytest.raises(ValueError, match="rebuild_vector_index"):
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells_swapped)
+    # the refusal must not have pinned anything or moved the cursor
+    assert "ivf.quantizer_md5" not in snap.snapshot_properties(spark, ip)
+    assert maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a) is not None
+    assert "ivf.quantizer_md5" in snap.snapshot_properties(spark, ip)
 
 
 def test_maintain_and_rebuild_hold_service_lock(spark, tmp_path, monkeypatch):

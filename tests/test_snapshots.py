@@ -2971,3 +2971,77 @@ def test_cdc_diff_prunes_identical_segments(spark, tmp_path):
         )
         feed2 = snap.snapshot_changes(spark, p2, w1, w2, ["k"]).collect()
         assert any(r["k"] == 7 for r in feed2)
+
+
+def test_steady_state_vacuum_is_scoped_to_touched_leaves(spark, tmp_path):
+    """At steady state EVERY commit drops a retention version — if the
+    vacuum then swept the dropped manifest's FULL leaf enumeration, each
+    commit would pay an O(table) listStatus walk (the exact per-commit
+    table walk the scoped vacuum exists to avoid). Proof by observation:
+    an unreferenced token-named strand planted in an UNTOUCHED leaf must
+    SURVIVE a steady-state one-leaf commit (the sweep never visited that
+    leaf), the newly-dead dir in the touched leaf must be reclaimed, and
+    the explicit snapshot_remove_orphans (the scheduled O(table) action)
+    must then take the strand."""
+    import os
+
+    p = str(tmp_path / "scoped_vac")
+    base = spark.createDataFrame(
+        [(i, str(i % 40)) for i in range(200)], "k long, pk string"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "pk", keep_snapshots=2)
+
+    def one_leaf(tag):
+        return spark.createDataFrame(
+            [(1000 + tag, "1")], "k long, pk string"
+        )
+
+    snap.snapshot_partition_overwrite(spark, one_leaf(1), p, "pk", keep_snapshots=2)
+    old_tok_dirs = {
+        d for d in os.listdir(f"{p}/pk=1") if d.startswith("__s")
+    }
+    # plant a strand (crashed-writer shape) in an untouched leaf
+    strand = f"{p}/pk=7/__s777777_deadbeef__"
+    os.makedirs(strand)
+    with open(f"{strand}/x.parquet", "w") as fh:
+        fh.write("junk")
+
+    # steady state: this commit drops v1 from retention
+    snap.snapshot_partition_overwrite(spark, one_leaf(2), p, "pk", keep_snapshots=2)
+    assert os.path.isdir(strand), (
+        "vacuum listed an untouched leaf at steady state: the per-commit "
+        "sweep is O(table) again"
+    )
+    live_tok_dirs = {
+        d for d in os.listdir(f"{p}/pk=1") if d.startswith("__s")
+    }
+    # pk=1 held v1's and v2's dirs before the drop; v1's died with v1
+    # (v2/v3 rewrote the leaf), so exactly v2's survives alongside v3's
+    assert len(old_tok_dirs) == 2 and len(live_tok_dirs) == 2
+    assert len(old_tok_dirs & live_tok_dirs) == 1, (
+        "the touched leaf's newly-dead dir was not reclaimed"
+    )
+
+    # the scheduled full walk takes the strand
+    snap.snapshot_remove_orphans(spark, p, keep_snapshots=2)
+    assert not os.path.exists(strand)
+    got = snap.snapshot_read(spark, p).where(F.col("pk") == "1").collect()
+    assert [r["k"] for r in got] == [1002]
+
+
+def test_newly_dead_leaves_pure():
+    """Unit contract of the vacuum's scoping math: only leaves whose
+    dropped tokens are not all still live are swept candidates."""
+    from callio_etl_spark.snapshots import _newly_dead_leaves
+
+    dropped = {
+        "partitions": {"pk=1": "t1", "pk=2": "t2", "pk=3": ["t3a", "t3b"]},
+        "deletes": {"pk=2": ["d2"], "pk=9": ["d9"]},
+    }
+    live = {
+        "pk=1": {"t1"},            # fully carried: not a candidate
+        "pk=2": {"t2"},            # data live but delete file d2 dead
+        "pk=3": {"t3a"},           # t3b dead
+        # pk=9 absent: its delete file is dead
+    }
+    assert _newly_dead_leaves(dropped, live) == {"pk=2", "pk=3", "pk=9"}

@@ -89,6 +89,21 @@ def main() -> None:
                 row[f"{mode}_commit_new_meta_files"] = len(new)
                 row[f"{mode}_total_meta_bytes"] = sum(after.values())
                 row[f"{mode}_one_leaf_commit_s"] = round(commit_s, 3)
+                # STEADY STATE: this commit DROPS a version from
+                # retention — the vacuum's reclaim sweep runs. Scoped
+                # (newly-dead leaves only) it stays flat in table size;
+                # sweeping the dropped manifest's full enumeration would
+                # cost ~2.5 ms/leaf of listStatus here.
+                one2 = spark.createDataFrame(
+                    [(10**9 + 1, 8, "3")], "k long, v long, p string"
+                )
+                t0 = time.perf_counter()
+                snap.snapshot_partition_overwrite(
+                    spark, one2, p, "p", keep_snapshots=2
+                )
+                row[f"{mode}_steady_state_commit_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
                 snap._SEG_CACHE.clear()
                 t0 = time.perf_counter()
                 m = snap.snapshot_manifest(spark, p)
