@@ -1210,9 +1210,11 @@ def snapshot_properties(
     spark: SparkSession, path: str, version: int | None = None
 ) -> dict:
     """The table's properties map as of the given (default: latest
-    published) version — empty dict if none were ever set."""
+    published) version — empty dict if none were ever set. Properties
+    are a top-manifest field, so on a spilled (segmented) table this is
+    a top-only resolve (leaves=[]): O(1) metadata at any leaf count."""
     return dict(
-        snapshot_manifest(spark, path.rstrip("/"), version).get(
+        snapshot_manifest(spark, path.rstrip("/"), version, leaves=[]).get(
             "properties", {}
         )
     )
