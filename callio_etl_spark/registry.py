@@ -48,7 +48,10 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
 #: per-round slot ledger). State entering the r10 driver run: the
-#: registry holds 207 queries (r9's 203 plus the four r10 registrations:
+#: registry holds 208 queries (r9's 203 plus the five r10 registrations —
+#: the late fifth being api_http_ingest, the paginated-API source end to
+#: end over REAL HTTP against the in-process endpoint, which takes the
+#: 50th slot from percentile_summary (now leading the r11 cohort) — and:
 #: rebuild_band_index / rebuild_vector_index — the explicit re-key /
 #: re-index verbs the geometry and quantizer pins point to, as
 #: oracle-checked roundtrips (seed-geometry build -> growth at the old
@@ -88,11 +91,12 @@ DRIVER_PRIORITY: list[str] = [
     "sink_versioned_restore",
     "unigram_rarity",
     "zorder_layout",
-    # --- r10 first-time oracle-bearing rows (4) ---
+    # --- r10 first-time oracle-bearing rows (5) ---
     "rebuild_band_index",
     "rebuild_vector_index",
     "stream_ingest_vector_index",
     "sink_remove_orphans",
+    "api_http_ingest",
     # --- canaries: flagship + merge anchor (3) ---
     "fact_staff_daily",
     "fact_status_pivot",
@@ -131,9 +135,10 @@ DRIVER_PRIORITY: list[str] = [
     "length_batching",
     "minhash_incremental_grown",
     "null_semantics_suite",
+    # --- positions 51-64: the cohort's last fourteen fall just outside
+    #     the 50-row window this round (percentile_summary displaced by
+    #     the late api_http_ingest registration) and lead the r11 window
     "percentile_summary",
-    # --- positions 51-63: the cohort's last thirteen fall just outside
-    #     the 50-row window this round and lead the r11 window ---
     "pivot_event_types",
     "pmi_cooccurrence",
     "posexplode_tokens",
@@ -183,6 +188,7 @@ def _load_all() -> None:
         return
     from callio_etl_spark.queries import (  # noqa: F401
         advanced,
+        api_source,
         cdc,
         data_quality,
         fact_staff_daily,

@@ -37,8 +37,12 @@ of translating the loop:
 
 Transports: ``JsonlApiTransport`` is the deterministic offline backend
 (a JSONL file stands in for the endpoint; same three calls a real client
-needs). ``HttpApiTransport`` documents the real-endpoint surface and
-raises until pointed at one — this container has no network.
+needs). ``HttpApiTransport`` is the REAL urllib client speaking the
+reference's wire surface (login POST, token header, 401 force-refresh,
+result-window 400) — verified in-container against
+``local_api_server.LocalCallioApiServer`` since this sandbox has no
+external network; a deployment points ``base_url`` at the live endpoint
+and changes nothing else.
 
 The global ``limit_records`` cap (reference ``config.py:203-204``) is a
 driver-side concern in Spark: apply ``.limit(n)`` on the returned
@@ -166,26 +170,135 @@ class JsonlApiTransport:
 
 
 class HttpApiTransport:
-    """The real-endpoint surface (reference api.py perform_request /
-    _login). Not runnable here — this environment has no network; the
-    class exists so a deployment only swaps the transport, never the
-    planner or reader."""
+    """The REAL HTTP backend — stdlib urllib, no extra dependency —
+    speaking the reference client's exact wire surface (reference
+    api.py:81-90 ``_login``: POST {base}/auth/login {email,password} ->
+    {"token"}; api.py:130-148 ``perform_request``: GET {base}/{endpoint}
+    with header ``token`` and params page/pageSize/sort=<field>DESC/
+    from/to, one forced re-login + retry on 401; api.py:170-180: HTTP
+    400 whose body contains the literal "Result window is too large"
+    maps to ``ResultWindowTooLarge``; payload fields docs / totalDocs |
+    total / hasNextPage).
 
-    def __init__(self, base_url: str, timeout_s: float = 90.0):
-        self.base_url = base_url
+    Picklable (plain attrs; the token cache is per-process and rebuilt
+    lazily on executors), so the SAME planner/reader run against this
+    transport unchanged: ``count`` is a pageSize=1 probe reading
+    totalDocs (the planner's bisection input), ``latest_ts`` a
+    pageSize=1 descending probe (the stream's latestOffset). Verified
+    end to end in-container against
+    ``local_api_server.LocalCallioApiServer`` (this sandbox has no
+    external network; a deployment only changes ``base_url``)."""
+
+    def __init__(
+        self,
+        base_url: str,
+        endpoint: str = "event",
+        email: str | None = None,
+        password: str | None = None,
+        tenant: str = "default",
+        time_field: str = "ts_ms",
+        timeout_s: float = 90.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.endpoint = endpoint.strip("/")
+        self.email = email
+        self.password = password
+        self.tenant = tenant
+        self.time_field = time_field
         self.timeout_s = timeout_s
+        self._cache = None  # per-process TokenCache, never pickled
 
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_cache"] = None
+        return state
+
+    # --------------------------------------------------------------- http
     def login(self, tenant: str) -> str:
-        raise NotImplementedError("no network in this environment")
+        import urllib.request
 
+        req = urllib.request.Request(
+            f"{self.base_url}/auth/login",
+            data=json.dumps(
+                {"email": self.email, "password": self.password}
+            ).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            token = (json.load(resp) or {}).get("token")
+        if not token:
+            raise RuntimeError(f"[{tenant}] cannot obtain Callio token")
+        return token
+
+    def _token(self, force: bool = False) -> str:
+        if self._cache is None:
+            self._cache = TokenCache(login=self.login)
+        return self._cache.get(self.tenant, force=force)
+
+    def _get(self, params: dict, token: str) -> tuple[int, bytes]:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        url = (
+            f"{self.base_url}/{self.endpoint}?"
+            f"{urllib.parse.urlencode(params)}"
+        )
+        req = urllib.request.Request(url, headers={"token": token})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    def _request(self, params: dict) -> dict:
+        status, body = self._get(params, self._token())
+        if status == 401:
+            # token expired server-side before the client TTL: force
+            # refresh and retry ONCE (reference api.py:137-148)
+            status, body = self._get(params, self._token(force=True))
+        if status == 400 and b"Result window is too large" in body:
+            raise ResultWindowTooLarge(body.decode("utf-8", "replace")[:200])
+        if status != 200:
+            raise RuntimeError(
+                f"API {status} on {self.endpoint}: "
+                f"{body.decode('utf-8', 'replace')[:200]}"
+            )
+        return json.loads(body)
+
+    def _params(self, page: int, page_size: int,
+                from_ms: int | None = None, to_ms: int | None = None) -> dict:
+        params: dict = {
+            "page": page,
+            "pageSize": page_size,
+            "sort": f"{self.time_field}DESC",
+        }
+        if from_ms is not None:
+            params["from"] = max(0, int(from_ms))
+        if to_ms is not None:
+            params["to"] = max(0, int(to_ms))
+        return params
+
+    # ---------------------------------------------------------- transport
     def count(self, from_ms: int, to_ms: int) -> int:
-        raise NotImplementedError("no network in this environment")
+        payload = self._request(self._params(1, 1, from_ms, to_ms))
+        return int(payload.get("totalDocs") or payload.get("total") or 0)
 
     def latest_ts(self) -> int:
-        raise NotImplementedError("no network in this environment")
+        payload = self._request(self._params(1, 1))
+        docs = payload.get("docs") or []
+        return int(docs[0][self.time_field]) if docs else 0
 
     def fetch_page(self, token, from_ms, to_ms, page, page_size):
-        raise NotImplementedError("no network in this environment")
+        # the token argument keeps the transport contract; the HTTP
+        # backend owns its refresh cycle (401 -> force re-login) exactly
+        # like the reference client, so a stale caller token never fails
+        # a page
+        payload = self._request(
+            self._params(page, page_size, from_ms, to_ms)
+        )
+        return payload.get("docs") or [], bool(payload.get("hasNextPage"))
 
 
 def plan_slices(
@@ -371,10 +484,13 @@ class CallioPagedDataSource(DataSource):
     """``spark.read.format("callio_paged_api")`` (batch) or
     ``spark.readStream.format("callio_paged_api")`` (incremental ticks).
 
-    Options: ``path`` (JSONL endpoint data), ``window_end_ms`` (batch
-    only, required: scan upper bound — the reference uses now(), pinned
-    for determinism), ``cutoff_ms``, ``time_field``, ``page_size``,
-    ``slice_ms``, ``min_slice_ms``, ``result_window``, ``tenant``."""
+    Backends (mutually exclusive options): ``base_url`` selects the real
+    HTTP transport (plus ``endpoint``, ``email``, ``password``,
+    ``timeout_s``); ``path`` selects the offline JSONL transport. Common
+    options: ``window_end_ms`` (batch only, required: scan upper bound —
+    the reference uses now(), pinned for determinism), ``cutoff_ms``,
+    ``time_field``, ``page_size``, ``slice_ms``, ``min_slice_ms``,
+    ``result_window``, ``tenant``."""
 
     @classmethod
     def name(cls) -> str:
@@ -383,7 +499,17 @@ class CallioPagedDataSource(DataSource):
     def schema(self) -> str:
         return self.options.get("api_schema", DEFAULT_SCHEMA)
 
-    def _transport(self) -> JsonlApiTransport:
+    def _transport(self):
+        if "base_url" in self.options:
+            return HttpApiTransport(
+                self.options["base_url"],
+                endpoint=self.options.get("endpoint", "event"),
+                email=self.options.get("email"),
+                password=self.options.get("password"),
+                tenant=self.options.get("tenant", "default"),
+                time_field=self.options.get("time_field", "ts_ms"),
+                timeout_s=float(self.options.get("timeout_s", 90.0)),
+            )
         return JsonlApiTransport(
             self.options["path"],
             self.options.get("time_field", "ts_ms"),

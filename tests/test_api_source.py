@@ -304,3 +304,202 @@ def test_stream_incremental_ticks_resume_from_offset(spark, tmp_path):
     assert got2.count() == 75  # no replays, no gaps
     assert got2.where("_id like 'n%'").count() == 15
     assert got2.select("_id").distinct().count() == 75
+
+
+# ------------------------------------------------------------- live HTTP
+
+
+def _mk_full_rows(n, start_ms, step_ms, prefix="h"):
+    return [
+        {
+            "_id": f"{prefix}{i}",
+            "ts_ms": start_ms + i * step_ms,
+            "user_id": i % 7,
+            "event_type": f"t{i % 3}",
+            "value": str(i),
+        }
+        for i in range(n)
+    ]
+
+
+def test_http_transport_login_refresh_and_refusal():
+    """The REAL urllib transport against the in-process server: count
+    probe reads totalDocs, pages come back descending, the literal
+    'Result window is too large' 400 maps to ResultWindowTooLarge, a
+    server-side token expiry mid-walk forces exactly the reference's
+    401 -> re-login -> retry path, and the transport pickles (executor
+    shipping) without carrying its token cache."""
+    import pickle
+
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+    from callio_etl_spark.sources.paged_api import HttpApiTransport
+
+    rows = _mk_full_rows(100, 0, 1000)
+    srv = LocalCallioApiServer(
+        rows, accounts={"e@x.com": "pw"}, result_window=60,
+        expire_token_after=5,
+    )
+    base = srv.start()
+    try:
+        t = HttpApiTransport(base, "event", email="e@x.com", password="pw")
+        assert t.count(0, 10**9) == 100
+        assert t.latest_ts() == 99_000
+        docs, has_next = t.fetch_page(None, 0, 10**9, 1, 20)
+        assert [d["_id"] for d in docs[:2]] == ["h99", "h98"] and has_next
+        with pytest.raises(ResultWindowTooLarge):
+            t.fetch_page(None, 0, 10**9, 4, 20)
+        for _ in range(8):  # burn past the 5-use expiry repeatedly
+            t.fetch_page(None, 0, 10**9, 1, 5)
+        assert srv.logins >= 2, "401 never forced a re-login"
+        t2 = pickle.loads(pickle.dumps(t))
+        assert t2._cache is None
+        assert t2.count(0, 10**9) == 100
+    finally:
+        srv.stop()
+
+
+def test_http_transport_bad_credentials_fail_loud():
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+    from callio_etl_spark.sources.paged_api import HttpApiTransport
+
+    srv = LocalCallioApiServer(_mk_full_rows(5, 0, 1000),
+                               accounts={"e@x.com": "pw"})
+    base = srv.start()
+    try:
+        t = HttpApiTransport(base, "event", email="e@x.com", password="WRONG")
+        with pytest.raises(Exception):
+            t.count(0, 10**9)
+    finally:
+        srv.stop()
+
+
+def test_spark_read_http_end_to_end(spark):
+    """spark.read.format('callio_paged_api').option('base_url', ...) —
+    the planner probes counts over HTTP, bisects the hot slice, executors
+    walk pages in parallel over HTTP with server-side token expiry
+    forcing mid-walk re-logins, and the cutoff early-stop holds."""
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+
+    rows = (
+        _mk_full_rows(40, 0, 30 * 60 * 1000, prefix="a")
+        + _mk_full_rows(500, DAY + 6 * HOUR, 1000, prefix="hot")
+        + _mk_full_rows(40, 2 * DAY, 30 * 60 * 1000, prefix="c")
+    )
+    srv = LocalCallioApiServer(
+        rows, accounts={"etl@example.com": "pw"}, result_window=100_000,
+        expire_token_after=7,
+    )
+    base = srv.start()
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        cutoff = 10 * 30 * 60 * 1000
+        df = (
+            spark.read.format("callio_paged_api")
+            .option("base_url", base)
+            .option("endpoint", "event")
+            .option("email", "etl@example.com")
+            .option("password", "pw")
+            .option("window_end_ms", 3 * DAY)
+            .option("cutoff_ms", cutoff)
+            .option("result_window", 200)
+            .option("page_size", 50)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() > 3  # hot day bisected over HTTP
+        got = df.collect()
+        expect = [r for r in rows if r["ts_ms"] > cutoff]
+        assert {r["_id"] for r in got} == {r["_id"] for r in expect}
+        assert srv.logins >= 2  # expiry forced re-logins on executors
+    finally:
+        srv.stop()
+
+
+def test_spark_read_http_result_window_resume(spark):
+    """Counts drifting between plan and fetch: the server enforces a
+    SMALLER window than the planner assumed, so executors hit the 400
+    mid-walk and must recover via the resume-from-oldest loop — the
+    reference's reactive S4 fallback, over real HTTP."""
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+
+    rows = _mk_full_rows(300, 0, 1000)
+    srv = LocalCallioApiServer(
+        rows, accounts={"etl@example.com": "pw"}, result_window=100,
+    )
+    base = srv.start()
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        df = (
+            spark.read.format("callio_paged_api")
+            .option("base_url", base)
+            .option("email", "etl@example.com")
+            .option("password", "pw")
+            .option("window_end_ms", 10**9)
+            .option("cutoff_ms", -1)
+            .option("result_window", 100_000)  # planner believes one slice
+            .option("page_size", 50)
+            .load()
+        )
+        got = df.collect()
+        assert len(got) == 300  # nothing lost across resume boundaries
+        assert {r["_id"] for r in got} == {r["_id"] for r in rows}
+        assert srv.refusals >= 1  # the 400 path genuinely fired
+    finally:
+        srv.stop()
+
+
+def test_stream_ticks_over_http(spark, tmp_path):
+    """The streaming reader over the REAL transport: latestOffset probes
+    the endpoint (pageSize=1 descending), the first availableNow run
+    drains everything, new rows landing on the server after it are
+    exactly what the second run emits (offset log = checkpoint)."""
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+
+    rows1 = _mk_full_rows(60, 1000, 60_000, prefix="s")
+    srv = LocalCallioApiServer(rows1, accounts={"etl@example.com": "pw"})
+    base = srv.start()
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+        def run_once():
+            q = (
+                spark.readStream.format("callio_paged_api")
+                .option("base_url", base)
+                .option("email", "etl@example.com")
+                .option("password", "pw")
+                .option("cutoff_ms", 0)
+                .option("page_size", 25)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert not q.isActive
+
+        run_once()
+        assert spark.read.parquet(out).count() == 60
+        last_ts = rows1[-1]["ts_ms"]
+        extra = _mk_full_rows(15, last_ts + 1000, 1000, prefix="n")
+        srv.rows = sorted(
+            srv.rows + extra,
+            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
+        )
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == 75
+        assert got.where(got._id.startswith("n")).count() == 15
+    finally:
+        srv.stop()
