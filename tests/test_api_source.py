@@ -503,3 +503,97 @@ def test_stream_ticks_over_http(spark, tmp_path):
         assert got.where(got._id.startswith("n")).count() == 15
     finally:
         srv.stop()
+
+
+def test_http_api_drives_the_full_incremental_loop(spark, tmp_path):
+    """The reference's whole production loop, over REAL HTTP: the
+    checkpoint store's cutoff feeds the source's cutoff_ms (S1/C1), the
+    source early-stops at it on the server (S2), run_tick dedups and
+    MERGEs the batch (D3/J8), the checkpoint advances only after the
+    merge (C4) — and tick 2 fetches ONLY what landed after tick 1's
+    watermark, idempotently."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.pipeline import (
+        IncrementalTable,
+        commit,
+        run_tick,
+    )
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+    import pyspark.sql.functions as F
+
+    rows1 = _mk_full_rows(40, 1_000_000, 60_000, prefix="x")
+    srv = LocalCallioApiServer(rows1, accounts={"etl@example.com": "pw"})
+    base = srv.start()
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        store = CheckpointStore(
+            spark, str(tmp_path / "update_log"), overlap_ms=0
+        )
+        table = IncrementalTable(
+            name="ApiEvents", keys=["tenant", "_id"], time_col_ms="ts_ms"
+        )
+
+        def fetch(window_end_ms):
+            cutoff = store.cutoff_ms(table.name, "PK", window_end_ms)
+            df = (
+                spark.read.format("callio_paged_api")
+                .option("base_url", base)
+                .option("email", "etl@example.com")
+                .option("password", "pw")
+                .option("window_end_ms", window_end_ms)
+                .option("cutoff_ms", max(0, cutoff))
+                .option("page_size", 16)
+                .load()
+            )
+            return df.select(
+                "_id", "ts_ms", "event_type",
+                F.lit("PK").alias("tenant"),
+                F.md5(F.concat_ws("|", "_id", "event_type")).alias(
+                    "row_hash"
+                ),
+            )
+
+        now1 = rows1[-1]["ts_ms"] + 1
+        b1 = fetch(now1)
+        merged1, ck1 = run_tick(
+            spark, store, table, b1, None, "PK", now_ms=now1
+        )
+        merged1 = merged1.localCheckpoint()
+        commit(store, table, "PK", ck1)
+        assert merged1.count() == 40
+        assert ck1 == rows1[-1]["ts_ms"]
+
+        # new rows land on the server + one UPDATE of an old id
+        extra = _mk_full_rows(10, now1 + 1000, 1000, prefix="y")
+        update = dict(rows1[0])  # _id x0 re-emitted with a newer ts
+        update["ts_ms"] = now1 + 50_000
+        update["event_type"] = "updated"
+        srv.rows = sorted(
+            srv.rows + extra + [update],
+            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
+        )
+        now2 = now1 + 120_000
+        b2 = fetch(now2)
+        # the source early-stopped at the checkpoint: only the delta came
+        assert b2.count() == 11
+        merged2, ck2 = run_tick(
+            spark, store, table, b2, merged1, "PK", now_ms=now2
+        )
+        merged2 = merged2.localCheckpoint()
+        commit(store, table, "PK", ck2)
+        assert merged2.count() == 50  # 40 + 10 inserts, x0 updated in place
+        got = {r["_id"]: r["event_type"] for r in merged2.collect()}
+        assert got["x0"] == "updated"
+
+        # replaying tick 2's batch is a no-op (row_hash MERGE guard)
+        merged3, _ = run_tick(
+            spark, store, table, b2, merged2, "PK", now_ms=now2
+        )
+        assert merged3.count() == 50
+        assert {
+            r["_id"]: r["event_type"] for r in merged3.collect()
+        } == got
+    finally:
+        srv.stop()

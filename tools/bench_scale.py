@@ -149,6 +149,14 @@ HELD: dict[str, dict[str, object]] = {
 }
 
 CAUSES = {
+    "api_http_ingest": (
+        "wall-clock reads the ENDPOINT's throughput, not engine work: the "
+        "in-process single-threaded HTTP server serves 10x the rows over "
+        "10x the pages (plus the driver collect that seeds it); the Spark "
+        "side is N bisected slices fetched in parallel + one distributed "
+        "agg. Against a production endpoint the same plan saturates "
+        "whatever the API will serve."
+    ),
     "rebuild_band_index": (
         "the DELIBERATE O(corpus) pass: seed build + growth tick + full "
         "re-band at the re-planned geometry + adversarial tick — the "
