@@ -434,6 +434,34 @@ def test_snapshot_model_based_random_sequences(spark, tmp_path):
                 }
                 assert got_v == want_v, f"pinned v{pv} mismatch (seed {seed})"
 
+            # disk invariant: the token dirs on disk are EXACTLY the
+            # union of the retained manifests' references — a leak means
+            # the scoped vacuum failed to reclaim a newly-dead dir, an
+            # extra deletion would have broken a pinned read above
+            import os as _os
+
+            on_disk: dict[str, set] = {}
+            for leaf in _os.listdir(p):
+                if "=" not in leaf:
+                    continue
+                for tok in _os.listdir(f"{p}/{leaf}"):
+                    if tok.startswith("__s") and tok.endswith("__"):
+                        on_disk.setdefault(leaf, set()).add(tok)
+            referenced: dict[str, set] = {}
+            for pv in versions:
+                m = snap.snapshot_manifest(spark, p, version=pv)
+                for leaf in m["partitions"]:
+                    referenced.setdefault(leaf, set()).update(
+                        snap._leaf_toks(m, leaf)
+                    )
+                for leaf, toks in m.get("deletes", {}).items():
+                    referenced.setdefault(leaf, set()).update(toks)
+            assert on_disk == referenced, (
+                f"disk/manifest drift at v{version} (seed {seed}): "
+                f"leaked={{k: v - referenced.get(k, set()) for k, v in "
+                f"on_disk.items()}}"
+            )
+
 
 def test_schema_evolution_across_snapshot_versions(spark, tmp_path):
     """A commit may add columns: the manifest records the committed
@@ -3045,3 +3073,60 @@ def test_newly_dead_leaves_pure():
         # pk=9 absent: its delete file is dead
     }
     assert _newly_dead_leaves(dropped, live) == {"pk=2", "pk=3", "pk=9"}
+
+
+def test_failed_leaf_move_never_publishes(spark, tmp_path, monkeypatch):
+    """A rename failing partway through the (parallel) staged-leaf move
+    phase must abort the commit BEFORE the manifest publishes: readers
+    keep the old version bit-for-bit, the version list does not grow,
+    and the already-moved token dirs are exactly the strands the orphan
+    sweep reclaims — the crash contract the mover's docstring states."""
+    import pytest as _pytest
+
+    p = str(tmp_path / "failmove")
+    base = spark.createDataFrame(
+        [(i, str(i % 8)) for i in range(64)], "k long, pk string"
+    )
+    snap.snapshot_partition_overwrite(spark, base, p, "pk", keep_snapshots=3)
+    before = {
+        tuple(r) for r in snap.snapshot_read(spark, p).collect()
+    }
+    v_before = snap.snapshot_versions(spark, p)
+
+    real_rename = snap._rename
+    calls = {"n": 0}
+
+    def flaky_rename(jvm, fs, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 5 and "/pk=" in dst:
+            raise IOError(f"injected rename failure: {src} -> {dst}")
+        return real_rename(jvm, fs, src, dst)
+
+    monkeypatch.setattr(snap, "_rename", flaky_rename)
+    with _pytest.raises(IOError, match="injected"):
+        snap.snapshot_partition_overwrite(
+            spark,
+            base.withColumn("k", F.col("k") + 1000),
+            p,
+            "pk",
+            keep_snapshots=3,
+        )
+    monkeypatch.setattr(snap, "_rename", real_rename)
+
+    assert snap.snapshot_versions(spark, p) == v_before
+    assert {
+        tuple(r) for r in snap.snapshot_read(spark, p).collect()
+    } == before
+    # the partial move's strands are unreferenced; the sweep takes them
+    snap.snapshot_remove_orphans(spark, p, keep_snapshots=3)
+    assert {
+        tuple(r) for r in snap.snapshot_read(spark, p).collect()
+    } == before
+    # and the table commits normally afterwards
+    snap.snapshot_partition_overwrite(
+        spark, base.withColumn("k", F.col("k") + 5000), p, "pk",
+        keep_snapshots=3,
+    )
+    assert {r["k"] for r in snap.snapshot_read(spark, p).collect()} == {
+        k + 5000 for k in range(64)
+    }
