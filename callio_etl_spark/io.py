@@ -159,7 +159,7 @@ def _start_lock_heartbeat(
     spark: SparkSession, lock: str, token: str, stale_s: float
 ) -> None:
     stop, fired = threading.Event(), threading.Event()
-    mutex = threading.Lock()  # serializes beat writes against release
+    mutex = threading.Lock()  # serializes beat FS ops against release
     with _LOCK_BEATS_GUARD:
         old = _LOCK_BEATS.pop(lock, None)
         _LOCK_BEATS[lock] = (stop, fired, token, mutex)
@@ -171,20 +171,30 @@ def _start_lock_heartbeat(
         jvm, fs, _ = _hadoop(spark, lock)
         p = jvm.org.apache.hadoop.fs.Path(lock)
         while not stop.wait(stale_s / 4.0):
-            try:
-                with mutex:
-                    if stop.is_set():
-                        return  # release won the race: never resurrect
+            with mutex:
+                if stop.is_set():
+                    return  # release won the race
+                try:
                     if _read_lock_token(jvm, fs, p) != token:
                         return  # reclaimed by another holder: respect it
                     fired.set()
-                    out = fs.create(p, True)  # refresh mtime, keep token
+                    # refresh mtime WITHOUT replacing the file: a reclaim
+                    # racing this beat can therefore never be overwritten
+                    # (setTimes on a just-reclaimed foreign lock merely
+                    # refreshes the new holder's mtime — harmless, their
+                    # own beat does the same)
+                    fs.setTimes(p, int(time.time() * 1000), -1)
+                except Exception:
                     try:
-                        out.write(bytearray(token.encode("utf-8")))
-                    finally:
-                        out.close()
-            except Exception:
-                return  # lock gone (released concurrently): stop beating
+                        if not _exists(jvm, fs, lock):
+                            return  # lock gone (released/reclaimed): stop
+                    except Exception:
+                        pass  # even the probe failed: treat as transient
+                    # transient FS/gateway error: keep beating — dying
+                    # here would silently re-expose the live-holder
+                    # reclaim this thread exists to prevent (the next
+                    # beat is stale_s/4 away, 4 chances per window)
+                    continue
 
     threading.Thread(
         target=beat, daemon=True, name=f"lockbeat:{lock}"
@@ -224,7 +234,29 @@ def acquire_table_lock(
             return lock
         try:
             if time.time() - _mtime_s(jvm, fs, lock) > stale_s:
-                _delete(jvm, fs, lock)  # crashed holder: reclaim
+                # RENAME-claim the stale file (atomic: exactly one waiter
+                # wins the rename) and re-check staleness on the claimed
+                # file — a plain stat->delete would TOCTOU against a
+                # heartbeat that refreshed between the stat and delete
+                claim = f"{lock}.reclaim.{uuid.uuid4().hex[:8]}"
+                try:
+                    _rename(jvm, fs, lock, claim)
+                except IOError:
+                    continue  # lost the claim race / lock released
+                if time.time() - _mtime_s(jvm, fs, claim) > stale_s:
+                    _delete(jvm, fs, claim)  # genuinely dead: reclaimed
+                else:
+                    # raced a live beat: restore the holder's lock (if a
+                    # third party created a new lock inside this window,
+                    # drop the claim instead — they hold, and the original
+                    # holder's beat sees its token gone and stops)
+                    try:
+                        if _exists(jvm, fs, lock):
+                            _delete(jvm, fs, claim)
+                        else:
+                            _rename(jvm, fs, claim, lock)
+                    except Exception:
+                        _delete(jvm, fs, claim)
                 continue
         except Exception:
             continue  # lock released between the create and the stat
@@ -247,19 +279,30 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
         stop.set()
         if fired.is_set():
             # the lock lived past a beat interval: verify ownership before
-            # deleting — if a reclaim somehow raced the heartbeat, the file
-            # now belongs to another holder and must be left alone. The
-            # mutex excludes an in-flight beat write (which could otherwise
-            # resurrect the file after this delete). Sub-interval holds —
-            # every plain commit — skip all of this: plain delete.
+            # removing it — if a reclaim raced the heartbeat, the file now
+            # belongs to another holder and must be left alone. The
+            # verify+delete is made atomic by RENAME-claiming the file
+            # first (exactly one actor can win the rename); the mutex
+            # additionally excludes this process's own in-flight beat.
+            # Sub-interval holds — every plain commit — skip all of this:
+            # plain delete. Transient FS errors retry once and then leave
+            # the lock for the stale reclaim rather than best-guessing.
             with mutex:
-                try:
-                    if (
-                        _read_lock_token(
-                            jvm, fs, jvm.org.apache.hadoop.fs.Path(lock)
+                for attempt in (1, 2):
+                    claim = f"{lock}.release.{uuid.uuid4().hex[:8]}"
+                    try:
+                        _rename(jvm, fs, lock, claim)
+                    except IOError:
+                        return  # already gone (reclaim deleted it)
+                    try:
+                        cur = _read_lock_token(
+                            jvm, fs, jvm.org.apache.hadoop.fs.Path(claim)
                         )
-                        != token
-                    ):
+                        if cur == token:
+                            _delete(jvm, fs, claim)
+                            return
+                        # a reclaim re-owned the lock: restore it
+                        _rename(jvm, fs, claim, lock)
                         import logging
 
                         logging.getLogger(__name__).warning(
@@ -269,10 +312,26 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
                             lock,
                         )
                         return
-                except Exception:
-                    return  # already gone
-                _delete(jvm, fs, lock)
-                return
+                    except Exception:
+                        # restore the claimed file (ours or a reclaimer's)
+                        # before retrying/giving up — stranding it under
+                        # the claim name would un-lock the table while its
+                        # holder still believes it holds
+                        try:
+                            _rename(jvm, fs, claim, lock)
+                        except Exception:
+                            pass
+                        if attempt == 1:
+                            time.sleep(0.1)
+                            continue  # transient: retry once
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "lock %s: release verify failed twice; "
+                            "leaving the file for the stale reclaim",
+                            lock,
+                        )
+                        return
         with mutex:
             _delete(jvm, fs, lock)
         return

@@ -1680,11 +1680,13 @@ def maintain_band_index(
                 # partition probe (any bucket works), only on this rare
                 # self-heal path.
                 leaves = snapshot_manifest(spark, index_path)["partitions"]
-                if leaves:
-                    probe_bkt = int(next(iter(sorted(leaves))).split("=")[1])
+                inferred = None
+                for leaf in sorted(leaves)[:16]:
                     got = (
                         snapshot_read(
-                            spark, index_path, point=("bkt", probe_bkt)
+                            spark,
+                            index_path,
+                            point=("bkt", int(leaf.split("=")[1])),
                         )
                         .agg(
                             F.max(F.length("band_key")).alias("kl"),
@@ -1693,8 +1695,22 @@ def maintain_band_index(
                         .first()
                     )
                     if got["kl"] is not None:
-                        r_use = int(got["kl"]) // HASH_HEX_CHARS
-                        b_use = int(got["mb"]) + 1
+                        inferred = (
+                            int(got["kl"]) // HASH_HEX_CHARS,
+                            int(got["mb"]) + 1,
+                        )
+                        break
+                if inferred is None:
+                    # every probed bucket reads empty (e.g. rows masked
+                    # by pending delete files): refusing is the only safe
+                    # move — pinning the CALLER's unverified args here
+                    # would bless exactly the key mix the pin excludes
+                    raise ValueError(
+                        f"index {index_path} has no pinned geometry and "
+                        f"no readable rows to infer it from; run "
+                        f"rebuild_band_index to re-key and re-pin"
+                    )
+                r_use, b_use = inferred
         elif plan_geometry:
             n_docs = changed.where(F.col("_change") != "delete").count()
             r_use, b_use = plan_band_geometry_for_size(n_docs)

@@ -2288,7 +2288,7 @@ def maintain_vector_index(
             keep_snapshots=keep_snapshots,
         )
 
-    def process(batch: DataFrame) -> None:
+    def process(batch: DataFrame, bound_version: int) -> None:
         changed = batch.select("vec_id", "embedding", "_change").localCheckpoint(
             eager=True
         )
@@ -2350,9 +2350,13 @@ def maintain_vector_index(
                     .limit(256)
                     .localCheckpoint(eager=True)
                 )
-                vecs_now = snapshot_read(spark, vecs_path).select(
-                    "vec_id", "embedding"
-                )
+                # pinned to the batch's bound version: a vectors commit
+                # racing this tick must not make the sample's embeddings
+                # disagree with the postings for a same-quantizer index
+                # (a spurious refusal pointing at rebuild)
+                vecs_now = snapshot_read(
+                    spark, vecs_path, version=bound_version
+                ).select("vec_id", "embedding")
                 re_cells = assign_to_cells(
                     sample.join(vecs_now, "vec_id").select(
                         "vec_id",

@@ -320,8 +320,11 @@ def _move_staged_leaves(
     the manifest read path. Order is irrelevant: every move is an
     independent (leaf, token) pair and the manifest that makes them
     live publishes strictly after all of them. A failed move raises —
-    the commit never publishes, and the already-moved token dirs are
-    exactly the strands ``snapshot_remove_orphans`` sweeps."""
+    the commit never publishes, QUEUED moves are cancelled (only the
+    ~pool-width in-flight ones complete, so a failure at leaf #5 of
+    100k strands a handful of token dirs, not the whole staged set),
+    and the strands are exactly what ``snapshot_remove_orphans``
+    sweeps."""
 
     def move(leaf: str) -> None:
         dest_parent = f"{path}/{leaf}"
@@ -332,10 +335,24 @@ def _move_staged_leaves(
         for leaf in leaves:
             move(leaf)
         return
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
     with ThreadPoolExecutor(max_workers=min(16, len(leaves))) as ex:
-        list(ex.map(move, leaves))
+        futs = [ex.submit(move, leaf) for leaf in leaves]
+        done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+        err = next(
+            (f.exception() for f in done if f.exception() is not None),
+            None,
+        )
+        if err is not None:
+            for f in not_done:
+                f.cancel()
+            raise err
+        # FIRST_EXCEPTION wakes on full completion too: surface a failure
+        # that landed after the wait returned
+        for f in futs:
+            if f.done() and not f.cancelled() and f.exception() is not None:
+                raise f.exception()
 
 
 def _read_manifest(
@@ -3623,7 +3640,14 @@ def snapshot_consume_changes(
     cursor's version, raises: the consumer lagged past ``keep_snapshots``
     and must re-bootstrap (size retention past the slowest consumer,
     Delta's contract). Returns the version now acknowledged, or None if
-    there was nothing new."""
+    there was nothing new.
+
+    ``process`` may declare a SECOND positional parameter to receive the
+    version the batch is bound to (the head this call resolved): a
+    consumer that re-reads the source table mid-process must pin that
+    version, or a commit racing the tick makes its reads disagree with
+    the batch."""
+    import inspect
     path = path.rstrip("/")
     versions = snapshot_versions(spark, path)
     if not versions:
@@ -3651,7 +3675,14 @@ def snapshot_consume_changes(
             "consumer lagged past keep_snapshots; re-bootstrap (delete "
             "the cursor) or raise retention"
         )
-    process(batch)
+    try:
+        two_arg = len(inspect.signature(process).parameters) >= 2
+    except (TypeError, ValueError):
+        two_arg = False
+    if two_arg:
+        process(batch, live)
+    else:
+        process(batch)
     _write_cursor(cursor_file, live, path)  # atomic ack
     return live
 

@@ -214,6 +214,13 @@ class HttpApiTransport:
         return state
 
     # --------------------------------------------------------------- http
+    #: The HTTP backend owns its token lifecycle (per-process cache, 401
+    #: force-refresh inside _request) — readers must NOT pre-login on its
+    #: behalf: the eager token would be discarded by fetch_page, firing
+    #: one useless POST /auth/login per partition against the production
+    #: auth endpoint.
+    owns_auth = True
+
     def login(self, tenant: str) -> str:
         import urllib.request
 
@@ -417,7 +424,14 @@ class PagedApiReader(DataSourceReader):
         return [SlicePartition(s, e, self.cutoff_ms) for s, e in ranges]
 
     def read(self, partition: SlicePartition):
-        token = TokenCache(login=self.transport.login).get(self.tenant)
+        # transports that own their auth cycle (HTTP: per-process
+        # cache + 401 refresh) must not be pre-logged-in per
+        # partition — the token would be discarded by fetch_page
+        token = (
+            "owned"
+            if getattr(self.transport, "owns_auth", False)
+            else TokenCache(login=self.transport.login).get(self.tenant)
+        )
         yield from _walk_slice(
             self.transport, token, self.fields, self.time_field, partition,
             self.page_size,
@@ -467,7 +481,14 @@ class PagedApiStreamReader(DataSourceStreamReader):
         return [SlicePartition(s, e, lo) for s, e in ranges]
 
     def read(self, partition: SlicePartition):
-        token = TokenCache(login=self.transport.login).get(self.tenant)
+        # transports that own their auth cycle (HTTP: per-process
+        # cache + 401 refresh) must not be pre-logged-in per
+        # partition — the token would be discarded by fetch_page
+        token = (
+            "owned"
+            if getattr(self.transport, "owns_auth", False)
+            else TokenCache(login=self.transport.login).get(self.tenant)
+        )
         yield from _walk_slice(
             self.transport, token, self.fields, self.time_field, partition,
             self.page_size,

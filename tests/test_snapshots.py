@@ -3085,7 +3085,7 @@ def test_failed_leaf_move_never_publishes(spark, tmp_path, monkeypatch):
 
     p = str(tmp_path / "failmove")
     base = spark.createDataFrame(
-        [(i, str(i % 8)) for i in range(64)], "k long, pk string"
+        [(i, str(i % 64)) for i in range(256)], "k long, pk string"
     )
     snap.snapshot_partition_overwrite(spark, base, p, "pk", keep_snapshots=3)
     before = {
@@ -3093,12 +3093,17 @@ def test_failed_leaf_move_never_publishes(spark, tmp_path, monkeypatch):
     }
     v_before = snap.snapshot_versions(spark, p)
 
+    import threading as _th
+
     real_rename = snap._rename
     calls = {"n": 0}
+    counter_lock = _th.Lock()  # the mover is threaded: count exactly
 
     def flaky_rename(jvm, fs, src, dst):
-        calls["n"] += 1
-        if calls["n"] == 5 and "/pk=" in dst:
+        with counter_lock:
+            calls["n"] += 1
+            fire = calls["n"] == 5
+        if fire and "/pk=" in dst:
             raise IOError(f"injected rename failure: {src} -> {dst}")
         return real_rename(jvm, fs, src, dst)
 
@@ -3117,6 +3122,18 @@ def test_failed_leaf_move_never_publishes(spark, tmp_path, monkeypatch):
     assert {
         tuple(r) for r in snap.snapshot_read(spark, p).collect()
     } == before
+    # cancellation bound: the failure strands only the in-flight moves
+    # (~pool width), never the whole 64-leaf staged set
+    import os as _os
+
+    stranded = sum(
+        1
+        for leaf in _os.listdir(p)
+        if "=" in leaf
+        for tok in _os.listdir(f"{p}/{leaf}")
+        if tok.startswith("__s000002")
+    )
+    assert 0 < stranded < 40, f"expected a bounded strand count: {stranded}"
     # the partial move's strands are unreferenced; the sweep takes them
     snap.snapshot_remove_orphans(spark, p, keep_snapshots=3)
     assert {
@@ -3128,5 +3145,40 @@ def test_failed_leaf_move_never_publishes(spark, tmp_path, monkeypatch):
         keep_snapshots=3,
     )
     assert {r["k"] for r in snap.snapshot_read(spark, p).collect()} == {
-        k + 5000 for k in range(64)
+        k + 5000 for k in range(256)
     }
+
+
+def test_consume_changes_passes_bound_version(spark, tmp_path):
+    """A consumer's process may declare a second parameter to receive the
+    version the batch is bound to — the pin a mid-process re-read of the
+    source table needs (a commit racing the tick would otherwise make
+    re-reads disagree with the batch; the IVF backfill sample check is
+    the in-tree consumer of this)."""
+    p = str(tmp_path / "cdcver")
+    cursor = str(tmp_path / "cur.json")
+    df = spark.createDataFrame([(1, "0"), (2, "1")], "k long, d string")
+    v1 = snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=5)
+
+    seen = {}
+
+    def one_arg(batch):
+        seen["one"] = batch.count()
+
+    assert snap.snapshot_consume_changes(spark, p, cursor, ["k"], one_arg) == v1
+    assert seen["one"] == 2
+
+    v2 = snap.snapshot_partition_overwrite(
+        spark,
+        spark.createDataFrame([(3, "0")], "k long, d string"),
+        p,
+        "d",
+        keep_snapshots=5,
+    )
+
+    def two_arg(batch, bound_version):
+        seen["two"] = (batch.count(), bound_version)
+
+    assert snap.snapshot_consume_changes(spark, p, cursor, ["k"], two_arg) == v2
+    # d=0 was rewritten: k=1 deleted, k=3 inserted -> 2 change rows at v2
+    assert seen["two"] == (2, v2)
