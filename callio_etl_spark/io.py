@@ -35,10 +35,13 @@ LOCK_SUFFIX = ".__commitlock__"
 
 #: Writer-coordination knobs: how long a committer waits for the table
 #: lock, and when an unreleased lock / orphaned writer staging counts as a
-#: crashed writer and is reclaimed. The stale thresholds bound how long a
-#: crash can block the table; they must exceed any legitimate COMMIT
-#: duration (the lock covers only metadata renames — milliseconds — never
-#: the data write, so minutes of slack is orders of magnitude of margin).
+#: crashed writer and is reclaimed. The stale threshold bounds how long a
+#: CRASH can block the table — it does NOT bound legitimate hold time:
+#: long holders (the service lock around a rebuild sequence, a wide
+#: commit's rename phase) stay unreclaimable because their heartbeat
+#: refreshes the lock's mtime every stale_s/4 while the process lives
+#: (see acquire_table_lock); only a holder that stopped beating — i.e.
+#: actually died — ages into the reclaim window.
 LOCK_TIMEOUT_S = 120.0
 LOCK_STALE_S = 3600.0
 STAGING_STALE_S = 24 * 3600.0

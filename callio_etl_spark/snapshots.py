@@ -135,7 +135,15 @@ def segment_thresholds(inline_max: int, target_leaves: int):
     """Scope lowered manifest-spill thresholds to the enclosed block
     (driver-scale tests exercise the segmented path on 60-leaf tables
     this way). Confined to the current execution context — concurrent
-    commits elsewhere in the driver are unaffected."""
+    commits elsewhere in the driver are unaffected.
+
+    CAVEAT: ContextVars do not cross threads. A commit executing on a
+    DIFFERENT thread than the one holding this block — notably
+    Structured Streaming's foreachBatch, which runs on a py4j callback
+    thread — observes the production defaults, so wrapping a streaming
+    run in this manager silently exercises the INLINE path. To drive
+    the segmented path through the streaming sink, set the override
+    inside the batch function itself (it runs on the callback thread)."""
     tok = _SEGMENT_OVERRIDE.set((int(inline_max), int(target_leaves)))
     try:
         yield
@@ -476,12 +484,17 @@ def snapshot_staged(spark: SparkSession, path: str) -> list[int]:
     ]
 
 
-def _published_head(spark: SparkSession, jvm, fs, path: str) -> dict | None:
+def _published_head(
+    spark: SparkSession, jvm, fs, path: str, leaves: list[str] | None = None
+) -> dict | None:
     """The latest PUBLISHED manifest — the parent every new commit
     builds on. Skips staged manifests so an in-flight audit never
-    leaks into concurrent writers' read-modify-write."""
+    leaks into concurrent writers' read-modify-write. ``leaves``
+    requests partial segment resolution (read-only projection; see
+    ``_read_manifest``) — there is exactly ONE copy of the
+    skip-staged rule, shared by commits and the partial read path."""
     for v in reversed(_manifest_versions(jvm, fs, path)):
-        m = _read_manifest(spark, path, v)
+        m = _read_manifest(spark, path, v, leaves=leaves)
         if not m.get("staged"):
             return m
     return None
@@ -613,15 +626,11 @@ def snapshot_manifest(
     if not versions:
         raise FileNotFoundError(f"no committed snapshot at {path}")
     if version is None:
-        if leaves is not None:
-            # head resolution stays cheap on the partial path: 'staged'
-            # is a top-manifest field, so each probe loads at most the
-            # requested leaves' segments
-            for v in reversed(versions):
-                m = _read_manifest(spark, path, v, leaves=leaves)
-                if not m.get("staged"):
-                    return m
-        head = _published_head(spark, jvm, fs, path)
+        # head resolution stays cheap on the partial path: 'staged' is a
+        # top-manifest field, so each probe loads at most the requested
+        # leaves' segments — and the skip-staged rule lives in exactly
+        # one place (_published_head) for both paths
+        head = _published_head(spark, jvm, fs, path, leaves=leaves)
         if head is None:
             raise FileNotFoundError(
                 f"no published snapshot at {path} (staged-only history)"
@@ -692,17 +701,29 @@ def snapshot_read(
     evaluate-each-file-under-the-spec-that-wrote-it rule."""
     path = path.rstrip("/")
     want_leaves = None
-    if point is not None and all(
-        v is not None
-        for v in (
-            point[1]
-            if isinstance(point[1], (list, tuple, set))
-            else [point[1]]
+    vals = (
+        point[1]
+        if point is not None and isinstance(point[1], (list, tuple, set))
+        else ([point[1]] if point is not None else [])
+    )
+    if (
+        point is not None
+        and len(vals) > 0  # an empty IN-list must fall through to the
+        # full path's fail-loud ValueError, not read as an empty frame
+        and all(
+            # only value types whose Python str() matches Spark's
+            # partition-path rendering may name leaves directly: str
+            # (with escaping) and int. str(True)="True" vs Spark's
+            # "true", str(1e-07) vs Java's "1.0E-7", timestamps etc. all
+            # diverge — a constructed leaf that misses would silently
+            # return an EMPTY frame where rows exist, so those types
+            # take the always-correct full resolve + row filter.
+            v is not None
+            and isinstance(v, (str, int))
+            and not isinstance(v, bool)
+            for v in vals
         )
     ):
-        vals = point[1]
-        if not isinstance(vals, (list, tuple, set)):
-            vals = [vals]
         # A point probe ON the partition column names its leaves exactly
         # (f"{col}={escaped(v)}" — the SAME path escaping the writer
         # used, or the leaf would miss) — the segmented read path then
@@ -2079,6 +2100,13 @@ def snapshot_partition_overwrite(
                 f"bucket_by column {bucket_col!r} must be a non-partition "
                 f"column of the frame"
             )
+    if properties:
+        # argument-derived checks run BEFORE any staging I/O: failing
+        # after the leaf moves would strand token dirs inside live
+        # leaves, reclaimable only by the O(table) orphan walk
+        if not all(isinstance(k, str) for k in properties):
+            raise ValueError("property keys must be strings")
+        json.dumps(properties)  # fail loud on non-serializable values
     jvm, fs, _ = _hadoop(spark, path)
     df = _relax_batch_types(df, _published_head(spark, jvm, fs, path))
     if zorder_cols:
@@ -2212,9 +2240,7 @@ def snapshot_partition_overwrite(
             manifest["widens"] = prev["widens"]
         merged_props = dict(prev.get("properties", {})) if prev else {}
         if properties:
-            if not all(isinstance(k, str) for k in properties):
-                raise ValueError("property keys must be strings")
-            json.dumps(properties)  # fail loud on non-serializable values
+            # validated at function entry, before any staging I/O
             for pk, pv in properties.items():
                 if pv is None:
                     merged_props.pop(pk, None)

@@ -55,78 +55,79 @@ def main() -> None:
         row: dict[str, object] = {}
         for mode in ("segmented", "inline"):
             inline_max = 256 if mode == "segmented" else n + 1
-            ctx = snap.segment_thresholds(
-                inline_max, snap._SEGMENT_TARGET_LEAVES
-            )
-            ctx.__enter__()
             root = tempfile.mkdtemp(prefix=f"callio_manifest_{mode}_")
             p = f"{root}/t"
+            # `with` (not manual __enter__/__exit__): an exception in the
+            # setup between the two would leak lowered thresholds into
+            # every later iteration of this process
             try:
-                base = (
-                    spark.range(n)
-                    .select(
-                        F.col("id").alias("k"),
-                        (F.col("id") * 10).alias("v"),
-                        F.col("id").cast("string").alias("p"),
-                    )
-                    .repartition(64)
-                )
-                snap.snapshot_partition_overwrite(
-                    spark, base, p, "p", keep_snapshots=2
-                )
-                before = _snap_files(p)
-                one = spark.createDataFrame(
-                    [(10**9, 7, "3")], "k long, v long, p string"
-                )
-                t0 = time.perf_counter()
-                snap.snapshot_partition_overwrite(
-                    spark, one, p, "p", keep_snapshots=2
-                )
-                commit_s = time.perf_counter() - t0
-                after = _snap_files(p)
-                new = {f: s for f, s in after.items() if f not in before}
-                row[f"{mode}_commit_new_meta_bytes"] = sum(new.values())
-                row[f"{mode}_commit_new_meta_files"] = len(new)
-                row[f"{mode}_total_meta_bytes"] = sum(after.values())
-                row[f"{mode}_one_leaf_commit_s"] = round(commit_s, 3)
-                # STEADY STATE: this commit DROPS a version from
-                # retention — the vacuum's reclaim sweep runs. Scoped
-                # (newly-dead leaves only) it stays flat in table size;
-                # sweeping the dropped manifest's full enumeration would
-                # cost ~2.5 ms/leaf of listStatus here.
-                one2 = spark.createDataFrame(
-                    [(10**9 + 1, 8, "3")], "k long, v long, p string"
-                )
-                t0 = time.perf_counter()
-                snap.snapshot_partition_overwrite(
-                    spark, one2, p, "p", keep_snapshots=2
-                )
-                row[f"{mode}_steady_state_commit_s"] = round(
-                    time.perf_counter() - t0, 3
-                )
-                snap._SEG_CACHE.clear()
-                t0 = time.perf_counter()
-                m = snap.snapshot_manifest(spark, p)
-                assert len(m["partitions"]) == n
-                row[f"{mode}_manifest_read_s"] = round(
-                    time.perf_counter() - t0, 3
-                )
-                # the r10 partial READ path: a point probe on the
-                # partition column resolves top manifest + ONE segment
-                snap._SEG_CACHE.clear()
-                t0 = time.perf_counter()
-                mp_ = snap.snapshot_manifest(spark, p, leaves=["p=3"])
-                assert "p=3" in mp_["partitions"]
-                row[f"{mode}_point_manifest_read_s"] = round(
-                    time.perf_counter() - t0, 4
-                )
-                row[f"{mode}_point_segments_loaded"] = sum(
-                    1
-                    for (sd, _h) in snap._SEG_CACHE
-                    if sd == snap._snap_dir(p)
-                )
+              with snap.segment_thresholds(
+                  inline_max, snap._SEGMENT_TARGET_LEAVES
+              ):
+                  base = (
+                      spark.range(n)
+                      .select(
+                          F.col("id").alias("k"),
+                          (F.col("id") * 10).alias("v"),
+                          F.col("id").cast("string").alias("p"),
+                      )
+                      .repartition(64)
+                  )
+                  snap.snapshot_partition_overwrite(
+                      spark, base, p, "p", keep_snapshots=2
+                  )
+                  before = _snap_files(p)
+                  one = spark.createDataFrame(
+                      [(10**9, 7, "3")], "k long, v long, p string"
+                  )
+                  t0 = time.perf_counter()
+                  snap.snapshot_partition_overwrite(
+                      spark, one, p, "p", keep_snapshots=2
+                  )
+                  commit_s = time.perf_counter() - t0
+                  after = _snap_files(p)
+                  new = {f: s for f, s in after.items() if f not in before}
+                  row[f"{mode}_commit_new_meta_bytes"] = sum(new.values())
+                  row[f"{mode}_commit_new_meta_files"] = len(new)
+                  row[f"{mode}_total_meta_bytes"] = sum(after.values())
+                  row[f"{mode}_one_leaf_commit_s"] = round(commit_s, 3)
+                  # STEADY STATE: this commit DROPS a version from
+                  # retention — the vacuum's reclaim sweep runs. Scoped
+                  # (newly-dead leaves only) it stays flat in table size;
+                  # sweeping the dropped manifest's full enumeration would
+                  # cost ~2.5 ms/leaf of listStatus here.
+                  one2 = spark.createDataFrame(
+                      [(10**9 + 1, 8, "3")], "k long, v long, p string"
+                  )
+                  t0 = time.perf_counter()
+                  snap.snapshot_partition_overwrite(
+                      spark, one2, p, "p", keep_snapshots=2
+                  )
+                  row[f"{mode}_steady_state_commit_s"] = round(
+                      time.perf_counter() - t0, 3
+                  )
+                  snap._SEG_CACHE.clear()
+                  t0 = time.perf_counter()
+                  m = snap.snapshot_manifest(spark, p)
+                  assert len(m["partitions"]) == n
+                  row[f"{mode}_manifest_read_s"] = round(
+                      time.perf_counter() - t0, 3
+                  )
+                  # the r10 partial READ path: a point probe on the
+                  # partition column resolves top manifest + ONE segment
+                  snap._SEG_CACHE.clear()
+                  t0 = time.perf_counter()
+                  mp_ = snap.snapshot_manifest(spark, p, leaves=["p=3"])
+                  assert "p=3" in mp_["partitions"]
+                  row[f"{mode}_point_manifest_read_s"] = round(
+                      time.perf_counter() - t0, 4
+                  )
+                  row[f"{mode}_point_segments_loaded"] = sum(
+                      1
+                      for (sd, _h) in snap._SEG_CACHE
+                      if sd == snap._snap_dir(p)
+                  )
             finally:
-                ctx.__exit__(None, None, None)
                 shutil.rmtree(root, ignore_errors=True)
         out[str(n)] = row
         print(f"leaves={n}: {row}", file=sys.stderr)
