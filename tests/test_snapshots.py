@@ -3182,3 +3182,28 @@ def test_consume_changes_passes_bound_version(spark, tmp_path):
     assert snap.snapshot_consume_changes(spark, p, cursor, ["k"], two_arg) == v2
     # d=0 was rewritten: k=1 deleted, k=3 inserted -> 2 change rows at v2
     assert seen["two"] == (2, v2)
+
+
+def test_point_probe_on_bool_partition_falls_back(spark, tmp_path):
+    """Python str(True) is 'True' but Spark writes the dir as
+    'flag=true' — a leaf name constructed from the Python rendering
+    would MISS and return an empty frame on a spilled table. Non-str/int
+    probe values must therefore take the full resolve + row filter: the
+    rows come back, on both the inline and the segmented layout."""
+    p = str(tmp_path / "boolpart")
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(30)], "k long, flag boolean"
+    )
+    with snap.segment_thresholds(1, 1):  # force the segmented layout
+        snap.snapshot_partition_overwrite(
+            spark, df, p, "flag", keep_snapshots=2
+        )
+        got = snap.snapshot_read(spark, p, point=("flag", True)).where(
+            F.col("flag")
+        )
+        assert got.count() == 10
+        # and the empty IN-list still fails loud on the spilled table
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            snap.snapshot_read(spark, p, point=("flag", [])).count()
