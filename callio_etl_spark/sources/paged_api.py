@@ -169,6 +169,11 @@ class JsonlApiTransport:
         return rows[lo : lo + page_size], lo + page_size < len(rows)
 
 
+#: Process-wide token caches for HTTP transports, keyed by
+#: (base_url, endpoint, tenant, email) — see HttpApiTransport._token.
+_HTTP_TOKEN_CACHES: dict[tuple, TokenCache] = {}
+
+
 class HttpApiTransport:
     """The REAL HTTP backend — stdlib urllib, no extra dependency —
     speaking the reference client's exact wire surface (reference
@@ -239,8 +244,17 @@ class HttpApiTransport:
         return token
 
     def _token(self, force: bool = False) -> str:
+        # the cache is PER PROCESS, keyed by endpoint+identity — not per
+        # transport instance: Spark deserializes one instance per task,
+        # so an instance-level cache would log in once per partition
+        # (the reference keeps one client-level cache for the same
+        # reason, api.py:43-68). Shared across tasks in a reused worker,
+        # a token serves its whole TTL.
         if self._cache is None:
-            self._cache = TokenCache(login=self.login)
+            key = (self.base_url, self.endpoint, self.tenant, self.email)
+            self._cache = _HTTP_TOKEN_CACHES.setdefault(
+                key, TokenCache(login=self.login)
+            )
         return self._cache.get(self.tenant, force=force)
 
     def _get(self, params: dict, token: str) -> tuple[int, bytes]:
