@@ -1197,3 +1197,85 @@ def test_snapshot_sink_widen_between_ticks(spark, tmp_path):
     got = {(r["k"], r["cents"]) for r in live.collect()}
     assert got == {(1, 10), (2, 25), (3, 30)}
     assert snapshot_properties(spark, path).get("owner") == "stream-test"
+
+
+def test_snapshot_sink_segmented_manifests(spark, tmp_path):
+    """The segmented-manifest x streaming-sink compose cell, BOTH sides:
+    (1) the documented ContextVar caveat — wrapping the sink run in
+    segment_thresholds is a silent no-op because foreachBatch executes
+    on a py4j callback thread, so the commits stay INLINE; (2) the
+    working recipe — the override set INSIDE the batch function (the
+    thread that commits) spills every tick's manifest into
+    content-addressed segments, and the merge-keys carry, reads, and a
+    version-pinned read all stay correct across ticks on the spilled
+    layout."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.io import _exists, _hadoop
+    from callio_etl_spark.streaming.incremental import (
+        run_foreach_batch_snapshot,
+    )
+
+    schema = "k long, v long, p string"
+
+    def seg_files(path):
+        import os
+
+        d = f"{path}/__snap__"
+        if not os.path.isdir(d):
+            return []
+        return [f for f in os.listdir(d) if f.startswith("seg_")]
+
+    # ---- side 1: the caveat — outer override does NOT reach the sink
+    src1, ck1, t1 = f"{tmp_path}/s1", f"{tmp_path}/c1", f"{tmp_path}/t1"
+    spark.createDataFrame(
+        [(i, i, str(i % 6)) for i in range(12)], schema
+    ).write.mode("append").parquet(src1)
+    with snap.segment_thresholds(1, 1):
+        run_foreach_batch_snapshot(
+            spark.readStream.schema(schema).parquet(src1),
+            ck1, t1, "p", merge_keys=["k"],
+        )
+    assert seg_files(t1) == [], (
+        "the outer ContextVar unexpectedly crossed into the foreachBatch "
+        "thread — update segment_thresholds' documented caveat"
+    )
+
+    # ---- side 2: the recipe — override inside the batch thread spills
+    src2, ck2, t2 = f"{tmp_path}/s2", f"{tmp_path}/c2", f"{tmp_path}/t2"
+
+    def batch_fn(bdf, _bid):
+        # the override is set ON THE COMMITTING THREAD (the py4j
+        # callback thread running this function) — the recipe the
+        # segment_thresholds docstring prescribes for streaming
+        with snap.segment_thresholds(1, 1):
+            snap.snapshot_partition_overwrite(
+                bdf.sparkSession, bdf, t2, "p", keep_snapshots=3
+            )
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            src2
+        )
+        stream = spark.readStream.schema(schema).parquet(src2)
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    tick([(i, i, str(i % 6)) for i in range(12)])
+    assert len(seg_files(t2)) > 0, "tick 1 did not spill segments"
+    v1 = snap.snapshot_versions(spark, t2)[-1]
+    tick([(100, 100, "0"), (101, 101, "99")])  # rewrite p=0, add p=99
+
+    live = {(r["k"], r["v"]) for r in snap.snapshot_read(spark, t2).collect()}
+    # p=0 was REPLACED by the second tick's overwrite (k=0,6 gone)
+    want = {(i, i) for i in range(12) if i % 6 != 0} | {(100, 100), (101, 101)}
+    assert live == want
+    pinned = snap.snapshot_read(spark, t2, version=v1)
+    assert pinned.count() == 12  # tick-1 snapshot intact on the spilled layout
+    point = snap.snapshot_read(spark, t2, point=("p", "99")).collect()
+    assert {r["k"] for r in point} == {101}
