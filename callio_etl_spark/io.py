@@ -188,11 +188,32 @@ def _start_lock_heartbeat(
                     # own beat does the same)
                     fs.setTimes(p, int(time.time() * 1000), -1)
                 except Exception:
-                    try:
-                        if not _exists(jvm, fs, lock):
-                            return  # lock gone (released/reclaimed): stop
-                    except Exception:
-                        pass  # even the probe failed: treat as transient
+                    # A waiter's rename-claim makes the lock momentarily
+                    # ABSENT even while this holder is live (claim ->
+                    # staleness re-check -> restore, a few FS round trips
+                    # apart), so "missing" is NOT proof of release: exiting
+                    # here would leave a restored lock with no heartbeat —
+                    # falsely reclaimable after stale_s, breaking the
+                    # live-holder invariant. Re-probe a few times (the
+                    # restore lands in milliseconds); only a lock still
+                    # missing after the grace window is genuinely gone
+                    # (released or reclaimed-and-deleted): stop then. The
+                    # next loop iteration re-verifies by TOKEN once the
+                    # file reappears, so a reclaimed-and-recreated lock is
+                    # still respected, never overwritten.
+                    gone = False
+                    for _ in range(3):
+                        try:
+                            if _exists(jvm, fs, lock):
+                                gone = False
+                                break
+                            gone = True
+                        except Exception:
+                            gone = False  # probe failed: transient
+                            break
+                        time.sleep(0.05)
+                    if gone and not stop.is_set():
+                        return
                     # transient FS/gateway error: keep beating — dying
                     # here would silently re-expose the live-holder
                     # reclaim this thread exists to prevent (the next
@@ -252,14 +273,33 @@ def acquire_table_lock(
                     # raced a live beat: restore the holder's lock (if a
                     # third party created a new lock inside this window,
                     # drop the claim instead — they hold, and the original
-                    # holder's beat sees its token gone and stops)
-                    try:
-                        if _exists(jvm, fs, lock):
-                            _delete(jvm, fs, claim)
-                        else:
-                            _rename(jvm, fs, claim, lock)
-                    except Exception:
-                        _delete(jvm, fs, claim)
+                    # holder's beat sees its token gone and stops). On a
+                    # TRANSIENT error, retry the probe+restore — the claim
+                    # was just verified FRESH (live heartbeat), so deleting
+                    # it here would silently un-lock a live holder; delete
+                    # only when the probe positively saw a new lock.
+                    for restore_attempt in (1, 2, 3):
+                        try:
+                            if _exists(jvm, fs, lock):
+                                try:
+                                    _delete(jvm, fs, claim)
+                                except Exception:
+                                    pass  # stray claim: swept by age later
+                            else:
+                                _rename(jvm, fs, claim, lock)
+                            break
+                        except Exception:
+                            if restore_attempt == 3:
+                                # last resort: blind restore — a stray
+                                # claim file beside a restored lock is
+                                # harmless (age-swept), but a DELETED
+                                # fresh claim is a lost lock
+                                try:
+                                    _rename(jvm, fs, claim, lock)
+                                except Exception:
+                                    pass
+                                break
+                            time.sleep(0.05)
                 continue
         except Exception:
             continue  # lock released between the create and the stat
@@ -369,15 +409,32 @@ def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S)
     recover_table (which heals only the locked commit sequence) and would
     otherwise leak forever. Age-gated so an in-flight concurrent writer's
     staging is never touched (a data write outlasting STAGING_STALE_S
-    would fail its later rename loudly and simply restage)."""
+    would fail its later rename loudly and simply restage).
+
+    Also sweeps ABANDONED lock-claim files (<lock>.reclaim.* /
+    <lock>.release.*): a claim lives for milliseconds while its waiter
+    re-checks staleness, so one older than LOCK_STALE_S was stranded by
+    a transient-error path (its _delete failed, or its owner died
+    mid-claim) and would otherwise leak forever. The age gate means an
+    in-flight claim is never touched."""
     parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
-    prefix = jvm.org.apache.hadoop.fs.Path(path).getName() + STAGING_SUFFIX + "."
+    name0 = jvm.org.apache.hadoop.fs.Path(path).getName()
+    prefix = name0 + STAGING_SUFFIX + "."
+    claim_prefixes = (
+        name0 + LOCK_SUFFIX + ".reclaim.",
+        name0 + LOCK_SUFFIX + ".release.",
+        name0 + SERVICE_LOCK_INFIX + LOCK_SUFFIX + ".reclaim.",
+        name0 + SERVICE_LOCK_INFIX + LOCK_SUFFIX + ".release.",
+    )
     if parent is None or not fs.exists(parent):
         return
     now = time.time()
     for st in fs.listStatus(parent):
         name = st.getPath().getName()
-        if name.startswith(prefix) and now - st.getModificationTime() / 1000.0 > stale_s:
+        age = now - st.getModificationTime() / 1000.0
+        if name.startswith(prefix) and age > stale_s:
+            fs.delete(st.getPath(), True)
+        elif name.startswith(claim_prefixes) and age > LOCK_STALE_S:
             fs.delete(st.getPath(), True)
 
 

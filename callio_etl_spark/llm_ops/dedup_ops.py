@@ -1678,10 +1678,20 @@ def maintain_band_index(
                 # backfilling caller args could pin a geometry the index
                 # was never banded at and mix incompatible keys. One
                 # partition probe (any bucket works), only on this rare
-                # self-heal path.
-                leaves = snapshot_manifest(spark, index_path)["partitions"]
+                # self-heal path. The candidate leaves are resolved by
+                # NAME through the partial-leaves path (bkt values are
+                # the fixed 0..INDEX_BUCKETS-1 residue set), so even on a
+                # spilled 100k-leaf index this stays O(INDEX_BUCKETS)
+                # metadata — never the full manifest enumeration the
+                # surrounding code works to avoid.
+                cand_names = [f"bkt={b}" for b in range(INDEX_BUCKETS)]
+                leaves = snapshot_manifest(
+                    spark, index_path, leaves=cand_names
+                )["partitions"]
                 inferred = None
-                for leaf in sorted(leaves)[:16]:
+                for leaf in sorted(
+                    leaves, key=lambda s: int(s.split("=")[1])
+                )[:16]:
                     got = (
                         snapshot_read(
                             spark,
@@ -1760,6 +1770,20 @@ def maintain_band_index(
                 spark,
                 index_path,
                 [lf.split("=", 1)[1] for lf in retire],
+                keep_snapshots=keep_snapshots,
+            )
+        if pin_now and exists and not with_rows:
+            # the backfill pin found no data commit to ride (pure-delete
+            # or no-op tick against a pre-pin index): record the INFERRED
+            # geometry now via a metadata-only properties commit rather
+            # than deferring to the next non-empty tick — the deferral
+            # window would leave drift protection silently disabled.
+            from callio_etl_spark.snapshots import snapshot_set_properties
+
+            snapshot_set_properties(
+                spark,
+                index_path,
+                {"band.rows_per_band": r_use, "band.n_bands": b_use},
                 keep_snapshots=keep_snapshots,
             )
 
@@ -2240,7 +2264,14 @@ def rebuild_band_index(
         retire: list[str] = []
         jvm, fs, _ = _hadoop(spark, index_path)
         if _exists(jvm, fs, index_path + "/__snap__"):
-            leaves = snapshot_manifest(spark, index_path)["partitions"]
+            # membership probe of the fixed residue set via the
+            # partial-leaves path (O(INDEX_BUCKETS) metadata even on a
+            # spilled manifest), never a full segment enumeration
+            leaves = snapshot_manifest(
+                spark,
+                index_path,
+                leaves=[f"bkt={b_}" for b_ in range(INDEX_BUCKETS)],
+            )["partitions"]
             retire = sorted(
                 leaf
                 for leaf in leaves

@@ -2435,6 +2435,20 @@ def maintain_vector_index(
             )
         elif idx_retire:
             _retire_only(index_path, idx_retire)
+        if pin_now and idx_exists and not cells_with_rows:
+            # the proven backfill fingerprint found no data commit to
+            # ride (pure-delete tick against a pre-pin index): record it
+            # now via a metadata-only properties commit rather than
+            # leaving drift protection disabled until the next non-empty
+            # tick.
+            from callio_etl_spark.snapshots import snapshot_set_properties
+
+            snapshot_set_properties(
+                spark,
+                index_path,
+                {"ivf.quantizer_md5": cells_fp},
+                keep_snapshots=keep_snapshots,
+            )
 
         # forward map: rewrite the touched id buckets
         fwd_fresh = fresh.select("vec_id", "assigned_cell", bkt)

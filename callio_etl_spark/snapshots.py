@@ -3702,7 +3702,24 @@ def snapshot_consume_changes(
             "the cursor) or raise retention"
         )
     try:
-        two_arg = len(inspect.signature(process).parameters) >= 2
+        # Count only parameters the POSITIONAL call below can actually
+        # bind: a consumer like ``def process(batch, **kw)`` or
+        # ``def process(batch, *, opt=None)`` has 2+ parameters but
+        # accepts ONE positional — calling it process(batch, live)
+        # would TypeError. *args accepts any arity.
+        params = list(inspect.signature(process).parameters.values())
+        positional = [
+            p
+            for p in params
+            if p.kind
+            in (
+                inspect.Parameter.POSITIONAL_ONLY,
+                inspect.Parameter.POSITIONAL_OR_KEYWORD,
+            )
+        ]
+        two_arg = len(positional) >= 2 or any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL for p in params
+        )
     except (TypeError, ValueError):
         two_arg = False
     if two_arg:

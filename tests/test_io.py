@@ -1063,3 +1063,129 @@ def test_lock_release_respects_a_reclaimed_lock(spark, tmp_path):
     with open(lock) as fh:
         assert fh.read() == "someone-else"
     os.remove(lock)
+
+
+def test_lock_heartbeat_survives_transient_claim_window(spark, tmp_path):
+    """r11 ADVICE fix (io.py beat error path): during a waiter's
+    rename-claim window the lock file is momentarily ABSENT even though
+    the holder is live. A heartbeat that fires inside that window must
+    treat 'missing' as transient (the restore lands in milliseconds) and
+    KEEP BEATING once the file is back — exiting would leave a restored
+    lock with no heartbeat, falsely reclaimable after stale_s."""
+    import threading
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark.io import acquire_table_lock, release_table_lock
+
+    p = str(tmp_path / "claimwin_t")
+    lock = acquire_table_lock(spark, p, stale_s=0.8)  # beat every 0.2 s
+    _stop, fired, _token, mutex = cio._LOCK_BEATS[lock]
+    assert fired.wait(15), "heartbeat never fired"
+
+    claim = lock + ".reclaim.testwin"
+    mutex.acquire()
+    try:
+        os.rename(lock, claim)  # a waiter's claim: lock momentarily gone
+        time.sleep(0.3)  # > beat interval: a beat is now queued on mutex
+        restorer = threading.Thread(
+            target=lambda: (time.sleep(0.03), os.rename(claim, lock))
+        )
+        restorer.start()
+    finally:
+        mutex.release()  # queued beat runs NOW, with the file absent
+    restorer.join()
+
+    # the beat observed the missing file mid-window and must still be
+    # alive: age the lock artificially and watch the next beat refresh it
+    time.sleep(0.3)
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    deadline = time.time() + 2.0  # up to ~10 beat intervals of slack
+    while time.time() < deadline:
+        if time.time() - os.path.getmtime(lock) < 60:
+            break
+        time.sleep(0.05)
+    assert time.time() - os.path.getmtime(lock) < 60, (
+        "heartbeat died after a transient missing-lock window: the lock "
+        "would be falsely reclaimable after stale_s"
+    )
+    release_table_lock(spark, p)
+    assert not os.path.exists(lock)
+
+
+def test_lock_reclaim_restore_retries_on_transient_error(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE fix (io.py restore branch): when the staleness re-check
+    finds the claimed lock FRESH (a live beat raced the claim), a
+    transient error in the restore probe must RETRY the rename — the old
+    code's except path deleted the just-verified-fresh claim, silently
+    un-locking a live holder (the next acquirer then wins create-if-absent
+    and two writers commit concurrently)."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark.io import LOCK_SUFFIX, acquire_table_lock
+
+    p = str(tmp_path / "restore_t")
+    lock = p + LOCK_SUFFIX
+    with open(lock, "w") as fh:
+        fh.write("live-holder-token")  # a live holder's lock, no local beat
+
+    calls = {"mtime": 0, "exists": 0}
+    real_exists = cio._exists
+
+    def fake_mtime(jvm, fs, path):
+        calls["mtime"] += 1
+        if calls["mtime"] == 1:
+            return time.time() - 9999  # outer stat: looks stale
+        return time.time()  # claim re-check: FRESH (beat raced the claim)
+
+    def fake_exists(jvm, fs, path):
+        if path == lock:
+            calls["exists"] += 1
+            if calls["exists"] <= 2:
+                raise IOError("transient FS error")
+        return real_exists(jvm, fs, path)
+
+    monkeypatch.setattr(cio, "_mtime_s", fake_mtime)
+    monkeypatch.setattr(cio, "_exists", fake_exists)
+
+    with _pytest.raises(TimeoutError):
+        acquire_table_lock(spark, p, timeout_s=1.0, stale_s=1.0)
+    # the FRESH claim was restored to the lock path, never deleted: the
+    # live holder still holds, and no .reclaim.* strand is left behind
+    assert os.path.exists(lock), (
+        "a transient restore error deleted a fresh claim: live holder "
+        "lost its lock"
+    )
+    with open(lock) as fh:
+        assert fh.read() == "live-holder-token"
+    assert _glob.glob(lock + ".reclaim.*") == []
+
+
+def test_stale_lock_claim_strands_are_swept(spark, tmp_path):
+    """r11 ADVICE fix: a .reclaim.* / .release.* claim file stranded by a
+    failed delete (or a waiter that died mid-claim) is swept by the next
+    commit's staging vacuum once older than LOCK_STALE_S; a fresh claim
+    (an in-flight waiter's) is never touched."""
+    from callio_etl_spark.io import LOCK_SUFFIX, atomic_overwrite
+
+    p = str(tmp_path / "sweep_t")
+    spark.createDataFrame([(1, "a")], "id long, w string").write.parquet(p)
+    stale_claim = p + LOCK_SUFFIX + ".reclaim.deadbeef"
+    fresh_claim = p + LOCK_SUFFIX + ".release.cafebabe"
+    for f in (stale_claim, fresh_claim):
+        with open(f, "w"):
+            pass
+    two_hours_ago = time.time() - 2 * 3600
+    os.utime(stale_claim, (two_hours_ago, two_hours_ago))
+
+    atomic_overwrite(
+        spark, spark.createDataFrame([(2, "b")], "id long, w string"), p
+    )
+    assert not os.path.exists(stale_claim), "aged claim strand not swept"
+    assert os.path.exists(fresh_claim), "in-flight claim must be untouched"
+    os.remove(fresh_claim)

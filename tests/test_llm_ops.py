@@ -2305,3 +2305,144 @@ def test_maintain_and_rebuild_hold_service_lock(spark, tmp_path, monkeypatch):
     rebuild_band_index(spark, docs_p, idx_p, cursor)
     assert observed["rebuild"], "rebuild committed without the service lock"
     assert not os.path.exists(lock_file), "rebuild leaked the service lock"
+
+
+def test_band_index_pure_delete_tick_still_backfills_pin(spark, tmp_path):
+    """r11 ADVICE fix (dedup_ops self-heal path): a PURE-DELETE tick
+    against a pre-pin index has nothing to ride its backfill pin on (the
+    partition overwrite never happens), so the old code deferred the pin
+    to the next non-empty tick — a window with drift protection silently
+    disabled. The inferred geometry must now land as a metadata-only
+    properties commit on the same tick; the emptied buckets are retired
+    as before."""
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        maintain_band_index,
+        plan_band_geometry_for_size,
+    )
+
+    docs_p, idx_p = str(tmp_path / "docs"), str(tmp_path / "idx")
+    cursor = str(tmp_path / "cursor.json")
+
+    def docs_df(ids, suffix=""):
+        return spark.createDataFrame(
+            [
+                (i, f"w{i} alpha beta{suffix} t{i % 5}", str(i % 2))
+                for i in ids
+            ],
+            "doc_id long, text string, p string",
+        )
+
+    snap.snapshot_partition_overwrite(
+        spark, docs_df(range(6)), docs_p, "p", keep_snapshots=10
+    )
+    assert (
+        maintain_band_index(spark, docs_p, idx_p, cursor, plan_geometry=True)
+        is not None
+    )
+    true_geom = plan_band_geometry_for_size(6)
+
+    # strip the pin (pre-fix index), then land a PURE DELETE of docs 0
+    # and 1 — their index buckets (bkt 0 and 1 hold exactly one doc each)
+    # empty out, so the tick writes NO rows and only retires leaves
+    snap.snapshot_set_properties(
+        spark, idx_p,
+        {"band.rows_per_band": None, "band.n_bands": None},
+        keep_snapshots=10,
+    )
+    assert "band.rows_per_band" not in snap.snapshot_properties(spark, idx_p)
+    snap.snapshot_partition_overwrite(
+        spark, docs_df([2, 3, 4, 5]), docs_p, "p", keep_snapshots=10
+    )
+    assert (
+        maintain_band_index(spark, docs_p, idx_p, cursor, rows_per_band=2,
+                            n_bands=4)
+        is not None
+    )
+    props = snap.snapshot_properties(spark, idx_p)
+    assert (
+        int(props["band.rows_per_band"]),
+        int(props["band.n_bands"]),
+    ) == true_geom, "pure-delete tick must still record the inferred pin"
+    idx = snap.snapshot_read(spark, idx_p)
+    assert {
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    } == {2, 3, 4, 5}
+    leaves = snap.snapshot_manifest(spark, idx_p)["partitions"]
+    assert "bkt=0" not in leaves and "bkt=1" not in leaves, (
+        "emptied buckets must still be retired on the pin-backfill tick"
+    )
+
+
+def test_vector_index_pure_delete_tick_still_backfills_pin(spark, tmp_path):
+    """r11 ADVICE fix, IVF twin: a pure-delete tick against a pre-pin
+    postings table proves the sample agreement but previously deferred
+    the fingerprint pin (no postings commit to ride). It must now land
+    as a metadata-only properties commit, and the re-armed pin refuses a
+    drifted quantizer on the very next tick."""
+    import pytest as _pytest
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.llm_ops.similarity import maintain_vector_index
+
+    vp, ip, fwd = (
+        str(tmp_path / "vecs"), str(tmp_path / "idx"), str(tmp_path / "fwd")
+    )
+    cursor = str(tmp_path / "cursor.json")
+    cells_a = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "label int, cv array<double>"
+    )
+    cells_b = spark.createDataFrame(
+        [(0, [0.6, 0.8]), (1, [0.8, 0.6])], "label int, cv array<double>"
+    )
+
+    def vecs_df(ids):
+        return spark.createDataFrame(
+            [
+                (i, [float(i % 3), float((i + 1) % 3)], str(i % 2))
+                for i in ids
+            ],
+            "vec_id long, embedding array<float>, p string",
+        )
+
+    # ids 2 and 5 ([2,0]-direction) are the ONLY members of cell 0 under
+    # cells_a; deleting exactly them empties that cell
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(8)), vp, "p", keep_snapshots=10
+    )
+    assert (
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a)
+        is not None
+    )
+    pinned0 = snap.snapshot_properties(spark, ip)["ivf.quantizer_md5"]
+    cell0 = {
+        r["vec_id"]
+        for r in snap.snapshot_read(spark, ip)
+        .where(F.col("assigned_cell") == 0)
+        .collect()
+    }
+    assert cell0 == {2, 5}, "test premise: cell 0 holds exactly ids 2, 5"
+
+    snap.snapshot_set_properties(
+        spark, ip, {"ivf.quantizer_md5": None}, keep_snapshots=10
+    )
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df([0, 1, 3, 4, 6, 7]), vp, "p", keep_snapshots=10
+    )
+    assert (
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells_a)
+        is not None
+    )
+    props = snap.snapshot_properties(spark, ip)
+    assert props.get("ivf.quantizer_md5") == pinned0, (
+        "pure-delete tick must still backfill the proven fingerprint"
+    )
+    assert "assigned_cell=0" not in snap.snapshot_manifest(spark, ip)[
+        "partitions"
+    ], "emptied cell must still be retired on the pin-backfill tick"
+    # and the re-armed pin refuses a drifted quantizer
+    snap.snapshot_partition_overwrite(
+        spark, vecs_df(range(8, 10)), vp, "p", keep_snapshots=10
+    )
+    with _pytest.raises(ValueError, match="quantizer drift"):
+        maintain_vector_index(spark, vp, ip, fwd, cursor, cells_b)

@@ -3184,6 +3184,47 @@ def test_consume_changes_passes_bound_version(spark, tmp_path):
     assert seen["two"] == (2, v2)
 
 
+def test_consume_changes_arity_counts_positional_params_only(
+    spark, tmp_path
+):
+    """r11 ADVICE fix (snapshots.py two-arg detection): a consumer like
+    ``def process(batch, **kw)`` or ``def process(batch, *, opt=None)``
+    has 2+ parameters but accepts ONE positional — the old
+    len(parameters)>=2 check called it process(batch, live) and broke
+    previously-working consumers with a TypeError. Only
+    positional-bindable parameters count; *args accepts the version."""
+    p = str(tmp_path / "cdcarity")
+    df = spark.createDataFrame([(1, "0"), (2, "1")], "k long, d string")
+    v1 = snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=5)
+
+    seen = {}
+
+    def kw_only(batch, **kw):
+        seen["kw_only"] = (batch.count(), kw)
+
+    cur = str(tmp_path / "c1.json")
+    assert snap.snapshot_consume_changes(spark, p, cur, ["k"], kw_only) == v1
+    assert seen["kw_only"] == (2, {})
+
+    def kwonly_opt(batch, *, opt=None):
+        seen["kwonly_opt"] = (batch.count(), opt)
+
+    cur = str(tmp_path / "c2.json")
+    assert (
+        snap.snapshot_consume_changes(spark, p, cur, ["k"], kwonly_opt) == v1
+    )
+    assert seen["kwonly_opt"] == (2, None)
+
+    def var_args(batch, *args):
+        seen["var_args"] = (batch.count(), args)
+
+    cur = str(tmp_path / "c3.json")
+    assert (
+        snap.snapshot_consume_changes(spark, p, cur, ["k"], var_args) == v1
+    )
+    assert seen["var_args"] == (2, (v1,)), "*args consumers get the version"
+
+
 def test_point_probe_on_bool_partition_falls_back(spark, tmp_path):
     """Python str(True) is 'True' but Spark writes the dir as
     'flag=true' — a leaf name constructed from the Python rendering
