@@ -44,7 +44,9 @@ SELECT e.event_type,
        CAST(SUM(CAST(FLOOR(e.value * 1e6) AS BIGINT)) AS BIGINT)
          AS value_fold
 FROM events e
-WHERE e.event_id % 7 = 3 AND epoch_ms(e.ts) > 1705276800000
+WHERE e.event_id % 7 = 3
+  AND epoch_ms(e.ts) > 1705276800000
+  AND epoch_ms(e.ts) <= 1706745600000
 GROUP BY 1
 """,
     tags=["S1", "S2", "S3", "S4", "S7", "source", "http"],
@@ -139,5 +141,197 @@ def api_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "expiry force re-logins on longer runs)"
             )
         return spark.createDataFrame(rows, result.schema)
+    finally:
+        srv.stop()
+
+
+#: Jan 1 2024 00:00 UTC minus the 1 h overlap — tick 1's effective scan
+#: cutoff (the seeded checkpoint T0 shifted by C2's overlap_ms).
+_T0_MS = 1704067200000
+_OVERLAP_MS = 3_600_000
+#: The update re-emission shift: 17 days in ms. An original ts in
+#: (T0, T_MID] lands in (Jan 18, T_END] — always past tick 1's
+#: checkpoint (<= T_MID = Jan 15) and never past the Feb 1 window end
+#: (T_MID + 17 d == T_END exactly).
+_UPDATE_SHIFT_MS = 1_468_800_000
+
+
+@register(
+    "http_incremental_loop",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(e.event_id AS VARCHAR) AS _id,
+         epoch_ms(e.ts) AS ts_ms,
+         e.user_id,
+         e.event_type,
+         CAST(FLOOR(e.value * 1e6) AS BIGINT) AS value_fold
+  FROM events e
+  WHERE e.event_id % 5 = 2
+    AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
+    AND epoch_ms(e.ts) <= {_WINDOW_END_MS}
+), updates AS (
+  SELECT CAST(e.event_id AS VARCHAR) AS _id,
+         epoch_ms(e.ts) + {_UPDATE_SHIFT_MS} AS ts_ms,
+         e.user_id,
+         'updated' AS event_type,
+         CAST(FLOOR((e.value + 1) * 1e6) AS BIGINT) AS value_fold
+  FROM events e
+  WHERE e.event_id % 5 = 2 AND e.event_id % 4 = 1
+    AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
+    AND epoch_ms(e.ts) <= {_CUTOFF_MS}
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+)
+SELECT _id, ts_ms, user_id, event_type, value_fold
+FROM (
+  SELECT u.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY _id ORDER BY ts_ms DESC
+         ) AS rn
+  FROM unioned u
+) t
+WHERE rn = 1
+""",
+    tags=["S1", "S2", "C1", "C2", "C4", "D3", "J8", "source", "http"],
+)
+def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE production loop (runner.py:55-210) over real
+    HTTP, as one oracle-checked operator: checkpoint cutoff (C1, with the
+    C2 overlap re-read) -> paginated HTTP fetch with server-side
+    descending early stop (S1/S2) -> latest-per-key dedup (D3) ->
+    row_hash-guarded MERGE (J8) -> checkpoint advance only after the
+    merge (C4) -> SECOND tick that fetches only the post-watermark delta
+    (new rows + re-emitted UPDATES of tick-1 ids) and upserts it.
+
+    The returned frame is the final merged table; the DuckDB oracle
+    recomputes it straight from parquet (base corpus UNION the
+    deterministic update re-emissions, newest-per-key), so a lost
+    overlap row, a dropped page, a double-applied update, a stale
+    checkpoint, or an update that failed to win its MERGE all break the
+    hash.
+
+    Scale shape: the server is the external system; Spark-side work is
+    the production plan — bisected slices fetched in parallel with
+    per-partition early stop, one window pass for the dedup, and a
+    broadcast-or-shuffle MERGE whose cost is O(delta + touched target),
+    never O(history). Driver-side state is the checkpoint scalar."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.pipeline import IncrementalTable, commit, run_tick
+    from callio_etl_spark.queries.sinks import _tmp
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+    from callio_etl_spark.sources.paged_api import CallioPagedDataSource
+
+    e = load_table(spark, sf_dir, "events")
+    cohort = (
+        e.where(F.col("event_id") % 5 == 2)
+        .select(
+            F.col("event_id").cast("string").alias("_id"),
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+            (F.col("event_id") % 4 == 1).alias("upd"),
+        )
+        .collect()
+    )
+    served = [
+        {
+            "_id": r["_id"],
+            "ts_ms": r["ts_ms"],
+            "user_id": r["user_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        for r in cohort
+    ]
+    late_updates = [
+        {
+            "_id": r["_id"],
+            "ts_ms": r["ts_ms"] + _UPDATE_SHIFT_MS,
+            "user_id": r["user_id"],
+            "event_type": "updated",
+            "value": r["value"] + 1.0,
+        }
+        for r in cohort
+        if r["upd"] and r["ts_ms"] <= _CUTOFF_MS
+    ]
+    srv = LocalCallioApiServer(
+        served,
+        accounts={"etl@example.com": "pw"},
+        result_window=10_000,
+        expire_token_after=40,
+    )
+    base_url = srv.start()
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        store = CheckpointStore(
+            spark, _tmp("httploop") + "/update_log", overlap_ms=_OVERLAP_MS
+        )
+        table = IncrementalTable(
+            name="HttpLoopEvents", keys=["tenant", "_id"], time_col_ms="ts_ms"
+        )
+        store.set(table.name, "PK", _T0_MS)  # seeded checkpoint, not cold
+        store.flush()
+
+        def fetch(window_end_ms: int) -> DataFrame:
+            cutoff = store.cutoff_ms(table.name, "PK", window_end_ms)
+            return (
+                spark.read.format("callio_paged_api")
+                .option("base_url", base_url)
+                .option("endpoint", "event")
+                .option("email", "etl@example.com")
+                .option("password", "pw")
+                .option("window_end_ms", window_end_ms)
+                .option("cutoff_ms", max(0, cutoff))
+                .option("page_size", 500)
+                .option(
+                    "api_schema",
+                    "_id string, ts_ms long, user_id long, "
+                    "event_type string, value double",
+                )
+                .load()
+                .select(
+                    "_id", "ts_ms", "user_id", "event_type", "value",
+                    F.lit("PK").alias("tenant"),
+                    F.md5(
+                        F.concat_ws("|", "_id", "event_type", "value")
+                    ).alias("row_hash"),
+                )
+            )
+
+        # tick 1: (T0 - overlap, T_MID]
+        b1 = fetch(_CUTOFF_MS)
+        merged1, ck1 = run_tick(spark, store, table, b1, None, "PK")
+        merged1 = merged1.localCheckpoint(eager=True)
+        commit(store, table, "PK", ck1)
+
+        # the update re-emissions land on the server AFTER tick 1 — the
+        # list stays descending-sorted, the wire contract (api.py:137)
+        srv.rows = sorted(
+            srv.rows + late_updates,
+            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
+        )
+
+        # tick 2: (ck1 - overlap, T_END] — delta + overlap replays only
+        b2 = fetch(_WINDOW_END_MS)
+        merged2, ck2 = run_tick(spark, store, table, b2, merged1, "PK")
+        merged2 = merged2.localCheckpoint(eager=True)
+        commit(store, table, "PK", ck2)
+
+        if srv.logins < 2:
+            raise AssertionError(
+                "auth cycle never ran beyond one login across the two "
+                "ticks: executor page walks must authenticate on their "
+                "own token caches"
+            )
+        return merged2.select(
+            "_id",
+            "ts_ms",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_fold"),
+        )
     finally:
         srv.stop()

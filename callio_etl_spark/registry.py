@@ -47,97 +47,36 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering the r10 driver run: the
-#: registry holds 208 queries (r9's 203 plus the five r10 registrations —
-#: the late fifth being api_http_ingest, the paginated-API source end to
-#: end over REAL HTTP against the in-process endpoint, which takes the
-#: 50th slot from percentile_summary (now leading the r11 cohort) — and:
-#: rebuild_band_index / rebuild_vector_index — the explicit re-key /
-#: re-index verbs the geometry and quantizer pins point to, as
-#: oracle-checked roundtrips (seed-geometry build -> growth at the old
-#: pin -> rebuild re-plans/re-pins/acks -> adversarial tick at the new
-#: pin; quantizer refresh -> drifted tick REFUSED -> rebuild -> delta at
-#: the new pin) — stream_ingest_vector_index, the composed IVF streaming
-#: ingest+index loop through the actual Structured Streaming sink, and
-#: sink_remove_orphans, the crashed-writer orphan sweep); every
-#: oracle-bearing query has held a green driver row EXCEPT the r10
-#: registrations. ann_topk_gemm / approx_sketch_stats /
-#: curriculum_bins_approx stay out of the window (rows-only by
-#: construction — no deterministic cross-engine oracle; their
-#: driver-checkable forms are sketch_error_bounds /
-#: curriculum_bins_audit). The r10 window holds:
-#:   1. the nine r5-vintage queries that sat at positions 51-59 last
-#:      round (salted_join_agg .. zorder_layout) — the ONLY rows older
-#:      than r6 entering this round; they lead so no oracle-bearing
-#:      query's latest driver row stays older than r6;
-#:   2. the four r10 first-time rows (see above);
+#: per-round slot ledger). State entering the r11 driver run: the
+#: registry holds 209 queries (r10's 208 plus the r11 registration
+#: http_incremental_loop — the reference's WHOLE production loop over
+#: real HTTP as one oracle-checked operator: seeded checkpoint ->
+#: paginated fetch with server-side early stop -> latest-per-key dedup
+#: -> row_hash-guarded MERGE -> checkpoint advance -> a second tick
+#: that fetches only the post-watermark delta incl. re-emitted updates;
+#: the DuckDB oracle recomputes the final merged table from parquet).
+#: Every oracle-bearing query has held a green driver row; the oldest
+#: rows entering r11 are the 14 r6-vintage queries. ann_topk_gemm /
+#: approx_sketch_stats / curriculum_bins_approx stay out of the window
+#: (rows-only by construction — no deterministic cross-engine oracle;
+#: their driver-checkable forms are sketch_error_bounds /
+#: curriculum_bins_audit). The r11 window holds:
+#:   1. the fourteen r6-vintage queries that sat at positions 51-64
+#:      last round (percentile_summary .. vocab_coverage) — the ONLY
+#:      rows older than r7 entering this round; they lead so no
+#:      oracle-bearing query's latest driver row stays older than r7;
+#:   2. the r11 first-time row (http_incremental_loop);
 #:   3. three flagship/merge canaries as regression tripwires;
-#:   4. the r6-vintage cohort oldest-first (47 live queries whose
-#:      latest row is r6; the first 34 alphabetically fit —
-#:      array_hof_suite .. percentile_summary; the remaining 13,
-#:      pivot_event_types .. vocab_coverage, hold positions 51-63 and
-#:      lead the r11 window).
+#:   4. the r7-vintage cohort oldest-first (47 live queries whose
+#:      latest row is r7; the first 32 alphabetically fit —
+#:      ann_topk_brute .. sink_bloom_skip; the remaining 15,
+#:      sink_bucketed_join .. window_rank_suite, hold positions 51-65
+#:      and lead the r12 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- the r5-vintage cohort tail: oldest driver rows, must refresh (9)
-    "salted_join_agg",
-    "scd2_history",
-    "shard_manifest",
-    "sink_append_evolve",
-    "sink_partition_delete",
-    "sink_version_diff",
-    "sink_versioned_restore",
-    "unigram_rarity",
-    "zorder_layout",
-    # --- r10 first-time oracle-bearing rows (5) ---
-    "rebuild_band_index",
-    "rebuild_vector_index",
-    "stream_ingest_vector_index",
-    "sink_remove_orphans",
-    "api_http_ingest",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r6-vintage cohort (34 of 47) ---
-    "array_hof_suite",
-    "asof_join_latest_order",
-    "bigram_lm_score",
-    "bitwise_agg_suite",
-    "bm25_topk",
-    "bpe_pair_counts",
-    "bpe_segment_docs",
-    "bpe_train_merges",
-    "char_diversity",
-    "cross_source_neardup",
-    "cube_agg",
-    "curriculum_bins",
-    "date_fn_suite",
-    "date_spine_fill",
-    "dedup_pipeline",
-    "dedup_span_removal",
-    "distinct_rows",
-    "domain_stats",
-    "embedding_decontaminate",
-    "embedding_neardup_cells",
-    "grouping_sets_explicit",
-    "hashed_classifier_score",
-    "heavy_hitters_cms",
-    "hopping_window_agg",
-    "hybrid_rrf_fusion",
-    "ivf_delta_assign",
-    "ivf_train_rounds",
-    "join_anti",
-    "join_semi",
-    "json_map_suite",
-    "length_batching",
-    "minhash_incremental_grown",
-    "null_semantics_suite",
-    # --- positions 51-64: the cohort's last fourteen fall just outside
-    #     the 50-row window this round (percentile_summary displaced by
-    #     the late api_http_ingest registration) and lead the r11 window
+    # --- the r6-vintage cohort tail: oldest driver rows, must refresh (14)
     "percentile_summary",
     "pivot_event_types",
     "pmi_cooccurrence",
@@ -152,6 +91,62 @@ DRIVER_PRIORITY: list[str] = [
     "sketch_error_bounds",
     "token_dist_drift",
     "vocab_coverage",
+    # --- r11 first-time oracle-bearing row (1) ---
+    "http_incremental_loop",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- oldest-first re-checks: the r7-vintage cohort (32 of 47) ---
+    "ann_topk_brute",
+    "ann_topk_ivf",
+    "checkpoint_warm",
+    "chunk_documents",
+    "chunk_overlap",
+    "conditional_agg",
+    "corpus_filter",
+    "curriculum_bins_audit",
+    "customer_in_range",
+    "dedup_cluster_assign",
+    "dedup_exact",
+    "dedup_first_wins",
+    "dedup_survivors",
+    "dq_checks",
+    "embedding_neardup",
+    "embedding_neardup_bucketed",
+    "embedding_quantize",
+    "exists_subquery",
+    "extrema",
+    "frame_sample",
+    "hash_split",
+    "ivm_refresh_agg",
+    "join_fanout",
+    "join_full_outer",
+    "join_left_dim",
+    "merge_upsert_mor",
+    "merge_upsert_snapshot",
+    "minhash_lsh_pairs_capped",
+    "minhash_lsh_pairs_grouped",
+    "sessionize",
+    "set_intersect_except",
+    "sink_bloom_skip",
+    # --- positions 51-65: the r7 cohort's last fifteen fall just
+    #     outside the 50-row window this round and lead the r12 window
+    "sink_bucketed_join",
+    "sink_row_deletes",
+    "sink_snapshot_append",
+    "sink_snapshot_cdc",
+    "sink_snapshot_overwrite",
+    "sink_wap_publish",
+    "sink_zorder_skip",
+    "stat_moments",
+    "string_agg_suite",
+    "string_fn_suite",
+    "tumbling_window_agg",
+    "unpivot_measures",
+    "window_dist_suite",
+    "window_frames",
+    "window_rank_suite",
 ]
 
 

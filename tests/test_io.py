@@ -1189,3 +1189,112 @@ def test_stale_lock_claim_strands_are_swept(spark, tmp_path):
     assert not os.path.exists(stale_claim), "aged claim strand not swept"
     assert os.path.exists(fresh_claim), "in-flight claim must be untouched"
     os.remove(fresh_claim)
+
+
+def test_killed_lock_holder_process_is_reclaimed(spark, tmp_path):
+    """VERDICT r10 item 4: a GENUINELY killed holder (kill -9 of a real
+    subprocess holding the service lock through the real heartbeat, not
+    a simulated reclaim). While the holder lives, its heartbeat keeps
+    the lock unreclaimable past stale_s; after SIGKILL the beats stop,
+    the mtime ages, a waiter reclaims, and the guarded table is fully
+    usable — a tick that died before committing left nothing behind."""
+    import os as _os
+    import signal
+    import subprocess
+    import sys as _sys
+
+    from callio_etl_spark.io import (
+        SERVICE_LOCK_INFIX,
+        LOCK_SUFFIX,
+        acquire_table_lock,
+        release_table_lock,
+    )
+
+    idx_path = str(tmp_path / "idx")
+    lock_path = idx_path + SERVICE_LOCK_INFIX
+    lock_file = lock_path + LOCK_SUFFIX
+
+    holder_src = f"""
+import sys, time
+sys.path.insert(0, {repr(str(_os.getcwd()))})
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[1]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "1")
+    .getOrCreate()
+)
+from callio_etl_spark.io import acquire_table_lock
+acquire_table_lock(spark, {repr(lock_path)}, stale_s=2.0)
+print("ACQUIRED", flush=True)
+time.sleep(3600)  # hold until killed
+"""
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", holder_src],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        start_new_session=True,  # own process group: SIGKILL takes the JVM too
+        text=True,
+    )
+    try:
+        line = proc.stdout.readline()
+        assert "ACQUIRED" in line, f"holder never acquired (got {line!r})"
+        assert os.path.exists(lock_file)
+
+        # live holder: even past stale_s the real heartbeat (a thread in
+        # the SUBPROCESS) keeps the lock fresh — a waiter must time out
+        time.sleep(2.5)
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError):
+            acquire_table_lock(
+                spark, lock_path, timeout_s=1.5, stale_s=2.0
+            )
+        assert os.path.exists(lock_file)
+        assert time.time() - os.path.getmtime(lock_file) < 2.0, (
+            "the subprocess heartbeat is not refreshing the lock"
+        )
+
+        # kill -9 the WHOLE holder group (python + its JVM): no release
+        # runs, no beat survives
+        _os.killpg(_os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait(timeout=30)
+
+        # the next waiter reclaims once the mtime ages past stale_s
+        t0 = time.time()
+        got = acquire_table_lock(spark, lock_path, timeout_s=30, stale_s=2.0)
+        waited = time.time() - t0
+        assert got == lock_file
+        assert waited < 20, f"reclaim took {waited:.1f}s"
+        release_table_lock(spark, lock_path)
+        assert not os.path.exists(lock_file)
+
+        # and the table the lock guards is fully usable: a real maintain
+        # tick (which takes the same service lock) runs end to end
+        from callio_etl_spark import snapshots as snap
+        from callio_etl_spark.llm_ops.dedup_ops import maintain_band_index
+
+        docs_p = str(tmp_path / "docs")
+        snap.snapshot_partition_overwrite(
+            spark,
+            spark.createDataFrame(
+                [(i, f"alpha beta w{i}", str(i % 2)) for i in range(6)],
+                "doc_id long, text string, p string",
+            ),
+            docs_p,
+            "p",
+            keep_snapshots=5,
+        )
+        assert (
+            maintain_band_index(
+                spark, docs_p, idx_path, str(tmp_path / "cur.json")
+            )
+            is not None
+        )
+        assert snap.snapshot_read(spark, idx_path).count() > 0
+    finally:
+        if proc.poll() is None:
+            try:
+                _os.killpg(_os.getpgid(proc.pid), signal.SIGKILL)
+            except Exception:
+                pass

@@ -3248,3 +3248,91 @@ def test_point_probe_on_bool_partition_falls_back(spark, tmp_path):
 
         with _pytest.raises(ValueError):
             snap.snapshot_read(spark, p, point=("flag", [])).count()
+
+
+def test_segment_count_doubling_boundary(spark, tmp_path):
+    """VERDICT r10 item 3: growing a spilled table past the seg_n
+    doubling threshold. The crossing commit falls back to a full segment
+    recompute (seg_n changes, positional alignment with the parent is
+    gone) — a SINGLE amortized O(table-metadata) event — and must be
+    correct; the very NEXT commit resumes verbatim hash reuse at the new
+    n; readers pinned to pre-crossing versions and tags still resolve,
+    including point probes through the partial-leaves path."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+
+    path = str(tmp_path / "t")
+
+    def rows(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("p")
+        )
+
+    def top(v):
+        with open(f"{path}/__snap__/m{v:06d}.json", encoding="utf-8") as f:
+            return _json.load(f)
+
+    with snap.segment_thresholds(8, 8):
+        # 12 leaves: 12/8 -> n=2 (spilled)
+        v1 = snap.snapshot_partition_overwrite(
+            spark, rows(0, 12), path, "p", keep_snapshots=10
+        )
+        t1 = top(v1)
+        assert t1["seg_n"] == 2 and len(t1["segments"]) == 2
+        snap.snapshot_tag(spark, path, "pre_crossing", version=v1)
+
+        # +1 leaf (13 total): still n=2, untouched segment reused verbatim
+        v2 = snap.snapshot_partition_overwrite(
+            spark, rows(12, 13), path, "p", keep_snapshots=10
+        )
+        t2 = top(v2)
+        assert t2["seg_n"] == 2
+        assert any(h in t1["segments"] for h in t2["segments"]), (
+            "pre-crossing reuse must carry at least one parent hash"
+        )
+
+        # THE CROSSING: grow to 20 leaves -> 20/8 -> n=4 != parent's 2;
+        # _spill_segments must fall back to a full recompute, correctly
+        v3 = snap.snapshot_partition_overwrite(
+            spark, rows(13, 20), path, "p", keep_snapshots=10
+        )
+        t3 = top(v3)
+        assert t3["seg_n"] == 4 and len(t3["segments"]) == 4
+        assert snap.snapshot_read(spark, path).count() == 20
+        assert {
+            r["k"]
+            for r in snap.snapshot_read(spark, path)
+            .where(F.col("p").isin("0", "13", "19"))
+            .collect()
+        } == {0, 13, 19}
+
+        # reuse RESUMES at the new n on the very next commit: exactly the
+        # touched leaf's segment is replaced, the other 3 carried verbatim
+        v4 = snap.snapshot_partition_overwrite(
+            spark, rows(20, 21), path, "p", keep_snapshots=10
+        )
+        t4 = top(v4)
+        assert t4["seg_n"] == 4
+        same = [
+            i
+            for i, (a, b) in enumerate(zip(t3["segments"], t4["segments"]))
+            if a == b
+        ]
+        assert len(same) == 3, (
+            f"post-crossing commit must reuse 3 of 4 segments, reused "
+            f"{len(same)}"
+        )
+        assert snap.snapshot_read(spark, path).count() == 21
+
+        # pre-crossing pinned readers are unaffected by the re-segmenting
+        assert snap.snapshot_read(spark, path, version=v1).count() == 12
+        assert snap.snapshot_read(spark, path, tag="pre_crossing").count() == 12
+        assert snap.snapshot_read(
+            spark, path, version=v2, point=("p", "12")
+        ).count() == 1
+        # and a point probe on the NEW layout resolves through the
+        # 4-segment partial path
+        assert snap.snapshot_read(spark, path, point=("p", "19")).count() == 1

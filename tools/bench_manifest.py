@@ -32,7 +32,13 @@ import time
 
 sys.path.insert(0, ".")
 
-LEAVES = [int(a) for a in sys.argv[1:]] or [2000, 8000, 32000]
+#: `crossing` as the sole arg skips the curve and re-measures only the
+#: seg_n doubling-boundary section.
+LEAVES = (
+    []
+    if sys.argv[1:] == ["crossing"]
+    else [int(a) for a in sys.argv[1:]] or [2000, 8000, 32000]
+)
 
 
 def _snap_files(p: str) -> dict[str, int]:
@@ -131,15 +137,94 @@ def main() -> None:
                 shutil.rmtree(root, ignore_errors=True)
         out[str(n)] = row
         print(f"leaves={n}: {row}", file=sys.stderr)
+    crossing = bench_doubling_crossing(spark, snap, F)
     # subset runs MERGE into the existing file (incremental re-measure)
+    prior_all: dict = {}
     if os.path.exists("MANIFEST_BENCH.json"):
         with open("MANIFEST_BENCH.json") as f:
-            prior = json.load(f).get("leaves", {})
+            prior_all = json.load(f)
+        prior = prior_all.get("leaves", {})
         prior.update(out)
         out = prior
+    doc = dict(prior_all)
+    doc["leaves"] = out
+    doc["doubling_crossing"] = crossing
     with open("MANIFEST_BENCH.json", "w") as f:
-        json.dump({"leaves": out}, f, indent=2)
+        json.dump(doc, f, indent=2)
     spark.stop()
+
+
+def bench_doubling_crossing(spark, snap, F) -> dict:
+    """VERDICT r10 item 3, measure half: the seg_n DOUBLING boundary is
+    the one spill path that re-pays O(table-metadata) driver CPU — a
+    full segment recompute instead of hash reuse. Grow a segmented table
+    with two SAME-SIZED multi-leaf commits, one inside the current n and
+    one crossing it, so their wall-clock difference isolates the
+    recompute; then a one-leaf commit proves reuse resumed at the new n.
+    It is a single amortized event: boundaries are geometric (n doubles),
+    so a table pays it log2(leaves/target) times over its LIFETIME."""
+    target = snap._SEGMENT_TARGET_LEAVES  # 2048
+    root = tempfile.mkdtemp(prefix="callio_manifest_crossing_")
+    p = f"{root}/t"
+    row: dict[str, object] = {}
+    try:
+        with snap.segment_thresholds(256, target):
+            def rows(lo, hi):
+                return (
+                    spark.range(lo, hi)
+                    .select(
+                        F.col("id").alias("k"),
+                        F.col("id").cast("string").alias("p"),
+                    )
+                    .repartition(64)
+                )
+
+            def top(v):
+                with open(f"{p}/__snap__/m{v:06d}.json") as f:
+                    return json.load(f)
+
+            # 3000 leaves -> n=2; +600 stays n=2; +600 more crosses to n=4
+            snap.snapshot_partition_overwrite(
+                spark, rows(0, 3000), p, "p", keep_snapshots=2
+            )
+            t0 = time.perf_counter()
+            v_in = snap.snapshot_partition_overwrite(
+                spark, rows(3000, 3600), p, "p", keep_snapshots=2
+            )
+            row["non_crossing_600_leaf_commit_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            v_x = snap.snapshot_partition_overwrite(
+                spark, rows(3600, 4200), p, "p", keep_snapshots=2
+            )
+            row["crossing_600_leaf_commit_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            row["seg_n_before"] = top(v_in)["seg_n"]
+            row["seg_n_after"] = top(v_x)["seg_n"]
+            t0 = time.perf_counter()
+            v_post = snap.snapshot_partition_overwrite(
+                spark,
+                spark.createDataFrame([(10**9, "3")], "k long, p string"),
+                p,
+                "p",
+                keep_snapshots=2,
+            )
+            row["post_crossing_one_leaf_commit_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+            tx, tp = top(v_x), top(v_post)
+            row["post_crossing_segments_reused"] = sum(
+                1 for a, b in zip(tx["segments"], tp["segments"]) if a == b
+            )
+            row["leaves_at_crossing"] = 4200
+            # the one-leaf commit REPLACES p=3's single row: count holds
+            assert snap.snapshot_read(spark, p).count() == 4200
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(f"doubling_crossing: {row}", file=sys.stderr)
+    return row
 
 
 if __name__ == "__main__":
