@@ -345,3 +345,221 @@ def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         srv.stop()
+
+
+@register(
+    "http_loop_snapshot_sink",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(e.event_id AS VARCHAR) AS _id,
+         epoch_ms(e.ts) AS ts_ms,
+         e.user_id,
+         e.event_type,
+         CAST(FLOOR(e.value * 1e6) AS BIGINT) AS value_fold
+  FROM events e
+  WHERE e.event_id % 5 = 4
+    AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
+    AND epoch_ms(e.ts) <= {_WINDOW_END_MS}
+), updates AS (
+  SELECT CAST(e.event_id AS VARCHAR) AS _id,
+         epoch_ms(e.ts) + {_UPDATE_SHIFT_MS} AS ts_ms,
+         e.user_id,
+         'updated' AS event_type,
+         CAST(FLOOR((e.value + 1) * 1e6) AS BIGINT) AS value_fold
+  FROM events e
+  WHERE e.event_id % 5 = 4 AND e.event_id % 4 = 2
+    AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
+    AND epoch_ms(e.ts) <= {_CUTOFF_MS}
+), unioned AS (
+  SELECT * FROM base UNION ALL SELECT * FROM updates
+)
+SELECT _id, ts_ms, user_id, event_type, value_fold
+FROM (
+  SELECT u.*,
+         ROW_NUMBER() OVER (
+           PARTITION BY _id ORDER BY ts_ms DESC
+         ) AS rn
+  FROM unioned u
+) t
+WHERE rn = 1
+""",
+    tags=["S1", "S2", "C1", "C2", "C4", "D3", "J8", "S11", "source",
+          "http", "snapshot"],
+)
+def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production loop with a DURABLE sink — what
+    ``http_incremental_loop`` proves for the in-memory merge, this row
+    proves against the snapshot table format the sinks actually use
+    (reference runner.py:163-199 merges into a real BigQuery table, not
+    a frame): tick 1 lands the HTTP batch as a snapshot-isolated
+    partitioned table; tick 2 re-reads the TARGET FROM DISK (nothing
+    carried in memory across ticks — the restart-resume semantics a
+    daemon restart needs), fetches only the post-watermark delta over
+    live HTTP, and MERGEs it in ONE manifest publish
+    (merge.merge_write_snapshot — BigQuery-atomic parity: a racing
+    reader sees whole pre- or post-merge versions, never a partition
+    mix). The returned frame is the final table read back from disk, so
+    a torn commit, a lost update, or a checkpoint that advanced before
+    the merge all break the DuckDB hash.
+
+    Scale shape: the table is partitioned by a STABLE id bucket
+    (updates never move partitions), so each tick's merge rewrites
+    O(touched buckets) and the manifest carries the rest by reference;
+    a day-windowed production merge would add part_min/part_max. The
+    checkpoint scalar is the only driver-side state."""
+    import shutil as _shutil
+
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.dedup import latest_per_key
+    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
+    from callio_etl_spark.queries.sinks import _tmp
+    from callio_etl_spark.snapshots import (
+        snapshot_partition_overwrite,
+        snapshot_read,
+    )
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+    from callio_etl_spark.sources.paged_api import CallioPagedDataSource
+
+    e = load_table(spark, sf_dir, "events")
+    cohort = (
+        e.where(F.col("event_id") % 5 == 4)
+        .select(
+            F.col("event_id").cast("string").alias("_id"),
+            F.unix_millis("ts").alias("ts_ms"),
+            "user_id",
+            "event_type",
+            "value",
+            (F.col("event_id") % 4 == 2).alias("upd"),
+        )
+        .collect()
+    )
+    served = [
+        {
+            "_id": r["_id"],
+            "ts_ms": r["ts_ms"],
+            "user_id": r["user_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+        }
+        for r in cohort
+    ]
+    late_updates = [
+        {
+            "_id": r["_id"],
+            "ts_ms": r["ts_ms"] + _UPDATE_SHIFT_MS,
+            "user_id": r["user_id"],
+            "event_type": "updated",
+            "value": r["value"] + 1.0,
+        }
+        for r in cohort
+        if r["upd"] and r["ts_ms"] <= _CUTOFF_MS
+    ]
+    srv = LocalCallioApiServer(
+        served,
+        accounts={"etl@example.com": "pw"},
+        result_window=10_000,
+        expire_token_after=40,
+    )
+    base_url = srv.start()
+    root = _tmp("httpsnap")
+    table_path = f"{root}/fact_events"
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        store = CheckpointStore(
+            spark, f"{root}/update_log", overlap_ms=_OVERLAP_MS
+        )
+        store.set("HttpSnapEvents", "PK", _T0_MS)
+        store.flush()
+
+        def fetch(window_end_ms: int) -> DataFrame:
+            cutoff = store.cutoff_ms("HttpSnapEvents", "PK", window_end_ms)
+            return (
+                spark.read.format("callio_paged_api")
+                .option("base_url", base_url)
+                .option("endpoint", "event")
+                .option("email", "etl@example.com")
+                .option("password", "pw")
+                .option("window_end_ms", window_end_ms)
+                .option("cutoff_ms", max(0, cutoff))
+                .option("page_size", 500)
+                .option(
+                    "api_schema",
+                    "_id string, ts_ms long, user_id long, "
+                    "event_type string, value double",
+                )
+                .load()
+                .select(
+                    "_id", "ts_ms", "user_id", "event_type", "value",
+                    F.lit("PK").alias("tenant"),
+                    F.md5(
+                        F.concat_ws("|", "_id", "event_type", "value")
+                    ).alias("row_hash"),
+                    (F.crc32(F.col("_id")) % 16).cast("int").alias("pbkt"),
+                )
+            )
+
+        def tick(window_end_ms: int, first: bool) -> None:
+            batch = fetch(window_end_ms)
+            fresh = latest_per_key(
+                batch,
+                ["tenant", "_id"],
+                F.col("ts_ms").cast("long"),
+                [F.col("row_hash")],
+            ).localCheckpoint(eager=True)  # one HTTP walk per tick
+            new_ck = fresh.agg(F.max("ts_ms")).first()[0]
+            if first:
+                snapshot_partition_overwrite(
+                    spark, fresh, table_path, "pbkt", keep_snapshots=3
+                )
+            else:
+                cond = (
+                    ~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))
+                ) | (
+                    F.col("S.ts_ms").cast("long")
+                    > F.coalesce(F.col("T.ts_ms").cast("long"), F.lit(0))
+                )
+                merge_write_snapshot(
+                    spark,
+                    table_path,
+                    fresh,
+                    MergeSpec(
+                        keys=["tenant", "_id"], update_condition=cond
+                    ),
+                    "pbkt",
+                    keep_snapshots=3,
+                )
+            if new_ck is not None:
+                # C4: the checkpoint advances only after the manifest
+                # publish above committed the merged table
+                store.set("HttpSnapEvents", "PK", int(new_ck))
+                store.flush()
+
+        tick(_CUTOFF_MS, first=True)
+        # tick 2's target comes from DISK: nothing in-memory crosses the
+        # tick boundary (daemon-restart semantics)
+        srv.rows = sorted(
+            srv.rows + late_updates,
+            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
+        )
+        tick(_WINDOW_END_MS, first=False)
+
+        if srv.logins < 2:
+            raise AssertionError(
+                "auth cycle never ran beyond one login across the two "
+                "ticks: executor page walks must authenticate on their "
+                "own token caches"
+            )
+        result = snapshot_read(spark, table_path).select(
+            "_id",
+            "ts_ms",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_fold"),
+        )
+        local_rows = result.collect()
+        _shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(local_rows, result.schema)
+    finally:
+        srv.stop()

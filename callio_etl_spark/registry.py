@@ -48,13 +48,17 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
 #: per-round slot ledger). State entering the r11 driver run: the
-#: registry holds 209 queries (r10's 208 plus the r11 registration
+#: registry holds 210 queries (r10's 208 plus the r11 registrations
 #: http_incremental_loop — the reference's WHOLE production loop over
 #: real HTTP as one oracle-checked operator: seeded checkpoint ->
 #: paginated fetch with server-side early stop -> latest-per-key dedup
 #: -> row_hash-guarded MERGE -> checkpoint advance -> a second tick
 #: that fetches only the post-watermark delta incl. re-emitted updates;
-#: the DuckDB oracle recomputes the final merged table from parquet).
+#: the DuckDB oracle recomputes the final merged table from parquet —
+#: and its DURABLE twin http_loop_snapshot_sink, the same loop merging
+#: into a snapshot-isolated table with tick 2's target re-read FROM
+#: DISK, registered late in r11 so it sits outside this round's window
+#: and leads r12 alongside the r7-cohort tail).
 #: Every oracle-bearing query has held a green driver row; the oldest
 #: rows entering r11 are the 14 r6-vintage queries. ann_topk_gemm /
 #: approx_sketch_stats / curriculum_bins_approx stay out of the window
