@@ -403,10 +403,13 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge all break the DuckDB hash.
 
     Scale shape: the table is partitioned by a STABLE id bucket
-    (updates never move partitions), so each tick's merge rewrites
-    O(touched buckets) and the manifest carries the rest by reference;
-    a day-windowed production merge would add part_min/part_max. The
-    checkpoint scalar is the only driver-side state."""
+    (updates never move partitions). A production merge windows the
+    target (merge_write_snapshot's part_min/part_max) so untouched
+    partitions carry by manifest reference at zero I/O; these two
+    full-corpus ticks touch every bucket, so the merge here IS the full
+    overwrite — the windowed O(touched) form is exercised by
+    merge_upsert_snapshot. The checkpoint scalar is the only
+    driver-side state."""
     import shutil as _shutil
 
     from callio_etl_spark.checkpoints import CheckpointStore

@@ -597,3 +597,108 @@ def test_http_api_drives_the_full_incremental_loop(spark, tmp_path):
         } == got
     finally:
         srv.stop()
+
+
+def test_http_loop_snapshot_sink_replay_is_idempotent(spark, tmp_path):
+    """The DURABLE loop's crash contract (r11): if the process dies
+    AFTER the snapshot merge committed but BEFORE the checkpoint
+    advanced, the restarted daemon re-fetches the same delta (stale
+    cutoff) and re-merges it onto the already-merged DISK table — the
+    row_hash MERGE guard makes the replay byte-identical, and the
+    replayed commit is a real (versioned) publish whose content equals
+    its predecessor. Tick 2's target always comes from disk, never
+    memory."""
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.dedup import latest_per_key
+    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+
+    rows1 = _mk_full_rows(30, 1_000_000, 60_000, prefix="d")
+    srv = LocalCallioApiServer(rows1, accounts={"etl@example.com": "pw"})
+    base = srv.start()
+    table_path = str(tmp_path / "fact")
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+
+        def fetch(cutoff_ms, window_end_ms):
+            return (
+                spark.read.format("callio_paged_api")
+                .option("base_url", base)
+                .option("email", "etl@example.com")
+                .option("password", "pw")
+                .option("window_end_ms", window_end_ms)
+                .option("cutoff_ms", cutoff_ms)
+                .option("page_size", 16)
+                .load()
+                .select(
+                    "_id", "ts_ms", "event_type",
+                    F.lit("PK").alias("tenant"),
+                    F.md5(F.concat_ws("|", "_id", "event_type")).alias(
+                        "row_hash"
+                    ),
+                    (F.crc32(F.col("_id")) % 4).cast("int").alias("pbkt"),
+                )
+            )
+
+        def dedup(batch):
+            return latest_per_key(
+                batch, ["tenant", "_id"],
+                F.col("ts_ms").cast("long"), [F.col("row_hash")],
+            ).localCheckpoint(eager=True)
+
+        now1 = rows1[-1]["ts_ms"] + 1
+        snap.snapshot_partition_overwrite(
+            spark, dedup(fetch(0, now1)), table_path, "pbkt",
+            keep_snapshots=5,
+        )
+        ck1 = rows1[-1]["ts_ms"]
+
+        # delta: 5 inserts + 1 update of d0
+        extra = _mk_full_rows(5, now1 + 1000, 1000, prefix="n")
+        upd = dict(rows1[0])
+        upd["ts_ms"] = now1 + 50_000
+        upd["event_type"] = "updated"
+        srv.rows = sorted(
+            srv.rows + extra + [upd],
+            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
+        )
+        now2 = now1 + 120_000
+        cond = (~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))) | (
+            F.col("S.ts_ms").cast("long")
+            > F.coalesce(F.col("T.ts_ms").cast("long"), F.lit(0))
+        )
+        spec = MergeSpec(keys=["tenant", "_id"], update_condition=cond)
+
+        v2 = merge_write_snapshot(
+            spark, table_path, dedup(fetch(ck1, now2)), spec, "pbkt",
+            keep_snapshots=5,
+        )
+        after2 = {
+            (r["_id"], r["event_type"], r["ts_ms"])
+            for r in snap.snapshot_read(spark, table_path).collect()
+        }
+        assert len(after2) == 35
+        assert ("d0", "updated", now1 + 50_000) in after2
+
+        # CRASH WINDOW: checkpoint never advanced past ck1 — the restart
+        # re-fetches the SAME delta and re-merges onto the merged table
+        v3 = merge_write_snapshot(
+            spark, table_path, dedup(fetch(ck1, now2)), spec, "pbkt",
+            keep_snapshots=5,
+        )
+        assert v3 > v2, "the replay is a real versioned publish"
+        after3 = {
+            (r["_id"], r["event_type"], r["ts_ms"])
+            for r in snap.snapshot_read(spark, table_path).collect()
+        }
+        assert after3 == after2, "replayed merge must be byte-identical"
+        # and the pre-replay version stays pinnable (snapshot isolation)
+        assert (
+            snap.snapshot_read(spark, table_path, version=v2).count() == 35
+        )
+    finally:
+        srv.stop()
