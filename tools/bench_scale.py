@@ -149,6 +149,11 @@ HELD: dict[str, dict[str, object]] = {
 }
 
 CAUSES = {
+    "http_loop_snapshot_sink": (
+        "endpoint-bound like http_incremental_loop plus two manifest "
+        "publishes; sub-linear (exp 0.76) because the fixed per-tick "
+        "commit/job latency amortizes as the served corpus grows"
+    ),
     "http_incremental_loop": (
         "two full HTTP corpus walks (tick 1 + tick 2 delta) against the "
         "in-process single-threaded endpoint plus ~8 small sequential "
