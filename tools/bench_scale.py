@@ -104,6 +104,9 @@ HEAVY = [
     "rebuild_vector_index",
     "stream_ingest_vector_index",
     "sink_remove_orphans",
+    # r11: the HTTP production-loop compositions (endpoint-bound)
+    "http_incremental_loop",
+    "http_loop_snapshot_sink",
 ]
 
 def _minhash_geometry(rows_per_band: int, n_bands: int):
