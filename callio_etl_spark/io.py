@@ -173,6 +173,7 @@ def _start_lock_heartbeat(
         # own py4j gateway connection per thread (py4j is thread-safe)
         jvm, fs, _ = _hadoop(spark, lock)
         p = jvm.org.apache.hadoop.fs.Path(lock)
+        missing_beats = 0  # consecutive beats that saw the lock absent
         while not stop.wait(stale_s / 4.0):
             with mutex:
                 if stop.is_set():
@@ -187,22 +188,28 @@ def _start_lock_heartbeat(
                     # refreshes the new holder's mtime — harmless, their
                     # own beat does the same)
                     fs.setTimes(p, int(time.time() * 1000), -1)
+                    missing_beats = 0
                 except Exception:
                     # A waiter's rename-claim makes the lock momentarily
                     # ABSENT even while this holder is live (claim ->
-                    # staleness re-check -> restore, a few FS round trips
-                    # apart), so "missing" is NOT proof of release: exiting
-                    # here would leave a restored lock with no heartbeat —
-                    # falsely reclaimable after stale_s, breaking the
-                    # live-holder invariant. Re-probe a few times (the
-                    # restore lands in milliseconds); only a lock still
-                    # missing after the grace window is genuinely gone
-                    # (released or reclaimed-and-deleted): stop then. The
-                    # next loop iteration re-verifies by TOKEN once the
-                    # file reappears, so a reclaimed-and-recreated lock is
-                    # still respected, never overwritten.
+                    # staleness re-check -> restore, several FS round
+                    # trips apart — the restore retry loop alone can span
+                    # hundreds of ms on a slow gateway), so "missing" is
+                    # NOT proof of release: exiting here would leave a
+                    # restored lock with no heartbeat — falsely
+                    # reclaimable after stale_s, breaking the live-holder
+                    # invariant. Two layers of grace: a short in-beat
+                    # re-probe window for the common fast restore, and a
+                    # cross-beat streak (a second full beat interval,
+                    # stale_s/4, must ALSO see the lock absent before the
+                    # thread exits) so the conclusion never hinges on a
+                    # fixed few-hundred-ms budget racing an arbitrarily
+                    # slow FS. The next successful read re-verifies by
+                    # TOKEN, so a reclaimed-and-recreated lock is still
+                    # respected, never overwritten.
                     gone = False
-                    for _ in range(3):
+                    deadline = time.monotonic() + 0.5
+                    while True:
                         try:
                             if _exists(jvm, fs, lock):
                                 gone = False
@@ -211,9 +218,15 @@ def _start_lock_heartbeat(
                         except Exception:
                             gone = False  # probe failed: transient
                             break
+                        if time.monotonic() > deadline:
+                            break
                         time.sleep(0.05)
-                    if gone and not stop.is_set():
-                        return
+                    if gone:
+                        missing_beats += 1
+                        if missing_beats >= 2 and not stop.is_set():
+                            return  # absent across two beat intervals
+                    else:
+                        missing_beats = 0
                     # transient FS/gateway error: keep beating — dying
                     # here would silently re-expose the live-holder
                     # reclaim this thread exists to prevent (the next

@@ -156,9 +156,15 @@ _OVERLAP_MS = 3_600_000
 _UPDATE_SHIFT_MS = 1_468_800_000
 
 
-@register(
-    "http_incremental_loop",
-    oracle=f"""
+def _loop_oracle(cohort_rem: int, upd_rem: int) -> str:
+    """The two-tick loop oracle, shared by both loop rows so the window
+    bounds can never drift between the twins: final table = base corpus
+    UNION the deterministic update re-emissions, newest-per-key. Every
+    bound matches the Python serving filter in ``_cohort_and_updates``
+    exactly (both sides state the lower bound explicitly, so a dataset
+    regeneration that widens the events window breaks loudly at the
+    bound, not confusingly at the hash)."""
+    return f"""
 WITH base AS (
   SELECT CAST(e.event_id AS VARCHAR) AS _id,
          epoch_ms(e.ts) AS ts_ms,
@@ -166,7 +172,7 @@ WITH base AS (
          e.event_type,
          CAST(FLOOR(e.value * 1e6) AS BIGINT) AS value_fold
   FROM events e
-  WHERE e.event_id % 5 = 2
+  WHERE e.event_id % 5 = {cohort_rem}
     AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
     AND epoch_ms(e.ts) <= {_WINDOW_END_MS}
 ), updates AS (
@@ -176,7 +182,7 @@ WITH base AS (
          'updated' AS event_type,
          CAST(FLOOR((e.value + 1) * 1e6) AS BIGINT) AS value_fold
   FROM events e
-  WHERE e.event_id % 5 = 2 AND e.event_id % 4 = 1
+  WHERE e.event_id % 5 = {cohort_rem} AND e.event_id % 4 = {upd_rem}
     AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
     AND epoch_ms(e.ts) <= {_CUTOFF_MS}
 ), unioned AS (
@@ -191,48 +197,29 @@ FROM (
   FROM unioned u
 ) t
 WHERE rn = 1
-""",
-    tags=["S1", "S2", "C1", "C2", "C4", "D3", "J8", "source", "http"],
-)
-def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's WHOLE production loop (runner.py:55-210) over real
-    HTTP, as one oracle-checked operator: checkpoint cutoff (C1, with the
-    C2 overlap re-read) -> paginated HTTP fetch with server-side
-    descending early stop (S1/S2) -> latest-per-key dedup (D3) ->
-    row_hash-guarded MERGE (J8) -> checkpoint advance only after the
-    merge (C4) -> SECOND tick that fetches only the post-watermark delta
-    (new rows + re-emitted UPDATES of tick-1 ids) and upserts it.
+"""
 
-    The returned frame is the final merged table; the DuckDB oracle
-    recomputes it straight from parquet (base corpus UNION the
-    deterministic update re-emissions, newest-per-key), so a lost
-    overlap row, a dropped page, a double-applied update, a stale
-    checkpoint, or an update that failed to win its MERGE all break the
-    hash.
 
-    Scale shape: the server is the external system; Spark-side work is
-    the production plan — bisected slices fetched in parallel with
-    per-partition early stop, one window pass for the dedup, and a
-    broadcast-or-shuffle MERGE whose cost is O(delta + touched target),
-    never O(history). Driver-side state is the checkpoint scalar."""
-    from callio_etl_spark.checkpoints import CheckpointStore
-    from callio_etl_spark.pipeline import IncrementalTable, commit, run_tick
-    from callio_etl_spark.queries.sinks import _tmp
-    from callio_etl_spark.sources.local_api_server import (
-        LocalCallioApiServer,
-    )
-    from callio_etl_spark.sources.paged_api import CallioPagedDataSource
-
-    e = load_table(spark, sf_dir, "events")
+def _cohort_and_updates(
+    spark: SparkSession, sf_dir: str, cohort_rem: int, upd_rem: int
+) -> tuple[list[dict], list[dict]]:
+    """The served corpus and its tick-2 update re-emissions — the single
+    Python mirror of ``_loop_oracle``'s CTEs. The update filter carries
+    the SAME lower time bound as the updates CTE: an original row at or
+    under T0 - overlap is never fetched by tick 1 (outside the seeded
+    window), so re-emitting its update would insert an id the oracle's
+    base CTE excludes — a data-dependent hash mismatch on any corpus
+    with pre-window rows."""
     cohort = (
-        e.where(F.col("event_id") % 5 == 2)
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == cohort_rem)
         .select(
             F.col("event_id").cast("string").alias("_id"),
             F.unix_millis("ts").alias("ts_ms"),
             "user_id",
             "event_type",
             "value",
-            (F.col("event_id") % 4 == 1).alias("upd"),
+            (F.col("event_id") % 4 == upd_rem).alias("upd"),
         )
         .collect()
     )
@@ -255,15 +242,112 @@ def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value": r["value"] + 1.0,
         }
         for r in cohort
-        if r["upd"] and r["ts_ms"] <= _CUTOFF_MS
+        if r["upd"]
+        and _T0_MS - _OVERLAP_MS < r["ts_ms"] <= _CUTOFF_MS
     ]
+    return served, late_updates
+
+
+def _start_loop_server(served: list[dict]):
+    from callio_etl_spark.sources.local_api_server import (
+        LocalCallioApiServer,
+    )
+
     srv = LocalCallioApiServer(
         served,
         accounts={"etl@example.com": "pw"},
         result_window=10_000,
         expire_token_after=40,
     )
-    base_url = srv.start()
+    return srv, srv.start()
+
+
+def _land_updates(srv, late_updates: list[dict]) -> None:
+    """Re-emissions land on the server AFTER tick 1 — the list stays
+    descending-sorted, the wire contract (reference api.py:137)."""
+    srv.rows = sorted(
+        srv.rows + late_updates,
+        key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
+    )
+
+
+def _loop_fetch(
+    spark: SparkSession,
+    base_url: str,
+    window_end_ms: int,
+    cutoff_ms: int,
+    extra_cols: list | None = None,
+) -> DataFrame:
+    """One paginated-HTTP read through the registered DataSource with the
+    loop rows' shared projection (tenant stamp + row_hash)."""
+    return (
+        spark.read.format("callio_paged_api")
+        .option("base_url", base_url)
+        .option("endpoint", "event")
+        .option("email", "etl@example.com")
+        .option("password", "pw")
+        .option("window_end_ms", window_end_ms)
+        .option("cutoff_ms", max(0, cutoff_ms))
+        .option("page_size", 500)
+        .option(
+            "api_schema",
+            "_id string, ts_ms long, user_id long, "
+            "event_type string, value double",
+        )
+        .load()
+        .select(
+            "_id", "ts_ms", "user_id", "event_type", "value",
+            F.lit("PK").alias("tenant"),
+            F.md5(
+                F.concat_ws("|", "_id", "event_type", "value")
+            ).alias("row_hash"),
+            *(extra_cols or []),
+        )
+    )
+
+
+def _assert_multi_login(srv) -> None:
+    if srv.logins < 2:
+        raise AssertionError(
+            "auth cycle never ran beyond one login across the two "
+            "ticks: executor page walks must authenticate on their "
+            "own token caches"
+        )
+
+
+_LOOP_TAGS = ["S1", "S2", "C1", "C2", "C4", "D3", "J8", "source", "http"]
+
+
+@register("http_incremental_loop", oracle=_loop_oracle(2, 1), tags=_LOOP_TAGS)
+def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE production loop (runner.py:55-210) over real
+    HTTP, as one oracle-checked operator: checkpoint cutoff (C1, with the
+    C2 overlap re-read) -> paginated HTTP fetch with server-side
+    descending early stop (S1/S2) -> latest-per-key dedup (D3) ->
+    row_hash-guarded MERGE (J8) -> checkpoint advance only after the
+    merge (C4) -> SECOND tick that fetches only the post-watermark delta
+    (new rows + re-emitted UPDATES of tick-1 ids) and upserts it.
+
+    The returned frame is the final merged table; the DuckDB oracle
+    (``_loop_oracle``) recomputes it straight from parquet, so a lost
+    overlap row, a dropped page, a double-applied update, a stale
+    checkpoint, or an update that failed to win its MERGE all break the
+    hash.
+
+    Scale shape: the server is the external system; Spark-side work is
+    the production plan — bisected slices fetched in parallel with
+    per-partition early stop, one window pass for the dedup, and a
+    broadcast-or-shuffle MERGE whose cost is O(delta + touched target),
+    never O(history). Driver-side state is the checkpoint scalar."""
+    import shutil as _shutil
+
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.pipeline import IncrementalTable, commit, run_tick
+    from callio_etl_spark.queries.sinks import _tmp
+    from callio_etl_spark.sources.paged_api import CallioPagedDataSource
+
+    served, late_updates = _cohort_and_updates(spark, sf_dir, 2, 1)
+    srv, base_url = _start_loop_server(served)
     try:
         spark.dataSource.register(CallioPagedDataSource)
         root = _tmp("httploop")
@@ -278,29 +362,7 @@ def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def fetch(window_end_ms: int) -> DataFrame:
             cutoff = store.cutoff_ms(table.name, "PK", window_end_ms)
-            return (
-                spark.read.format("callio_paged_api")
-                .option("base_url", base_url)
-                .option("endpoint", "event")
-                .option("email", "etl@example.com")
-                .option("password", "pw")
-                .option("window_end_ms", window_end_ms)
-                .option("cutoff_ms", max(0, cutoff))
-                .option("page_size", 500)
-                .option(
-                    "api_schema",
-                    "_id string, ts_ms long, user_id long, "
-                    "event_type string, value double",
-                )
-                .load()
-                .select(
-                    "_id", "ts_ms", "user_id", "event_type", "value",
-                    F.lit("PK").alias("tenant"),
-                    F.md5(
-                        F.concat_ws("|", "_id", "event_type", "value")
-                    ).alias("row_hash"),
-                )
-            )
+            return _loop_fetch(spark, base_url, window_end_ms, cutoff)
 
         # tick 1: (T0 - overlap, T_MID]
         b1 = fetch(_CUTOFF_MS)
@@ -308,12 +370,7 @@ def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged1 = merged1.localCheckpoint(eager=True)
         commit(store, table, "PK", ck1)
 
-        # the update re-emissions land on the server AFTER tick 1 — the
-        # list stays descending-sorted, the wire contract (api.py:137)
-        srv.rows = sorted(
-            srv.rows + late_updates,
-            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
-        )
+        _land_updates(srv, late_updates)
 
         # tick 2: (ck1 - overlap, T_END] — delta + overlap replays only
         b2 = fetch(_WINDOW_END_MS)
@@ -331,60 +388,17 @@ def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each query several times and would otherwise leak a dir per pass
         local_rows = result.collect()
         commit(store, table, "PK", ck2)
-        import shutil as _shutil
-
         _shutil.rmtree(root, ignore_errors=True)
-        result = spark.createDataFrame(local_rows, result.schema)
-
-        if srv.logins < 2:
-            raise AssertionError(
-                "auth cycle never ran beyond one login across the two "
-                "ticks: executor page walks must authenticate on their "
-                "own token caches"
-            )
-        return result
+        _assert_multi_login(srv)
+        return spark.createDataFrame(local_rows, result.schema)
     finally:
         srv.stop()
 
 
 @register(
     "http_loop_snapshot_sink",
-    oracle=f"""
-WITH base AS (
-  SELECT CAST(e.event_id AS VARCHAR) AS _id,
-         epoch_ms(e.ts) AS ts_ms,
-         e.user_id,
-         e.event_type,
-         CAST(FLOOR(e.value * 1e6) AS BIGINT) AS value_fold
-  FROM events e
-  WHERE e.event_id % 5 = 4
-    AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
-    AND epoch_ms(e.ts) <= {_WINDOW_END_MS}
-), updates AS (
-  SELECT CAST(e.event_id AS VARCHAR) AS _id,
-         epoch_ms(e.ts) + {_UPDATE_SHIFT_MS} AS ts_ms,
-         e.user_id,
-         'updated' AS event_type,
-         CAST(FLOOR((e.value + 1) * 1e6) AS BIGINT) AS value_fold
-  FROM events e
-  WHERE e.event_id % 5 = 4 AND e.event_id % 4 = 2
-    AND epoch_ms(e.ts) > {_T0_MS - _OVERLAP_MS}
-    AND epoch_ms(e.ts) <= {_CUTOFF_MS}
-), unioned AS (
-  SELECT * FROM base UNION ALL SELECT * FROM updates
-)
-SELECT _id, ts_ms, user_id, event_type, value_fold
-FROM (
-  SELECT u.*,
-         ROW_NUMBER() OVER (
-           PARTITION BY _id ORDER BY ts_ms DESC
-         ) AS rn
-  FROM unioned u
-) t
-WHERE rn = 1
-""",
-    tags=["S1", "S2", "C1", "C2", "C4", "D3", "J8", "S11", "source",
-          "http", "snapshot"],
+    oracle=_loop_oracle(4, 2),
+    tags=_LOOP_TAGS + ["S11", "snapshot"],
 )
 def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production loop with a DURABLE sink — what
@@ -420,52 +434,10 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         snapshot_partition_overwrite,
         snapshot_read,
     )
-    from callio_etl_spark.sources.local_api_server import (
-        LocalCallioApiServer,
-    )
     from callio_etl_spark.sources.paged_api import CallioPagedDataSource
 
-    e = load_table(spark, sf_dir, "events")
-    cohort = (
-        e.where(F.col("event_id") % 5 == 4)
-        .select(
-            F.col("event_id").cast("string").alias("_id"),
-            F.unix_millis("ts").alias("ts_ms"),
-            "user_id",
-            "event_type",
-            "value",
-            (F.col("event_id") % 4 == 2).alias("upd"),
-        )
-        .collect()
-    )
-    served = [
-        {
-            "_id": r["_id"],
-            "ts_ms": r["ts_ms"],
-            "user_id": r["user_id"],
-            "event_type": r["event_type"],
-            "value": r["value"],
-        }
-        for r in cohort
-    ]
-    late_updates = [
-        {
-            "_id": r["_id"],
-            "ts_ms": r["ts_ms"] + _UPDATE_SHIFT_MS,
-            "user_id": r["user_id"],
-            "event_type": "updated",
-            "value": r["value"] + 1.0,
-        }
-        for r in cohort
-        if r["upd"] and r["ts_ms"] <= _CUTOFF_MS
-    ]
-    srv = LocalCallioApiServer(
-        served,
-        accounts={"etl@example.com": "pw"},
-        result_window=10_000,
-        expire_token_after=40,
-    )
-    base_url = srv.start()
+    served, late_updates = _cohort_and_updates(spark, sf_dir, 4, 2)
+    srv, base_url = _start_loop_server(served)
     root = _tmp("httpsnap")
     table_path = f"{root}/fact_events"
     try:
@@ -475,36 +447,13 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         store.set("HttpSnapEvents", "PK", _T0_MS)
         store.flush()
-
-        def fetch(window_end_ms: int) -> DataFrame:
-            cutoff = store.cutoff_ms("HttpSnapEvents", "PK", window_end_ms)
-            return (
-                spark.read.format("callio_paged_api")
-                .option("base_url", base_url)
-                .option("endpoint", "event")
-                .option("email", "etl@example.com")
-                .option("password", "pw")
-                .option("window_end_ms", window_end_ms)
-                .option("cutoff_ms", max(0, cutoff))
-                .option("page_size", 500)
-                .option(
-                    "api_schema",
-                    "_id string, ts_ms long, user_id long, "
-                    "event_type string, value double",
-                )
-                .load()
-                .select(
-                    "_id", "ts_ms", "user_id", "event_type", "value",
-                    F.lit("PK").alias("tenant"),
-                    F.md5(
-                        F.concat_ws("|", "_id", "event_type", "value")
-                    ).alias("row_hash"),
-                    (F.crc32(F.col("_id")) % 16).cast("int").alias("pbkt"),
-                )
-            )
+        pbkt = (F.crc32(F.col("_id")) % 16).cast("int").alias("pbkt")
 
         def tick(window_end_ms: int, first: bool) -> None:
-            batch = fetch(window_end_ms)
+            cutoff = store.cutoff_ms("HttpSnapEvents", "PK", window_end_ms)
+            batch = _loop_fetch(
+                spark, base_url, window_end_ms, cutoff, extra_cols=[pbkt]
+            )
             fresh = latest_per_key(
                 batch,
                 ["tenant", "_id"],
@@ -542,18 +491,10 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         tick(_CUTOFF_MS, first=True)
         # tick 2's target comes from DISK: nothing in-memory crosses the
         # tick boundary (daemon-restart semantics)
-        srv.rows = sorted(
-            srv.rows + late_updates,
-            key=lambda r: (-int(r["ts_ms"]), str(r.get("_id"))),
-        )
+        _land_updates(srv, late_updates)
         tick(_WINDOW_END_MS, first=False)
 
-        if srv.logins < 2:
-            raise AssertionError(
-                "auth cycle never ran beyond one login across the two "
-                "ticks: executor page walks must authenticate on their "
-                "own token caches"
-            )
+        _assert_multi_login(srv)
         result = snapshot_read(spark, table_path).select(
             "_id",
             "ts_ms",

@@ -378,8 +378,14 @@ def _read_manifest(
     point lookup against a 100k-leaf table reads the small top manifest
     plus ONE segment instead of the whole enumeration. The partial
     manifest is a READ-ONLY projection (its leaf maps cover only the
-    requested leaves) — commit paths must never build on one, which is
-    why only ``snapshot_read``'s point probe passes ``leaves``. Guards
+    requested leaves) — a commit must never treat one as the table's
+    full enumeration. Two blessed caller shapes: ``snapshot_read``'s
+    point probe, and EXHAUSTIVE-candidate membership probes (the caller
+    names every leaf the partition column can possibly hold — e.g. the
+    band/IVF index's fixed residue set bkt=0..63 — so "present among
+    the requested leaves" IS the full enumeration; a non-exhaustive
+    candidate list fed into a retire/commit decision would silently
+    under-include). Guards
     (any failing -> full resolve, always correct): the table must spill
     positionally (``seg_n`` present), must not span partition specs
     (old-spec dirs can hold any value of the probe column), and every
@@ -610,8 +616,10 @@ def snapshot_manifest(
     or a named ``tag`` — mutually exclusive). An explicit ``version``
     may name a STAGED manifest: that is the auditor's read path in the
     write-audit-publish flow. ``leaves`` requests PARTIAL segment
-    resolution (see ``_read_manifest`` — a read-only projection for
-    point probes; never feed it to a commit)."""
+    resolution (see ``_read_manifest`` — a read-only projection; safe
+    for point probes and for EXHAUSTIVE-candidate membership checks
+    where the caller names every value the partition column can hold,
+    never as a commit's full-enumeration input otherwise)."""
     jvm, fs, _ = _hadoop(spark, path)
     if tag is not None:
         if version is not None:
