@@ -702,3 +702,84 @@ def test_http_loop_snapshot_sink_replay_is_idempotent(spark, tmp_path):
         )
     finally:
         srv.stop()
+
+
+def test_http_loops_agree_with_oracle_on_pre_window_rows(spark, tmp_path):
+    """r11 review fix: an update-candidate row whose ORIGINAL ts lies
+    before the seeded window (<= T0 - overlap) must not be re-emitted —
+    tick 1 never fetched its original, and the oracle's base CTE
+    excludes it, so serving its update would merge an id the oracle
+    lacks. Build an adversarial corpus the shipped testdata lacks
+    (pre-window rows, incl. one in the update-candidate residue class)
+    and assert BOTH registered loop rows still hash-match their DuckDB
+    oracles end to end."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from callio_etl_spark.queries.api_source import (
+        _CUTOFF_MS,
+        _OVERLAP_MS,
+        _T0_MS,
+    )
+    from callio_etl_spark.registry import all_oracles, all_queries
+
+    day = 86_400_000
+    # (event_id, ts_ms): ids chosen per residue class for BOTH cohorts
+    # (%5==2 for http_incremental_loop, %5==4 for http_loop_snapshot_sink)
+    rows = [
+        # PRE-WINDOW (ts <= T0 - overlap): originals invisible to tick 1
+        (17, _T0_MS - 2 * 3_600_000),   # %5=2, %4=1: the %5==2 bug trigger
+        (2, _T0_MS - 2 * 3_600_000),    # %5=2, non-candidate
+        (14, _T0_MS - 2 * 3_600_000),   # %5=4, %4=2: the %5==4 bug trigger
+        # tick-1 window (T0, T_MID]
+        (7, _T0_MS + day),              # %5=2
+        (37, _T0_MS + 2 * day),         # %5=2, %4=1: legit update cand.
+        (4, _T0_MS + day),              # %5=4
+        (34, _T0_MS + 2 * day),         # %5=4, %4=2: legit update cand.
+        # tick-2 window (T_MID, T_END]
+        (12, _CUTOFF_MS + 3 * day),     # %5=2
+        (24, _CUTOFF_MS + 3 * day),     # %5=4
+        # non-cohort noise
+        (5, _T0_MS + day),
+        (11, _CUTOFF_MS + day),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [r[1] * 1_000_000 for r in rows], pa.timestamp("ns")
+            ),
+            "user_id": pa.array([r[0] % 7 for r in rows], pa.int64()),
+            "event_type": pa.array([f"t{r[0] % 3}" for r in rows]),
+            "value": pa.array([r[0] * 0.5 for r in rows], pa.float64()),
+        }
+    )
+    sf_dir = str(tmp_path / "advdata")
+    import os as _os
+
+    _os.makedirs(sf_dir)
+    pq.write_table(table, f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    queries, oracles = all_queries(), all_oracles()
+    for name, want_updated in (
+        ("http_incremental_loop", "37"),
+        ("http_loop_snapshot_sink", "34"),
+    ):
+        got = {
+            (r["_id"], r["ts_ms"], r["user_id"], r["event_type"],
+             r["value_fold"])
+            for r in queries[name](spark, sf_dir).collect()
+        }
+        want = {tuple(r) for r in con.execute(oracles[name]).fetchall()}
+        assert got == want, f"{name} diverged from its oracle: {got ^ want}"
+        by_id = {t[0]: t[3] for t in got}
+        # the pre-window candidate was NOT resurrected as an update...
+        assert "17" not in by_id and "14" not in by_id and "2" not in by_id
+        # ...while the in-window candidate's update won its merge
+        assert by_id[want_updated] == "updated"
+    con.close()
