@@ -134,17 +134,16 @@ def _mtime_s(jvm, fs, path: str) -> float:
     return fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path)).getModificationTime() / 1000.0
 
 
-#: Live heartbeats for locks held by THIS process: lock path -> (stop
-#: event, fired flag, ownership token). The beat keeps a long-held lock's
+#: Live heartbeats for locks held by THIS process: lock path -> record
+#: dict (stop event, fired flag, ownership token, beat mutex, acquire
+#: wall-time, stale_s). The beat keeps a long-held lock's
 #: mtime fresh so the stale-reclaim path (built for crashed holders) can
 #: never fire against a holder that is merely SLOW — the service lock
 #: wraps whole rebuild sequences (O(corpus) at 100 TB), and even a commit
 #: lock's in-lock rename loop is O(staged leaves), so "legitimate hold
 #: duration" is not bounded by milliseconds the way the original stale
 #: rationale assumed.
-_LOCK_BEATS: dict[
-    str, tuple[threading.Event, threading.Event, str, threading.Lock]
-] = {}
+_LOCK_BEATS: dict[str, dict] = {}
 _LOCK_BEATS_GUARD = threading.Lock()
 
 
@@ -165,9 +164,16 @@ def _start_lock_heartbeat(
     mutex = threading.Lock()  # serializes beat FS ops against release
     with _LOCK_BEATS_GUARD:
         old = _LOCK_BEATS.pop(lock, None)
-        _LOCK_BEATS[lock] = (stop, fired, token, mutex)
+        _LOCK_BEATS[lock] = {
+            "stop": stop,
+            "fired": fired,
+            "token": token,
+            "mutex": mutex,
+            "acquired_at": time.time(),
+            "stale_s": stale_s,
+        }
     if old is not None:
-        old[0].set()  # defensive: same-process re-acquire after a leak
+        old["stop"].set()  # defensive: same-process re-acquire after a leak
 
     def beat() -> None:
         # own py4j gateway connection per thread (py4j is thread-safe)
@@ -331,7 +337,8 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
     with _LOCK_BEATS_GUARD:
         rec = _LOCK_BEATS.pop(lock, None)
     if rec is not None:
-        stop, fired, token, mutex = rec
+        stop, fired = rec["stop"], rec["fired"]
+        token, mutex = rec["token"], rec["mutex"]
         stop.set()
         if fired.is_set():
             # the lock lived past a beat interval: verify ownership before
@@ -392,6 +399,59 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
             _delete(jvm, fs, lock)
         return
     _delete(jvm, fs, lock)
+
+
+def assert_commit_fencing(spark: SparkSession, path: str) -> None:
+    """FENCING at the commit point: a holder that lost its lock to a
+    stale reclaim — a process paused past ``stale_s`` (SIGSTOP, VM
+    freeze, pathological GC) that then RESUMED — must fail its publish
+    loudly instead of tearing the new holder's commit. Called
+    immediately before the decisive rename of every commit protocol
+    (manifest publish, table swap, partition-swap entry), it re-reads
+    the lock file's ownership token and raises if it no longer matches
+    the token this process wrote at acquire time.
+
+    Cost: zero for sub-beat-interval holds (every plain commit — the
+    lock's mtime was fresh the whole time, so no reclaim can have
+    fired; detected via the heartbeat's ``fired`` flag), one small FS
+    read for long holds. No-op when the path is not locked through
+    ``acquire_table_lock`` in this process.
+
+    Scope honesty: this closes the PERSISTENT split-brain (two writers
+    continuing for minutes after a wrongful reclaim); the instantaneous
+    window between this check and the rename itself cannot be excluded
+    without a CAS primitive the filesystem does not offer — the same
+    boundary as the create-if-absent note above (object stores want a
+    real table-format commit service). A transiently unreadable lock
+    (a waiter's claim window, a gateway hiccup) does NOT abort the
+    commit: the claim protocol preserves this holder's token on
+    restore, so only a POSITIVE foreign-token read is proof of loss."""
+    lock = path.rstrip("/") + LOCK_SUFFIX
+    with _LOCK_BEATS_GUARD:
+        rec = _LOCK_BEATS.get(lock)
+    if rec is None:
+        return  # not held via acquire_table_lock (caller manages safety)
+    token = rec["token"]
+    # WALL-time gate, not the fired flag: a process SIGSTOPped right
+    # after acquire never fires a beat, yet wall time (and the lock's
+    # mtime age a reclaimer reads) marches on — only a hold whose wall
+    # age is safely under stale_s is unreclaimable by construction.
+    if time.time() - rec["acquired_at"] < rec["stale_s"] * 0.75:
+        return  # young hold: no reclaim can have fired yet
+    jvm, fs, _ = _hadoop(spark, path)
+    try:
+        cur = _read_lock_token(
+            jvm, fs, jvm.org.apache.hadoop.fs.Path(lock)
+        )
+    except Exception:
+        return  # claim window / transient read: token survives restores
+    if cur != token:
+        raise RuntimeError(
+            f"commit fencing: table lock {lock} was reclaimed while held "
+            "(this process stalled past the stale window and another "
+            "writer took ownership); aborting this publish — the staged "
+            "work is left for the caller to retry under a fresh lock"
+        )
 
 
 #: Derived path for an index table's SERVICE lock — a second mutex layered
@@ -515,6 +575,10 @@ def atomic_overwrite(
     try:
         recover_table(spark, path)  # heal any crashed commit first
         _vacuum_stale_stagings(jvm, fs, path)
+        # fence BEFORE entering the recoverable sequence: past this
+        # rename, recovery rolls the commit FORWARD, so a fenced-out
+        # writer must stop while stopping still means "nothing happened"
+        assert_commit_fencing(spark, path)
         _rename(jvm, fs, wstaging, staging)  # enter the recoverable sequence
         had_old = _exists(jvm, fs, path)
         if had_old:
@@ -567,6 +631,7 @@ def atomic_partition_overwrite(
     try:
         recover_table(spark, path)
         _vacuum_stale_stagings(jvm, fs, path)
+        assert_commit_fencing(spark, path)  # see atomic_overwrite
         _rename(jvm, fs, wstaging, staging)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pbak))
         for leaf in _partition_leaves(jvm, fs, staging):

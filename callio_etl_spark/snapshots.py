@@ -58,6 +58,7 @@ from callio_etl_spark.io import (
     _rename,
     _vacuum_stale_stagings,
     acquire_table_lock,
+    assert_commit_fencing,
     release_table_lock,
 )
 
@@ -464,6 +465,9 @@ def _write_manifest(
         out.write(bytearray(json.dumps(manifest, sort_keys=True).encode("utf-8")))
     finally:
         out.close()
+    # fencing: a writer that stalled past the stale window and lost its
+    # lock to a reclaim must not publish over the new holder's commits
+    assert_commit_fencing(spark, path)
     _rename(jvm, fs, tmp, final)
 
 

@@ -1052,11 +1052,16 @@ def test_lock_release_respects_a_reclaimed_lock(spark, tmp_path):
 
     p = str(tmp_path / "reclaim_t")
     lock = acquire_table_lock(spark, p, stale_s=0.8)
-    _stop, fired, _token, mutex = cio._LOCK_BEATS[lock]
+    rec = cio._LOCK_BEATS[lock]
+    fired, mutex = rec["fired"], rec["mutex"]
     assert fired.wait(15), "heartbeat never fired"
+    jvm, fs, _ = cio._hadoop(spark, p)
     with mutex:  # serialize with the beat: no in-flight write can revert us
-        with open(lock, "w") as fh:
-            fh.write("someone-else")  # a waiter's reclaim + re-acquire
+        # a waiter's reclaim + re-acquire, through the FS API like a real
+        # reclaimer (a Python open() write poisons the LocalFileSystem's
+        # .crc sidecar and turns the token read into a checksum error)
+        cio._delete(jvm, fs, lock)
+        assert cio._try_create_exclusive(jvm, fs, lock, content="someone-else")
     time.sleep(0.45)  # next beat observes the foreign token and stops
     release_table_lock(spark, p)
     assert os.path.exists(lock), "release deleted a lock it no longer owned"
@@ -1079,7 +1084,8 @@ def test_lock_heartbeat_survives_transient_claim_window(spark, tmp_path):
 
     p = str(tmp_path / "claimwin_t")
     lock = acquire_table_lock(spark, p, stale_s=0.8)  # beat every 0.2 s
-    _stop, fired, _token, mutex = cio._LOCK_BEATS[lock]
+    rec = cio._LOCK_BEATS[lock]
+    fired, mutex = rec["fired"], rec["mutex"]
     assert fired.wait(15), "heartbeat never fired"
 
     claim = lock + ".reclaim.testwin"
@@ -1298,3 +1304,108 @@ time.sleep(3600)  # hold until killed
                 _os.killpg(_os.getpgid(proc.pid), signal.SIGKILL)
             except Exception:
                 pass
+
+
+def test_commit_fencing_blocks_a_reclaimed_writer(spark, tmp_path):
+    """r11 fencing: a writer that stalled past the stale window and lost
+    its lock to a reclaim must FAIL its publish (loud RuntimeError at
+    the commit point) instead of tearing the new holder's commit; a
+    writer whose token is intact publishes normally, and sub-interval
+    holds (fired never set) skip the check entirely."""
+    import pytest as _pytest
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark.io import (
+        acquire_table_lock,
+        assert_commit_fencing,
+        release_table_lock,
+    )
+
+    p = str(tmp_path / "fence_t")
+    lock = acquire_table_lock(spark, p, stale_s=0.8)
+    rec = cio._LOCK_BEATS[lock]
+    fired, mutex = rec["fired"], rec["mutex"]
+    assert fired.wait(15), "heartbeat never fired"
+
+    # token intact: the fence passes
+    assert_commit_fencing(spark, p)
+
+    # a reclaim re-owned the lock (through the FS API, like a real
+    # reclaimer): the fence must refuse the publish. Age the record so
+    # the wall-time gate reads the hold as reclaim-eligible (a real
+    # steal only happens once the mtime aged past stale_s).
+    jvm, fs, _ = cio._hadoop(spark, p)
+    with mutex:
+        cio._delete(jvm, fs, lock)
+        assert cio._try_create_exclusive(
+            jvm, fs, lock, content="new-holder-token"
+        )
+    rec["acquired_at"] -= 3600.0
+    with _pytest.raises(RuntimeError, match="commit fencing"):
+        assert_commit_fencing(spark, p)
+    release_table_lock(spark, p)  # token-checked: leaves the new holder's
+    assert os.path.exists(lock)
+    os.remove(lock)
+
+    # sub-interval hold: no beat has fired, the fence is a no-op
+    lock2 = acquire_table_lock(spark, p)  # default stale_s: beat hours away
+    assert_commit_fencing(spark, p)
+    release_table_lock(spark, p)
+    assert not os.path.exists(lock2)
+
+    # unlocked path: fence is a no-op (caller manages safety)
+    assert_commit_fencing(spark, str(tmp_path / "never_locked"))
+
+
+def test_snapshot_commit_fenced_after_reclaim(spark, tmp_path, monkeypatch):
+    """End to end through the real commit path: a snapshot writer whose
+    lock is re-owned mid-commit (stolen deterministically inside the
+    locked section, before the manifest publish) must abort at the
+    commit point and leave the table at its pre-commit version."""
+    import pytest as _pytest
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark import snapshots as snap
+
+    p = str(tmp_path / "fence_snap")
+    df = spark.createDataFrame([(1, "a")], "k long, d string")
+    v1 = snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=5)
+
+    lock = p + cio.LOCK_SUFFIX
+    stolen = {"done": False}
+    orig_vac = snap._vacuum_stale_stagings
+
+    def stealing_vac(jvm, fs, path_):
+        # runs INSIDE the writer's locked section, before the manifest
+        # publish: replace the lock with a reclaimer's (through the FS
+        # API, like a real reclaim) and age the holder's record so the
+        # fence's wall-time gate reads the hold as reclaim-eligible
+        orig_vac(jvm, fs, path_)
+        rec = cio._LOCK_BEATS.get(lock)
+        if rec is not None and not stolen["done"]:
+            with rec["mutex"]:
+                cio._delete(jvm, fs, lock)
+                assert cio._try_create_exclusive(
+                    jvm, fs, lock, content="reclaimer"
+                )
+                rec["acquired_at"] -= 3600.0
+            stolen["done"] = True
+
+    monkeypatch.setattr(snap, "_vacuum_stale_stagings", stealing_vac)
+    try:
+        with _pytest.raises(RuntimeError, match="commit fencing"):
+            snap.snapshot_partition_overwrite(
+                spark,
+                spark.createDataFrame([(2, "a")], "k long, d string"),
+                p,
+                "d",
+                keep_snapshots=5,
+            )
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
+    assert stolen["done"], "the steal never ran inside the locked section"
+
+    # the table still reads at its pre-commit content
+    assert snap.snapshot_versions(spark, p)[-1] == v1
+    assert [r["k"] for r in snap.snapshot_read(spark, p).collect()] == [1]
