@@ -340,7 +340,16 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
         stop, fired = rec["stop"], rec["fired"]
         token, mutex = rec["token"], rec["mutex"]
         stop.set()
-        if fired.is_set():
+        # Token-verify not just when a beat fired but ALSO when the hold's
+        # WALL age reaches reclaim eligibility: a process stalled before
+        # its first beat (SIGSTOP, VM freeze) may have lost the lock to a
+        # reclaim without fired ever setting — a plain delete here would
+        # remove the new holder's lock (the same gate as
+        # assert_commit_fencing).
+        aged = (
+            time.time() - rec["acquired_at"] >= rec["stale_s"] * 0.75
+        )
+        if fired.is_set() or aged:
             # the lock lived past a beat interval: verify ownership before
             # removing it — if a reclaim raced the heartbeat, the file now
             # belongs to another holder and must be left alone. The
@@ -474,6 +483,16 @@ def acquire_service_lock(spark: SparkSession, path: str) -> str:
 
 def release_service_lock(spark: SparkSession, path: str) -> None:
     release_table_lock(spark, path.rstrip("/") + SERVICE_LOCK_INFIX)
+
+
+def assert_service_fencing(spark: SparkSession, path: str) -> None:
+    """Commit-point fencing for the SERVICE lock (see
+    assert_commit_fencing): a maintenance tick or rebuild that stalled
+    past the stale window and lost its service lock must abort before
+    committing index state or acknowledging the consumer cursor against
+    a sequence a newer owner has already advanced. Same wall-time gate:
+    free for every normally-paced tick."""
+    assert_commit_fencing(spark, path.rstrip("/") + SERVICE_LOCK_INFIX)
 
 
 def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S) -> None:

@@ -1626,6 +1626,7 @@ def maintain_band_index(
     index equals ``band_projection`` of the live docs exactly."""
     from callio_etl_spark.io import (
         acquire_service_lock,
+        assert_service_fencing,
         release_service_lock,
     )
     from callio_etl_spark.snapshots import (
@@ -1636,6 +1637,9 @@ def maintain_band_index(
     )
 
     def process(batch: DataFrame) -> None:
+        # a tick that stalled past the stale window and lost its service
+        # lock must not band a delta against a pin a rebuild re-owned
+        assert_service_fencing(spark, index_path)
         changed = batch.select("doc_id", "text", "_change").localCheckpoint(
             eager=True
         )
@@ -2277,6 +2281,9 @@ def rebuild_band_index(
                 for leaf in leaves
                 if int(leaf.split("=", 1)[1]) not in present
             )
+        from callio_etl_spark.io import assert_service_fencing
+
+        assert_service_fencing(spark, index_path)
         snapshot_partition_overwrite(
             spark, fresh, index_path, "bkt",
             keep_snapshots=keep_snapshots, retire_leaves=retire or None,

@@ -2289,6 +2289,12 @@ def maintain_vector_index(
         )
 
     def process(batch: DataFrame, bound_version: int) -> None:
+        # a tick that stalled past the stale window and lost its service
+        # lock must not assign a delta against a quantizer a rebuild
+        # re-owned (see io.assert_service_fencing)
+        from callio_etl_spark.io import assert_service_fencing
+
+        assert_service_fencing(spark, index_path)
         changed = batch.select("vec_id", "embedding", "_change").localCheckpoint(
             eager=True
         )
@@ -2566,6 +2572,9 @@ def rebuild_vector_index(
             r["assigned_cell"]
             for r in fresh.select("assigned_cell").distinct().collect()
         }
+        from callio_etl_spark.io import assert_service_fencing
+
+        assert_service_fencing(spark, index_path)
         snapshot_partition_overwrite(
             spark, fresh, index_path, "assigned_cell",
             keep_snapshots=keep_snapshots,

@@ -3644,10 +3644,30 @@ def maintain_agg_view(
 def _write_cursor(cursor_file: str, version: int, table: str) -> None:
     """Atomically acknowledge a consumer cursor (tmp + rename): shared by
     snapshot_consume_changes and the index REBUILD verbs, whose full
-    re-derivation from version v supersedes every change up to v."""
+    re-derivation from version v supersedes every change up to v.
+
+    MONOTONIC: an ack below the recorded version for the same table is
+    refused — only a STALLED consumer that lost its service lock to a
+    reclaim (and raced a rebuild that acked further ahead) can produce
+    one, and letting it through would silently re-deliver changes the
+    newer owner already applied against a newer pin. Deliberate
+    re-bootstrap is an explicit cursor-file delete, never a rewind."""
     import os
     import tempfile
 
+    try:
+        with open(cursor_file) as fh:
+            prior = json.load(fh)
+        if prior.get("table") == table and prior.get("version", -1) > version:
+            raise RuntimeError(
+                f"cursor fencing: refusing to rewind {cursor_file} from "
+                f"v{prior['version']} to v{version} — a newer owner "
+                "already acknowledged past this point (stalled consumer "
+                "raced a reclaim/rebuild); re-bootstrap by deleting the "
+                "cursor file if the rewind is intentional"
+            )
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        pass  # no (readable) prior ack: nothing to guard
     d = os.path.dirname(cursor_file) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
     with os.fdopen(fd, "w") as fh:

@@ -1409,3 +1409,34 @@ def test_snapshot_commit_fenced_after_reclaim(spark, tmp_path, monkeypatch):
     # the table still reads at its pre-commit content
     assert snap.snapshot_versions(spark, p)[-1] == v1
     assert [r["k"] for r in snap.snapshot_read(spark, p).collect()] == [1]
+
+
+def test_service_fencing_blocks_a_reclaimed_maintainer(spark, tmp_path):
+    """r11: the SERVICE-lock twin of commit fencing — a maintainer that
+    stalled past the stale window and lost its service lock must abort
+    (the maintain/rebuild paths call assert_service_fencing before
+    committing index state); young holds and intact tokens pass."""
+    import pytest as _pytest
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark.io import (
+        acquire_service_lock,
+        assert_service_fencing,
+        release_service_lock,
+    )
+
+    idx = str(tmp_path / "idx")
+    lock = acquire_service_lock(spark, idx)
+    rec = cio._LOCK_BEATS[lock]
+    assert_service_fencing(spark, idx)  # young hold: no-op
+
+    jvm, fs, _ = cio._hadoop(spark, idx)
+    with rec["mutex"]:
+        cio._delete(jvm, fs, lock)
+        assert cio._try_create_exclusive(jvm, fs, lock, content="reclaimer")
+    rec["acquired_at"] -= 3600.0
+    with _pytest.raises(RuntimeError, match="commit fencing"):
+        assert_service_fencing(spark, idx)
+    release_service_lock(spark, idx)  # token-checked: leaves the file
+    assert os.path.exists(lock)
+    os.remove(lock)

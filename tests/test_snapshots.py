@@ -3336,3 +3336,31 @@ def test_segment_count_doubling_boundary(spark, tmp_path):
         # and a point probe on the NEW layout resolves through the
         # 4-segment partial path
         assert snap.snapshot_read(spark, path, point=("p", "19")).count() == 1
+
+
+def test_cursor_ack_never_rewinds(tmp_path):
+    """r11 cursor fencing: a consumer ack below the recorded version for
+    the same table is refused (only a stalled consumer racing a
+    reclaim/rebuild produces one); equal re-acks and explicit
+    re-bootstrap (cursor delete) stay allowed."""
+    import pytest as _pytest
+
+    from callio_etl_spark.snapshots import _write_cursor
+
+    cur = str(tmp_path / "cursor.json")
+    _write_cursor(cur, 5, "/data/docs")
+    _write_cursor(cur, 5, "/data/docs")  # idempotent re-ack: fine
+    _write_cursor(cur, 8, "/data/docs")  # forward: fine
+    with _pytest.raises(RuntimeError, match="cursor fencing"):
+        _write_cursor(cur, 3, "/data/docs")
+    import json as _json
+
+    with open(cur) as fh:
+        assert _json.load(fh)["version"] == 8, "failed ack must not clobber"
+    # explicit re-bootstrap: delete then write lower
+    import os as _os
+
+    _os.remove(cur)
+    _write_cursor(cur, 3, "/data/docs")
+    with open(cur) as fh:
+        assert _json.load(fh)["version"] == 3
