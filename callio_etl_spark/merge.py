@@ -238,6 +238,7 @@ def merge_write_snapshot(
     part_min=None,
     part_max=None,
     keep_snapshots: int = 2,
+    part_values=None,
 ) -> int:
     """merge_write against a SNAPSHOT-isolated table (snapshots.py): the
     windowed target is read from the live manifest, merged with
@@ -253,11 +254,36 @@ def merge_write_snapshot(
     the window fail fast — they would otherwise clobber partitions
     excluded from the windowed target); partitions outside the window
     carry over by manifest reference at zero I/O. Returns the committed
-    snapshot version."""
+    snapshot version.
+
+    ``part_values`` is the SET-valued window (mutually exclusive with
+    part_min/part_max): only the named partition values — typically the
+    exact touched set, e.g. the id buckets a delta hashes into — are
+    read and replaced, so the merge I/O is O(touched partitions) even
+    when the touched set is not a contiguous range. Same stray-row
+    fail-fast."""
     from callio_etl_spark.snapshots import snapshot_partition_overwrite, snapshot_read
 
+    if part_values is not None and part_min is not None:
+        raise ValueError(
+            "merge_write_snapshot: pass part_values OR part_min/part_max, "
+            "not both"
+        )
     target = snapshot_read(spark, target_path)
-    if part_min is not None:
+    if part_values is not None:
+        vals = list(part_values)
+        stray = source.where(
+            ~F.col(partition_col).isin(vals)
+            | F.col(partition_col).isNull()
+        )
+        if stray.limit(1).count() > 0:
+            raise ValueError(
+                f"merge_write_snapshot: source rows outside the merge "
+                f"window {sorted(vals)!r} on {partition_col!r} would "
+                f"clobber partitions excluded from the windowed target"
+            )
+        target = target.where(F.col(partition_col).isin(vals))
+    elif part_min is not None:
         stray = source.where(
             ~F.col(partition_col).between(part_min, part_max)
             | F.col(partition_col).isNull()

@@ -417,13 +417,13 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge all break the DuckDB hash.
 
     Scale shape: the table is partitioned by a STABLE id bucket
-    (updates never move partitions). A production merge windows the
-    target (merge_write_snapshot's part_min/part_max) so untouched
-    partitions carry by manifest reference at zero I/O; these two
-    full-corpus ticks touch every bucket, so the merge here IS the full
-    overwrite — the windowed O(touched) form is exercised by
-    merge_upsert_snapshot. The checkpoint scalar is the only
-    driver-side state."""
+    (updates never move partitions), and tick 2 merges through the
+    SET-valued window (merge_write_snapshot's ``part_values`` = the
+    delta's touched buckets): only those partitions are read and
+    rewritten, the rest carry by manifest reference at zero I/O — the
+    production O(touched) shape even when the touched set is not a
+    contiguous range. The checkpoint scalar and the <=16-value touched
+    list are the only driver-side state."""
     import shutil as _shutil
 
     from callio_etl_spark.checkpoints import CheckpointStore
@@ -472,6 +472,14 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("S.ts_ms").cast("long")
                     > F.coalesce(F.col("T.ts_ms").cast("long"), F.lit(0))
                 )
+                # SET-valued merge window: read and rewrite only the id
+                # buckets this delta actually hashes into (<= 16 values,
+                # metadata-sized collect) — untouched buckets carry by
+                # manifest reference at zero I/O
+                touched = [
+                    r["pbkt"]
+                    for r in fresh.select("pbkt").distinct().collect()
+                ]
                 merge_write_snapshot(
                     spark,
                     table_path,
@@ -481,6 +489,7 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     "pbkt",
                     keep_snapshots=3,
+                    part_values=touched,
                 )
             if new_ck is not None:
                 # C4: the checkpoint advances only after the manifest

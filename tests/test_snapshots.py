@@ -3364,3 +3364,70 @@ def test_cursor_ack_never_rewinds(tmp_path):
     _write_cursor(cur, 3, "/data/docs")
     with open(cur) as fh:
         assert _json.load(fh)["version"] == 3
+
+
+def test_merge_write_snapshot_set_valued_window(spark, tmp_path):
+    """r11 `part_values`: a merge windowed by the SET of touched
+    partition values reads and rewrites ONLY those partitions — the
+    untouched leaves' data dirs are carried into the new manifest BY
+    REFERENCE (identical dir tokens), non-contiguous sets work (the
+    between-window cannot express {0, 3}), and a stray source row
+    outside the window fails fast before any commit."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
+
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 4) for i in range(40)],
+        "k long, val string, pbkt int",
+    )
+    v1 = snap.snapshot_partition_overwrite(spark, base, p, "pbkt",
+                                           keep_snapshots=5)
+    m1 = snap.snapshot_manifest(spark, p)["partitions"]
+
+    # delta touches buckets 0 and 3 only (non-contiguous): update k=0,
+    # k=3, insert k=100 (100 % 4 == 0)
+    delta = spark.createDataFrame(
+        [(0, "UPDATED", 0), (3, "UPDATED", 3), (100, "NEW", 0)],
+        "k long, val string, pbkt int",
+    )
+    spec = MergeSpec(
+        keys=["k"],
+        update_condition=~F.col("T.val").eqNullSafe(F.col("S.val")),
+    )
+    v2 = merge_write_snapshot(
+        spark, p, delta, spec, "pbkt", keep_snapshots=5,
+        part_values=[0, 3],
+    )
+    assert v2 > v1
+    m2 = snap.snapshot_manifest(spark, p)["partitions"]
+    # untouched buckets 1 and 2: data dirs carried verbatim by reference
+    for leaf in ("pbkt=1", "pbkt=2"):
+        assert m2[leaf] == m1[leaf], f"{leaf} rewritten despite windowing"
+    for leaf in ("pbkt=0", "pbkt=3"):
+        assert m2[leaf] != m1[leaf], f"{leaf} not rewritten"
+    got = {r["k"]: r["val"] for r in snap.snapshot_read(spark, p).collect()}
+    assert len(got) == 41
+    assert got[0] == "UPDATED" and got[3] == "UPDATED" and got[100] == "NEW"
+    assert got[1] == "v1" and got[2] == "v2"  # untouched buckets intact
+
+    # stray row outside the window: loud refusal, nothing committed
+    stray = spark.createDataFrame(
+        [(200, "STRAY", 2)], "k long, val string, pbkt int"
+    )
+    with _pytest.raises(ValueError, match="outside the merge window"):
+        merge_write_snapshot(
+            spark, p, stray, spec, "pbkt", keep_snapshots=5,
+            part_values=[0, 3],
+        )
+    assert snap.snapshot_versions(spark, p)[-1] == v2
+
+    # part_values and part_min are mutually exclusive
+    with _pytest.raises(ValueError, match="not both"):
+        merge_write_snapshot(
+            spark, p, delta, spec, "pbkt", keep_snapshots=5,
+            part_values=[0], part_min=0, part_max=3,
+        )
