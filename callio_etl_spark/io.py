@@ -420,11 +420,13 @@ def assert_commit_fencing(spark: SparkSession, path: str) -> None:
     the lock file's ownership token and raises if it no longer matches
     the token this process wrote at acquire time.
 
-    Cost: zero for sub-beat-interval holds (every plain commit — the
-    lock's mtime was fresh the whole time, so no reclaim can have
-    fired; detected via the heartbeat's ``fired`` flag), one small FS
-    read for long holds. No-op when the path is not locked through
-    ``acquire_table_lock`` in this process.
+    Cost: zero for young holds (every plain commit) — gated on WALL
+    time since acquire, NOT the heartbeat's ``fired`` flag: a process
+    SIGSTOPped before its first beat never fires, yet wall time (and
+    the mtime age a reclaimer reads) marches on, so only wall age
+    proves a reclaim was impossible. One small FS read for long holds.
+    No-op when the path is not locked through ``acquire_table_lock``
+    in this process.
 
     Scope honesty: this closes the PERSISTENT split-brain (two writers
     continuing for minutes after a wrongful reclaim); the instantaneous

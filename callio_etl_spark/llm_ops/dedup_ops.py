@@ -1756,6 +1756,11 @@ def maintain_band_index(
                 spark, index_path, leaves=[f"bkt={b}" for b in cand]
             )["partitions"]
             retire = [f"bkt={b}" for b in cand if f"bkt={b}" in leaves]
+        # re-assert the fence AT the commit point: the O(delta) banding
+        # above is exactly where a stall can outlast the stale window —
+        # an entry-only fence would let the resumed tick commit buckets
+        # banded under a pin a rebuild has since replaced
+        assert_service_fencing(spark, index_path)
         if with_rows:
             snapshot_partition_overwrite(
                 spark, out, index_path, "bkt", keep_snapshots=keep_snapshots,

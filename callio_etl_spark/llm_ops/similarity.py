@@ -2430,6 +2430,9 @@ def maintain_vector_index(
             if idx_exists
             else []
         )
+        # fence AT the commit point (not just batch entry): the delta
+        # assignment above is where a stall can outlast the stale window
+        assert_service_fencing(spark, index_path)
         if cells_with_rows:
             snapshot_partition_overwrite(
                 spark, out, index_path, "assigned_cell",
@@ -2476,6 +2479,10 @@ def maintain_vector_index(
             if fwd_exists
             else []
         )
+        # the forward map is a SECOND table: a stall between the postings
+        # commit and this one must not leave the fwd map advancing under
+        # a reclaimed lock
+        assert_service_fencing(spark, index_path)
         if bkts_with_rows:
             snapshot_partition_overwrite(
                 spark, fout, fwd_path, "bkt", keep_snapshots=keep_snapshots,
@@ -2589,6 +2596,7 @@ def rebuild_vector_index(
         bkts_present = {
             r["bkt"] for r in fwd.select("bkt").distinct().collect()
         }
+        assert_service_fencing(spark, index_path)  # second table, re-fence
         snapshot_partition_overwrite(
             spark, fwd, fwd_path, "bkt", keep_snapshots=keep_snapshots,
             retire_leaves=_retire(fwd_path, "bkt", bkts_present) or None,

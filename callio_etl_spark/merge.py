@@ -264,7 +264,9 @@ def merge_write_snapshot(
     fail-fast."""
     from callio_etl_spark.snapshots import snapshot_partition_overwrite, snapshot_read
 
-    if part_values is not None and part_min is not None:
+    if part_values is not None and (
+        part_min is not None or part_max is not None
+    ):
         raise ValueError(
             "merge_write_snapshot: pass part_values OR part_min/part_max, "
             "not both"
@@ -272,6 +274,13 @@ def merge_write_snapshot(
     target = snapshot_read(spark, target_path)
     if part_values is not None:
         vals = list(part_values)
+        if not vals:
+            raise ValueError(
+                "merge_write_snapshot: part_values must be non-empty — an "
+                "empty window would classify every source row as stray "
+                "and merge nothing; skip the merge for an empty delta "
+                "instead"
+            )
         stray = source.where(
             ~F.col(partition_col).isin(vals)
             | F.col(partition_col).isNull()

@@ -461,6 +461,8 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [F.col("row_hash")],
             ).localCheckpoint(eager=True)  # one HTTP walk per tick
             new_ck = fresh.agg(F.max("ts_ms")).first()[0]
+            if new_ck is None:
+                return  # empty delta: nothing to land, checkpoint holds
             if first:
                 snapshot_partition_overwrite(
                     spark, fresh, table_path, "pbkt", keep_snapshots=3

@@ -3655,10 +3655,12 @@ def _write_cursor(cursor_file: str, version: int, table: str) -> None:
     import os
     import tempfile
 
+    table = table.rstrip("/")  # ack sites pass raw and rstripped paths
     try:
         with open(cursor_file) as fh:
             prior = json.load(fh)
-        if prior.get("table") == table and prior.get("version", -1) > version:
+        prior_table = (prior.get("table") or "").rstrip("/")
+        if prior_table == table and prior.get("version", -1) > version:
             raise RuntimeError(
                 f"cursor fencing: refusing to rewind {cursor_file} from "
                 f"v{prior['version']} to v{version} — a newer owner "
