@@ -126,7 +126,12 @@ def running_checkpoint_stream(events: DataFrame, tenant_col: str = "event_type")
         max_ts, total = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             if len(pdf):
-                max_ts = max(max_ts, int(pdf["ts_ms"].max()))
+                ts = pdf["ts_ms"].dropna()
+                if len(ts):
+                    # all-null chunks must not poison the query:
+                    # int(NaN) raises in the Python worker and the
+                    # restart replays the same rows forever
+                    max_ts = max(max_ts, int(ts.max()))
                 total += len(pdf)
         state.update((max_ts, total))
         yield pd.DataFrame(
@@ -198,6 +203,7 @@ def run_foreach_batch_snapshot(
     bloom_cols: list[str] | None = None,
     max_records_per_file: int | None = None,
     post_commit_fn=None,
+    stable_partitions: bool = False,
 ) -> None:
     """Streaming sink with SNAPSHOT-ISOLATED commits: each micro-batch's
     updated rows replace their partitions through ONE manifest publish
@@ -232,6 +238,15 @@ def run_foreach_batch_snapshot(
     rewrite, so update-mode batches compose with coarse partitions.
     The carry reads the published head's (immutable) files before
     anything is staged, so it is safe against the commit it feeds.
+    A key whose PARTITION VALUE changes across ticks is handled: the
+    key's old partitions are located (one semi-join of the table
+    against the batch's keys), rewritten without the stale copy, and
+    retired in the same commit if emptied — pass
+    ``stable_partitions=True`` to skip that lookup when the partition
+    value is a pure function of the merge key (residue buckets, say),
+    keeping the tick O(touched partitions). Partition leaf names use
+    the house ``col=value`` rendering (exact for str/int values — the
+    same contract as snapshot_delete_partitions).
 
     ``cluster_cols`` / ``stats_cols`` / ``zorder_cols`` / ``file_stats``
     / ``bloom_cols`` thread through to every tick's commit, so a
@@ -258,11 +273,13 @@ def run_foreach_batch_snapshot(
     tick's hook folds both commits)."""
     from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
+        SNAP_DIR,
         snapshot_discard_staged,
         snapshot_partition_overwrite,
         snapshot_publish,
         snapshot_read,
         snapshot_staged,
+        snapshot_versions,
     )
 
     layout = dict(
@@ -278,31 +295,88 @@ def run_foreach_batch_snapshot(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # Deliberately NOT batch.persist(): on Spark 4.1.2 persisting a
+        # STATEFUL update-mode micro-batch inside foreachBatch breaks
+        # attribute resolution at the next action ("key not found:
+        # <grouping attr>"), so the textbook cache-the-batch move is a
+        # crash here — the few re-evaluations below (key/partition
+        # projections + the write) are the lesser cost.
+        _commit_inner(spark, batch)
+
+    def _commit_inner(spark, batch: DataFrame) -> None:
         out = batch
+        retire = None
         if merge_keys is not None:
             # Probe table existence through the Hadoop FS abstraction —
             # an os.path check is always False on hdfs://-/s3a://-style
             # warehouses, which would silently skip the carry and let
             # each tick's partition overwrite drop unchanged groups
-            # sharing a partition with updated ones.
+            # sharing a partition with updated ones. Existence means a
+            # PUBLISHED head, not the manifest dir: a staged-only or
+            # tombstoned history (first tick's audit failed / crashed
+            # mid-audit) must take the create path, not crash the
+            # stream's every retry on snapshot_read.
             jvm, fs, _ = _hadoop(spark, path)
-            has_table = _exists(jvm, fs, path.rstrip("/") + "/__snap__")
+            has_table = _exists(
+                jvm, fs, path.rstrip("/") + "/" + SNAP_DIR
+            ) and bool(snapshot_versions(spark, path))
         else:
             has_table = False
         if has_table:
             # upsert-into-partition: carry the touched partitions' current
-            # rows whose grouping key the batch didn't update
+            # rows whose grouping key the batch didn't update. Touched
+            # partitions are resolved to a LITERAL value list (metadata-
+            # sized collects): plan-level alternatives (a semi-join whose
+            # build side shares `current`, a localCheckpoint of the
+            # micro-batch) both break attribute resolution inside
+            # foreachBatch on stateful update-mode batches.
             current = snapshot_read(spark, path)
-            carried = current.join(
-                batch.select(partition_col).distinct(), partition_col, "left_semi"
-            ).join(
-                batch.select(*merge_keys).distinct(), merge_keys, "left_anti"
-            )
+            batch_keys = batch.select(*merge_keys).distinct()
+            batch_parts = {
+                r[0]
+                for r in batch.select(partition_col).distinct().collect()
+            }
+            touched_vals = set(batch_parts)
+            if not stable_partitions:
+                # a key may have MOVED partitions since its last tick:
+                # its old partitions are touched too (must drop the
+                # stale copy), located by one semi-join of the table
+                # against the batch's keys
+                touched_vals |= {
+                    r[0]
+                    for r in current.join(
+                        batch_keys, merge_keys, "left_semi"
+                    )
+                    .select(partition_col)
+                    .distinct()
+                    .collect()
+                }
+            carried = current.where(
+                F.col(partition_col).isin(list(touched_vals))
+            ).join(batch_keys, merge_keys, "left_anti")
             out = carried.select(*batch.columns).unionByName(batch)
+            if not stable_partitions:
+                # a moved key can EMPTY its old partition: out then has
+                # no rows for it, the dynamic overwrite couldn't replace
+                # it, and the stale copy would survive — retire those
+                # leaves in the same commit
+                have = {
+                    r[0]
+                    for r in carried.select(partition_col)
+                    .distinct()
+                    .collect()
+                } | batch_parts
+                retire = [
+                    f"{partition_col}={v}"
+                    for v in sorted(
+                        v for v in touched_vals if v not in have
+                    )
+                ] or None
         if audit_fn is None:
             snapshot_partition_overwrite(
                 spark, out, path, partition_col,
-                keep_snapshots=keep_snapshots, **layout,
+                keep_snapshots=keep_snapshots, retire_leaves=retire,
+                **layout,
             )
             if post_commit_fn is not None:
                 post_commit_fn(spark)
@@ -313,7 +387,8 @@ def run_foreach_batch_snapshot(
             )
         sv = snapshot_partition_overwrite(
             spark, out, path, partition_col,
-            keep_snapshots=keep_snapshots, audit=True, **layout,
+            keep_snapshots=keep_snapshots, audit=True, retire_leaves=retire,
+            **layout,
         )
         if audit_fn(snapshot_read(spark, path, version=sv)):
             snapshot_publish(spark, path, sv, keep_snapshots=keep_snapshots)
@@ -465,6 +540,7 @@ def run_docs_ingest_with_band_index(
     partition_col: str,
     keep_snapshots: int = 3,
     output_mode: str = "update",
+    stable_partitions: bool = False,
 ) -> None:
     """DOCUMENT INGESTION WITH A LIVE NEAR-DUP INDEX — the composed
     rolling-dedup service loop (closes VERDICT r8 item 6): each
@@ -493,6 +569,7 @@ def run_docs_ingest_with_band_index(
         keep_snapshots=keep_snapshots,
         output_mode=output_mode,
         merge_keys=["doc_id"],
+        stable_partitions=stable_partitions,
         post_commit_fn=lambda spark: maintain_band_index(
             spark, docs_path, index_path, cursor_file,
             keep_snapshots=keep_snapshots,
@@ -511,6 +588,7 @@ def run_vectors_ingest_with_ivf_index(
     cells: DataFrame,
     keep_snapshots: int = 3,
     output_mode: str = "update",
+    stable_partitions: bool = False,
 ) -> None:
     """VECTOR INGESTION WITH A LIVE IVF INDEX — the vector twin of
     ``run_docs_ingest_with_band_index`` (closes the composition gap the
@@ -545,6 +623,7 @@ def run_vectors_ingest_with_ivf_index(
         keep_snapshots=keep_snapshots,
         output_mode=output_mode,
         merge_keys=["vec_id"],
+        stable_partitions=stable_partitions,
         post_commit_fn=lambda spark: maintain_vector_index(
             spark, vecs_path, index_path, fwd_path, cursor_file, cells,
             keep_snapshots=keep_snapshots,

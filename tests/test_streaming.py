@@ -1279,3 +1279,133 @@ def test_snapshot_sink_segmented_manifests(spark, tmp_path):
     assert pinned.count() == 12  # tick-1 snapshot intact on the spilled layout
     point = snap.snapshot_read(spark, t2, point=("p", "99")).collect()
     assert {r["k"] for r in point} == {101}
+
+
+def test_snapshot_sink_handles_moved_merge_keys(spark, dirs, tmp_path):
+    """r11 review fix: a merge key whose PARTITION VALUE changes across
+    ticks must not leave a stale duplicate behind in its old partition —
+    the key's old partitions are located, rewritten without the stale
+    copy, and RETIRED in the same commit when emptied."""
+    from callio_etl_spark.snapshots import snapshot_manifest, snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_event_stream,
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "mv_table")
+    # per-user state partitioned by the user's MAX event type: a later
+    # lexicographically-greater event MOVES the user's partition
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            _row(1, 0, 10, "call"),
+            _row(2, 1, 11, "call"),
+            _row(3, 2, 12, "sms"),
+            _row(4, 3, 13, "walk"),
+        ],
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("user_id")
+        .agg(F.max("event_type").alias("etype"), F.count("*").alias("n"))
+    )
+
+    def tick():
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "etype", merge_keys=["user_id"]
+        )
+
+    tick()
+    assert {
+        (r["user_id"], r["etype"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    } == {(10, "call", 1), (11, "call", 1), (12, "sms", 1), (13, "walk", 1)}
+
+    # tick 2: u10 moves call -> zcall (call partition keeps u11);
+    # u13 moves walk -> zwalk (the walk partition EMPTIES)
+    _write_batch(
+        spark, dirs["src"], [_row(5, 4, 10, "zcall"), _row(6, 5, 13, "zwalk")]
+    )
+    tick()
+    got = {
+        (r["user_id"], r["etype"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {
+        (10, "zcall", 2),
+        (11, "call", 1),
+        (12, "sms", 1),
+        (13, "zwalk", 2),
+    }, f"stale moved-key copies survived: {got}"
+    leaves = snapshot_manifest(spark, table)["partitions"]
+    assert "etype=walk" not in leaves, "emptied old partition not retired"
+    assert "etype=call" in leaves  # u11 still lives there
+
+
+def test_snapshot_sink_merge_keys_survive_staged_only_history(
+    spark, dirs, tmp_path
+):
+    """r11 review fix: a table whose first tick was STAGED and discarded
+    (audit false) has a manifest dir but no published head — the next
+    merge_keys tick must take the CREATE path instead of crashing every
+    replay on snapshot_read('no published snapshot')."""
+    from callio_etl_spark.snapshots import snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_event_stream,
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "st_table")
+    _write_batch(spark, dirs["src"], [_row(1, 0, 10, "call")])
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def tick(ok):
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "event_type",
+            merge_keys=["event_type", "user_id"],
+            audit_fn=lambda df: ok,
+        )
+
+    tick(False)  # staged + discarded: dir exists, no published head
+    _write_batch(spark, dirs["src"], [_row(2, 1, 11, "call")])
+    tick(True)  # must not crash; creates the table from this tick
+    got = {
+        (r["user_id"], r["n"]) for r in snapshot_read(spark, table).collect()
+    }
+    # tick 1's batch was discarded by its audit (offset committed: the
+    # firewall drops poisoned batches); tick 2 lands only its own delta
+    assert got == {(11, 1)}
+
+
+def test_running_checkpoint_stream_survives_null_timestamps(spark, dirs):
+    """r11 review fix: an all-null-ts chunk for a tenant must not poison
+    the stateful checkpoint operator (int(NaN) raised in the Python
+    worker and the restart replayed the same rows forever); null-ts rows
+    count toward rows_total but never move the checkpoint."""
+    from callio_etl_spark.streaming.incremental import (
+        read_event_stream,
+        run_foreach_batch_merge,
+        running_checkpoint_stream,
+    )
+
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            (1, None, 10, "heartbeat", "v"),  # null ts
+            (2, None, 11, "heartbeat", "v"),  # null ts
+            _row(3, 5, 12, "customer"),
+        ],
+    )
+    stream = running_checkpoint_stream(read_event_stream(spark, dirs["src"]))
+    sink = lambda batch: batch.write.mode("append").parquet(dirs["out"])  # noqa: E731
+    run_foreach_batch_merge(stream, dirs["ck"], sink)
+    out = {r["tenant"]: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert out["heartbeat"]["rows_total"] == 2
+    assert out["heartbeat"]["max_ts_ms"] == 0  # never moved by null ts
+    assert out["customer"]["rows_total"] == 1
