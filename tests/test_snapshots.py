@@ -3431,3 +3431,56 @@ def test_merge_write_snapshot_set_valued_window(spark, tmp_path):
             spark, p, delta, spec, "pbkt", keep_snapshots=5,
             part_values=[0], part_min=0, part_max=3,
         )
+
+
+def test_merge_write_snapshot_windowed_equals_full_merge(spark, tmp_path):
+    """Parity across random touched sets: for any delta, merging through
+    the set-valued window (part_values = the delta's exact partition
+    values) must produce the same table as the unwindowed full merge —
+    the window is an I/O optimization, never a semantics change."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from callio_etl_spark import snapshots as snap
+    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
+
+    rng = random.Random(11)
+    spec = MergeSpec(
+        keys=["k"],
+        update_condition=~F.col("T.val").eqNullSafe(F.col("S.val")),
+    )
+    base_rows = [(i, f"v{i}", i % 8) for i in range(64)]
+
+    for trial in range(3):
+        pa_, pb = str(tmp_path / f"w{trial}"), str(tmp_path / f"f{trial}")
+        base = spark.createDataFrame(
+            base_rows, "k long, val string, pbkt int"
+        )
+        for p in (pa_, pb):
+            snap.snapshot_partition_overwrite(
+                spark, base, p, "pbkt", keep_snapshots=3
+            )
+        delta_rows = [
+            (k, f"u{trial}_{k}", k % 8)
+            for k in rng.sample(range(0, 100), rng.randint(1, 12))
+        ]
+        delta = spark.createDataFrame(
+            delta_rows, "k long, val string, pbkt int"
+        )
+        touched = sorted({r[2] for r in delta_rows})
+        merge_write_snapshot(
+            spark, pa_, delta, spec, "pbkt", keep_snapshots=3,
+            part_values=touched,
+        )
+        merge_write_snapshot(spark, pb, delta, spec, "pbkt", keep_snapshots=3)
+        got_w = {
+            tuple(r) for r in snap.snapshot_read(spark, pa_).collect()
+        }
+        got_f = {
+            tuple(r) for r in snap.snapshot_read(spark, pb).collect()
+        }
+        assert got_w == got_f, (
+            f"trial {trial}: windowed merge diverged from full merge: "
+            f"{got_w ^ got_f}"
+        )

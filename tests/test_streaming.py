@@ -1409,3 +1409,62 @@ def test_running_checkpoint_stream_survives_null_timestamps(spark, dirs):
     assert out["heartbeat"]["rows_total"] == 2
     assert out["heartbeat"]["max_ts_ms"] == 0  # never moved by null ts
     assert out["customer"]["rows_total"] == 1
+
+
+def test_snapshot_sink_moved_keys_compose_with_audit(spark, dirs, tmp_path):
+    """Compose r11's moved-key handling with the write-audit-publish
+    firewall: the retire of an emptied old partition rides the STAGED
+    commit — a rejected tick discards both the data and the retirement
+    (old state fully intact), an accepted tick publishes both."""
+    from callio_etl_spark.snapshots import snapshot_manifest, snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_event_stream,
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "av_table")
+    _write_batch(
+        spark, dirs["src"], [_row(1, 0, 10, "call"), _row(2, 1, 13, "walk")]
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("user_id")
+        .agg(F.max("event_type").alias("etype"), F.count("*").alias("n"))
+    )
+    verdicts = []
+
+    def tick(ok):
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "etype", merge_keys=["user_id"],
+            audit_fn=lambda df: (verdicts.append(ok), ok)[1],
+        )
+
+    tick(True)
+    base = {
+        (r["user_id"], r["etype"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert base == {(10, "call", 1), (13, "walk", 1)}
+
+    # u13 moves walk -> zwalk (emptying walk), but the audit REJECTS:
+    # the stale state must survive untouched, including the walk leaf
+    _write_batch(spark, dirs["src"], [_row(3, 2, 13, "zwalk")])
+    tick(False)
+    assert {
+        (r["user_id"], r["etype"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    } == base
+    assert "etype=walk" in snapshot_manifest(spark, table)["partitions"]
+
+    # the same move re-lands (new event keeps max at zwalk) and the
+    # audit ACCEPTS: data + retirement publish together
+    _write_batch(spark, dirs["src"], [_row(4, 3, 13, "zwalk")])
+    tick(True)
+    got = {
+        (r["user_id"], r["etype"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {(10, "call", 1), (13, "zwalk", 3)}
+    leaves = snapshot_manifest(spark, table)["partitions"]
+    assert "etype=walk" not in leaves
+    assert verdicts == [True, False, True]
