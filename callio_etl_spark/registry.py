@@ -47,95 +47,35 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering the r11 driver run: the
-#: registry holds 210 queries (r10's 208 plus the r11 registrations
-#: http_incremental_loop — the reference's WHOLE production loop over
-#: real HTTP as one oracle-checked operator: seeded checkpoint ->
-#: paginated fetch with server-side early stop -> latest-per-key dedup
-#: -> row_hash-guarded MERGE -> checkpoint advance -> a second tick
-#: that fetches only the post-watermark delta incl. re-emitted updates;
-#: the DuckDB oracle recomputes the final merged table from parquet —
-#: and its DURABLE twin http_loop_snapshot_sink, the same loop merging
-#: into a snapshot-isolated table with tick 2's target re-read FROM
-#: DISK, registered late in r11 so it sits outside this round's window
-#: and leads r12 alongside the r7-cohort tail).
-#: Every oracle-bearing query has held a green driver row; the oldest
-#: rows entering r11 are the 14 r6-vintage queries. ann_topk_gemm /
-#: approx_sketch_stats / curriculum_bins_approx stay out of the window
-#: (rows-only by construction — no deterministic cross-engine oracle;
-#: their driver-checkable forms are sketch_error_bounds /
-#: curriculum_bins_audit). The r11 window holds:
-#:   1. the fourteen r6-vintage queries that sat at positions 51-64
-#:      last round (percentile_summary .. vocab_coverage) — the ONLY
-#:      rows older than r7 entering this round; they lead so no
-#:      oracle-bearing query's latest driver row stays older than r7;
-#:   2. the r11 first-time row (http_incremental_loop);
+#: per-round slot ledger). State entering the r12 driver run: the
+#: registry holds 210 queries; CORRECTNESS_r11 closed 50/50 green, so
+#: the cumulative ledger covers 207 of 210 (the three uncovered are
+#: http_loop_snapshot_sink — registered after the r11 window closed —
+#: plus the two rows-only-by-construction sketch/float-fold queries).
+#: ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx stay out
+#: of the window (no deterministic cross-engine oracle; their
+#: driver-checkable forms are sketch_error_bounds /
+#: curriculum_bins_audit). The r12 window holds:
+#:   1. http_loop_snapshot_sink — the ONLY oracle-bearing query with no
+#:      CORRECTNESS row ever (the durable restart-resume twin of
+#:      http_incremental_loop: tick 2 re-reads target + checkpoint from
+#:      disk, one-manifest-publish MERGE into a snapshot table);
+#:   2. the fifteen r7-vintage queries that sat at positions 51-65 last
+#:      round (sink_bucketed_join .. window_rank_suite) — the only rows
+#:      older than r8 entering this round;
 #:   3. three flagship/merge canaries as regression tripwires;
-#:   4. the r7-vintage cohort oldest-first (47 live queries whose
-#:      latest row is r7; the first 32 alphabetically fit —
-#:      ann_topk_brute .. sink_bloom_skip; the remaining 15,
-#:      sink_bucketed_join .. window_rank_suite, hold positions 51-65
-#:      and lead the r12 window).
+#:   4. the r8-vintage cohort oldest-first (47 live queries whose
+#:      latest row is r8; the first 31 alphabetically fit —
+#:      ann_recall_ivf .. text_stats; the remaining 16,
+#:      tfidf_top_terms .. window_range_scan, hold positions 51-66 and
+#:      lead the r13 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- the r6-vintage cohort tail: oldest driver rows, must refresh (14)
-    "percentile_summary",
-    "pivot_event_types",
-    "pmi_cooccurrence",
-    "posexplode_tokens",
-    "profile_columns",
-    "range_join_bucketed",
-    "regexp_suite",
-    "rollup_agg",
-    "semantic_dedup",
-    "semantic_dedup_gemm",
-    "sink_compact_vacuum",
-    "sketch_error_bounds",
-    "token_dist_drift",
-    "vocab_coverage",
-    # --- r11 first-time oracle-bearing row (1) ---
-    "http_incremental_loop",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r7-vintage cohort (32 of 47) ---
-    "ann_topk_brute",
-    "ann_topk_ivf",
-    "checkpoint_warm",
-    "chunk_documents",
-    "chunk_overlap",
-    "conditional_agg",
-    "corpus_filter",
-    "curriculum_bins_audit",
-    "customer_in_range",
-    "dedup_cluster_assign",
-    "dedup_exact",
-    "dedup_first_wins",
-    "dedup_survivors",
-    "dq_checks",
-    "embedding_neardup",
-    "embedding_neardup_bucketed",
-    "embedding_quantize",
-    "exists_subquery",
-    "extrema",
-    "frame_sample",
-    "hash_split",
-    "ivm_refresh_agg",
-    "join_fanout",
-    "join_full_outer",
-    "join_left_dim",
-    "merge_upsert_mor",
-    "merge_upsert_snapshot",
-    "minhash_lsh_pairs_capped",
-    "minhash_lsh_pairs_grouped",
-    "sessionize",
-    "set_intersect_except",
-    "sink_bloom_skip",
-    # --- positions 51-65: the r7 cohort's last fifteen fall just
-    #     outside the 50-row window this round and lead the r12 window
+    # --- first-ever driver row: the durable HTTP-loop twin (1) ---
+    "http_loop_snapshot_sink",
+    # --- the r7-vintage cohort tail: oldest driver rows, must refresh (15)
     "sink_bucketed_join",
     "sink_row_deletes",
     "sink_snapshot_append",
@@ -151,6 +91,60 @@ DRIVER_PRIORITY: list[str] = [
     "window_dist_suite",
     "window_frames",
     "window_rank_suite",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- oldest-first re-checks: the r8-vintage cohort (31 of 47) ---
+    "ann_recall_ivf",
+    "array_pick",
+    "exact_substring_pairs",
+    "fingerprint",
+    "ivf_centroids",
+    "ivm_refresh_join",
+    "json_extract",
+    "lang_id",
+    "merge_partial_keep_existing",
+    "minhash_incremental_planned",
+    "mixture_weights",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "nonblank_filter",
+    "not_in_subquery",
+    "pii_scrub",
+    "project_backfill",
+    "quality_score",
+    "repetition_stats",
+    "reservoir_sample",
+    "row_hash",
+    "scalar_subquery",
+    "scalar_suite",
+    "simhash",
+    "sink_bucketed_snapshot",
+    "sink_rename_evolve",
+    "sink_spec_evolve",
+    "stratified_sample",
+    "string_norm",
+    "table_diff",
+    "text_stats",
+    # --- positions 51-66: the r8 cohort's last sixteen fall just
+    #     outside the 50-row window this round and lead the r13 window
+    "tfidf_top_terms",
+    "time_buckets",
+    "topk_recent",
+    "tpch_q10_returned",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing",
+    "union_tenants",
+    "watermark_filter",
+    "window_range_scan",
 ]
 
 
