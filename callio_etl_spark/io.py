@@ -281,7 +281,10 @@ def acquire_table_lock(
                 # wins the rename) and re-check staleness on the claimed
                 # file — a plain stat->delete would TOCTOU against a
                 # heartbeat that refreshed between the stat and delete
-                claim = f"{lock}.reclaim.{uuid.uuid4().hex[:8]}"
+                # creation time rides in the name: rename preserves the
+                # STALE lock's mtime, so an mtime age gate would let the
+                # staging vacuum delete this claim mid re-check
+                claim = f"{lock}.reclaim.{int(time.time() * 1000)}.{uuid.uuid4().hex[:8]}"
                 try:
                     _rename(jvm, fs, lock, claim)
                 except IOError:
@@ -361,7 +364,10 @@ def release_table_lock(spark: SparkSession, path: str) -> None:
             # the lock for the stale reclaim rather than best-guessing.
             with mutex:
                 for attempt in (1, 2):
-                    claim = f"{lock}.release.{uuid.uuid4().hex[:8]}"
+                    claim = (
+                        f"{lock}.release.{int(time.time() * 1000)}"
+                        f".{uuid.uuid4().hex[:8]}"
+                    )
                     try:
                         _rename(jvm, fs, lock, claim)
                     except IOError:
@@ -509,8 +515,13 @@ def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S)
     <lock>.release.*): a claim lives for milliseconds while its waiter
     re-checks staleness, so one older than LOCK_STALE_S was stranded by
     a transient-error path (its _delete failed, or its owner died
-    mid-claim) and would otherwise leak forever. The age gate means an
-    in-flight claim is never touched."""
+    mid-claim) and would otherwise leak forever. Claim AGE is the
+    creation timestamp embedded in the claim name (rename preserves the
+    source file's mtime, so a reclaim claim renamed from an already-stale
+    lock would look instantly sweep-eligible by mtime); names without a
+    timestamp segment (pre-r12 strands) fall back to mtime. The age gate
+    therefore protects EVERY in-flight claim, including one claimed from
+    a long-stale lock."""
     parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
     name0 = jvm.org.apache.hadoop.fs.Path(path).getName()
     prefix = name0 + STAGING_SUFFIX + "."
@@ -528,8 +539,19 @@ def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S)
         age = now - st.getModificationTime() / 1000.0
         if name.startswith(prefix) and age > stale_s:
             fs.delete(st.getPath(), True)
-        elif name.startswith(claim_prefixes) and age > LOCK_STALE_S:
-            fs.delete(st.getPath(), True)
+        elif name.startswith(claim_prefixes):
+            if _claim_age_s(name, st, now) > LOCK_STALE_S:
+                fs.delete(st.getPath(), True)
+
+
+def _claim_age_s(name: str, st, now: float) -> float:
+    """Age of a lock-claim file: the creation timestamp embedded in its
+    name (``<lock>.reclaim.<epoch_ms>.<hex>``) when present, else mtime
+    (pre-timestamp strands). See _vacuum_stale_stagings."""
+    parts = name.split(".")
+    if len(parts) >= 2 and parts[-2].isdigit():
+        return now - int(parts[-2]) / 1000.0
+    return now - st.getModificationTime() / 1000.0
 
 
 #: Mode markers written INSIDE staging after the write completes, so

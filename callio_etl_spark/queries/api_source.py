@@ -493,11 +493,11 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     keep_snapshots=3,
                     part_values=touched,
                 )
-            if new_ck is not None:
-                # C4: the checkpoint advances only after the manifest
-                # publish above committed the merged table
-                store.set("HttpSnapEvents", "PK", int(new_ck))
-                store.flush()
+            # C4: the checkpoint advances only after the manifest publish
+            # above committed the merged table (new_ck is non-None here —
+            # the empty-delta tick returned early)
+            store.set("HttpSnapEvents", "PK", int(new_ck))
+            store.flush()
 
         tick(_CUTOFF_MS, first=True)
         # tick 2's target comes from DISK: nothing in-memory crosses the

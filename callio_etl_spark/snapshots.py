@@ -1892,7 +1892,7 @@ def _staged_blooms(
             .collect()
         )
         for r in rows:
-            leaf = f"{partition_col}={r[partition_col]}"
+            leaf = _leaf_name(spark, partition_col, r[partition_col])
             fname = r["__f"].rsplit("/", 1)[-1]
             out.setdefault(leaf, {}).setdefault(fname, {})[c] = _bloom_hex(
                 r["__bp"], BLOOM_M
@@ -1978,7 +1978,7 @@ def _staged_stats(
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
     staged_df = spark.read.parquet(wstaging)
     for r in staged_df.groupBy(partition_col).agg(*aggs).collect():
-        leaf = f"{partition_col}={r[partition_col]}"
+        leaf = _leaf_name(spark, partition_col, r[partition_col])
         new_stats[leaf] = {
             c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
             for c in stats_cols
@@ -1990,7 +1990,7 @@ def _staged_stats(
             .agg(*aggs)
             .collect()
         ):
-            leaf = f"{partition_col}={r[partition_col]}"
+            leaf = _leaf_name(spark, partition_col, r[partition_col])
             fname = r["__f"].rsplit("/", 1)[-1]
             new_fstats.setdefault(leaf, {})[fname] = {
                 c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
@@ -2812,6 +2812,38 @@ def _partition_leaves(jvm, fs, table_dir: str, partition_col: str) -> list[str]:
         if st.isDirectory() and name.startswith(prefix):
             out.append(name)
     return sorted(out)
+
+
+def _leaf_name(spark: SparkSession, partition_col: str, value) -> str:
+    """Render a collected partition VALUE to the exact directory-leaf name
+    Spark's writer produces — manifests key partitions by those dir names
+    (via _partition_leaves), so any leaf built from a Python value must
+    round-trip through this, never a bare f-string: ``str(True)`` is
+    'True' but the dir is 'true'; dates/timestamps have their own forms;
+    special characters are percent-escaped by the writer. Mirrors
+    PartitioningUtils.getPathFragment and delegates the escaping to the
+    SAME JVM helper the writer uses (ExternalCatalogUtils.escapePathName)
+    so the bytes match exactly."""
+    import datetime
+
+    if value is None:
+        # the writer's null token is emitted unescaped
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):
+        s = "true" if value else "false"
+    elif isinstance(value, datetime.datetime):
+        s = value.strftime("%Y-%m-%d %H:%M:%S")
+        if value.microsecond:
+            s += f".{value.microsecond:06d}".rstrip("0")
+    elif isinstance(value, datetime.date):
+        s = value.isoformat()
+    else:
+        s = str(value)
+    esc = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.escapePathName(s)
+    )
+    return f"{partition_col}={esc}"
 
 
 def _newly_dead_leaves(dropped: dict, live_tokens: dict) -> set:
@@ -3659,6 +3691,8 @@ def _write_cursor(cursor_file: str, version: int, table: str) -> None:
     try:
         with open(cursor_file) as fh:
             prior = json.load(fh)
+        if not isinstance(prior, dict):
+            raise TypeError(f"cursor holds non-object JSON: {prior!r}")
         prior_table = (prior.get("table") or "").rstrip("/")
         if prior_table == table and prior.get("version", -1) > version:
             raise RuntimeError(
@@ -3668,8 +3702,11 @@ def _write_cursor(cursor_file: str, version: int, table: str) -> None:
                 "raced a reclaim/rebuild); re-bootstrap by deleting the "
                 "cursor file if the rewind is intentional"
             )
-    except (FileNotFoundError, json.JSONDecodeError, KeyError):
-        pass  # no (readable) prior ack: nothing to guard
+    except (FileNotFoundError, json.JSONDecodeError, KeyError, TypeError):
+        # no (readable) prior ack — incl. valid-but-non-object JSON like
+        # 'null' or a list, which must not permanently poison every
+        # future ack for this cursor (r12 ADVICE fix)
+        pass
     d = os.path.dirname(cursor_file) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
     with os.fdopen(fd, "w") as fh:

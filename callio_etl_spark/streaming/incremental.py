@@ -274,6 +274,7 @@ def run_foreach_batch_snapshot(
     from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
         SNAP_DIR,
+        _leaf_name,
         snapshot_discard_staged,
         snapshot_partition_overwrite,
         snapshot_publish,
@@ -324,24 +325,40 @@ def run_foreach_batch_snapshot(
             has_table = False
         if has_table:
             # upsert-into-partition: carry the touched partitions' current
-            # rows whose grouping key the batch didn't update. Touched
-            # partitions are resolved to a LITERAL value list (metadata-
-            # sized collects): plan-level alternatives (a semi-join whose
-            # build side shares `current`, a localCheckpoint of the
-            # micro-batch) both break attribute resolution inside
-            # foreachBatch on stateful update-mode batches.
+            # rows whose grouping key the batch didn't update. The batch's
+            # merge keys AND partition values are collected ONCE, in ONE
+            # action, into driver-side literals (metadata-sized: the
+            # tick's changed keys), and every downstream decision — the
+            # moved-key lookup, the carry anti-join, the retire set —
+            # reuses those literals, so a nondeterministic upstream
+            # projection cannot make them disagree with each other.
+            # Plan-level alternatives (a semi-join whose build side shares
+            # `current`, persist/localCheckpoint of the micro-batch) break
+            # attribute resolution inside foreachBatch on stateful
+            # update-mode batches. NOTE the residual determinism
+            # requirement: the final union below re-evaluates `batch`
+            # itself for the WRITTEN rows, so the upstream projection's
+            # key->row mapping must be deterministic (its key/partition
+            # SET is pinned by the literals above).
             current = snapshot_read(spark, path)
-            batch_keys = batch.select(*merge_keys).distinct()
-            batch_parts = {
-                r[0]
-                for r in batch.select(partition_col).distinct().collect()
-            }
+            probe_cols = list(dict.fromkeys([*merge_keys, partition_col]))
+            probe_rows = (
+                batch.select(*probe_cols).distinct().collect()
+            )
+            key_tuples = sorted(
+                {tuple(r[k] for k in merge_keys) for r in probe_rows},
+                key=lambda t: tuple((v is None, str(v)) for v in t),
+            )
+            batch_keys = spark.createDataFrame(
+                key_tuples, batch.select(*merge_keys).schema
+            )
+            batch_parts = {r[partition_col] for r in probe_rows}
             touched_vals = set(batch_parts)
             if not stable_partitions:
                 # a key may have MOVED partitions since its last tick:
                 # its old partitions are touched too (must drop the
                 # stale copy), located by one semi-join of the table
-                # against the batch's keys
+                # against the batch's literal key list
                 touched_vals |= {
                     r[0]
                     for r in current.join(
@@ -359,7 +376,10 @@ def run_foreach_batch_snapshot(
                 # a moved key can EMPTY its old partition: out then has
                 # no rows for it, the dynamic overwrite couldn't replace
                 # it, and the stale copy would survive — retire those
-                # leaves in the same commit
+                # leaves in the same commit. Leaf names render through
+                # the snapshot layer's writer-exact helper (bool ->
+                # 'true', date forms, percent-escaping), never a bare
+                # f-string that only matches str/int values.
                 have = {
                     r[0]
                     for r in carried.select(partition_col)
@@ -367,9 +387,10 @@ def run_foreach_batch_snapshot(
                     .collect()
                 } | batch_parts
                 retire = [
-                    f"{partition_col}={v}"
+                    _leaf_name(spark, partition_col, v)
                     for v in sorted(
-                        v for v in touched_vals if v not in have
+                        (v for v in touched_vals if v not in have),
+                        key=lambda v: (v is None, str(v)),
                     )
                 ] or None
         if audit_fn is None:

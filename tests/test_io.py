@@ -1183,18 +1183,30 @@ def test_stale_lock_claim_strands_are_swept(spark, tmp_path):
     spark.createDataFrame([(1, "a")], "id long, w string").write.parquet(p)
     stale_claim = p + LOCK_SUFFIX + ".reclaim.deadbeef"
     fresh_claim = p + LOCK_SUFFIX + ".release.cafebabe"
-    for f in (stale_claim, fresh_claim):
+    # r12 ADVICE fix: a claim renamed from an ALREADY-STALE lock inherits
+    # the stale mtime — only the creation timestamp in its name proves it
+    # is an in-flight waiter's. Must survive the sweep despite aged mtime.
+    inflight_from_stale = (
+        p + LOCK_SUFFIX + f".reclaim.{int(time.time() * 1000)}.ab12cd34"
+    )
+    for f in (stale_claim, fresh_claim, inflight_from_stale):
         with open(f, "w"):
             pass
     two_hours_ago = time.time() - 2 * 3600
     os.utime(stale_claim, (two_hours_ago, two_hours_ago))
+    os.utime(inflight_from_stale, (two_hours_ago, two_hours_ago))
 
     atomic_overwrite(
         spark, spark.createDataFrame([(2, "b")], "id long, w string"), p
     )
     assert not os.path.exists(stale_claim), "aged claim strand not swept"
     assert os.path.exists(fresh_claim), "in-flight claim must be untouched"
+    assert os.path.exists(inflight_from_stale), (
+        "claim with fresh name-embedded creation time must survive the "
+        "sweep even when its rename-inherited mtime is stale"
+    )
     os.remove(fresh_claim)
+    os.remove(inflight_from_stale)
 
 
 def test_killed_lock_holder_process_is_reclaimed(spark, tmp_path):

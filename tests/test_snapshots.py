@@ -3365,6 +3365,16 @@ def test_cursor_ack_never_rewinds(tmp_path):
     with open(cur) as fh:
         assert _json.load(fh)["version"] == 3
 
+    # r12 ADVICE fix: a cursor file holding valid NON-OBJECT JSON ('null',
+    # a list) must behave like an unreadable prior — next ack succeeds —
+    # not raise AttributeError forever and permanently fail the consumer
+    for poison in ("null", "[1, 2]", '"v8"'):
+        with open(cur, "w") as fh:
+            fh.write(poison)
+        _write_cursor(cur, 9, "/data/docs")
+        with open(cur) as fh:
+            assert _json.load(fh)["version"] == 9
+
 
 def test_merge_write_snapshot_set_valued_window(spark, tmp_path):
     """r11 `part_values`: a merge windowed by the SET of touched

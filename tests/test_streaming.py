@@ -1343,6 +1343,61 @@ def test_snapshot_sink_handles_moved_merge_keys(spark, dirs, tmp_path):
     assert "etype=call" in leaves  # u11 still lives there
 
 
+def test_snapshot_sink_retires_non_string_partition_leaves(
+    spark, dirs, tmp_path
+):
+    """r12 ADVICE fix: retire leaf names must render through the snapshot
+    layer's writer-exact helper, not a bare f-string — a BOOLEAN
+    partition value writes the dir 'flag=true' but str(True) is 'True',
+    so the f-string form would silently leave the emptied old partition
+    alive (retire_leaves would not even find the leaf)."""
+    from callio_etl_spark.snapshots import snapshot_manifest, snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_event_stream,
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "bool_table")
+    # per-user state partitioned by a BOOLEAN (any event_type >= 'w'):
+    # a later 'z*' event flips the user's flag and MOVES its partition
+    _write_batch(
+        spark, dirs["src"], [_row(1, 0, 10, "call"), _row(2, 1, 11, "call")]
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("user_id")
+        .agg(
+            (F.max("event_type") >= "w").alias("flag"),
+            F.count("*").alias("n"),
+        )
+    )
+
+    def tick():
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "flag", merge_keys=["user_id"]
+        )
+
+    tick()
+    leaves = snapshot_manifest(spark, table)["partitions"]
+    assert "flag=false" in leaves, f"writer leaf rendering drifted: {leaves}"
+
+    # tick 2: BOTH users flip false -> true; the false partition EMPTIES
+    _write_batch(
+        spark, dirs["src"], [_row(3, 2, 10, "zcall"), _row(4, 3, 11, "zsms")]
+    )
+    tick()
+    got = {
+        (r["user_id"], r["flag"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {(10, True, 2), (11, True, 2)}, f"stale copies: {got}"
+    leaves = snapshot_manifest(spark, table)["partitions"]
+    assert "flag=false" not in leaves, (
+        f"emptied boolean partition not retired (leaf rendering): {leaves}"
+    )
+    assert "flag=true" in leaves
+
+
 def test_snapshot_sink_merge_keys_survive_staged_only_history(
     spark, dirs, tmp_path
 ):
