@@ -11,6 +11,23 @@ followed by a compact truncation-proof summary as the FINAL stdout line
     {"metric": "...", "value": <total>, "unit": "sec",
      "total_s": <total>, "n_queries": <n>, "sf": <sf>}
 
+The COMPLETE per-query dict is also persisted to
+``BENCH_DETAIL_r{N}.json`` beside this script (N inferred from the
+newest ``BENCH_r{N}.json`` + 1, i.e. the round being recorded): the
+driver's archive truncates the stdout line to its last ~65 rows, and
+per-query numbers are what spike forensics and the >2 s AND >1.5x
+calibrated signal line run on.
+
+RUN ORDER: the multi-commit index-service rows (maintain_*/rebuild_*/
+stream_ingest_*) run LAST, in their own tail block. They allocate
+10-20 s of block-manager/GC pressure each; with registry-order
+interleaving, whichever innocent queries ran directly behind them
+absorbed the eviction storm and fired false signal hits two rounds
+running (r10: pmi_cooccurrence; r11: domain_stats +3 — both disposed at
+parity by isolated re-measure). Per-query numbers stay comparable
+across recordings by name via the detail artifact; only the order
+changed (BASELINE.md r12 note).
+
 Each query is fully materialized via the noop sink (forces every operator,
 unlike count() which lets Catalyst prune aggregation inputs). A warm-up pass
 on sf0.001 triggers JVM/codegen warm-up so timings reflect plan execution,
@@ -63,6 +80,46 @@ def calibration_seconds(spark) -> float:
     return round(best, 3)
 
 
+def _write_detail_artifact(
+    timings: dict[str, float],
+    total: float,
+    calibration: float,
+    sf_val,
+    run_order: list[str],
+) -> None:
+    """Persist the COMPLETE per-query dict to BENCH_DETAIL_r{N}.json in
+    the repo root (docstring: the driver's stdout archive truncates).
+    N = newest existing BENCH_r{N}.json + 1 — the round this run is
+    recording for; a local re-run before the driver's simply overwrites
+    the same round's detail. Never fails the bench (best-effort I/O)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f)))
+        ]
+        n = (max(rounds) + 1) if rounds else 1
+        payload = {
+            "round": n,
+            "metric": "wall_seconds_all_queries",
+            "value": total,
+            "unit": "sec",
+            "calibration_s": calibration,
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "run_order": run_order,
+            "queries": timings,
+        }
+        with open(os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: detail artifact not written: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +130,15 @@ def main() -> None:
     spark = get_spark("callio-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+
+    # The multi-commit service rows run LAST (docstring: position-bias
+    # fix). Everything else keeps registry order.
+    heavy_tail = [
+        n
+        for n in queries
+        if n.startswith(("maintain_", "rebuild_", "stream_ingest_"))
+    ]
+    run_order = [n for n in queries if n not in set(heavy_tail)] + heavy_tail
 
     # Warm-up at smoke scale (not measured): flagship for JVM codegen/JIT,
     # one Arrow query so Python workers + numpy imports are resident before
@@ -89,7 +155,8 @@ def main() -> None:
     # codegen compilation + buffer-pool warm-up that isn't plan cost; min()
     # reports steady-state execution, which is what scale projections need.
     timings: dict[str, float] = {}
-    for name, fn in queries.items():
+    for name in run_order:
+        fn = queries[name]
         # Isolate queries from each other's leftover state: localCheckpoint
         # blocks from earlier queries are reclaimed by the ContextCleaner
         # only after GC notices the dead RDD references — without the nudge,
@@ -117,6 +184,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    _write_detail_artifact(timings, total, calibration, sf_val, run_order)
     print(
         json.dumps(
             {
