@@ -15,6 +15,7 @@ group-by-max, not N queries.
 
 from __future__ import annotations
 
+import contextlib
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -23,6 +24,40 @@ from pyspark.sql import DataFrame, SparkSession
 from callio_etl_spark.checkpoints import CheckpointStore
 from callio_etl_spark.dedup import latest_per_key
 from callio_etl_spark.merge import MergeSpec, merge_upsert
+
+
+@contextlib.contextmanager
+def single_writer_tick(spark: SparkSession, table_path: str):
+    """Serialize a WHOLE incremental-loop tick — read checkpoint -> fetch
+    -> merge -> publish -> checkpoint advance — against a concurrent loop
+    instance on the same durable target (a restarted daemon racing its
+    predecessor, a double-started scheduler slot: exactly the split-brain
+    the reference's single-daemon deployment makes implicit,
+    runner.py:55-210).
+
+    The per-commit table lock inside the merge publish serializes COMMITS
+    but not the tick's read-modify-write: two loop instances could both
+    read target version v, both merge their overlapping delta, and the
+    second publish — computed against v, not v+1 — would silently DROP
+    the first's rows (and the doubled checkpoint flush could re-deliver
+    or skip a window). The tick therefore runs under the table's SERVICE
+    lock, the same second-layer mutex the index maintainers hold across
+    their multi-commit sequences; a second loop instance blocks at
+    acquire and then runs against the updated target + checkpoint.
+
+    Callers MUST call ``io.assert_service_fencing(spark, table_path)``
+    immediately before the merge publish and before the checkpoint flush:
+    a tick that stalled past the stale window and lost this lock to a
+    reclaim then aborts loudly instead of publishing over the new owner —
+    and its retry under a fresh lock is idempotent (latest-per-key dedup
+    + the row_hash-guarded MERGE make a replayed delta a no-op)."""
+    from callio_etl_spark.io import acquire_service_lock, release_service_lock
+
+    acquire_service_lock(spark, table_path)
+    try:
+        yield
+    finally:
+        release_service_lock(spark, table_path)
 
 
 @dataclass

@@ -395,6 +395,108 @@ def http_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         srv.stop()
 
 
+def _snapshot_loop_tick(
+    spark: SparkSession, base_url: str, root: str, window_end_ms: int
+) -> None:
+    """One DURABLE production-loop tick driven purely from ON-DISK state
+    (snapshot table + update_log checkpoint under ``root``) — importable
+    from a FRESH process, so a restarted daemon's tick N+1 resumes from
+    exactly what tick N persisted (the restart-resume contract
+    tests/test_api_source.py proves across a real kill -9 process
+    boundary). Nothing crosses ticks in memory: the checkpoint warms from
+    the update_log, the target is the published snapshot head, and
+    create-vs-merge is derived from whether that head EXISTS — a daemon
+    has no 'first' flag.
+
+    SINGLE-WRITER: the whole read-modify-write runs under the table's
+    service lock (pipeline.single_writer_tick — a second loop instance
+    blocks, then ticks against the updated target + checkpoint); the
+    fencing asserts abort a stalled instance that lost the lock to a
+    reclaim BEFORE it can publish or advance the checkpoint. The
+    checkpoint advance is durable: an audit row (C5) carries the new
+    watermark into the update_log, which the next process's warm()
+    folds back (C1) — reference runner.py:547-554 ordering."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.dedup import latest_per_key
+    from callio_etl_spark.io import _exists, _hadoop, assert_service_fencing
+    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
+    from callio_etl_spark.pipeline import single_writer_tick
+    from callio_etl_spark.snapshots import (
+        SNAP_DIR,
+        snapshot_partition_overwrite,
+        snapshot_versions,
+    )
+
+    table_path = f"{root}/fact_events"
+    store = CheckpointStore(
+        spark, f"{root}/update_log", overlap_ms=_OVERLAP_MS
+    )
+    pbkt = (F.crc32(F.col("_id")) % 16).cast("int").alias("pbkt")
+    with single_writer_tick(spark, table_path):
+        store.warm()  # checkpoint from disk, AFTER the lock (no stale read)
+        cutoff = store.cutoff_ms("HttpSnapEvents", "PK", window_end_ms)
+        batch = _loop_fetch(
+            spark, base_url, window_end_ms, cutoff, extra_cols=[pbkt]
+        )
+        fresh = latest_per_key(
+            batch,
+            ["tenant", "_id"],
+            F.col("ts_ms").cast("long"),
+            [F.col("row_hash")],
+        ).localCheckpoint(eager=True)  # one HTTP walk per tick
+        agg = fresh.agg(
+            F.count("*").alias("n"), F.max("ts_ms").alias("mx")
+        ).first()
+        n_rows, new_ck = agg["n"], agg["mx"]
+        if new_ck is None:
+            # empty delta: checkpoint holds; audit the no-op (C5)
+            store.log(
+                "HttpSnapEvents", "PK", 0,
+                store.get("HttpSnapEvents", "PK"), "NOOP",
+            )
+            store.flush()
+            return
+        jvm, fs, _ = _hadoop(spark, table_path)
+        has_table = _exists(
+            jvm, fs, table_path.rstrip("/") + "/" + SNAP_DIR
+        ) and bool(snapshot_versions(spark, table_path))
+        assert_service_fencing(spark, table_path)
+        if not has_table:
+            snapshot_partition_overwrite(
+                spark, fresh, table_path, "pbkt", keep_snapshots=3
+            )
+        else:
+            cond = (
+                ~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))
+            ) | (
+                F.col("S.ts_ms").cast("long")
+                > F.coalesce(F.col("T.ts_ms").cast("long"), F.lit(0))
+            )
+            # SET-valued merge window: read and rewrite only the id
+            # buckets this delta actually hashes into (<= 16 values,
+            # metadata-sized collect) — untouched buckets carry by
+            # manifest reference at zero I/O
+            touched = [
+                r["pbkt"] for r in fresh.select("pbkt").distinct().collect()
+            ]
+            merge_write_snapshot(
+                spark,
+                table_path,
+                fresh,
+                MergeSpec(keys=["tenant", "_id"], update_condition=cond),
+                "pbkt",
+                keep_snapshots=3,
+                part_values=touched,
+            )
+        # C4: the checkpoint advances only after the manifest publish
+        # above committed the merged table, and only while this instance
+        # still owns the tick; the audit row makes the advance DURABLE
+        assert_service_fencing(spark, table_path)
+        store.set("HttpSnapEvents", "PK", int(new_ck))
+        store.log("HttpSnapEvents", "PK", n_rows, int(new_ck), "MERGED")
+        store.flush()
+
+
 @register(
     "http_loop_snapshot_sink",
     oracle=_loop_oracle(4, 2),
@@ -427,13 +529,8 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _shutil
 
     from callio_etl_spark.checkpoints import CheckpointStore
-    from callio_etl_spark.dedup import latest_per_key
-    from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
     from callio_etl_spark.queries.sinks import _tmp
-    from callio_etl_spark.snapshots import (
-        snapshot_partition_overwrite,
-        snapshot_read,
-    )
+    from callio_etl_spark.snapshots import snapshot_read
     from callio_etl_spark.sources.paged_api import CallioPagedDataSource
 
     served, late_updates = _cohort_and_updates(spark, sf_dir, 4, 2)
@@ -442,68 +539,22 @@ def http_loop_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_path = f"{root}/fact_events"
     try:
         spark.dataSource.register(CallioPagedDataSource)
+        # durable seed: the watermark rides an audit row into the
+        # update_log (a bare store.set would be memory-only — a restarted
+        # process's warm() would cold-start to the 30-day lookback)
         store = CheckpointStore(
             spark, f"{root}/update_log", overlap_ms=_OVERLAP_MS
         )
-        store.set("HttpSnapEvents", "PK", _T0_MS)
+        store.log("HttpSnapEvents", "PK", 0, _T0_MS, "NOOP")
         store.flush()
-        pbkt = (F.crc32(F.col("_id")) % 16).cast("int").alias("pbkt")
 
-        def tick(window_end_ms: int, first: bool) -> None:
-            cutoff = store.cutoff_ms("HttpSnapEvents", "PK", window_end_ms)
-            batch = _loop_fetch(
-                spark, base_url, window_end_ms, cutoff, extra_cols=[pbkt]
-            )
-            fresh = latest_per_key(
-                batch,
-                ["tenant", "_id"],
-                F.col("ts_ms").cast("long"),
-                [F.col("row_hash")],
-            ).localCheckpoint(eager=True)  # one HTTP walk per tick
-            new_ck = fresh.agg(F.max("ts_ms")).first()[0]
-            if new_ck is None:
-                return  # empty delta: nothing to land, checkpoint holds
-            if first:
-                snapshot_partition_overwrite(
-                    spark, fresh, table_path, "pbkt", keep_snapshots=3
-                )
-            else:
-                cond = (
-                    ~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))
-                ) | (
-                    F.col("S.ts_ms").cast("long")
-                    > F.coalesce(F.col("T.ts_ms").cast("long"), F.lit(0))
-                )
-                # SET-valued merge window: read and rewrite only the id
-                # buckets this delta actually hashes into (<= 16 values,
-                # metadata-sized collect) — untouched buckets carry by
-                # manifest reference at zero I/O
-                touched = [
-                    r["pbkt"]
-                    for r in fresh.select("pbkt").distinct().collect()
-                ]
-                merge_write_snapshot(
-                    spark,
-                    table_path,
-                    fresh,
-                    MergeSpec(
-                        keys=["tenant", "_id"], update_condition=cond
-                    ),
-                    "pbkt",
-                    keep_snapshots=3,
-                    part_values=touched,
-                )
-            # C4: the checkpoint advances only after the manifest publish
-            # above committed the merged table (new_ck is non-None here —
-            # the empty-delta tick returned early)
-            store.set("HttpSnapEvents", "PK", int(new_ck))
-            store.flush()
-
-        tick(_CUTOFF_MS, first=True)
-        # tick 2's target comes from DISK: nothing in-memory crosses the
-        # tick boundary (daemon-restart semantics)
+        _snapshot_loop_tick(spark, base_url, root, _CUTOFF_MS)
+        # tick 2's ENTIRE state comes from DISK — target, checkpoint,
+        # create-vs-merge decision (daemon-restart semantics; the
+        # subprocess test drives the same helper across a real kill -9
+        # process boundary)
         _land_updates(srv, late_updates)
-        tick(_WINDOW_END_MS, first=False)
+        _snapshot_loop_tick(spark, base_url, root, _WINDOW_END_MS)
 
         _assert_multi_login(srv)
         result = snapshot_read(spark, table_path).select(

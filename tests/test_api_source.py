@@ -783,3 +783,146 @@ def test_http_loops_agree_with_oracle_on_pre_window_rows(spark, tmp_path):
         # ...while the in-window candidate's update won its merge
         assert by_id[want_updated] == "updated"
     con.close()
+
+
+def test_snapshot_loop_tick_single_writer_blocks_and_replays(
+    spark, tmp_path
+):
+    """VERDICT r11 item 5 (part 1): two loop instances on one target are
+    SERIALIZED — a tick blocks at the table's service lock while another
+    instance holds it (the per-commit lock alone cannot stop two
+    read-modify-write ticks from both computing against the same target
+    version and silently dropping the first publish), and a replayed
+    tick against the committed table is idempotent."""
+    import os
+    import threading
+    import time as _time
+
+    from callio_etl_spark.io import (
+        SERVICE_LOCK_INFIX,
+        acquire_service_lock,
+        release_service_lock,
+    )
+    from callio_etl_spark.queries.api_source import (
+        _snapshot_loop_tick,
+        _start_loop_server,
+    )
+    from callio_etl_spark.snapshots import SNAP_DIR, snapshot_read
+
+    T0 = 1_700_000_000_000
+    rows = _mk_full_rows(12, T0, 30 * 60 * 1000, prefix="sw")
+    for r in rows:
+        r["value"] = float(r["value"])  # _loop_fetch declares value double
+    srv, base = _start_loop_server(rows)
+    root = str(tmp_path / "swroot")
+    table_path = f"{root}/fact_events"
+    window1 = T0 + 8 * HOUR
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        # another loop instance holds the tick
+        acquire_service_lock(spark, table_path)
+        state = {"done_at": None, "err": None}
+
+        def run_tick():
+            try:
+                _snapshot_loop_tick(spark, base, root, window1)
+                state["done_at"] = _time.monotonic()
+            except Exception as exc:  # surfaced by the join assert below
+                state["err"] = exc
+
+        t = threading.Thread(target=run_tick)
+        t.start()
+        _time.sleep(2.5)
+        # blocked: nothing committed while the other instance holds
+        assert not os.path.exists(f"{table_path}/{SNAP_DIR}"), (
+            "second loop instance committed while the first held the "
+            "service lock"
+        )
+        released_at = _time.monotonic()
+        release_service_lock(spark, table_path)
+        t.join(timeout=180)
+        assert not t.is_alive() and state["err"] is None, state["err"]
+        assert state["done_at"] > released_at
+        got = {
+            (r["_id"], r["ts_ms"])
+            for r in snapshot_read(spark, table_path).collect()
+        }
+        assert got == {(r["_id"], r["ts_ms"]) for r in rows}
+        # replayed tick (stale cutoff, same window): byte-identical table
+        _snapshot_loop_tick(spark, base, root, window1)
+        again = {
+            (r["_id"], r["ts_ms"])
+            for r in snapshot_read(spark, table_path).collect()
+        }
+        assert again == got, "replayed tick was not idempotent"
+        assert not os.path.exists(
+            table_path + SERVICE_LOCK_INFIX + ".__lock__"
+        )
+    finally:
+        srv.stop()
+
+
+def test_snapshot_loop_tick_fenced_after_reclaim(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 5 (part 2): a loop tick that stalls past the
+    stale window and loses its service lock to a reclaim must abort
+    LOUDLY at its fence — before the publish and before the checkpoint
+    advance — leaving the new owner's state untouched; its retry under
+    a fresh lock succeeds and lands the same content."""
+    import os
+
+    import pytest as _pytest
+
+    from callio_etl_spark import io as cio
+    from callio_etl_spark.queries import api_source as apimod
+    from callio_etl_spark.snapshots import SNAP_DIR, snapshot_read
+
+    T0 = 1_700_000_000_000
+    rows = _mk_full_rows(10, T0, 30 * 60 * 1000, prefix="fc")
+    for r in rows:
+        r["value"] = float(r["value"])
+    srv, base = apimod._start_loop_server(rows)
+    root = str(tmp_path / "fcroot")
+    table_path = f"{root}/fact_events"
+    lock_file = table_path + cio.SERVICE_LOCK_INFIX + cio.LOCK_SUFFIX
+    window1 = T0 + 8 * HOUR
+    real_fetch = apimod._loop_fetch
+
+    def stalled_fetch(*args, **kwargs):
+        # the tick 'stalls' mid-fetch: its service lock ages past the
+        # stale window and another daemon reclaims it
+        rec = cio._LOCK_BEATS[lock_file]
+        jvm, fs, _ = cio._hadoop(spark, table_path)
+        with rec["mutex"]:
+            cio._delete(jvm, fs, lock_file)
+            assert cio._try_create_exclusive(
+                jvm, fs, lock_file, content="other-daemon"
+            )
+        rec["acquired_at"] -= 3600.0
+        return real_fetch(*args, **kwargs)
+
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        monkeypatch.setattr(apimod, "_loop_fetch", stalled_fetch)
+        with _pytest.raises(RuntimeError, match="commit fencing"):
+            apimod._snapshot_loop_tick(spark, base, root, window1)
+        # the fence fired BEFORE the publish: no table, no checkpoint row
+        assert not os.path.exists(f"{table_path}/{SNAP_DIR}"), (
+            "fenced tick still published"
+        )
+        assert not os.path.exists(f"{root}/update_log"), (
+            "fenced tick still advanced the checkpoint"
+        )
+        # the new owner's lock survived the loser's release
+        assert os.path.exists(lock_file)
+
+        # the other daemon finishes; the fenced instance retries fresh
+        monkeypatch.setattr(apimod, "_loop_fetch", real_fetch)
+        os.remove(lock_file)
+        apimod._snapshot_loop_tick(spark, base, root, window1)
+        got = {
+            (r["_id"], r["ts_ms"])
+            for r in snapshot_read(spark, table_path).collect()
+        }
+        assert got == {(r["_id"], r["ts_ms"]) for r in rows}
+    finally:
+        srv.stop()
