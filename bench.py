@@ -147,6 +147,17 @@ def main() -> None:
         queries[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+    # Page-cache warm at the MEASURED scale (untimed): one cheap pass over
+    # each input table so the first measured queries don't absorb the cold
+    # parquet reads — the head-of-run bias that fired false signal hits on
+    # whichever rows the rotation moved to positions ~1-10 (r12: the
+    # sink_zorder_skip/stat_moments dispositions in SCALE.md).
+    import glob as _glob
+
+    for t in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
+        # full-width scan (no projection): the noop sink forces every
+        # column's bytes through the page cache
+        spark.read.parquet(t).write.format("noop").mode("overwrite").save()
 
     # host-speed yardstick, measured AFTER warm-up, BEFORE the sweep
     calibration = calibration_seconds(spark)
