@@ -482,11 +482,17 @@ def assert_commit_fencing(spark: SparkSession, path: str) -> None:
 SERVICE_LOCK_INFIX = ".__service"
 
 
-def acquire_service_lock(spark: SparkSession, path: str) -> str:
+def acquire_service_lock(spark: SparkSession, path: str, **kw) -> str:
     """Take the table's service lock (see SERVICE_LOCK_INFIX). Reuses the
     table-lock primitive on a derived path, so it composes with — never
-    conflicts with — the per-commit locks the inner operations take."""
-    return acquire_table_lock(spark, path.rstrip("/") + SERVICE_LOCK_INFIX)
+    conflicts with — the per-commit locks the inner operations take.
+    ``kw`` forwards to acquire_table_lock (timeout_s / stale_s): service
+    holders run multi-commit sequences far longer than a plain commit,
+    so callers that WAIT on one (a second loop instance) need a timeout
+    sized to a whole tick, not the 120 s commit default."""
+    return acquire_table_lock(
+        spark, path.rstrip("/") + SERVICE_LOCK_INFIX, **kw
+    )
 
 
 def release_service_lock(spark: SparkSession, path: str) -> None:

@@ -50,10 +50,24 @@ def single_writer_tick(spark: SparkSession, table_path: str):
     a tick that stalled past the stale window and lost this lock to a
     reclaim then aborts loudly instead of publishing over the new owner —
     and its retry under a fresh lock is idempotent (latest-per-key dedup
-    + the row_hash-guarded MERGE make a replayed delta a no-op)."""
-    from callio_etl_spark.io import acquire_service_lock, release_service_lock
+    + the row_hash-guarded MERGE make a replayed delta a no-op).
 
-    acquire_service_lock(spark, table_path)
+    The acquire waits out a WHOLE tick plus the stale window (not the
+    120 s per-commit default): a tick can legitimately run minutes on a
+    backlog window, and a waiter that timed out mid-hold would crash the
+    restarted daemon instead of serializing behind the live one; past
+    stale_s a genuinely dead holder is reclaimed and the waiter
+    proceeds."""
+    from callio_etl_spark.io import (
+        LOCK_STALE_S,
+        LOCK_TIMEOUT_S,
+        acquire_service_lock,
+        release_service_lock,
+    )
+
+    acquire_service_lock(
+        spark, table_path, timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S
+    )
     try:
         yield
     finally:

@@ -418,13 +418,12 @@ def _snapshot_loop_tick(
     folds back (C1) — reference runner.py:547-554 ordering."""
     from callio_etl_spark.checkpoints import CheckpointStore
     from callio_etl_spark.dedup import latest_per_key
-    from callio_etl_spark.io import _exists, _hadoop, assert_service_fencing
+    from callio_etl_spark.io import assert_service_fencing
     from callio_etl_spark.merge import MergeSpec, merge_write_snapshot
     from callio_etl_spark.pipeline import single_writer_tick
     from callio_etl_spark.snapshots import (
-        SNAP_DIR,
+        snapshot_has_published_head,
         snapshot_partition_overwrite,
-        snapshot_versions,
     )
 
     table_path = f"{root}/fact_events"
@@ -456,10 +455,7 @@ def _snapshot_loop_tick(
             )
             store.flush()
             return
-        jvm, fs, _ = _hadoop(spark, table_path)
-        has_table = _exists(
-            jvm, fs, table_path.rstrip("/") + "/" + SNAP_DIR
-        ) and bool(snapshot_versions(spark, table_path))
+        has_table = snapshot_has_published_head(spark, table_path)
         assert_service_fencing(spark, table_path)
         if not has_table:
             snapshot_partition_overwrite(

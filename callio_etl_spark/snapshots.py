@@ -484,6 +484,22 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     ]
 
 
+def snapshot_has_published_head(spark: SparkSession, path: str) -> bool:
+    """True iff the table has a PUBLISHED snapshot head — the existence
+    probe incremental writers branch create-vs-merge on. A bare manifest
+    DIR is not enough: a staged-only or fully-tombstoned history (first
+    tick's audit failed / crashed mid-audit) must take the create path,
+    not crash every retry on snapshot_read's 'no published snapshot'.
+    Probes through the Hadoop FS abstraction, so hdfs://-/s3a://-style
+    warehouses answer correctly where an os.path check is always False."""
+    jvm, fs, _ = _hadoop(spark, path)
+    from callio_etl_spark.io import _exists
+
+    return _exists(
+        jvm, fs, path.rstrip("/") + "/" + SNAP_DIR
+    ) and bool(snapshot_versions(spark, path))
+
+
 def snapshot_staged(spark: SparkSession, path: str) -> list[int]:
     """Versions of manifests staged for audit (not yet published)."""
     jvm, fs, _ = _hadoop(spark, path)
@@ -2832,12 +2848,32 @@ def _leaf_name(spark: SparkSession, partition_col: str, value) -> str:
     if isinstance(value, bool):
         s = "true" if value else "false"
     elif isinstance(value, datetime.datetime):
+        # collect() returns TimestampType as a NAIVE datetime in the
+        # PYTHON PROCESS's local timezone, but the writer renders dirs
+        # in spark.sql.session.timeZone — convert before formatting or
+        # the leaf is shifted whenever the two differ (engine pins the
+        # session to UTC on non-UTC hosts)
+        if value.tzinfo is None:
+            value = value.astimezone()  # stamp the process-local tz
+        try:
+            from zoneinfo import ZoneInfo
+
+            value = value.astimezone(
+                ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+            )
+        except Exception:
+            pass  # non-IANA tz id: keep local rendering
         s = value.strftime("%Y-%m-%d %H:%M:%S")
         if value.microsecond:
             s += f".{value.microsecond:06d}".rstrip("0")
     elif isinstance(value, datetime.date):
         s = value.isoformat()
     else:
+        # str() matches the writer for string/integral/decimal values
+        # and for floats in plain notation; a float that Java renders in
+        # scientific notation (|v| < 1e-3 or >= 1e7) would diverge —
+        # partitioning by such a float is already pathological (unstable
+        # keys), and no engine path does it
         s = str(value)
     esc = (
         spark._jvm.org.apache.spark.sql.catalyst.catalog
@@ -3691,22 +3727,30 @@ def _write_cursor(cursor_file: str, version: int, table: str) -> None:
     try:
         with open(cursor_file) as fh:
             prior = json.load(fh)
-        if not isinstance(prior, dict):
-            raise TypeError(f"cursor holds non-object JSON: {prior!r}")
+    except (FileNotFoundError, json.JSONDecodeError):
+        prior = None  # no (readable) prior ack: nothing to guard
+    # A corrupt prior — non-object JSON ('null', a list), or a version
+    # that is not a number — is treated like an unreadable one instead of
+    # permanently poisoning every future ack (r12 ADVICE fix). The type
+    # checks are EXPLICIT rather than a broad except TypeError, which
+    # would also swallow a guard-comparison failure and silently bypass
+    # the rewind protection.
+    if isinstance(prior, dict):
         prior_table = (prior.get("table") or "").rstrip("/")
-        if prior_table == table and prior.get("version", -1) > version:
+        prior_version = prior.get("version")
+        if (
+            prior_table == table
+            and isinstance(prior_version, (int, float))
+            and not isinstance(prior_version, bool)
+            and prior_version > version
+        ):
             raise RuntimeError(
                 f"cursor fencing: refusing to rewind {cursor_file} from "
-                f"v{prior['version']} to v{version} — a newer owner "
+                f"v{prior_version} to v{version} — a newer owner "
                 "already acknowledged past this point (stalled consumer "
                 "raced a reclaim/rebuild); re-bootstrap by deleting the "
                 "cursor file if the rewind is intentional"
             )
-    except (FileNotFoundError, json.JSONDecodeError, KeyError, TypeError):
-        # no (readable) prior ack — incl. valid-but-non-object JSON like
-        # 'null' or a list, which must not permanently poison every
-        # future ack for this cursor (r12 ADVICE fix)
-        pass
     d = os.path.dirname(cursor_file) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".cursor.")
     with os.fdopen(fd, "w") as fh:

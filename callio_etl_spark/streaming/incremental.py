@@ -37,6 +37,27 @@ from pyspark.sql.types import (
 #: 3-minute watermark == the reference's OVERLAP_MS=180000 (config.py:186).
 OVERLAP_WATERMARK = "3 minutes"
 
+#: Changed-key count above which a streaming-upsert tick stops pinning
+#: the batch's merge keys as driver-side literals (determinism aid) and
+#: falls back to distributed key frames: a backlog/bootstrap micro-batch
+#: can touch millions of groups, and collecting those as literals would
+#: OOM the driver. 200k keys ~ tens of MB collected — safely metadata-
+#: sized; steady-state incremental ticks sit orders of magnitude below.
+_KEY_LITERAL_CAP = 200_000
+
+
+def _hashable(v):
+    """Collected cell -> hashable equivalent for set/dict dedup (Row
+    cells of BinaryType come back as bytearray, ArrayType as list,
+    MapType as dict — none hashable)."""
+    if isinstance(v, bytearray):
+        return bytes(v)
+    if isinstance(v, list):
+        return tuple(_hashable(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+    return v
+
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -271,16 +292,14 @@ def run_foreach_batch_snapshot(
     view refreshes). A crash between commit and hook is safe when the
     hook is cursor-driven (the CDC cursor hasn't advanced, so the next
     tick's hook folds both commits)."""
-    from callio_etl_spark.io import _exists, _hadoop
     from callio_etl_spark.snapshots import (
-        SNAP_DIR,
         _leaf_name,
         snapshot_discard_staged,
+        snapshot_has_published_head,
         snapshot_partition_overwrite,
         snapshot_publish,
         snapshot_read,
         snapshot_staged,
-        snapshot_versions,
     )
 
     layout = dict(
@@ -307,22 +326,12 @@ def run_foreach_batch_snapshot(
     def _commit_inner(spark, batch: DataFrame) -> None:
         out = batch
         retire = None
-        if merge_keys is not None:
-            # Probe table existence through the Hadoop FS abstraction —
-            # an os.path check is always False on hdfs://-/s3a://-style
-            # warehouses, which would silently skip the carry and let
-            # each tick's partition overwrite drop unchanged groups
-            # sharing a partition with updated ones. Existence means a
-            # PUBLISHED head, not the manifest dir: a staged-only or
-            # tombstoned history (first tick's audit failed / crashed
-            # mid-audit) must take the create path, not crash the
-            # stream's every retry on snapshot_read.
-            jvm, fs, _ = _hadoop(spark, path)
-            has_table = _exists(
-                jvm, fs, path.rstrip("/") + "/" + SNAP_DIR
-            ) and bool(snapshot_versions(spark, path))
-        else:
-            has_table = False
+        # published-head probe (FS-abstraction + staged-only semantics):
+        # shared helper so the create-vs-merge decision lives in ONE place
+        # with the loop tick's (api_source._snapshot_loop_tick)
+        has_table = merge_keys is not None and snapshot_has_published_head(
+            spark, path
+        )
         if has_table:
             # upsert-into-partition: carry the touched partitions' current
             # rows whose grouping key the batch didn't update. The batch's
@@ -343,16 +352,47 @@ def run_foreach_batch_snapshot(
             current = snapshot_read(spark, path)
             probe_cols = list(dict.fromkeys([*merge_keys, partition_col]))
             probe_rows = (
-                batch.select(*probe_cols).distinct().collect()
+                batch.select(*probe_cols)
+                .distinct()
+                .limit(_KEY_LITERAL_CAP + 1)
+                .collect()
             )
-            key_tuples = sorted(
-                {tuple(r[k] for k in merge_keys) for r in probe_rows},
-                key=lambda t: tuple((v is None, str(v)) for v in t),
-            )
-            batch_keys = spark.createDataFrame(
-                key_tuples, batch.select(*merge_keys).schema
-            )
-            batch_parts = {r[partition_col] for r in probe_rows}
+            if len(probe_rows) > _KEY_LITERAL_CAP:
+                # BACKLOG/BOOTSTRAP tick: millions of changed keys would
+                # OOM the driver as literals — fall back to distributed
+                # key/partition frames (the pre-literal plan shapes).
+                # The batch-determinism requirement then extends to the
+                # key/partition SET, not just the key->row mapping.
+                batch_keys = batch.select(*merge_keys).distinct()
+                batch_parts = {
+                    r[0]
+                    for r in batch.select(partition_col)
+                    .distinct()
+                    .collect()
+                }
+            else:
+                # dedup via a normalized-key dict: collected BinaryType
+                # is bytearray and ArrayType is list — unhashable in a
+                # plain set comprehension
+                by_norm = {
+                    tuple(_hashable(r[k]) for k in merge_keys): tuple(
+                        r[k] for k in merge_keys
+                    )
+                    for r in probe_rows
+                }
+                key_tuples = [
+                    by_norm[n]
+                    for n in sorted(
+                        by_norm,
+                        key=lambda t: tuple((v is None, str(v)) for v in t),
+                    )
+                ]
+                batch_keys = spark.createDataFrame(
+                    key_tuples, batch.select(*merge_keys).schema
+                )
+                batch_parts = {
+                    _hashable(r[partition_col]) for r in probe_rows
+                }
             touched_vals = set(batch_parts)
             if not stable_partitions:
                 # a key may have MOVED partitions since its last tick:

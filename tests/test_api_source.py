@@ -855,9 +855,11 @@ def test_snapshot_loop_tick_single_writer_blocks_and_replays(
             for r in snapshot_read(spark, table_path).collect()
         }
         assert again == got, "replayed tick was not idempotent"
+        from callio_etl_spark.io import LOCK_SUFFIX
+
         assert not os.path.exists(
-            table_path + SERVICE_LOCK_INFIX + ".__lock__"
-        )
+            table_path + SERVICE_LOCK_INFIX + LOCK_SUFFIX
+        ), "tick leaked its service lock"
     finally:
         srv.stop()
 

@@ -3368,7 +3368,14 @@ def test_cursor_ack_never_rewinds(tmp_path):
     # r12 ADVICE fix: a cursor file holding valid NON-OBJECT JSON ('null',
     # a list) must behave like an unreadable prior — next ack succeeds —
     # not raise AttributeError forever and permanently fail the consumer
-    for poison in ("null", "[1, 2]", '"v8"'):
+    for poison in (
+        "null",
+        "[1, 2]",
+        '"v8"',
+        # non-numeric version inside a valid object: same corrupt-prior
+        # self-heal, and the guard comparison must not crash on it
+        '{"table": "/data/docs", "version": "12"}',
+    ):
         with open(cur, "w") as fh:
             fh.write(poison)
         _write_cursor(cur, 9, "/data/docs")
