@@ -1523,3 +1523,59 @@ def test_snapshot_sink_moved_keys_compose_with_audit(spark, dirs, tmp_path):
     leaves = snapshot_manifest(spark, table)["partitions"]
     assert "etype=walk" not in leaves
     assert verdicts == [True, False, True]
+
+
+def test_snapshot_sink_key_literal_cap_fallback(
+    spark, dirs, tmp_path, monkeypatch
+):
+    """r12 review fix: a backlog/bootstrap tick whose changed-key count
+    exceeds the literal cap falls back to DISTRIBUTED key frames instead
+    of collecting millions of keys to the driver — and the fallback path
+    must still carry unchanged groups, drop stale moved-key copies, and
+    retire emptied partitions."""
+    from callio_etl_spark.streaming import incremental as inc
+    from callio_etl_spark.snapshots import snapshot_manifest, snapshot_read
+
+    monkeypatch.setattr(inc, "_KEY_LITERAL_CAP", 2)  # force the fallback
+    table = str(tmp_path / "cap_table")
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            _row(1, 0, 10, "call"),
+            _row(2, 1, 11, "call"),
+            _row(3, 2, 12, "sms"),
+            _row(4, 3, 13, "walk"),
+        ],
+    )
+    per_user = (
+        inc.read_event_stream(spark, dirs["src"])
+        .groupBy("user_id")
+        .agg(F.max("event_type").alias("etype"), F.count("*").alias("n"))
+    )
+
+    def tick():
+        inc.run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "etype", merge_keys=["user_id"]
+        )
+
+    tick()
+    # tick 2 (> cap distinct keys): u10 moves call -> zcall, u13 empties
+    # the walk partition; u11/u12 untouched groups must be carried
+    _write_batch(
+        spark, dirs["src"], [_row(5, 4, 10, "zcall"), _row(6, 5, 13, "zwalk")]
+    )
+    tick()
+    got = {
+        (r["user_id"], r["etype"], r["n"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {
+        (10, "zcall", 2),
+        (11, "call", 1),
+        (12, "sms", 1),
+        (13, "zwalk", 2),
+    }, f"fallback path diverged: {got}"
+    leaves = snapshot_manifest(spark, table)["partitions"]
+    assert "etype=walk" not in leaves, "fallback did not retire emptied leaf"
+    assert "etype=call" in leaves
