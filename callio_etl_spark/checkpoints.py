@@ -149,3 +149,62 @@ class CheckpointStore:
         df = self.spark.createDataFrame(self._buffer, UPDATE_LOG_SCHEMA)
         df.write.mode("append").parquet(self.log_path)
         self._buffer.clear()
+
+    def compact(self, keep_rows_per_key: int = 512) -> int:
+        """C5 at daemon lifetime: every flushed tick appends one small
+        parquet file to the update_log FOREVER — a year of 5-minute ticks
+        is ~100k files, and warm()'s group-by-max scans all of them on
+        every restart/tick. Compaction rewrites the log down to the
+        newest ``keep_rows_per_key`` audit rows per (table, tenant) PLUS
+        each key's max(max_update_ms) row — the checkpoint row itself can
+        never be dropped, even when it is older than the audit window
+        (a long run of NOOP/ERROR ticks could otherwise age it out and
+        silently rewind the next warm() to the 30-day lookback). One
+        atomic whole-table swap (io.atomic_overwrite: staged write +
+        locked rename), safe while the df reads from the path it
+        replaces. Returns the retained row count.
+
+        Concurrency: call from the loop's quiet point — inside the
+        tick's single-writer section, after its flush — or any moment no
+        concurrent flush can land: an append racing the swap would be
+        displaced with the old table. The reference's update_log lives
+        in BigQuery where this bound is a table TTL; this is the same
+        bound on a plain filesystem."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql import Window
+
+        from callio_etl_spark.io import atomic_overwrite
+
+        try:
+            log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(
+                self.log_path
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(
+                exc
+            ):
+                return 0  # no log yet: nothing to compact
+            raise
+        key = F.regexp_replace(
+            F.lower(F.trim("table_name")), "[- ]", "_"
+        ).alias("__t")
+        w_audit = Window.partitionBy("__t", "tenant").orderBy(
+            F.col("updated_at").desc(),
+            F.col("max_update_ms").desc_nulls_last(),
+        )
+        w_ck = Window.partitionBy("__t", "tenant").orderBy(
+            F.col("max_update_ms").desc_nulls_last(),
+            F.col("updated_at").desc(),
+        )
+        kept = (
+            log.withColumn("__t", key)
+            .withColumn("__rn", F.row_number().over(w_audit))
+            .withColumn("__rk", F.row_number().over(w_ck))
+            .where(
+                (F.col("__rn") <= keep_rows_per_key) | (F.col("__rk") == 1)
+            )
+            .drop("__t", "__rn", "__rk")
+        )
+        n = kept.count()
+        atomic_overwrite(self.spark, kept, self.log_path)
+        return n

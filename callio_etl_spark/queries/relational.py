@@ -389,6 +389,119 @@ def checkpoint_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "checkpoint_log_compact",
+    oracle="""
+WITH keyed AS (
+  SELECT e.event_type AS table_name,
+         CAST(e.user_id % 3 AS VARCHAR) AS tenant,
+         CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS updated_at,
+         epoch_ms(e.ts) AS ts_ms
+  FROM events e
+), log AS (
+  SELECT table_name, tenant, updated_at,
+         CAST(COUNT(*) AS BIGINT) AS rows_loaded,
+         MAX(ts_ms)
+           + CASE WHEN EXTRACT(day FROM updated_at) = 1
+                  THEN 10000000000 ELSE 0 END AS max_update_ms,
+         'MERGED' AS mode
+  FROM keyed
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY table_name, tenant
+                            ORDER BY updated_at DESC, max_update_ms DESC)
+           AS rn,
+         ROW_NUMBER() OVER (PARTITION BY table_name, tenant
+                            ORDER BY max_update_ms DESC, updated_at DESC)
+           AS rk
+  FROM log
+)
+SELECT table_name, tenant, epoch_ms(updated_at) AS updated_ms,
+       rows_loaded, max_update_ms, mode
+FROM ranked
+WHERE rn <= 3 OR rk = 1
+""",
+    tags=["C5", "C1", "sink"],
+)
+def checkpoint_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 retention — the update_log bound a year-long daemon needs (r12):
+    build a deterministic many-file update_log from the events table (one
+    audit row per (event_type, tenant, day); day-1 rows get an inflated
+    watermark so each key's TRUE checkpoint row falls OUTSIDE the
+    newest-3 audit window), compact it with
+    ``CheckpointStore.compact(keep_rows_per_key=3)``, and return the
+    retained log. The oracle recomputes the retention with SQL windows,
+    so an over-retained audit row, a dropped one, or — the critical
+    branch — a dropped checkpoint row (whose loss would silently rewind
+    warm() to the cold-start lookback) all break the hash. warm() parity
+    across the compaction is additionally asserted in-query.
+
+    Scale shape: two window passes + one atomic whole-table swap over a
+    log that is metadata-sized by construction (one row per tick), never
+    the data tables themselves."""
+    import shutil as _shutil
+
+    from callio_etl_spark.checkpoints import (
+        UPDATE_LOG_SCHEMA,
+        CheckpointStore,
+    )
+    from callio_etl_spark.queries.sinks import _tmp
+
+    e = load_table(spark, sf_dir, "events")
+    log = (
+        e.groupBy(
+            F.col("event_type").alias("table_name"),
+            (F.col("user_id") % 3).cast("string").alias("tenant"),
+            F.date_trunc("day", F.col("ts")).alias("updated_at"),
+        )
+        .agg(
+            F.count("*").alias("rows_loaded"),
+            F.max(F.unix_millis("ts")).alias("__mx"),
+        )
+        .select(
+            "table_name",
+            "tenant",
+            "updated_at",
+            "rows_loaded",
+            (
+                F.col("__mx")
+                + F.when(
+                    F.dayofmonth("updated_at") == 1, F.lit(10_000_000_000)
+                ).otherwise(F.lit(0))
+            ).alias("max_update_ms"),
+            F.lit("MERGED").alias("mode"),
+        )
+    )
+    root = _tmp("cklog")
+    # many small files — the exact shape a per-tick flush leaves behind
+    log.repartition(24).write.mode("append").parquet(root)
+    try:
+        store = CheckpointStore(spark, root)
+        before = CheckpointStore(spark, root)
+        before.warm()
+        store.compact(keep_rows_per_key=3)
+        after = CheckpointStore(spark, root)
+        after.warm()
+        if before._cache != after._cache:
+            raise AssertionError(
+                "compaction changed the warmed checkpoints: "
+                f"{before._cache} != {after._cache}"
+            )
+        out = spark.read.schema(UPDATE_LOG_SCHEMA).parquet(root).select(
+            "table_name",
+            "tenant",
+            F.unix_millis("updated_at").alias("updated_ms"),
+            "rows_loaded",
+            "max_update_ms",
+            "mode",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "extrema",
     oracle="""
 SELECT MAX(epoch_ms(e.ts)) AS max_ts_ms, MIN(epoch_ms(e.ts)) AS min_ts_ms,

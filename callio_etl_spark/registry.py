@@ -48,10 +48,14 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
 #: per-round slot ledger). State entering the r12 driver run: the
-#: registry holds 210 queries; CORRECTNESS_r11 closed 50/50 green, so
-#: the cumulative ledger covers 207 of 210 (the three uncovered are
-#: http_loop_snapshot_sink — registered after the r11 window closed —
-#: plus the two rows-only-by-construction sketch/float-fold queries).
+#: registry holds 211 queries (r11's 210 plus the r12 registration
+#: checkpoint_log_compact — CheckpointStore.compact, the update_log
+#: retention bound a year-long daemon needs: newest-N audit rows per
+#: (table, tenant) PLUS each key's checkpoint row, one atomic swap);
+#: CORRECTNESS_r11 closed 50/50 green, so the cumulative ledger covers
+#: 207 of the prior 210 (the uncovered were http_loop_snapshot_sink —
+#: registered after the r11 window closed — plus the two
+#: rows-only-by-construction sketch/float-fold queries).
 #: ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx stay out
 #: of the window (no deterministic cross-engine oracle; their
 #: driver-checkable forms are sketch_error_bounds /
@@ -64,10 +68,11 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #:      round (sink_bucketed_join .. window_rank_suite) — the only rows
 #:      older than r8 entering this round;
 #:   3. three flagship/merge canaries as regression tripwires;
-#:   4. the r8-vintage cohort oldest-first (47 live queries whose
-#:      latest row is r8; the first 31 alphabetically fit —
-#:      ann_recall_ivf .. text_stats; the remaining 16,
-#:      tfidf_top_terms .. window_range_scan, hold positions 51-66 and
+#:   4. the r12 registration checkpoint_log_compact;
+#:   5. the r8-vintage cohort oldest-first (47 live queries whose
+#:      latest row is r8; the first 30 alphabetically fit —
+#:      ann_recall_ivf .. table_diff; the remaining 17,
+#:      text_stats .. window_range_scan, hold positions 51-67 and
 #:      lead the r13 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
@@ -95,7 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "fact_staff_daily",
     "fact_status_pivot",
     "merge_upsert_conditional",
-    # --- oldest-first re-checks: the r8-vintage cohort (31 of 47) ---
+    # --- r12 registration: update_log retention (1) ---
+    "checkpoint_log_compact",
+    # --- oldest-first re-checks: the r8-vintage cohort (30 of 47) ---
     "ann_recall_ivf",
     "array_pick",
     "exact_substring_pairs",
@@ -126,9 +133,9 @@ DRIVER_PRIORITY: list[str] = [
     "stratified_sample",
     "string_norm",
     "table_diff",
-    "text_stats",
-    # --- positions 51-66: the r8 cohort's last sixteen fall just
+    # --- positions 51-67: the r8 cohort's last seventeen fall just
     #     outside the 50-row window this round and lead the r13 window
+    "text_stats",
     "tfidf_top_terms",
     "time_buckets",
     "topk_recent",

@@ -258,3 +258,55 @@ def test_merge_upsert_null_key_rows_survive(spark):
     assert len(got) == 1
     assert got[0]["v"] == "t-val"  # IFNULL(T.v, S.v) keeps existing
     assert got[0]["n"] == 8  # non-keep column takes source
+
+
+def test_update_log_compaction_bounds_files_and_keeps_checkpoints(
+    spark, store, tmp_path
+):
+    """r12: the update_log appends one parquet file per flushed tick
+    forever; compact() bounds it to newest-N audit rows per key PLUS
+    each key's checkpoint row (max max_update_ms) — which must survive
+    even when a long run of NOOP ticks pushes it past the audit window —
+    and a fresh store's warm() sees identical checkpoints after."""
+    import glob
+    import os
+
+    from callio_etl_spark.checkpoints import CheckpointStore
+
+    # 8 flushed ticks for TableA: one MERGED advance to T0+5h, then 7
+    # NOOP audit rows carrying a STALE watermark (T0+1h) — newer by
+    # updated_at, lower by max_update_ms, so the true checkpoint row is
+    # the OLDEST row and only the union branch can save it; TableB gets
+    # one MERGED row per tick (advancing checkpoint)
+    for i in range(8):
+        if i == 0:
+            store.log("TableA", "PK", 100, T0 + 5 * HOUR, "MERGED")
+        else:
+            store.log("TableA", "PK", 0, T0 + 1 * HOUR, "NOOP")
+        store.log("Table-B", "PK", 10 + i, T0 + i * HOUR, "MERGED")
+        store.flush()
+    files_before = len(glob.glob(store.log_path + "/*.parquet"))
+    assert files_before >= 8, "precondition: one file per flush"
+
+    warm_before = CheckpointStore(spark, store.log_path)
+    warm_before.warm()
+    kept = store.compact(keep_rows_per_key=3)
+    # per key: 3 audit rows; TableA's checkpoint row (the i==0 MERGED,
+    # OLDER than the 3 newest NOOPs) must be the +1
+    assert kept == 7, f"retained {kept}, want 3+1 (TableA) + 3 (Table-B)"
+    files_after = len(glob.glob(store.log_path + "/*.parquet"))
+    assert files_after < files_before
+
+    warm_after = CheckpointStore(spark, store.log_path)
+    warm_after.warm()
+    for key in (("tablea", "PK"), ("table_b", "PK")):
+        assert warm_after._cache[key] == warm_before._cache[key], key
+    # the preserved TableA checkpoint row is the MERGED one
+    rows = spark.read.parquet(store.log_path).where(
+        "table_name = 'tablea' and mode = 'MERGED'"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["max_update_ms"] == T0 + 5 * HOUR
+
+    # compacting an absent log is a no-op, not a crash
+    empty = CheckpointStore(spark, str(tmp_path / "nolog"))
+    assert empty.compact() == 0
