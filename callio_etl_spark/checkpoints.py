@@ -208,3 +208,29 @@ class CheckpointStore:
         n = kept.count()
         atomic_overwrite(self.spark, kept, self.log_path)
         return n
+
+    def compact_if_needed(
+        self, max_files: int = 256, keep_rows_per_key: int = 512
+    ) -> int | None:
+        """Opportunistic retention: compact() once the log has
+        accumulated more than ``max_files`` part files — one cheap
+        directory listing per call (through the Hadoop FS abstraction,
+        so hdfs://-/s3a://-style warehouses count correctly), so a
+        daemon can call this EVERY tick at its quiet point (right after
+        flush(), inside the tick's single-writer section) and pay the
+        rewrite only ~once per ``max_files`` ticks. Returns the retained
+        row count when a compaction ran, else None."""
+        from callio_etl_spark.io import _hadoop
+
+        jvm, fs, _ = _hadoop(self.spark, self.log_path)
+        p = jvm.org.apache.hadoop.fs.Path(self.log_path)
+        if not fs.exists(p):
+            return None
+        n_files = sum(
+            1
+            for st in fs.listStatus(p)
+            if st.getPath().getName().endswith(".parquet")
+        )
+        if n_files <= max_files:
+            return None
+        return self.compact(keep_rows_per_key)

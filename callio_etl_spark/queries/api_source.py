@@ -491,6 +491,10 @@ def _snapshot_loop_tick(
         store.set("HttpSnapEvents", "PK", int(new_ck))
         store.log("HttpSnapEvents", "PK", n_rows, int(new_ck), "MERGED")
         store.flush()
+        # retention at the tick's quiet point, still inside the
+        # single-writer section (no concurrent flush can race the swap):
+        # one dir listing per tick, a rewrite ~once per max_files ticks
+        store.compact_if_needed()
 
 
 @register(

@@ -310,3 +310,27 @@ def test_update_log_compaction_bounds_files_and_keeps_checkpoints(
     # compacting an absent log is a no-op, not a crash
     empty = CheckpointStore(spark, str(tmp_path / "nolog"))
     assert empty.compact() == 0
+
+
+def test_update_log_opportunistic_compaction_threshold(spark, store):
+    """r12: compact_if_needed is a per-tick cheap probe — below the file
+    threshold it does nothing; above it, one compaction runs and the
+    warmed checkpoints are unchanged."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+
+    for i in range(5):
+        store.log("TableA", "PK", 1, T0 + i * HOUR, "MERGED")
+        store.flush()
+    assert store.compact_if_needed(max_files=100) is None, (
+        "compacted below the threshold"
+    )
+    kept = store.compact_if_needed(max_files=2, keep_rows_per_key=2)
+    assert kept == 2  # newest 2; the max row IS the newest here
+    after = CheckpointStore(spark, store.log_path)
+    after.warm()
+    assert after._cache[("tablea", "PK")] == T0 + 4 * HOUR
+    # absent log: no-op
+    assert (
+        CheckpointStore(spark, store.log_path + "_none").compact_if_needed()
+        is None
+    )
