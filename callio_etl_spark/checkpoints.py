@@ -143,12 +143,28 @@ class CheckpointStore:
         )
 
     def flush(self) -> None:
-        """C5 — append the buffer to the log table (checkpoints.py:42-50)."""
+        """C5 — append the buffer to the log table (checkpoints.py:42-50).
+
+        The append runs under the log's SERVICE lock so it can never race
+        a concurrent ``compact()``'s whole-table swap (the swap would
+        silently displace an append that landed between its read and its
+        rename — in the table whose loss rewinds every checkpoint to the
+        30-day lookback). Uncontended cost is one create+delete pair on
+        the lock file per flushed tick."""
         if not self._buffer:
             return
         df = self.spark.createDataFrame(self._buffer, UPDATE_LOG_SCHEMA)
-        df.write.mode("append").parquet(self.log_path)
-        self._buffer.clear()
+        from callio_etl_spark.io import (
+            acquire_service_lock,
+            release_service_lock,
+        )
+
+        acquire_service_lock(self.spark, self.log_path)
+        try:
+            df.write.mode("append").parquet(self.log_path)
+            self._buffer.clear()
+        finally:
+            release_service_lock(self.spark, self.log_path)
 
     def compact(self, keep_rows_per_key: int = 512) -> int:
         """C5 at daemon lifetime: every flushed tick appends one small
@@ -164,50 +180,65 @@ class CheckpointStore:
         locked rename), safe while the df reads from the path it
         replaces. Returns the retained row count.
 
-        Concurrency: call from the loop's quiet point — inside the
-        tick's single-writer section, after its flush — or any moment no
-        concurrent flush can land: an append racing the swap would be
-        displaced with the old table. The reference's update_log lives
-        in BigQuery where this bound is a table TTL; this is the same
-        bound on a plain filesystem."""
+        SELF-FENCING: the read-plan-swap runs under the log's own
+        SERVICE lock — the same lock every ``flush()`` appends under —
+        so a compact can never displace a concurrent flush's rows, no
+        matter where the caller invokes it from (the r12 version only
+        DOCUMENTED this race as caller discipline). The reference's
+        update_log lives in BigQuery where this bound is a table TTL;
+        this is the same bound on a plain filesystem."""
         from pyspark.errors import AnalysisException
         from pyspark.sql import Window
 
-        from callio_etl_spark.io import atomic_overwrite
+        from callio_etl_spark.io import (
+            acquire_service_lock,
+            assert_service_fencing,
+            atomic_overwrite,
+            release_service_lock,
+        )
 
+        acquire_service_lock(self.spark, self.log_path)
         try:
-            log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(
-                self.log_path
+            try:
+                log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(
+                    self.log_path
+                )
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" in str(exc) or (
+                    "Path does not exist" in str(exc)
+                ):
+                    return 0  # no log yet: nothing to compact
+                raise
+            key = F.regexp_replace(
+                F.lower(F.trim("table_name")), "[- ]", "_"
+            ).alias("__t")
+            w_audit = Window.partitionBy("__t", "tenant").orderBy(
+                F.col("updated_at").desc(),
+                F.col("max_update_ms").desc_nulls_last(),
             )
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(
-                exc
-            ):
-                return 0  # no log yet: nothing to compact
-            raise
-        key = F.regexp_replace(
-            F.lower(F.trim("table_name")), "[- ]", "_"
-        ).alias("__t")
-        w_audit = Window.partitionBy("__t", "tenant").orderBy(
-            F.col("updated_at").desc(),
-            F.col("max_update_ms").desc_nulls_last(),
-        )
-        w_ck = Window.partitionBy("__t", "tenant").orderBy(
-            F.col("max_update_ms").desc_nulls_last(),
-            F.col("updated_at").desc(),
-        )
-        kept = (
-            log.withColumn("__t", key)
-            .withColumn("__rn", F.row_number().over(w_audit))
-            .withColumn("__rk", F.row_number().over(w_ck))
-            .where(
-                (F.col("__rn") <= keep_rows_per_key) | (F.col("__rk") == 1)
+            w_ck = Window.partitionBy("__t", "tenant").orderBy(
+                F.col("max_update_ms").desc_nulls_last(),
+                F.col("updated_at").desc(),
             )
-            .drop("__t", "__rn", "__rk")
-        )
-        n = kept.count()
-        atomic_overwrite(self.spark, kept, self.log_path)
-        return n
+            kept = (
+                log.withColumn("__t", key)
+                .withColumn("__rn", F.row_number().over(w_audit))
+                .withColumn("__rk", F.row_number().over(w_ck))
+                .where(
+                    (F.col("__rn") <= keep_rows_per_key)
+                    | (F.col("__rk") == 1)
+                )
+                .drop("__t", "__rn", "__rk")
+            )
+            assert_service_fencing(self.spark, self.log_path)
+            atomic_overwrite(self.spark, kept, self.log_path)
+            # single scan of the PRE-compaction log (the expensive side —
+            # this operator exists for the ~100k-file case): the retained
+            # count is read back from the compacted table, which is
+            # ≤ keep_rows_per_key × keys rows by construction
+            return self.spark.read.parquet(self.log_path).count()
+        finally:
+            release_service_lock(self.spark, self.log_path)
 
     def compact_if_needed(
         self, max_files: int = 256, keep_rows_per_key: int = 512

@@ -176,11 +176,18 @@ def _start_lock_heartbeat(
         old["stop"].set()  # defensive: same-process re-acquire after a leak
 
     def beat() -> None:
-        # own py4j gateway connection per thread (py4j is thread-safe)
-        jvm, fs, _ = _hadoop(spark, lock)
-        p = jvm.org.apache.hadoop.fs.Path(lock)
+        # py4j init is DEFERRED past the first wait: a sub-interval hold
+        # (every plain commit) releases before the beat ever runs, so the
+        # thread must not open its own gateway connection + pay 4 round
+        # trips racing the main thread's commit ops on every acquire
+        jvm = fs = p = None
         missing_beats = 0  # consecutive beats that saw the lock absent
         while not stop.wait(stale_s / 4.0):
+            if jvm is None:
+                # own py4j gateway connection per thread (py4j is
+                # thread-safe); first beat only
+                jvm, fs, _ = _hadoop(spark, lock)
+                p = jvm.org.apache.hadoop.fs.Path(lock)
             with mutex:
                 if stop.is_set():
                     return  # release won the race
@@ -509,7 +516,9 @@ def assert_service_fencing(spark: SparkSession, path: str) -> None:
     assert_commit_fencing(spark, path.rstrip("/") + SERVICE_LOCK_INFIX)
 
 
-def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S) -> None:
+def _vacuum_stale_stagings(
+    jvm, fs, path: str, stale_s: float = STAGING_STALE_S, statuses=None
+) -> None:
     """Drop writer-unique staging dirs (<path>.__staging__.<token>) left by
     writers that died BEFORE taking the lock — they are invisible to
     recover_table (which heals only the locked commit sequence) and would
@@ -527,8 +536,11 @@ def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S)
     lock would look instantly sweep-eligible by mtime); names without a
     timestamp segment (pre-r12 strands) fall back to mtime. The age gate
     therefore protects EVERY in-flight claim, including one claimed from
-    a long-stale lock."""
-    parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
+    a long-stale lock.
+
+    ``statuses``: an already-fetched ``listStatus`` of the table's parent
+    (the commit paths list it once and share it with the recovery probe —
+    each listing is a py4j round trip paid on EVERY commit)."""
     name0 = jvm.org.apache.hadoop.fs.Path(path).getName()
     prefix = name0 + STAGING_SUFFIX + "."
     claim_prefixes = (
@@ -537,10 +549,10 @@ def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S)
         name0 + SERVICE_LOCK_INFIX + LOCK_SUFFIX + ".reclaim.",
         name0 + SERVICE_LOCK_INFIX + LOCK_SUFFIX + ".release.",
     )
-    if parent is None or not fs.exists(parent):
-        return
+    if statuses is None:
+        statuses = _list_siblings(jvm, fs, path)
     now = time.time()
-    for st in fs.listStatus(parent):
+    for st in statuses:
         name = st.getPath().getName()
         age = now - st.getModificationTime() / 1000.0
         if name.startswith(prefix) and age > stale_s:
@@ -548,6 +560,38 @@ def _vacuum_stale_stagings(jvm, fs, path: str, stale_s: float = STAGING_STALE_S)
         elif name.startswith(claim_prefixes):
             if _claim_age_s(name, st, now) > LOCK_STALE_S:
                 fs.delete(st.getPath(), True)
+
+
+def _list_siblings(jvm, fs, path: str) -> list:
+    """``listStatus`` of the table's parent directory (empty when the
+    parent is missing). Fetched ONCE per commit, inside the lock, and
+    shared by the recovery probe and the staging/claim sweep."""
+    parent = jvm.org.apache.hadoop.fs.Path(path).getParent()
+    if parent is None or not fs.exists(parent):
+        return []
+    return list(fs.listStatus(parent))
+
+
+def _recover_needed(jvm, fs, path: str, sibling_names: set[str]) -> bool:
+    """One-probe gate for the in-lock ``recover_table`` call: recovery is
+    a pure no-op unless a commit-protocol sibling (whole-table staging,
+    backup, or partition-backup dir) survives beside the table or a mode
+    marker survives inside it (crash between the final rename and the
+    marker delete). The common case — every previous commit completed —
+    is NEITHER, and the full probe sequence costs ~8 py4j round trips on
+    every commit; this gate reads the already-fetched sibling listing
+    plus ONE glob (both marker names match ``__COMMIT_TABLE*__``)."""
+    base = jvm.org.apache.hadoop.fs.Path(path).getName()
+    if (
+        base + STAGING_SUFFIX in sibling_names
+        or base + BACKUP_SUFFIX in sibling_names
+        or base + PBAK_SUFFIX in sibling_names
+    ):
+        return True
+    hits = fs.globStatus(
+        jvm.org.apache.hadoop.fs.Path(path + "/__COMMIT_TABLE*__")
+    )
+    return hits is not None and len(hits) > 0
 
 
 def _claim_age_s(name: str, st, now: float) -> float:
@@ -622,8 +666,12 @@ def atomic_overwrite(
     _touch(jvm, fs, f"{wstaging}/{marker}")
     acquire_table_lock(spark, path)
     try:
-        recover_table(spark, path)  # heal any crashed commit first
-        _vacuum_stale_stagings(jvm, fs, path)
+        sibs = _list_siblings(jvm, fs, path)
+        if _recover_needed(
+            jvm, fs, path, {st.getPath().getName() for st in sibs}
+        ):
+            recover_table(spark, path)  # heal any crashed commit first
+        _vacuum_stale_stagings(jvm, fs, path, statuses=sibs)
         # fence BEFORE entering the recoverable sequence: past this
         # rename, recovery rolls the commit FORWARD, so a fenced-out
         # writer must stop while stopping still means "nothing happened"
@@ -635,12 +683,12 @@ def atomic_overwrite(
         _rename(jvm, fs, staging, path)
         if had_old:
             if keep_versions > 0:
-                _archive_backup(jvm, fs, path, backup)
+                _archive_backup(
+                    jvm, fs, path, backup, prune_to=keep_versions
+                )
             else:
                 _delete(jvm, fs, backup)
         _delete(jvm, fs, f"{path}/{marker}")
-        if keep_versions > 0:
-            vacuum_table_versions(spark, path, keep=keep_versions)
     finally:
         release_table_lock(spark, path)
 
@@ -678,8 +726,12 @@ def atomic_partition_overwrite(
     _touch(jvm, fs, f"{wstaging}/{_PARTS_MARKER}")
     acquire_table_lock(spark, path)
     try:
-        recover_table(spark, path)
-        _vacuum_stale_stagings(jvm, fs, path)
+        sibs = _list_siblings(jvm, fs, path)
+        if _recover_needed(
+            jvm, fs, path, {st.getPath().getName() for st in sibs}
+        ):
+            recover_table(spark, path)
+        _vacuum_stale_stagings(jvm, fs, path, statuses=sibs)
         assert_commit_fencing(spark, path)  # see atomic_overwrite
         _rename(jvm, fs, wstaging, staging)
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(pbak))
@@ -804,13 +856,25 @@ def _versions_dir(path: str) -> str:
     return path.rstrip("/") + VERSIONS_SUFFIX
 
 
-def _archive_backup(jvm, fs, path: str, backup: str) -> int:
+def _archive_backup(
+    jvm, fs, path: str, backup: str, prune_to: int | None = None
+) -> int:
     """Move the displaced table (already renamed to ``backup``) into the
-    version archive as the next version. One rename; returns the version."""
+    version archive as the next version. One rename; returns the version.
+
+    ``prune_to``: also drop archived versions beyond the newest
+    ``prune_to`` (the vacuum the versioned commit path runs anyway) —
+    reusing the listing this archival already fetched instead of
+    ``vacuum_table_versions``'s fresh one (two extra py4j round trips
+    per versioned commit)."""
     vdir = _versions_dir(path)
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(vdir))
-    k = (max(_version_numbers(jvm, fs, vdir), default=0)) + 1
+    nums = _version_numbers(jvm, fs, vdir)
+    k = max(nums, default=0) + 1
     _rename(jvm, fs, backup, f"{vdir}/v{k:06d}")
+    if prune_to is not None and prune_to > 0:
+        for old in (nums + [k])[:-prune_to]:
+            _delete(jvm, fs, f"{vdir}/v{old:06d}")
     return k
 
 
@@ -1111,9 +1175,16 @@ def compact_partition(
     per-partition (bounded work) on a schedule, never over the whole table.
     With Delta this becomes OPTIMIZE ... WHERE + ZORDER."""
     df = spark.read.parquet(path).where(F.col(partition_col) == partition_value)
-    n = df.count()
     compacted = df.repartition(target_files)
     atomic_partition_overwrite(
         spark, compacted, path, partition_col, cluster_cols=cluster_cols
     )
-    return n
+    # count AFTER the swap: same value (the swap moves every row of the
+    # partition, none are filtered), but the post-compaction read touches
+    # ``target_files`` footers instead of the fragmented pile the
+    # pre-count used to scan — one cheap metadata job, not two data jobs
+    return (
+        spark.read.parquet(path)
+        .where(F.col(partition_col) == partition_value)
+        .count()
+    )

@@ -130,6 +130,112 @@ def commit(store: CheckpointStore, table: IncrementalTable, tenant: str, new_ck:
     store.flush()
 
 
+# ---------------------------------------------------------------------------
+# The reference's remaining audit-mode emission sites (C5 vocabulary —
+# checkpoints.MODES): run_tick above covers NOOP/MERGED; these verbs cover
+# STAGED (the staging landing, runner.py:144/382), APPEND (the call-log
+# append-with-checkpoint, runner.py:305-313), TRUNCATE (the group snapshot
+# replace, runner.py:410-413), and ERROR_LOGIN (the per-tenant auth-failure
+# skip, runner.py:90/363/400/536/575). An operator reading the update_log
+# can then answer "which tenant's login broke last night" — the exact
+# signal the r12 rebuild dropped.
+# ---------------------------------------------------------------------------
+
+
+def auth_guard(
+    store: CheckpointStore, table: str, tenant: str, login_fn
+):
+    """ERROR_LOGIN — run ``login_fn`` (any callable that raises or returns
+    falsy on auth failure, e.g. the HTTP transport's post-retry login);
+    on failure audit the tenant and return None so the caller SKIPS the
+    tenant with its checkpoint held (reference runner.py:535-537: a
+    failed login never advances state, and the nightly operator sees an
+    ERROR_LOGIN row instead of silence). Returns the token on success."""
+    try:
+        token = login_fn()
+    except Exception:
+        token = None
+    if not token:
+        store.log(table, tenant, 0, store.get(table, tenant), "ERROR_LOGIN")
+        return None
+    return token
+
+
+def stage_batch(
+    store: CheckpointStore,
+    table: str,
+    tenant: str,
+    batch: DataFrame,
+    staging_path: str,
+) -> int:
+    """STAGED — land the transformed batch in its staging table (S13)
+    and audit the landing with the staged row count, checkpoint
+    untouched (the checkpoint advances only when the later MERGE
+    commits — reference runner.py:139-146: customer rows are STAGED per
+    tenant, merged per window). Returns the staged row count."""
+    from callio_etl_spark.io import load_append
+
+    n = batch.count()
+    if n == 0:
+        store.log(table, tenant, 0, None, "NOOP")
+        return 0
+    load_append(batch, staging_path)
+    store.log(table, tenant, n, None, "STAGED")
+    return n
+
+
+def append_tick(
+    spark: SparkSession,
+    store: CheckpointStore,
+    table: IncrementalTable,
+    batch: DataFrame,
+    target_path: str,
+    tenant: str,
+) -> int | None:
+    """APPEND — the reference's call-log shape (runner.py:295-313):
+    append-only facts land straight in the target (no MERGE — call
+    records are immutable), the checkpoint advances to the batch's max
+    event time, and the audit row carries the NEW checkpoint. Returns
+    the new checkpoint (None on an empty batch, which audits NOOP)."""
+    from callio_etl_spark.io import load_append
+
+    fresh = batch.where(F.col(table.tenant_col) == tenant)
+    row_count, max_ms = _stats(fresh, table.time_col_ms)
+    if row_count == 0:
+        store.log(table.name, tenant, 0, store.get(table.name, tenant), "NOOP")
+        return None
+    load_append(fresh, target_path)
+    prior = store.get(table.name, tenant)
+    if prior is None or (max_ms is not None and max_ms > prior):
+        store.set(table.name, tenant, max_ms)
+    store.log(
+        table.name, tenant, row_count,
+        store.get(table.name, tenant), "APPEND",
+    )
+    return store.get(table.name, tenant)
+
+
+def snapshot_truncate(
+    spark: SparkSession,
+    store: CheckpointStore,
+    table: str,
+    df: DataFrame,
+    path: str,
+    tenant: str = "ALL",
+) -> int:
+    """TRUNCATE — the reference's group-snapshot shape (runner.py:405-413):
+    the dimension is small and ownership-free, so each snapshot replaces
+    the whole table (S9, atomic swap) and audits the replaced row count
+    under the ALL pseudo-tenant; no checkpoint (snapshots are not
+    incremental). Returns the loaded row count."""
+    from callio_etl_spark.io import load_truncate
+
+    n = df.count()
+    load_truncate(df, path)
+    store.log(table, tenant, n, None, "TRUNCATE")
+    return n
+
+
 def _stats(df: DataFrame, time_col_ms: str) -> tuple[int, int | None]:
     """A7 — the sanctioned driver-side collect: one row of scalars."""
     row = df.agg(

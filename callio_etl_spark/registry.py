@@ -47,94 +47,33 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: (observed cap in CORRECTNESS_r01.json), so dict order decides which
 #: operators get a hard driver signal. The window ROTATES each round so
 #: every registered query keeps a FRESH driver row (COVERAGE.md keeps the
-#: per-round slot ledger). State entering the r12 driver run: the
-#: registry holds 211 queries (r11's 210 plus the r12 registration
-#: checkpoint_log_compact — CheckpointStore.compact, the update_log
-#: retention bound a year-long daemon needs: newest-N audit rows per
-#: (table, tenant) PLUS each key's checkpoint row, one atomic swap);
-#: CORRECTNESS_r11 closed 50/50 green, so the cumulative ledger covers
-#: 207 of the prior 210 (the uncovered were http_loop_snapshot_sink —
-#: registered after the r11 window closed — plus the two
-#: rows-only-by-construction sketch/float-fold queries).
+#: per-round slot ledger). State entering the r13 driver run: the
+#: registry holds 212 queries (r12's 211 plus the r13 registration
+#: update_log_modes — the reference's full audit-mode vocabulary
+#: ERROR_LOGIN/STAGED/APPEND/TRUNCATE emitted from their triggers,
+#: runner.py:90/144/382-415, folded through a mixed-mode compaction);
+#: CORRECTNESS_r12 closed 50/50 green, so the cumulative ledger covers
+#: 208 of the prior 211 (uncovered: only the two
+#: rows-only-by-construction sketch/float-fold queries + ann_topk_gemm).
 #: ann_topk_gemm / approx_sketch_stats / curriculum_bins_approx stay out
 #: of the window (no deterministic cross-engine oracle; their
 #: driver-checkable forms are sketch_error_bounds /
-#: curriculum_bins_audit). The r12 window holds:
-#:   1. http_loop_snapshot_sink — the ONLY oracle-bearing query with no
-#:      CORRECTNESS row ever (the durable restart-resume twin of
-#:      http_incremental_loop: tick 2 re-reads target + checkpoint from
-#:      disk, one-manifest-publish MERGE into a snapshot table);
-#:   2. the fifteen r7-vintage queries that sat at positions 51-65 last
-#:      round (sink_bucketed_join .. window_rank_suite) — the only rows
-#:      older than r8 entering this round;
-#:   3. three flagship/merge canaries as regression tripwires;
-#:   4. the r12 registration checkpoint_log_compact;
-#:   5. the r8-vintage cohort oldest-first (47 live queries whose
-#:      latest row is r8; the first 30 alphabetically fit —
-#:      ann_recall_ivf .. table_diff; the remaining 17,
-#:      text_stats .. window_range_scan, hold positions 51-67 and
-#:      lead the r13 window).
+#: curriculum_bins_audit). The r13 window holds:
+#:   1. the seventeen r8-vintage queries that sat at positions 51-67
+#:      last round (text_stats .. window_range_scan) — the only rows
+#:      older than r9 entering this round;
+#:   2. three flagship/merge canaries as regression tripwires;
+#:   3. the r13 registration update_log_modes;
+#:   4. the r9-vintage cohort oldest-first (47 live queries whose
+#:      latest row is r9; the first 29 alphabetically fit —
+#:      ann_hard_negatives .. minhash_lsh_pairs; the remaining 18,
+#:      pack_sequences .. weighted_sample, hold positions 51-68 and
+#:      lead the r14 window).
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
 DRIVER_PRIORITY: list[str] = [
-    # --- first-ever driver row: the durable HTTP-loop twin (1) ---
-    "http_loop_snapshot_sink",
-    # --- the r7-vintage cohort tail: oldest driver rows, must refresh (15)
-    "sink_bucketed_join",
-    "sink_row_deletes",
-    "sink_snapshot_append",
-    "sink_snapshot_cdc",
-    "sink_snapshot_overwrite",
-    "sink_wap_publish",
-    "sink_zorder_skip",
-    "stat_moments",
-    "string_agg_suite",
-    "string_fn_suite",
-    "tumbling_window_agg",
-    "unpivot_measures",
-    "window_dist_suite",
-    "window_frames",
-    "window_rank_suite",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- r12 registration: update_log retention (1) ---
-    "checkpoint_log_compact",
-    # --- oldest-first re-checks: the r8-vintage cohort (30 of 47) ---
-    "ann_recall_ivf",
-    "array_pick",
-    "exact_substring_pairs",
-    "fingerprint",
-    "ivf_centroids",
-    "ivm_refresh_join",
-    "json_extract",
-    "lang_id",
-    "merge_partial_keep_existing",
-    "minhash_incremental_planned",
-    "mixture_weights",
-    "multimodal_meta",
-    "ngram_jaccard_pairs",
-    "nonblank_filter",
-    "not_in_subquery",
-    "pii_scrub",
-    "project_backfill",
-    "quality_score",
-    "repetition_stats",
-    "reservoir_sample",
-    "row_hash",
-    "scalar_subquery",
-    "scalar_suite",
-    "simhash",
-    "sink_bucketed_snapshot",
-    "sink_rename_evolve",
-    "sink_spec_evolve",
-    "stratified_sample",
-    "string_norm",
-    "table_diff",
-    # --- positions 51-67: the r8 cohort's last seventeen fall just
-    #     outside the 50-row window this round and lead the r13 window
+    # --- the r8-vintage cohort tail: oldest driver rows, must refresh (17)
     "text_stats",
     "tfidf_top_terms",
     "time_buckets",
@@ -152,6 +91,62 @@ DRIVER_PRIORITY: list[str] = [
     "union_tenants",
     "watermark_filter",
     "window_range_scan",
+    # --- canaries: flagship + merge anchor (3) ---
+    "fact_staff_daily",
+    "fact_status_pivot",
+    "merge_upsert_conditional",
+    # --- r13 registration: full audit-mode vocabulary (1) ---
+    "update_log_modes",
+    # --- oldest-first re-checks: the r9-vintage cohort (29 of 47) ---
+    "ann_hard_negatives",
+    "ann_recall_ivf_probe",
+    "ann_recall_pq",
+    "ann_recall_pq_rerank",
+    "ann_topk_ivf_probe",
+    "ann_topk_ivfpq",
+    "ann_topk_pq_rerank",
+    "audio_features",
+    "bloom_decontaminate",
+    "boilerplate_ngrams",
+    "contamination_check",
+    "corpus_select_budget",
+    "dsir_importance",
+    "embedding_covariance",
+    "embedding_lsh_buckets",
+    "embedding_lsh_pairs",
+    "embedding_outliers",
+    "embedding_pca_project",
+    "embedding_standardize",
+    "fact_staff_daily_sql",
+    "incremental_agg_maintenance",
+    "latest_per_key",
+    "maintain_band_index",
+    "maintain_band_index_planned",
+    "maintain_vector_index",
+    "media_features",
+    "media_resize",
+    "merge_upsert_full",
+    "minhash_lsh_pairs",
+    # --- positions 51-68: the r9 cohort's last eighteen fall just
+    #     outside the 50-row window this round and lead the r14 window
+    "pack_sequences",
+    "pq_codes",
+    "sink_segmented_manifest",
+    "sink_widen_evolve",
+    "stream_ingest_band_index",
+    "tpch_q19_discounted",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_topk",
+    "tpch_q4_priority",
+    "tpch_q5_volume",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_profit",
+    "weighted_sample",
 ]
 
 

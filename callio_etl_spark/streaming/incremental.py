@@ -357,6 +357,18 @@ def run_foreach_batch_snapshot(
                 .limit(_KEY_LITERAL_CAP + 1)
                 .collect()
             )
+            # EVERY collected partition value is set-deduped through its
+            # _hashable normalization while the ORIGINAL collected value
+            # is kept for plan-side rendering (isin literals, _leaf_name)
+            # — mixing raw and normalized forms across the three collects
+            # below would TypeError on bytearray cells and silently
+            # mismatch a binary column's isin (ADVICE r12)
+            part_originals: dict = {}
+
+            def _norm_part(v):
+                n = _hashable(v)
+                part_originals.setdefault(n, v)
+                return n
             if len(probe_rows) > _KEY_LITERAL_CAP:
                 # BACKLOG/BOOTSTRAP tick: millions of changed keys would
                 # OOM the driver as literals — fall back to distributed
@@ -365,7 +377,7 @@ def run_foreach_batch_snapshot(
                 # key/partition SET, not just the key->row mapping.
                 batch_keys = batch.select(*merge_keys).distinct()
                 batch_parts = {
-                    r[0]
+                    _norm_part(r[0])
                     for r in batch.select(partition_col)
                     .distinct()
                     .collect()
@@ -391,7 +403,7 @@ def run_foreach_batch_snapshot(
                     key_tuples, batch.select(*merge_keys).schema
                 )
                 batch_parts = {
-                    _hashable(r[partition_col]) for r in probe_rows
+                    _norm_part(r[partition_col]) for r in probe_rows
                 }
             touched_vals = set(batch_parts)
             if not stable_partitions:
@@ -400,7 +412,7 @@ def run_foreach_batch_snapshot(
                 # stale copy), located by one semi-join of the table
                 # against the batch's literal key list
                 touched_vals |= {
-                    r[0]
+                    _norm_part(r[0])
                     for r in current.join(
                         batch_keys, merge_keys, "left_semi"
                     )
@@ -409,7 +421,9 @@ def run_foreach_batch_snapshot(
                     .collect()
                 }
             carried = current.where(
-                F.col(partition_col).isin(list(touched_vals))
+                F.col(partition_col).isin(
+                    [part_originals[n] for n in touched_vals]
+                )
             ).join(batch_keys, merge_keys, "left_anti")
             out = carried.select(*batch.columns).unionByName(batch)
             if not stable_partitions:
@@ -421,13 +435,13 @@ def run_foreach_batch_snapshot(
                 # 'true', date forms, percent-escaping), never a bare
                 # f-string that only matches str/int values.
                 have = {
-                    r[0]
+                    _norm_part(r[0])
                     for r in carried.select(partition_col)
                     .distinct()
                     .collect()
                 } | batch_parts
                 retire = [
-                    _leaf_name(spark, partition_col, v)
+                    _leaf_name(spark, partition_col, part_originals[v])
                     for v in sorted(
                         (v for v in touched_vals if v not in have),
                         key=lambda v: (v is None, str(v)),

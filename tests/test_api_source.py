@@ -1070,3 +1070,55 @@ srv.stop()
     assert [list(t) for t in expected] == got["rows"], (
         "restarted-process table diverged from the single-process run"
     )
+
+
+def test_snapshot_loop_tick_error_login_holds_checkpoint(spark, tmp_path):
+    """r13: a tick whose per-tenant login fails (real HTTP 401 — wrong
+    password against the live server) audits ERROR_LOGIN and returns
+    with the checkpoint HELD and the target untouched (reference
+    runner.py:535-537); the next good-credential tick then lands the
+    full window. A drifted id_buckets against the pinned table property
+    refuses loudly."""
+    import os
+
+    import pytest
+
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.queries.api_source import (
+        _snapshot_loop_tick,
+        _start_loop_server,
+    )
+    from callio_etl_spark.snapshots import SNAP_DIR, snapshot_read
+
+    T0 = 1_700_000_000_000
+    rows = _mk_full_rows(8, T0, 30 * 60 * 1000, prefix="el")
+    for r in rows:
+        r["value"] = float(r["value"])
+    srv, base = _start_loop_server(rows)
+    root = str(tmp_path / "elroot")
+    table_path = f"{root}/fact_events"
+    window1 = T0 + 8 * HOUR
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        _snapshot_loop_tick(spark, base, root, window1, password="WRONG")
+        assert not os.path.exists(f"{table_path}/{SNAP_DIR}"), (
+            "failed login still published"
+        )
+        log = spark.read.parquet(f"{root}/update_log")
+        el = log.where("mode = 'ERROR_LOGIN'").collect()
+        assert len(el) == 1 and el[0]["rows_loaded"] == 0
+        store = CheckpointStore(spark, f"{root}/update_log")
+        store.warm()
+        assert store.get("HttpSnapEvents", "PK") is None, (
+            "failed login advanced the checkpoint"
+        )
+        # recovery: the next tick with good credentials lands everything
+        _snapshot_loop_tick(spark, base, root, window1)
+        assert snapshot_read(spark, table_path).count() == len(rows)
+        # the pinned bucket modulus refuses a drifted caller value
+        with pytest.raises(ValueError, match="pinned modulus"):
+            _snapshot_loop_tick(
+                spark, base, root, T0 + 12 * HOUR, id_buckets=8
+            )
+    finally:
+        srv.stop()

@@ -334,3 +334,152 @@ def test_update_log_opportunistic_compaction_threshold(spark, store):
         CheckpointStore(spark, store.log_path + "_none").compact_if_needed()
         is None
     )
+
+
+def test_flush_vs_compact_never_loses_rows(spark, store):
+    """r13: compact() is SELF-FENCING — the read-plan-swap and every
+    flush() append serialize on the update_log's service lock, so a
+    compaction racing a concurrent tick's audit append can never
+    displace the appended rows (the r12 version only documented this
+    hazard as caller discipline). With keep_rows_per_key far above the
+    row count, NO row may ever be dropped — any loss here is the race."""
+    import threading
+
+    from callio_etl_spark.checkpoints import CheckpointStore
+
+    n_ticks, errors, compactions = 8, [], []
+    done = threading.Event()
+
+    def flusher():
+        try:
+            for i in range(n_ticks):
+                store.log("TableA", "PK", 1, T0 + i * HOUR, "MERGED")
+                store.flush()
+        except Exception as exc:  # surfaced below — threads swallow raises
+            errors.append(exc)
+        finally:
+            done.set()
+
+    def compactor():
+        try:
+            # bounded: each locked compact alternates with ~1 flush, so a
+            # handful of rounds covers every interleaving class
+            while not done.is_set() and len(compactions) < 4:
+                compactions.append(store.compact(keep_rows_per_key=10_000))
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=flusher),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert compactions, "compactor never got a turn"
+    n = spark.read.parquet(store.log_path).count()
+    assert n == n_ticks, f"lost {n_ticks - n} audit rows to the race"
+    after = CheckpointStore(spark, store.log_path)
+    after.warm()
+    assert after._cache[("tablea", "PK")] == T0 + (n_ticks - 1) * HOUR
+
+
+def test_audit_mode_vocabulary_emitted_from_triggers(spark, store, tmp_path):
+    """r13: the reference's full C5 mode vocabulary lands from its real
+    triggers (runner.py:90/144/312/412/536) — ERROR_LOGIN on a failed
+    login (checkpoint HELD), STAGED on the staging landing (no
+    checkpoint), APPEND on the call-log append (carrying the NEW
+    checkpoint), TRUNCATE on the dim snapshot replace, NOOP on an empty
+    staging batch."""
+    from callio_etl_spark.pipeline import (
+        append_tick,
+        auth_guard,
+        snapshot_truncate,
+        stage_batch,
+    )
+
+    def bad_login():
+        raise RuntimeError("401 bad credentials")
+
+    assert auth_guard(store, "call-log", "T9", bad_login) is None
+    assert store.get("call-log", "T9") is None, "failed login advanced ck"
+    # falsy token (the reference's get_token returns None) also audits
+    assert auth_guard(store, "call-log", "T8", lambda: None) is None
+    # success path passes the token through, no audit row
+    assert auth_guard(store, "call-log", "T7", lambda: "tok-1") == "tok-1"
+
+    batch = spark.createDataFrame(
+        [("a", T0 + HOUR, "T1"), ("b", T0 + 2 * HOUR, "T1")],
+        "id string, ts_ms long, tenant string",
+    )
+    assert stage_batch(store, "customer", "T1", batch, str(tmp_path / "stg")) == 2
+    assert store.get("customer", "T1") is None, "staging advanced ck"
+    assert stage_batch(store, "customer", "T2", batch.limit(0), str(tmp_path / "stg")) == 0
+
+    table = IncrementalTable(name="call-log", keys=["tenant", "id"], time_col_ms="ts_ms")
+    new_ck = append_tick(spark, store, table, batch, str(tmp_path / "cl"), "T1")
+    assert new_ck == T0 + 2 * HOUR
+    assert store.get("call-log", "T1") == T0 + 2 * HOUR
+    assert spark.read.parquet(str(tmp_path / "cl")).count() == 2
+    # an older replay never rewinds the checkpoint (reference runner.py:310)
+    old = spark.createDataFrame([("c", T0, "T1")], "id string, ts_ms long, tenant string")
+    append_tick(spark, store, table, old, str(tmp_path / "cl"), "T1")
+    assert store.get("call-log", "T1") == T0 + 2 * HOUR
+
+    snapshot_truncate(spark, store, "group", batch, str(tmp_path / "grp"))
+    store.flush()
+
+    log = {
+        (r["table_name"], r["tenant"], r["mode"]): r
+        for r in spark.read.parquet(store.log_path).collect()
+    }
+    assert log[("call_log", "T9", "ERROR_LOGIN")]["rows_loaded"] == 0
+    assert log[("call_log", "T9", "ERROR_LOGIN")]["max_update_ms"] is None
+    assert ("call_log", "T7", "ERROR_LOGIN") not in log, "success audited"
+    assert log[("customer", "T1", "STAGED")]["rows_loaded"] == 2
+    assert log[("customer", "T1", "STAGED")]["max_update_ms"] is None
+    assert log[("customer", "T2", "NOOP")]["rows_loaded"] == 0
+    appends = [
+        r for (t, ten, m), r in log.items()
+        if m == "APPEND" and ten == "T1"
+    ]
+    assert {r["max_update_ms"] for r in appends} == {T0 + 2 * HOUR}, (
+        "APPEND audit rows must carry the (never-rewinding) checkpoint"
+    )
+    assert log[("group", "ALL", "TRUNCATE")]["rows_loaded"] == 2
+    assert log[("group", "ALL", "TRUNCATE")]["max_update_ms"] is None
+    # a fresh warm() folds only the real watermarks back
+    from callio_etl_spark.checkpoints import CheckpointStore
+
+    after = CheckpointStore(spark, store.log_path)
+    after.warm()
+    assert after.get("call-log", "T1") == T0 + 2 * HOUR
+    assert after.get("call-log", "T9") is None
+
+
+def test_compact_retention_over_mixed_mode_history(spark, store):
+    """r13: compaction over a history mixing ALL modes keeps the
+    checkpoint row (the max-watermark MERGED/APPEND row) even when a
+    long run of NOOP/ERROR_LOGIN rows ages it past the audit window."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+
+    store.log("call-log", "T1", 50, T0 + 3 * HOUR, "APPEND")  # the checkpoint
+    store.log("customer", "T1", 9, None, "STAGED")
+    store.log("group", "ALL", 25, None, "TRUNCATE")
+    store.flush()
+    for i in range(6):  # age the APPEND row out of the audit window
+        store.log("call-log", "T1", 0, None, "ERROR_LOGIN")
+        store.log("call-log", "T1", 0, T0 + HOUR, "NOOP")
+        store.flush()
+    before = CheckpointStore(spark, store.log_path)
+    before.warm()
+    store.compact(keep_rows_per_key=2)
+    after = CheckpointStore(spark, store.log_path)
+    after.warm()
+    assert after.get("call-log", "T1") == before.get("call-log", "T1") == T0 + 3 * HOUR
+    kept = spark.read.parquet(store.log_path)
+    assert kept.where("mode = 'APPEND'").count() == 1, "checkpoint row dropped"
+    # the mode-free keys keep their newest audit rows too
+    assert kept.where("table_name = 'group'").count() == 1

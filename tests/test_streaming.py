@@ -1579,3 +1579,64 @@ def test_snapshot_sink_key_literal_cap_fallback(
     leaves = snapshot_manifest(spark, table)["partitions"]
     assert "etype=walk" not in leaves, "fallback did not retire emptied leaf"
     assert "etype=call" in leaves
+
+
+def test_snapshot_sink_moved_keys_non_string_partitions(spark, dirs, tmp_path):
+    """ADVICE r13: every collected partition value in the upsert carry
+    path is set-deduped through ONE _hashable normalization with the
+    original kept for plan rendering (isin literals, _leaf_name) —
+    this drives the moved-key lookup, the carry anti-join, and the
+    emptied-partition retire through part_originals with a DATE
+    partition column (collected as datetime.date, rendered by the
+    snapshot layer's date form), the realistic non-string atomic."""
+    from callio_etl_spark.snapshots import snapshot_manifest, snapshot_read
+    from callio_etl_spark.streaming.incremental import (
+        read_event_stream,
+        run_foreach_batch_snapshot,
+    )
+
+    table = str(tmp_path / "mvd_table")
+    # per-user state partitioned by the user's MAX event DATE: a later
+    # event MOVES the user's partition to the new day
+    _write_batch(
+        spark,
+        dirs["src"],
+        [
+            _row(1, 0, 10, "call"),
+            _row(2, 1, 11, "call"),
+            _row(3, 24 * 60, 12, "sms"),  # day 2
+        ],
+    )
+    per_user = (
+        read_event_stream(spark, dirs["src"])
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("d"),
+            F.count("*").alias("n"),
+        )
+    )
+
+    def tick():
+        run_foreach_batch_snapshot(
+            per_user, dirs["ck"], table, "d", merge_keys=["user_id"]
+        )
+
+    tick()
+    assert snapshot_read(spark, table).count() == 3
+
+    # tick 2: u12 moves day2 -> day3 (day-2 partition EMPTIES and must be
+    # retired via the part_originals date rendering); u10 stays on day 1
+    _write_batch(spark, dirs["src"], [_row(4, 2 * 24 * 60, 12, "sms")])
+    tick()
+    got = {
+        (r["user_id"], str(r["d"]), r["n"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {
+        (10, "2024-01-01", 1),
+        (11, "2024-01-01", 1),
+        (12, "2024-01-03", 2),
+    }, f"moved-key carry broke on date partitions: {got}"
+    leaves = snapshot_manifest(spark, table)["partitions"]
+    assert "d=2024-01-02" not in leaves, "emptied date partition survived"
+    assert "d=2024-01-01" in leaves
