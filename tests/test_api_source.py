@@ -1122,3 +1122,36 @@ def test_snapshot_loop_tick_error_login_holds_checkpoint(spark, tmp_path):
             )
     finally:
         srv.stop()
+
+
+def test_snapshot_loop_noop_tick_runs_retention(spark, tmp_path, monkeypatch):
+    """ADVICE r13: the NOOP early-return of the durable loop tick must
+    still run update_log retention (a daemon idling through a long quiet
+    period otherwise appends one log file per tick with no bound until
+    the next MERGED tick) — and its flush is fenced like every other
+    checkpoint flush in the single-writer section."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.queries.api_source import (
+        _snapshot_loop_tick,
+        _start_loop_server,
+    )
+
+    T0 = 1_700_000_000_000
+    srv, base = _start_loop_server([])  # empty server: every tick NOOPs
+    root = str(tmp_path / "noop_root")
+    calls = []
+    real = CheckpointStore.compact_if_needed
+
+    def spy(self, *a, **k):
+        calls.append(self.log_path)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(CheckpointStore, "compact_if_needed", spy)
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        _snapshot_loop_tick(spark, base, root, T0 + 8 * HOUR)
+        assert calls, "NOOP tick skipped update_log retention"
+        log = spark.read.parquet(f"{root}/update_log")
+        assert {r["mode"] for r in log.collect()} == {"NOOP"}
+    finally:
+        srv.stop()
