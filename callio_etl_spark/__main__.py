@@ -193,6 +193,76 @@ def _refresh_reports(spark: SparkSession, cfg: EngineConfig) -> None:
         )
 
 
+def _staff_group_snapshot(
+    spark: SparkSession, cfg: EngineConfig, store: CheckpointStore
+) -> None:
+    """The reference's DAILY staff+group snapshot job (runner.py:354-415),
+    emitting the full audit vocabulary: staff rows land in staging
+    (STAGED), dedup to latest-per-(tenant, name), and MERGE into the dim
+    with the reference's conditional arms — row_hash drift OR newer
+    updateTime (runner.py:450-456) — audited MERGED; the group dim
+    replaces WHOLE each snapshot (TRUNCATE, runner.py:409-413). Empty
+    fetches audit NOOP. Tenants are a column, one frame carries all
+    (SURVEY 3.1); supplier/nation stand in for the staff/group
+    endpoints at fixture scale, exactly as orders/events stand in for
+    customer/call_log in JOB_TABLES."""
+    from callio_etl_spark.dedup import latest_per_key
+    from callio_etl_spark.io import _exists, _hadoop, atomic_overwrite, recover_table
+    from callio_etl_spark.merge import MergeSpec, merge_upsert
+    from callio_etl_spark.pipeline import snapshot_truncate, stage_batch
+
+    staff = load_table(spark, cfg.sf_dir, "supplier").select(
+        F.lit(TENANT).alias("tenant"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").cast("string").alias("_id"),
+        F.col("s_nationkey").cast("string").alias("group_id"),
+        F.unix_millis(F.current_timestamp()).alias("updateTime"),
+    )
+    # F2 guard before the load (runner.py:373-376): blank names never stage
+    staff = staff.where(F.col("name").isNotNull() & (F.trim("name") != ""))
+    staff = staff.withColumn("row_hash", row_hash(staff))
+    stg = os.path.join(cfg.work_dir, "stg_staff")
+    n = stage_batch(store, "staff", "ALL", staff, stg)
+    if n:
+        path = os.path.join(cfg.work_dir, "staff")
+        recover_table(spark, path)
+        jvm, fs, _ = _hadoop(spark, path)
+        target = spark.read.parquet(path) if _exists(jvm, fs, path) else None
+        staged = spark.read.parquet(stg)
+        fresh = latest_per_key(
+            staged, ["tenant", "name"],
+            F.col("updateTime").cast("long"), [F.col("row_hash")],
+        )
+        if target is None:
+            merged = fresh
+        else:
+            cond = (~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))) | (
+                F.col("S.updateTime").cast("long")
+                >= F.coalesce(F.col("T.updateTime").cast("long"), F.lit(0))
+            )
+            merged = merge_upsert(
+                target, fresh,
+                MergeSpec(keys=["tenant", "name"], update_condition=cond),
+            )
+        atomic_overwrite(spark, merged, path, keep_versions=cfg.keep_versions)
+        store.log("staff", "ALL", n, None, "MERGED")
+        # staging is consumed by the merge (the reference drops stg_staff
+        # after a successful MERGE) — next snapshot stages fresh
+        from callio_etl_spark.io import _delete
+
+        _delete(jvm, fs, stg)
+    group = load_table(spark, cfg.sf_dir, "nation").select(
+        F.lit(TENANT).alias("tenant"),
+        F.col("n_nationkey").cast("string").alias("_id"),
+        F.col("n_name").alias("name"),
+        F.col("n_regionkey").cast("string").alias("region_id"),
+    )
+    snapshot_truncate(
+        spark, store, "group", group, os.path.join(cfg.work_dir, "group")
+    )
+    store.flush()
+
+
 def _curate(spark: SparkSession, cfg: EngineConfig) -> dict:
     """The training-data curation pipeline as ONE CLI job — the llm_ops
     operators composed the way a corpus build actually runs them:
@@ -319,7 +389,11 @@ def main(argv: list[str] | None = None) -> int:
         ],
         default="once",
     )
-    p.add_argument("--job", choices=["all", "customer", "call"], default="all")
+    p.add_argument(
+        "--job",
+        choices=["all", "customer", "call", "staff_group"],
+        default="all",
+    )
     p.add_argument("--sf-dir", default=None)
     p.add_argument("--work-dir", default=None)
     p.add_argument(
@@ -393,7 +467,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     store.warm()
 
-    jobs = list(JOB_TABLES) if args.job == "all" else [args.job]
+    # staff_group is the reference's daily SNAPSHOT job (runner.py:354-415),
+    # not an incremental tick — it rides run_once after the tick jobs (and
+    # alone via --job staff_group); the table-maintenance modes below
+    # (versions/restore/tag/...) address tick tables only.
+    want_snapshot_job = args.job in ("all", "staff_group")
+    jobs = (
+        list(JOB_TABLES)
+        if args.job == "all"
+        else ([] if args.job == "staff_group" else [args.job])
+    )
+    if args.mode not in ("once", "daemon", "curate") and args.job == "staff_group":
+        p.error(f"--mode {args.mode} addresses tick tables, not staff_group")
 
     from callio_etl_spark.logging_utils import configure_logging, track_progress
 
@@ -402,6 +487,8 @@ def main(argv: list[str] | None = None) -> int:
     def run_once() -> None:
         for job in track_progress(jobs, "jobs", logger=log):
             _tick(spark, cfg, store, job)
+        if want_snapshot_job:
+            _staff_group_snapshot(spark, cfg, store)
         _refresh_reports(spark, cfg)  # post-run hook (runner.py:1004-1008)
 
     if args.mode == "versions":
@@ -531,7 +618,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from callio_etl_spark.scheduler import run_daemon
 
-        run_daemon({"tick": run_once}, cfg.run_times)
+        # the tick jobs ride the run-time slots; staff/group rides its OWN
+        # daily slot (reference config.py:170-176, runner.py:1001-1003)
+        daemon_jobs: dict = {}
+        if jobs:
+
+            def run_ticks() -> None:
+                for job in jobs:
+                    _tick(spark, cfg, store, job)
+                _refresh_reports(spark, cfg)
+
+            daemon_jobs["tick"] = run_ticks
+        if want_snapshot_job:
+            daemon_jobs["staff_group"] = lambda: _staff_group_snapshot(
+                spark, cfg, store
+            )
+        run_daemon(
+            daemon_jobs,
+            cfg.run_times,
+            job_times={"staff_group": cfg.staff_group_times},
+        )
     return 0
 
 

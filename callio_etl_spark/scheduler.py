@@ -74,6 +74,7 @@ def run_daemon(
     jobs: dict[str, Callable[[], None]],
     times: list[dt.time],
     *,
+    job_times: dict[str, list[dt.time]] | None = None,
     clock: Callable[[], dt.datetime] | None = None,
     sleeper: Callable[[float], None] = _time.sleep,
     max_iterations: int | None = None,
@@ -81,16 +82,24 @@ def run_daemon(
 ) -> None:
     """C6 daemon loop with per-job error isolation (runner.py:937-965):
     each due job runs inside its own try/except — one tenant/job failing
-    never stops the loop. ``clock``/``sleeper``/``max_iterations`` exist for
-    tests; production callers pass none of them."""
+    never stops the loop. ``job_times`` overrides the slot list for named
+    jobs (the reference schedules staff/group on its OWN daily slot,
+    config.py:170-176, separate from the tick cadence); the idle sleep
+    targets the earliest next slot across ALL lists.
+    ``clock``/``sleeper``/``max_iterations`` exist for tests; production
+    callers pass none of them."""
     clock = clock or (lambda: dt.datetime.now(dt.timezone.utc))
+    job_times = job_times or {}
+    all_times = sorted(
+        {*times, *(t for ts in job_times.values() for t in ts)}
+    )
     last_run: dict[str, dt.datetime] = {}
     i = 0
     while max_iterations is None or i < max_iterations:
         i += 1
         now = clock()
         for name, job in jobs.items():
-            if due(last_run.get(name), now, times):
+            if due(last_run.get(name), now, job_times.get(name, times)):
                 try:
                     job()
                     last_run[name] = now
@@ -98,4 +107,4 @@ def run_daemon(
                     if on_error is not None:
                         on_error(name, exc)
                     sleeper(ERROR_RETRY_S)
-        sleeper(sleep_seconds(clock(), times))
+        sleeper(sleep_seconds(clock(), all_times))

@@ -569,3 +569,73 @@ def test_cli_evolution_verbs(tmp_path, monkeypatch):
     assert m["spec_history"] == ["ym", "event_type"]
     # the warehouse still reads whole (old ym-era dirs under their spec)
     assert snapshot_read(spark, table).count() == n
+
+
+def test_daemon_per_job_slot_lists():
+    """r13: a named job can ride its OWN slot list (the reference's
+    staff/group daily slot, config.py:170-176) — the tick job fires on
+    every run-time slot, the daily job only when ITS slot passes, and
+    the idle sleep targets the earliest next slot across all lists."""
+    calls = {"tick": 0, "daily": 0}
+    daily_times = parse_run_times("04:00")
+    clock_ticks = iter(
+        [
+            dt.datetime(2024, 5, 2, 2, 31, tzinfo=UTC),  # iter 1: 02:30 slot
+            dt.datetime(2024, 5, 2, 2, 31, tzinfo=UTC),
+            dt.datetime(2024, 5, 2, 4, 1, tzinfo=UTC),   # iter 2: 04:00 slot
+            dt.datetime(2024, 5, 2, 4, 1, tzinfo=UTC),
+            dt.datetime(2024, 5, 2, 11, 1, tzinfo=UTC),  # iter 3: 11:00 slot
+            dt.datetime(2024, 5, 2, 11, 1, tzinfo=UTC),
+        ]
+    )
+    run_daemon(
+        {
+            "tick": lambda: calls.__setitem__("tick", calls["tick"] + 1),
+            "daily": lambda: calls.__setitem__("daily", calls["daily"] + 1),
+        },
+        TIMES,
+        job_times={"daily": daily_times},
+        clock=lambda: next(clock_ticks),
+        sleeper=lambda s: None,
+        max_iterations=3,
+    )
+    assert calls["tick"] == 3  # 02:30, 04:00, 11:00
+    # daily: fires at iter 1 (never ran -> due), then again only once its
+    # own 04:00 slot passes — the 11:00 tick slot does NOT re-fire it
+    assert calls["daily"] == 2
+
+
+def test_cli_staff_group_snapshot_job(tmp_path, monkeypatch):
+    """r13: the reference's daily staff+group snapshot job as a CLI job —
+    staff stages (STAGED) then merges into the dim (MERGED), group
+    replaces whole (TRUNCATE); a second run is content-idempotent and
+    re-audits the same vocabulary; staging is consumed by the merge."""
+    import os
+
+    monkeypatch.setenv("DAYS_TO_FETCH_IF_EMPTY", "100000")
+    from callio_etl_spark.__main__ import main
+    from callio_etl_spark.session import get_spark
+
+    wd = str(tmp_path / "work")
+    args = ["--mode", "once", "--job", "staff_group",
+            "--sf-dir", "/root/testdata/sf0.001", "--work-dir", wd]
+    assert main(args) == 0
+
+    spark = get_spark("cli-test")
+    staff = spark.read.parquet(f"{wd}/staff")
+    group = spark.read.parquet(f"{wd}/group")
+    n_staff, n_group = staff.count(), group.count()
+    assert n_staff > 0 and n_group == 25  # nation is 25 rows at every sf
+    assert not os.path.exists(f"{wd}/stg_staff"), "staging not consumed"
+
+    assert main(args) == 0
+    assert spark.read.parquet(f"{wd}/staff").count() == n_staff
+    assert spark.read.parquet(f"{wd}/group").count() == n_group
+    log = spark.read.parquet(f"{wd}/update_log")
+    by_mode = {
+        (r["table_name"], r["mode"])
+        for r in log.collect()
+    }
+    assert ("staff", "STAGED") in by_mode
+    assert ("staff", "MERGED") in by_mode
+    assert ("group", "TRUNCATE") in by_mode
