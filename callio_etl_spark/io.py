@@ -588,6 +588,12 @@ def _recover_needed(jvm, fs, path: str, sibling_names: set[str]) -> bool:
         or base + PBAK_SUFFIX in sibling_names
     ):
         return True
+    if any(c in path for c in "*?[]{}"):
+        # glob metachars in the TABLE path would corrupt the pattern —
+        # fall back to two plain probes (still cheaper than full recovery)
+        return _exists(jvm, fs, f"{path}/{_TABLE_MARKER}") or _exists(
+            jvm, fs, f"{path}/{_TABLE_KEEP_MARKER}"
+        )
     hits = fs.globStatus(
         jvm.org.apache.hadoop.fs.Path(path + "/__COMMIT_TABLE*__")
     )

@@ -1452,3 +1452,47 @@ def test_service_fencing_blocks_a_reclaimed_maintainer(spark, tmp_path):
     release_service_lock(spark, idx)  # token-checked: leaves the file
     assert os.path.exists(lock)
     os.remove(lock)
+
+
+def test_recover_needed_gate_matches_recovery_conditions(spark, tmp_path):
+    """r13 commit fast path: `_recover_needed` must be False exactly when
+    recover_table is a no-op (clean table), and True for each survivable
+    crash artifact — a protocol sibling beside the table or a mode
+    marker inside it (crash between the final rename and marker delete)."""
+    from callio_etl_spark.io import (
+        _TABLE_KEEP_MARKER,
+        _TABLE_MARKER,
+        _hadoop,
+        _list_siblings,
+        _recover_needed,
+        _touch,
+        atomic_overwrite,
+        recover_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    atomic_overwrite(spark, df, path)
+    jvm, fs, _ = _hadoop(spark, path)
+
+    def probe():
+        sibs = _list_siblings(jvm, fs, path)
+        return _recover_needed(
+            jvm, fs, path, {st.getPath().getName() for st in sibs}
+        )
+
+    assert probe() is False, "clean table flagged for recovery"
+
+    # marker inside the live table (crash after swap, before marker delete)
+    for marker in (_TABLE_MARKER, _TABLE_KEEP_MARKER):
+        _touch(jvm, fs, f"{path}/{marker}")
+        assert probe() is True, f"{marker} not detected"
+        recover_table(spark, path)  # sweeps the stray marker
+        assert probe() is False
+
+    # protocol sibling beside the table (crashed writer's staged commit)
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path + ".__staging__"))
+    assert probe() is True, "staging sibling not detected"
+    recover_table(spark, path)
+    assert probe() is False
+    assert spark.read.parquet(path).count() == 5
