@@ -80,6 +80,32 @@ def calibration_seconds(spark) -> float:
     return round(best, 3)
 
 
+#: BASELINE.md's recorded host calibration (the "@ ~1.06" every verdict
+#: normalizes against) — used to compute the signal-line ratio in-run.
+_BASELINE_CAL_S = 1.06
+
+
+def _baseline_seconds() -> dict[str, float]:
+    """Per-query baseline seconds parsed from BASELINE.md's recorded
+    table (`| name | sec |` rows). Empty dict when absent/unparseable —
+    the signal-line re-measure then simply doesn't trigger."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, float] = {}
+    try:
+        with open(os.path.join(here, "BASELINE.md")) as fh:
+            for line in fh:
+                m = re.match(
+                    r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*$", line
+                )
+                if m:
+                    out[m.group(1)] = float(m.group(2))
+    except OSError:
+        pass
+    return out
+
+
 def _write_detail_artifact(
     timings: dict[str, float],
     total: float,
@@ -211,17 +237,38 @@ def main() -> None:
         n for n in ("http_incremental_loop", "http_loop_snapshot_sink")
         if n in queries
     ]
-    for name in service_rows:
+    # SELF-DISPOSING signal line: any row whose in-run best crosses the
+    # per-query guard (>2 s AND >1.5x calibrated vs its BASELINE.md row)
+    # is re-measured isolated too — ambient/position spikes then carry
+    # their own disposition number in the artifact instead of costing a
+    # manual forensics pass every round.
+    base = _baseline_seconds()
+    signal_rows = [
+        n
+        for n, t in timings.items()
+        if n not in set(service_rows)
+        and t > 2.0
+        and n in base
+        and base[n] > 0
+        and (t / calibration) / (base[n] / _BASELINE_CAL_S) > 1.5
+    ]
+    for name in service_rows + signal_rows:
         import gc
 
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        isolated[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        # service rows: one pass (commit-latency floors, stable); signal
+        # rows: best-of-2 — a disposition that could itself be one jitter
+        # spike disposes nothing
+        for _ in range(1 if name in set(service_rows) else 2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        isolated[name] = round(best, 3)
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     _write_detail_artifact(

@@ -175,13 +175,20 @@ def stage_batch(
     tenant, merged per window). Returns the staged row count."""
     from callio_etl_spark.io import load_append
 
-    n = batch.count()
-    if n == 0:
-        store.log(table, tenant, 0, None, "NOOP")
-        return 0
-    load_append(batch, staging_path)
-    store.log(table, tenant, n, None, "STAGED")
-    return n
+    # pin the batch across the count + write pair: the audited row count
+    # must equal the rows actually staged even under a nondeterministic
+    # upstream (the reference reads the count off the finished load job)
+    batch = batch.persist()
+    try:
+        n = batch.count()
+        if n == 0:
+            store.log(table, tenant, 0, None, "NOOP")
+            return 0
+        load_append(batch, staging_path)
+        store.log(table, tenant, n, None, "STAGED")
+        return n
+    finally:
+        batch.unpersist()
 
 
 def append_tick(
@@ -199,20 +206,25 @@ def append_tick(
     the new checkpoint (None on an empty batch, which audits NOOP)."""
     from callio_etl_spark.io import load_append
 
-    fresh = batch.where(F.col(table.tenant_col) == tenant)
-    row_count, max_ms = _stats(fresh, table.time_col_ms)
-    if row_count == 0:
-        store.log(table.name, tenant, 0, store.get(table.name, tenant), "NOOP")
-        return None
-    load_append(fresh, target_path)
-    prior = store.get(table.name, tenant)
-    if prior is None or (max_ms is not None and max_ms > prior):
-        store.set(table.name, tenant, max_ms)
-    store.log(
-        table.name, tenant, row_count,
-        store.get(table.name, tenant), "APPEND",
-    )
-    return store.get(table.name, tenant)
+    fresh = batch.where(F.col(table.tenant_col) == tenant).persist()
+    try:
+        row_count, max_ms = _stats(fresh, table.time_col_ms)
+        if row_count == 0:
+            store.log(
+                table.name, tenant, 0, store.get(table.name, tenant), "NOOP"
+            )
+            return None
+        load_append(fresh, target_path)
+        prior = store.get(table.name, tenant)
+        if prior is None or (max_ms is not None and max_ms > prior):
+            store.set(table.name, tenant, max_ms)
+        store.log(
+            table.name, tenant, row_count,
+            store.get(table.name, tenant), "APPEND",
+        )
+        return store.get(table.name, tenant)
+    finally:
+        fresh.unpersist()
 
 
 def snapshot_truncate(
@@ -230,10 +242,14 @@ def snapshot_truncate(
     incremental). Returns the loaded row count."""
     from callio_etl_spark.io import load_truncate
 
-    n = df.count()
-    load_truncate(df, path)
-    store.log(table, tenant, n, None, "TRUNCATE")
-    return n
+    df = df.persist()  # count + atomic swap read the same rows
+    try:
+        n = df.count()
+        load_truncate(df, path)
+        store.log(table, tenant, n, None, "TRUNCATE")
+        return n
+    finally:
+        df.unpersist()
 
 
 def _stats(df: DataFrame, time_col_ms: str) -> tuple[int, int | None]:
