@@ -107,6 +107,11 @@ HEAVY = [
     # r11: the HTTP production-loop compositions (endpoint-bound)
     "http_incremental_loop",
     "http_loop_snapshot_sink",
+    # r12/r13: update_log retention (log is groups-sized, not data-sized)
+    # and the audit-vocabulary roundtrip (commit-latency floor + linear
+    # staging/append writes)
+    "checkpoint_log_compact",
+    "update_log_modes",
 ]
 
 def _minhash_geometry(rows_per_band: int, n_bands: int):
