@@ -205,7 +205,11 @@ def _staff_group_snapshot(
     fetches audit NOOP. Tenants are a column, one frame carries all
     (SURVEY 3.1); supplier/nation stand in for the staff/group
     endpoints at fixture scale, exactly as orders/events stand in for
-    customer/call_log in JOB_TABLES."""
+    customer/call_log in JOB_TABLES. The dims land through the
+    versioned-parquet sink whichever --table-format the FACT tables
+    use: they are small, unpartitioned, replaced-or-merged whole, so
+    the partitioned snapshot machinery buys nothing here (same
+    whole-swap atomicity either way)."""
     from callio_etl_spark.dedup import latest_per_key
     from callio_etl_spark.io import _exists, _hadoop, atomic_overwrite, recover_table
     from callio_etl_spark.merge import MergeSpec, merge_upsert

@@ -185,9 +185,15 @@ def _start_lock_heartbeat(
         while not stop.wait(stale_s / 4.0):
             if jvm is None:
                 # own py4j gateway connection per thread (py4j is
-                # thread-safe); first beat only
-                jvm, fs, _ = _hadoop(spark, lock)
-                p = jvm.org.apache.hadoop.fs.Path(lock)
+                # thread-safe); first beat only. A transient gateway
+                # error must NOT kill the thread — a long-held lock
+                # would silently lose its live-holder protection
+                try:
+                    jvm, fs, _ = _hadoop(spark, lock)
+                    p = jvm.org.apache.hadoop.fs.Path(lock)
+                except Exception:
+                    jvm = fs = p = None
+                    continue  # retry at the next beat interval
             with mutex:
                 if stop.is_set():
                     return  # release won the race
