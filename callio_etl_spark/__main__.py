@@ -215,12 +215,17 @@ def _staff_group_snapshot(
     from callio_etl_spark.merge import MergeSpec, merge_upsert
     from callio_etl_spark.pipeline import snapshot_truncate, stage_batch
 
+    # No updateTime: the staff endpoint's snapshot rows carry none here,
+    # and the reference's schema-dynamic MERGE adds the newer-updateTime
+    # arm ONLY when both sides have the column (runner.py:447-449) — a
+    # fabricated clock value would make that arm vacuously true and turn
+    # the row_hash guard into dead code (every run would rewrite every
+    # row).
     staff = load_table(spark, cfg.sf_dir, "supplier").select(
         F.lit(TENANT).alias("tenant"),
         F.col("s_name").alias("name"),
         F.col("s_suppkey").cast("string").alias("_id"),
         F.col("s_nationkey").cast("string").alias("group_id"),
-        F.unix_millis(F.current_timestamp()).alias("updateTime"),
     )
     # F2 guard before the load (runner.py:373-376): blank names never stage
     staff = staff.where(F.col("name").isNotNull() & (F.trim("name") != ""))
@@ -233,22 +238,25 @@ def _staff_group_snapshot(
         jvm, fs, _ = _hadoop(spark, path)
         target = spark.read.parquet(path) if _exists(jvm, fs, path) else None
         staged = spark.read.parquet(stg)
+        # one staged row per key, deterministic pick (max _id) — the
+        # reference's ROW_NUMBER dedup falls back to `name` ordering
+        # when no updateTime exists (runner.py:470)
         fresh = latest_per_key(
-            staged, ["tenant", "name"],
-            F.col("updateTime").cast("long"), [F.col("row_hash")],
+            staged, ["tenant", "name"], F.col("_id"), [F.col("row_hash")]
         )
         if target is None:
             merged = fresh
         else:
-            cond = (~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))) | (
-                F.col("S.updateTime").cast("long")
-                >= F.coalesce(F.col("T.updateTime").cast("long"), F.lit(0))
-            )
+            # hash-drift arm only (the updateTime arm applies only when
+            # the column exists on both sides, runner.py:447-456)
+            cond = ~F.col("T.row_hash").eqNullSafe(F.col("S.row_hash"))
             merged = merge_upsert(
                 target, fresh,
                 MergeSpec(keys=["tenant", "name"], update_condition=cond),
             )
         atomic_overwrite(spark, merged, path, keep_versions=cfg.keep_versions)
+        # audit carries the STAGED count, mirroring the reference
+        # (runner.py:382-385 logs the same `rows` on both rows)
         store.log("staff", "ALL", n, None, "MERGED")
         # staging is consumed by the merge (the reference drops stg_staff
         # after a successful MERGE) — next snapshot stages fresh
@@ -262,7 +270,8 @@ def _staff_group_snapshot(
         F.col("n_regionkey").cast("string").alias("region_id"),
     )
     snapshot_truncate(
-        spark, store, "group", group, os.path.join(cfg.work_dir, "group")
+        spark, store, "group", group, os.path.join(cfg.work_dir, "group"),
+        keep_versions=cfg.keep_versions,
     )
     store.flush()
 

@@ -153,7 +153,16 @@ def auth_guard(
     ERROR_LOGIN row instead of silence). Returns the token on success."""
     try:
         token = login_fn()
-    except Exception:
+    except Exception as exc:
+        # the reference's get_token swallows ANY failure into a falsy
+        # token (api.py error path), so a network outage also audits
+        # ERROR_LOGIN — but the real exception must not vanish: the
+        # operator triaging the audit row needs it in the service log
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "[%s][%s] login failed: %s", tenant, table, exc
+        )
         token = None
     if not token:
         store.log(table, tenant, 0, store.get(table, tenant), "ERROR_LOGIN")
@@ -234,18 +243,21 @@ def snapshot_truncate(
     df: DataFrame,
     path: str,
     tenant: str = "ALL",
+    keep_versions: int = 0,
 ) -> int:
     """TRUNCATE — the reference's group-snapshot shape (runner.py:405-413):
     the dimension is small and ownership-free, so each snapshot replaces
     the whole table (S9, atomic swap) and audits the replaced row count
     under the ALL pseudo-tenant; no checkpoint (snapshots are not
-    incremental). Returns the loaded row count."""
-    from callio_etl_spark.io import load_truncate
+    incremental). ``keep_versions`` archives the displaced snapshots for
+    rollback, same knob as every other versioned sink. Returns the
+    loaded row count."""
+    from callio_etl_spark.io import atomic_overwrite
 
     df = df.persist()  # count + atomic swap read the same rows
     try:
         n = df.count()
-        load_truncate(df, path)
+        atomic_overwrite(spark, df, path, keep_versions=keep_versions)
         store.log(table, tenant, n, None, "TRUNCATE")
         return n
     finally:

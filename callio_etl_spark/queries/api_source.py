@@ -465,7 +465,11 @@ def _snapshot_loop_tick(
             store.flush()
             store.compact_if_needed()
             return
-        if snapshot_has_published_head(spark, table_path):
+        # probed ONCE per tick: nothing can publish between here and the
+        # create-vs-merge branch below — this instance holds the service
+        # lock across the whole read-modify-write
+        has_table = snapshot_has_published_head(spark, table_path)
+        if has_table:
             pinned = (snapshot_properties(spark, table_path) or {}).get(
                 "loop.id_buckets"
             )
@@ -507,7 +511,6 @@ def _snapshot_loop_tick(
             store.flush()
             store.compact_if_needed()
             return
-        has_table = snapshot_has_published_head(spark, table_path)
         assert_service_fencing(spark, table_path)
         if not has_table:
             snapshot_partition_overwrite(
@@ -748,7 +751,8 @@ def update_log_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged1, ck1 = run_tick(
         spark, store, table, batch, None, "T1", now_ms=_WINDOW_END_MS
     )
-    merged1.localCheckpoint(eager=True)  # persisted before the commit (C4)
+    # persisted before the commit (C4) — keep the CHECKPOINTED frame
+    merged1 = merged1.localCheckpoint(eager=True)
     commit(store, table, "T1", ck1)
     _, ck2 = run_tick(
         spark, store, table, batch, merged1, "T1", now_ms=_WINDOW_END_MS
