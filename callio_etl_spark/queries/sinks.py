@@ -321,7 +321,12 @@ def sink_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority"
     )
-    s = o.where(F.col("o_orderkey") % 4 == 0)
+    # the filtered input feeds FOUR sink actions (the fragmented write +
+    # three versioned generations) — pin it once instead of re-scanning
+    # the orders parquet per action, the same move a user scheduling this
+    # maintenance would make; the sinks' own staged-write work is
+    # unchanged
+    s = o.where(F.col("o_orderkey") % 4 == 0).persist()
     # fragment: 6 round-robin tasks x 5 priorities => ~6 files per partition
     write_partitioned(s.repartition(6), path, "o_orderpriority")
 
@@ -355,6 +360,7 @@ def sink_compact_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     removed = vacuum_table_versions(spark, vpath, keep=1)
     versions_after = len(list_table_versions(spark, vpath))
+    s.unpersist()
 
     live = spark.read.parquet(path)
     result = live.agg(
