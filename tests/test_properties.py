@@ -780,3 +780,96 @@ def test_stored_field_widen_rename_interleave_laws(n_events, dir_version, data):
         key=lambda e: e[0],
     )
     assert got == (want[1], want[2])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["Call-Log", "call log", "customer"]),
+            st.sampled_from(["PK", "T2"]),
+            st.integers(min_value=0, max_value=99),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+            st.sampled_from(
+                ["NOOP", "STAGED", "MERGED", "APPEND", "TRUNCATE",
+                 "ERROR_LOGIN"]
+            ),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    keep=st.integers(min_value=1, max_value=3),
+)
+def test_update_log_compaction_matches_python_mirror(spark, rows, keep):
+    """r13: CheckpointStore.compact over ARBITRARY mode histories retains
+    EXACTLY the newest-``keep`` audit rows per normalized (table, tenant)
+    plus each key's checkpoint row (max max_update_ms, nulls last) — a
+    pure function of the row set, mirrored row-for-row in Python. Every
+    updated_at is distinct, so the expected set is unambiguous; table
+    names mix the '-'/' '/case forms to pin that retention KEYS on the
+    normalized name while row content is preserved verbatim (warm()
+    normalizes on read, so rewriting stored names would be a silent
+    content mutation)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+    import uuid
+
+    from callio_etl_spark.checkpoints import (
+        UPDATE_LOG_SCHEMA,
+        CheckpointStore,
+        normalize_table,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (tbl, ten, t0 + dt.timedelta(seconds=i), n, ck, mode)
+        for i, (tbl, ten, n, ck, mode) in enumerate(rows)
+    ]
+    # hypothesis forbids the function-scoped tmp_path fixture under
+    # @given (one dir would be shared across examples) — per-example dir
+    root = tempfile.mkdtemp(prefix="plog_")
+    log_path = f"{root}/log_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(data, UPDATE_LOG_SCHEMA).write.mode(
+        "append"
+    ).parquet(log_path)
+
+    # Python mirror of the two window rules
+    by_key: dict = {}
+    for tbl, ten, ua, n, ck, mode in data:
+        # grouping key normalizes; the RETAINED row keeps its raw name
+        by_key.setdefault((normalize_table(tbl), ten), []).append(
+            (tbl, ten, ua, n, ck, mode)
+        )
+    expected = set()
+    for key, items in by_key.items():
+        audit = sorted(
+            items,
+            key=lambda r: (-r[2].timestamp(), r[4] is None, -(r[4] or 0)),
+        )
+        expected |= set(audit[:keep])
+        ck_row = sorted(
+            items,
+            key=lambda r: (r[4] is None, -(r[4] or 0), -r[2].timestamp()),
+        )[0]
+        expected.add(ck_row)
+
+    store = CheckpointStore(spark, log_path)
+    retained = store.compact(keep_rows_per_key=keep)
+    got = {
+        (r["table_name"], r["tenant"], r["updated_at"], r["rows_loaded"],
+         r["max_update_ms"], r["mode"])
+        for r in spark.read.parquet(log_path).collect()
+    }
+    assert got == expected, (
+        f"retention diverged: extra={got - expected} "
+        f"missing={expected - got}"
+    )
+    assert retained == len(expected)
+    # warm() parity: the checkpoint per key survives any history
+    after = CheckpointStore(spark, log_path)
+    after.warm()
+    for key, items in by_key.items():
+        cks = [r[4] for r in items if r[4] is not None]
+        assert after._cache.get(key) == (max(cks) if cks else None)
+    shutil.rmtree(root, ignore_errors=True)
