@@ -661,7 +661,7 @@ UNION ALL SELECT 'group', 'TRUNCATE', CAST(1 AS BIGINT),
     tags=["C5", "S8", "S9", "S13", "audit", "http"],
 )
 def update_log_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    '''The reference's FULL audit-mode vocabulary (checkpoints.MODES),
+    """The reference's FULL audit-mode vocabulary (checkpoints.MODES),
     each mode emitted from its real trigger and read back from the
     update_log — the r12 verdict's one parity gap (modes were declared
     but only NOOP/MERGED ever landed; an operator asking the log "which
@@ -685,7 +685,7 @@ def update_log_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count, a checkpoint that advanced on a failed login, or a NOOP
     that re-merged all break the DuckDB hash. Table names land
     normalized ('call-log' -> 'call_log'), pinning the reference's
-    _normalize_table on the write path too.'''
+    _normalize_table on the write path too."""
     import shutil as _shutil
 
     from callio_etl_spark.checkpoints import UPDATE_LOG_SCHEMA, CheckpointStore
