@@ -639,3 +639,26 @@ def test_cli_staff_group_snapshot_job(tmp_path, monkeypatch):
     assert ("staff", "STAGED") in by_mode
     assert ("staff", "MERGED") in by_mode
     assert ("group", "TRUNCATE") in by_mode
+
+
+def test_bench_baseline_parse_covers_every_registered_query():
+    """r13: the bench's self-disposing signal line keys off BASELINE.md's
+    per-query table — a registered query missing from the parse (or a
+    malformed row) silently loses its regression watch, so the parse
+    must cover the whole registry (minus the three rows-only queries,
+    which the baseline table still records)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from bench import _BASELINE_CAL_S, _baseline_seconds
+    from callio_etl_spark.registry import REGISTRY, _load_all
+
+    _load_all()
+    base = _baseline_seconds()
+    missing = [n for n in REGISTRY if n not in base]
+    assert not missing, (
+        f"registered queries without a BASELINE.md row: {missing} — "
+        "record one at registration time (the standing cadence guard)"
+    )
+    assert all(v > 0 for v in base.values())
+    assert 0.5 < _BASELINE_CAL_S < 2.0
