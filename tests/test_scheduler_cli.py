@@ -662,3 +662,26 @@ def test_bench_baseline_parse_covers_every_registered_query():
     )
     assert all(v > 0 for v in base.values())
     assert 0.5 < _BASELINE_CAL_S < 2.0
+
+
+def test_driver_priority_window_is_well_formed():
+    """The driver hashes only the first 50 queries() entries, so the
+    rotation list must stay duplicate-free, fully registered, at least
+    window-sized, and must never stage the three rows-only queries
+    inside the hashed window (they have no cross-engine oracle; their
+    driver-checkable twins hold the coverage)."""
+    from callio_etl_spark.registry import DRIVER_PRIORITY, REGISTRY, _load_all
+
+    _load_all()
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "duplicates"
+    assert len(DRIVER_PRIORITY) >= 50, "window underfilled"
+    unknown = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    assert not unknown, f"unregistered names staged: {unknown}"
+    rows_only = {"ann_topk_gemm", "approx_sketch_stats", "curriculum_bins_approx"}
+    staged = rows_only & set(DRIVER_PRIORITY[:50])
+    assert not staged, f"rows-only queries inside the hashed window: {staged}"
+    # every windowed query must carry an oracle (the driver's hard gate)
+    missing_oracle = [
+        n for n in DRIVER_PRIORITY[:50] if not REGISTRY[n].oracle
+    ]
+    assert not missing_oracle, missing_oracle
