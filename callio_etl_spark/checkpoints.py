@@ -80,12 +80,21 @@ class CheckpointStore:
         Only the missing-log cold start is swallowed; any other read error
         (corrupt footer, permissions, transient FS failure) propagates —
         silently resetting every checkpoint to the 30-day lookback would
-        re-read the whole window and mask the real failure."""
+        re-read the whole window and mask the real failure.
+
+        A MISSING path is first run through ``recover_table``: a compact()
+        killed between its two swap renames leaves the whole log under the
+        backup name for a moment, and a daemon restarting inside that
+        window must roll the swap forward rather than silently cold-start
+        every checkpoint (and the recovery must happen BEFORE anything
+        recreates the path — see flush())."""
         from pyspark.errors import AnalysisException
 
-        try:
-            log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(self.log_path)
-            rows = (
+        def read_rows():
+            log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(
+                self.log_path
+            )
+            return (
                 log.where(F.col("max_update_ms").isNotNull())
                 .groupBy(
                     F.regexp_replace(
@@ -96,10 +105,21 @@ class CheckpointStore:
                 .agg(F.max("max_update_ms").alias("ck"))
                 .collect()
             )
+
+        try:
+            rows = read_rows()
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return  # no log yet — cold start everywhere
-            raise
+            if "PATH_NOT_FOUND" not in str(exc) and (
+                "Path does not exist" not in str(exc)
+            ):
+                raise
+            from callio_etl_spark.io import _hadoop, recover_table
+
+            recover_table(self.spark, self.log_path)
+            jvm, fs, p = _hadoop(self.spark, self.log_path)
+            if not fs.exists(p):
+                return  # genuinely no log yet — cold start everywhere
+            rows = read_rows()  # the healed (rolled-forward) log
         for r in rows:
             self._cache[(r["t"], r["tenant"])] = r["ck"]
 
@@ -161,6 +181,16 @@ class CheckpointStore:
 
         acquire_service_lock(self.spark, self.log_path)
         try:
+            # heal a torn compact swap BEFORE appending: if a crash left
+            # the log under its backup name, creating a fresh path here
+            # would make the later recovery read "swap already finished"
+            # and DISPOSE the backup — the entire pre-crash log. One
+            # exists probe per flush; recovery only when path is missing.
+            from callio_etl_spark.io import _exists, _hadoop, recover_table
+
+            jvm, fs, p = _hadoop(self.spark, self.log_path)
+            if not fs.exists(p):
+                recover_table(self.spark, self.log_path)
             df.write.mode("append").parquet(self.log_path)
             self._buffer.clear()
         finally:

@@ -483,3 +483,53 @@ def test_compact_retention_over_mixed_mode_history(spark, store):
     assert kept.where("mode = 'APPEND'").count() == 1, "checkpoint row dropped"
     # the mode-free keys keep their newest audit rows too
     assert kept.where("table_name = 'group'").count() == 1
+
+
+def test_warm_and_flush_heal_a_torn_compact_swap(spark, store):
+    """r13: compact()'s whole-table swap can be killed between its two
+    renames — the entire log then sits under the BACKUP name with the
+    committed staging beside it. A daemon restarting in that window must
+    NOT cold-start (warm() rolls the swap forward first), and a flush
+    landing first must NOT recreate the path (recovery would then read
+    'swap already finished' and dispose the backup — the entire
+    pre-crash history)."""
+    from callio_etl_spark.checkpoints import CheckpointStore
+    from callio_etl_spark.io import (
+        _TABLE_MARKER,
+        BACKUP_SUFFIX,
+        STAGING_SUFFIX,
+        _hadoop,
+        _rename,
+        _touch,
+    )
+
+    store.log("TableA", "PK", 5, T0 + 3 * HOUR, "MERGED")
+    store.flush()
+    path = store.log_path
+    jvm, fs, _ = _hadoop(spark, path)
+
+    def tear():
+        # the exact crash state: path -> backup done, staging (marked,
+        # i.e. fully written) not yet renamed in
+        spark.read.parquet(path).write.mode("overwrite").parquet(
+            path + STAGING_SUFFIX
+        )
+        _touch(jvm, fs, f"{path}{STAGING_SUFFIX}/{_TABLE_MARKER}")
+        _rename(jvm, fs, path, path + BACKUP_SUFFIX)
+
+    tear()
+    fresh = CheckpointStore(spark, path)
+    fresh.warm()  # must heal, not cold-start
+    assert fresh.get("TableA", "PK") == T0 + 3 * HOUR
+    assert spark.read.parquet(path).count() == 1
+
+    tear()
+    # flush-first path: the append must heal BEFORE creating the table
+    fresh2 = CheckpointStore(spark, path)
+    fresh2.log("TableA", "PK", 1, T0 + 4 * HOUR, "MERGED")
+    fresh2.flush()
+    log = spark.read.parquet(path)
+    assert log.count() == 2, "torn swap lost the pre-crash history"
+    after = CheckpointStore(spark, path)
+    after.warm()
+    assert after.get("TableA", "PK") == T0 + 4 * HOUR
