@@ -113,13 +113,28 @@ class CheckpointStore:
                 "Path does not exist" not in str(exc)
             ):
                 raise
-            from callio_etl_spark.io import _hadoop, recover_table
+            from callio_etl_spark.io import (
+                _hadoop,
+                acquire_service_lock,
+                recover_table,
+                release_service_lock,
+            )
 
-            recover_table(self.spark, self.log_path)
-            jvm, fs, p = _hadoop(self.spark, self.log_path)
-            if not fs.exists(p):
-                return  # genuinely no log yet — cold start everywhere
-            rows = read_rows()  # the healed (rolled-forward) log
+            # recovery under the log's SERVICE lock: a missing path may
+            # also be a LIVE compact mid-swap (another table's tick —
+            # several stores can share one log) — rolling ITS staged
+            # swap forward from here would corrupt its rename sequence;
+            # waiting out the lock sees either the finished swap or a
+            # genuinely torn one
+            acquire_service_lock(self.spark, self.log_path)
+            try:
+                recover_table(self.spark, self.log_path)
+                jvm, fs, p = _hadoop(self.spark, self.log_path)
+                if not fs.exists(p):
+                    return  # genuinely no log yet — cold start everywhere
+                rows = read_rows()  # the healed (rolled-forward) log
+            finally:
+                release_service_lock(self.spark, self.log_path)
         for r in rows:
             self._cache[(r["t"], r["tenant"])] = r["ck"]
 
