@@ -231,6 +231,16 @@ def _staff_group_snapshot(
     staff = staff.where(F.col("name").isNotNull() & (F.trim("name") != ""))
     staff = staff.withColumn("row_hash", row_hash(staff))
     stg = os.path.join(cfg.work_dir, "stg_staff")
+    # per-run scratch, NOT an accumulating table: a crash between a prior
+    # run's STAGED and its MERGE leaves stale rows here, and the next
+    # run's append-then-read would merge them alongside fresh rows —
+    # resurrecting keys absent from the new snapshot and understating the
+    # MERGED audit count. Clear before staging each snapshot run.
+    _jvm0, _fs0, _ = _hadoop(spark, stg)
+    if _exists(_jvm0, _fs0, stg):
+        from callio_etl_spark.io import _delete
+
+        _delete(_jvm0, _fs0, stg)
     n = stage_batch(store, "staff", "ALL", staff, stg)
     if n:
         path = os.path.join(cfg.work_dir, "staff")

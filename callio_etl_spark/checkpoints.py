@@ -114,6 +114,8 @@ class CheckpointStore:
             ):
                 raise
             from callio_etl_spark.io import (
+                LOCK_STALE_S,
+                LOCK_TIMEOUT_S,
                 _hadoop,
                 acquire_service_lock,
                 recover_table,
@@ -125,8 +127,12 @@ class CheckpointStore:
             # several stores can share one log) — rolling ITS staged
             # swap forward from here would corrupt its rename sequence;
             # waiting out the lock sees either the finished swap or a
-            # genuinely torn one
-            acquire_service_lock(self.spark, self.log_path)
+            # genuinely torn one. Tick-sized timeout: the hold we may be
+            # waiting out is a whole compact, not a plain commit.
+            acquire_service_lock(
+                self.spark, self.log_path,
+                timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S,
+            )
             try:
                 recover_table(self.spark, self.log_path)
                 jvm, fs, p = _hadoop(self.spark, self.log_path)
@@ -188,13 +194,27 @@ class CheckpointStore:
         the lock file per flushed tick."""
         if not self._buffer:
             return
-        df = self.spark.createDataFrame(self._buffer, UPDATE_LOG_SCHEMA)
+        # one file per flush, not one per createDataFrame slice: the
+        # buffer is a handful of driver-local audit rows (bounded by the
+        # tick's table x tenant fan-out at any scale), and every extra
+        # part file is paid again by EVERY later warm()'s full-log scan
+        df = self.spark.createDataFrame(
+            self._buffer, UPDATE_LOG_SCHEMA
+        ).coalesce(1)
         from callio_etl_spark.io import (
+            LOCK_STALE_S,
+            LOCK_TIMEOUT_S,
             acquire_service_lock,
             release_service_lock,
         )
 
-        acquire_service_lock(self.spark, self.log_path)
+        # tick-sized timeout (acquire_service_lock's contract): a flush
+        # racing a long compact of a ~100k-file log must wait the compact
+        # out, not raise a spurious 120 s commit-timeout and fail the tick
+        acquire_service_lock(
+            self.spark, self.log_path,
+            timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S,
+        )
         try:
             # heal a torn compact swap BEFORE appending: if a crash left
             # the log under its backup name, creating a fresh path here
@@ -236,13 +256,20 @@ class CheckpointStore:
         from pyspark.sql import Window
 
         from callio_etl_spark.io import (
+            LOCK_STALE_S,
+            LOCK_TIMEOUT_S,
             acquire_service_lock,
             assert_service_fencing,
             atomic_overwrite,
             release_service_lock,
         )
 
-        acquire_service_lock(self.spark, self.log_path)
+        # tick-sized timeout: a compact may queue behind another store's
+        # long compact of the same shared log (see flush())
+        acquire_service_lock(
+            self.spark, self.log_path,
+            timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S,
+        )
         try:
             try:
                 log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(

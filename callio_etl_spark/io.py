@@ -711,6 +711,7 @@ def atomic_partition_overwrite(
     path: str,
     partition_col: str,
     cluster_cols: list[str] | None = None,
+    distribution: str | None = None,
 ) -> None:
     """Replace ONLY the partitions present in ``df`` (the atomic analog of
     dynamic partition overwrite): df is staged partitioned beside the
@@ -732,6 +733,9 @@ def atomic_partition_overwrite(
     staging, pbak = path + STAGING_SUFFIX, path + PBAK_SUFFIX
     wstaging = f"{staging}.{uuid.uuid4().hex[:12]}"
     jvm, fs, _ = _hadoop(spark, path)
+    from callio_etl_spark.snapshots import _distribute_for_write
+
+    df = _distribute_for_write(df, partition_col, override=distribution)
     if cluster_cols:
         df = df.sortWithinPartitions(*cluster_cols)
     df.write.mode("overwrite").partitionBy(partition_col).parquet(wstaging)
@@ -1189,7 +1193,10 @@ def compact_partition(
     df = spark.read.parquet(path).where(F.col(partition_col) == partition_value)
     compacted = df.repartition(target_files)
     atomic_partition_overwrite(
-        spark, compacted, path, partition_col, cluster_cols=cluster_cols
+        spark, compacted, path, partition_col, cluster_cols=cluster_cols,
+        # the repartition(target_files) IS this write's distribution; the
+        # default rebalance would re-shuffle and override the file count
+        distribution="none",
     )
     # count AFTER the swap: same value (the swap moves every row of the
     # partition, none are filtered), but the post-compaction read touches

@@ -39,7 +39,13 @@ from callio_etl_spark.llm_ops.dedup_ops import (
     _bands_union_sql,
     content_fp,
 )
-from callio_etl_spark.llm_ops.similarity import SEM_TAU, _emb, cosine
+from callio_etl_spark.llm_ops.similarity import (
+    SEM_TAU,
+    _emb,
+    cosine,
+    cosine_with_norms,
+    norm,
+)
 from callio_etl_spark.registry import register
 from callio_etl_spark.tables import load_table, spread as _spread
 
@@ -191,7 +197,10 @@ def cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate that forces sort-merge everywhere."""
     from pyspark.sql import Window
 
-    from callio_etl_spark.llm_ops.dedup_ops import _band_pairs, _band_table
+    from callio_etl_spark.llm_ops.dedup_ops import (
+        _minband_band_table,
+        _minband_pairs,
+    )
 
     d = _spread(load_table(spark, sf_dir, "documents"))
     keyed = d.select(
@@ -205,7 +214,12 @@ def cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_docs = _spread(
         keyed.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
     )
-    rep_pairs = _band_pairs(_band_table(rep_docs))
+    # r14: first-matching-band emission makes the candidate pairs
+    # distinct by construction — the post-join DISTINCT (an Exchange ~2x
+    # the pair output) is gone; see dedup_ops._minband_pairs
+    rep_pairs = _minband_pairs(_minband_band_table(rep_docs)).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
     sa = cells.select(
         F.col("rep_id").alias("doc_a"), F.col("source").alias("src_a"),
         F.col("cnt").alias("cnt_a"), F.col("min_doc").alias("min_a"),
@@ -299,34 +313,47 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate >= truth, always: ``overest`` is the per-token slack and the
     oracle proves it's computed identically cross-engine.
 
-    Plan: token explode -> (a) exact word-count agg -> TakeOrdered top-K;
-    (b) posexplode of the D bucket keys -> (depth, bucket) agg bounded at
-    D*W rows, broadcast back onto the K candidates. Both passes run
-    corpus-wide here — this operator is an AUDIT (sketch vs truth needs
-    the exact counts), so its exact aggregate is inherent; the
-    sketch-only production path (where the exact side is dropped and
-    estimates come straight from the D*W counters) is what a 100 TB
-    deployment runs after this audit validates the sketch geometry on a
-    slice. The sketch pass (b) is the scale story: fixed D*W state per
-    partition, merged map-side."""
+    Plan (r14): ONE token explode -> exact word-count agg; BOTH outputs
+    derive from that dictionary-sized table — (a) TakeOrdered top-K, and
+    (b) the sketch, since the (depth, bucket) occurrence count is exactly
+    the SUM of exact_cnt over the tokens hashing into the bucket (integer
+    identity, bit-equal to counting raw occurrences). The r13 shape ran
+    the corpus explode twice and posexploded D bucket keys per
+    OCCURRENCE; now the D-way posexplode runs per DISTINCT TOKEN — the
+    word-count exchange is shared by both branches (ReusedExchange), so
+    the corpus is scanned and tokenized once. This operator is an AUDIT
+    (sketch vs truth needs the exact counts), so its exact aggregate is
+    inherent; the sketch-only production path (estimates straight from
+    the D*W counters) is what a 100 TB deployment runs after this audit
+    validates the sketch geometry on a slice — and at that scale the
+    map-side-merged fixed D*W state argument is unchanged, it just folds
+    counts instead of 1s."""
     d = load_table(spark, sf_dir, "documents")
     occ = d.select(
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
             "tok"
         )
     )
-    exact = occ.groupBy("tok").agg(F.count("*").alias("exact_cnt"))
+    # materialized once (dictionary-sized): BOTH consumers below read
+    # the checkpointed word counts, so the corpus explode runs exactly
+    # once even where plan-level exchange reuse does not fire
+    exact = (
+        occ.groupBy("tok")
+        .agg(F.count("*").alias("exact_cnt"))
+        .localCheckpoint(eager=True)
+    )
     top = ranked_topk(
         exact, [F.col("exact_cnt").desc(), F.col("tok").asc()], HH_K, "rank"
     )
     sketch = (
-        occ.select(
+        exact.select(
+            "exact_cnt",
             F.posexplode(
                 F.array(*[_cms_bucket(F.col("tok"), i) for i in range(CMS_DEPTH)])
-            ).alias("depth", "bucket")
+            ).alias("depth", "bucket"),
         )
         .groupBy("depth", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
     keyed_top = top.select(
         "tok",
@@ -403,10 +430,21 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tr = e.where(~is_eval).select("vec_id", "label", "v", vkey)
-    trg = tr.groupBy("label", "vkey").agg(F.min_by("v", "vec_id").alias("v"))
-    cos = cosine(F.col("v"), F.col("ev"))
+    # r14: norms hoisted out of the pair scoring — |v| and |ev| each
+    # depend on one side only, so they are computed once per distinct
+    # group here and the per-pair work is a single dot fold
+    # (cosine_with_norms is bit-identical to cosine; guide §1.2)
+    trg = (
+        tr.groupBy("label", "vkey")
+        .agg(F.min_by("v", "vec_id").alias("v"))
+        .withColumn("tnrm", norm(F.col("v")))
+    )
+    evn = evg.withColumn("enrm", norm(F.col("ev")))
+    cos = cosine_with_norms(
+        F.col("v"), F.col("ev"), F.col("tnrm"), F.col("enrm")
+    )
     hits = (
-        trg.join(F.broadcast(evg), F.col("label") == F.col("el"))
+        trg.join(F.broadcast(evn), F.col("label") == F.col("el"))
         .where(cos > SEM_TAU)
         .groupBy("label", "vkey")
         .agg(

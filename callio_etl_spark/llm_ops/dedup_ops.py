@@ -143,13 +143,21 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 
 
 def band_projection(
-    d: DataFrame, rows_per_band: int = ROWS_PER_BAND, n_bands: int = N_BANDS
+    d: DataFrame,
+    rows_per_band: int = ROWS_PER_BAND,
+    n_bands: int = N_BANDS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, band, band_key) rows as a PURE projection — signature fold
     + in-row band explode, no shuffle, no materialization. Works on batch
     AND streaming DataFrames (streaming.neardup_stream applies it per
-    micro-batch; a localCheckpoint would be illegal there)."""
-    sig = d.select("doc_id", _minhash_sig(_words(F.col("text"))).alias("mins"))
+    micro-batch; a localCheckpoint would be illegal there). ``carry``
+    names extra per-doc columns to ride along unchanged (r14: the grouped
+    pair queries carry the group multiplicity so the count join-back
+    disappears — guide §2.3, shuffle metadata instead of re-joining)."""
+    sig = d.select(
+        "doc_id", *carry, _minhash_sig(_words(F.col("text"))).alias("mins")
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -162,8 +170,11 @@ def band_projection(
         )
         for b in range(n_bands)
     ]
-    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+    return sig.select(
+        "doc_id", *carry, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
         "doc_id",
+        *carry,
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
@@ -208,6 +219,96 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _spread(load_table(spark, sf_dir, "documents"))
     return _band_pairs(_band_table(d))
+
+
+def _minband_band_table(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Band table with each doc's FULL key set as scalar columns
+    (k0..k{N_BANDS-1}) alongside the exploded (band, band_key),
+    materialized once (localCheckpoint — the _band_table argument: a
+    self-join evaluates its input subtree on both sides). Feeds
+    _minband_pairs, whose emission rule needs every band's key on both
+    sides of the bucket join. ``carry`` rides extra per-doc columns
+    along unchanged (r14: group multiplicity)."""
+    sig = d.select(
+        "doc_id", *carry, _minhash_sig(_words(F.col("text"))).alias("mins")
+    )
+    bkey = lambda b: F.concat(  # noqa: E731
+        *[
+            F.element_at("mins", b * ROWS_PER_BAND + r + 1)
+            for r in range(ROWS_PER_BAND)
+        ]
+    )
+    sig = sig.select(
+        "doc_id", *carry, *[bkey(b).alias(f"k{b}") for b in range(N_BANDS)]
+    )
+    return sig.select(
+        "doc_id",
+        *carry,
+        *[f"k{b}" for b in range(N_BANDS)],
+        F.posexplode(F.array(*[f"k{b}" for b in range(N_BANDS)])).alias(
+            "band", "band_key"
+        ),
+    ).localCheckpoint(eager=True)
+
+
+def _minband_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from a _minband_band_table, DISTINCT BY
+    CONSTRUCTION (r14, guide §2.4): a pair colliding in k bands was
+    previously emitted k times and collapsed by a post-join DISTINCT —
+    the largest exchange in every pair query (~2x the output in
+    generated rows). Instead, each side carries all of its band keys as
+    scalar columns, and the join emits a pair only from the FIRST band
+    whose keys match (band 0, or every earlier band's keys differ) —
+    exactly one band produces each candidate pair, so no dedup pass
+    exists. Cost: <= N_BANDS-1 extra 8-char string compares per
+    EVALUATED candidate (scalar != chain, no per-pair allocation),
+    against a removed corpus-pair-sized Exchange + two HashAggregates.
+    Returns the aliased join (sides ``a`` = smaller doc_id, ``b`` =
+    larger) for callers to project."""
+    a, b = bands.alias("a"), bands.alias("b")
+    neq = lambda i: F.col(f"a.k{i}") != F.col(f"b.k{i}")  # noqa: E731
+
+    def _earlier_bands_differ(bnum: int):
+        acc = neq(0)
+        for i in range(1, bnum):
+            acc = acc & neq(i)
+        return acc
+
+    first_matching_band = F.when(F.col("a.band") == 0, F.lit(True))
+    for _b in range(1, N_BANDS):
+        first_matching_band = first_matching_band.when(
+            F.col("a.band") == _b, _earlier_bands_differ(_b)
+        )
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & first_matching_band,
+    )
+
+
+def _content_groups(d: DataFrame) -> DataFrame:
+    """Exact-content collapse as ONE corpus pass: (rep, n, text) per
+    distinct text, with the representative's text carried THROUGH the
+    aggregate (min_by(text, doc_id) — every row in a group holds the
+    identical text, and min_by pins the rep's copy exactly as the
+    oracle's ``k.doc_id = g.rep`` join does). r14: the previous shape
+    scanned the corpus twice (groupBy for groups, then a join back on
+    rep to fetch the text) — carrying the text in the aggregate removes
+    the join, the second scan, and the groups localCheckpoint; text
+    bytes cross the exchange once either way (map-side partial min_by
+    ships one copy per distinct content per partition)."""
+    return (
+        d.select("doc_id", "text", F.md5("text").alias("tkey"))
+        .groupBy("tkey")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.count("*").alias("n"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("rep", "n", "text")
+    )
 
 
 def _grouped_pairs_oracle() -> str:
@@ -268,36 +369,39 @@ def minhash_lsh_pairs_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join, shuffle, and output are all bounded by DISTINCT contents, not
     rows. Under 10x verbatim replication the rep set does not grow at all;
     this is the same exact-collapse family as dedup_pipeline's prefix
-    (exp 1.49 -> ~0) applied to the pair list itself."""
+    (exp 1.49 -> ~0) applied to the pair list itself.
+
+    r14 plan reshape (guide §2.3/§2.4), r13 before-plan -> after-plan:
+    - ONE corpus pass: groups carry the rep's text via min_by (see
+      _content_groups) — the keyed->groups->join-back-on-rep double scan
+      and the groups localCheckpoint are gone.
+    - n rides the band table, so the two post-pair broadcast count joins
+      over ~10M pair rows are gone (shuffle metadata, not re-join).
+    - the post-join DISTINCT — the query's largest exchange, ~2x the
+      output in generated rows — is gone: each band row carries ALL its
+      rep's band keys as scalar columns (k0..k3), and a pair is emitted
+      only from the FIRST band whose keys match (a.band == 0, or every
+      earlier band's keys differ). Every candidate pair is produced by
+      exactly one band, so generated pairs are distinct by construction.
+      Scalar != chains, no per-pair array allocation.
+    - `within` reads the band-0 rows of the checkpointed band table
+      (exactly one per group) instead of re-deriving groups.
+    Net: 20.4M-row Exchange + 2 HashAggregates + 2 BroadcastHashJoins
+    removed for ~3 cheap string compares per evaluated candidate."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    keyed = d.select("doc_id", "text", F.md5("text").alias("tkey"))
-    groups = (
-        keyed.groupBy("tkey")
-        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+    groups = _content_groups(d)
+    bands = _minband_band_table(
+        groups.select(F.col("rep").alias("doc_id"), "n", "text"),
+        carry=("n",),
     )
-    rep_docs = keyed.join(
-        groups.select(F.col("rep").alias("doc_id")), "doc_id"
-    ).select("doc_id", "text")
-    cand = _band_pairs(_band_table(rep_docs))
-    cross = (
-        cand.join(
-            groups.select(F.col("rep").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            groups.select(F.col("rep").alias("doc_b"), F.col("n").alias("n_b")),
-            "doc_b",
-        )
-        .select(
-            F.col("doc_a").alias("rep_a"),
-            F.col("doc_b").alias("rep_b"),
-            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
-        )
+    cross = _minband_pairs(bands).select(
+        F.col("a.doc_id").alias("rep_a"),
+        F.col("b.doc_id").alias("rep_b"),
+        (F.col("a.n") * F.col("b.n")).cast("long").alias("n_pairs"),
     )
-    within = groups.where(F.col("n") > 1).select(
-        F.col("rep").alias("rep_a"),
-        F.col("rep").alias("rep_b"),
+    within = bands.where((F.col("band") == 0) & (F.col("n") > 1)).select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("doc_id").alias("rep_b"),
         F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
     )
     return cross.unionByName(within)
@@ -374,18 +478,23 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     contents with a constant factor, whatever the duplication or
     boilerplate structure. SKEW_BENCH.json's band_join section measures
     the grouped form collapsing a 95%-verbatim-hot corpus flat and this
-    cap restoring a flat task profile on a 95%-boilerplate corpus."""
+    cap restoring a flat task profile on a 95%-boilerplate corpus.
+
+    r14 (guide §2.3/§2.4, same reshape as minhash_lsh_pairs_grouped):
+    one corpus pass via _content_groups (min_by text in the aggregate,
+    no join-back, no groups checkpoint), multiplicity n carried through
+    band_projection so both post-pair count joins disappear, `within`
+    read off the checkpointed band table's band-0 rows. The post-cap
+    DISTINCT stays: a pair may match in a dropped bucket in one band and
+    a kept bucket in another, so first-matching-band emission would need
+    per-band keptness — and post-cap volume is <= n_buckets*CAP^2/2,
+    tiny, so the distinct costs nothing here."""
     d = _spread(load_table(spark, sf_dir, "documents"))
-    keyed = d.select("doc_id", "text", F.md5("text").alias("tkey"))
-    groups = (
-        keyed.groupBy("tkey")
-        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    rep_docs = keyed.join(
-        groups.select(F.col("rep").alias("doc_id")), "doc_id"
-    ).select("doc_id", "text")
-    bands = _band_table(rep_docs)
+    groups = _content_groups(d)
+    bands = band_projection(
+        groups.select(F.col("rep").alias("doc_id"), "n", "text"),
+        carry=("n",),
+    ).localCheckpoint(eager=True)
     kept = (
         bands.groupBy("band", "band_key")
         .agg(F.count("*").alias("c"))
@@ -393,25 +502,24 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("band", "band_key")
     )
     small = bands.join(kept, ["band", "band_key"])
-    cand = _band_pairs(small)
+    a, b = small.alias("a"), small.alias("b")
     cross = (
-        cand.join(
-            groups.select(F.col("rep").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            groups.select(F.col("rep").alias("doc_b"), F.col("n").alias("n_b")),
-            "doc_b",
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("doc_a").alias("rep_a"),
-            F.col("doc_b").alias("rep_b"),
-            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_pairs"),
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
+            (F.col("a.n") * F.col("b.n")).cast("long").alias("n_pairs"),
         )
+        .distinct()
     )
-    within = groups.where(F.col("n") > 1).select(
-        F.col("rep").alias("rep_a"),
-        F.col("rep").alias("rep_b"),
+    within = bands.where((F.col("band") == 0) & (F.col("n") > 1)).select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("doc_id").alias("rep_b"),
         F.expr("n * (n - 1) DIV 2").alias("n_pairs"),
     )
     return cross.unionByName(within)
@@ -1327,17 +1435,23 @@ def exact_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("tokens")).where(
         F.size("tokens") >= SUBSTR_K
     )
+    # r14: per-(doc,window) distinctness is a PER-DOC property, so it
+    # moves in-row (array_distinct before the explode) — the corpus-wide
+    # DISTINCT Exchange of (doc_id, h) rows is gone (guide §2.4; plan
+    # diff in plans/r14/: 14 Exchange -> 5)
     sh = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - SUBSTR_K + 1),
-                lambda g: F.md5(
-                    F.concat_ws(" ", F.slice("tokens", g, SUBSTR_K))
-                ),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tokens") - SUBSTR_K + 1),
+                    lambda g: F.md5(
+                        F.concat_ws(" ", F.slice("tokens", g, SUBSTR_K))
+                    ),
+                )
             )
         ).alias("h"),
-    ).distinct()
+    )
     rare = (
         sh.withColumn("freq", F.count("*").over(Window.partitionBy("h")))
         .where(F.col("freq") <= SUBSTR_FREQ_CAP)
@@ -1435,10 +1549,19 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
          in 10^6 docs costs one partial per map task, not a single-reducer
          window sort (the skew cliff a ROW_NUMBER() OVER (PARTITION BY h)
          formulation would hit at 100 TB);
-      3. marked occurrences explode to {SUBSTR_K} covered positions
-         (linear), deduped per (doc, pos);
-      4. anti-join tokens against covered positions — both sides hash on
-         doc_id — and reassemble with one sort_array per doc (in-row).
+      3. (r14, guide §8 "decide with small rows, move big rows once")
+         marked occurrences fold to ONE cut-start list per affected doc
+         — small (doc_id, pos) rows — and that per-doc plan row attaches
+         to the token payload with a single doc_id join; the covered-
+         position union, the token cut and the reassembly all happen
+         IN-ROW (array ops over the cut list). The r13 shape instead
+         posexploded EVERY token of EVERY doc and moved that corpus-
+         sized stream through an anti-join Exchange AND a collect_list
+         re-aggregation Exchange, then joined the rebuilt text back —
+         three payload-scale shuffles where one suffices (before/after
+         plans in plans/r14/: 14 Exchange -> 7, the remaining ones all
+         carry 32-byte keys or per-doc plan rows except the single
+         payload join).
     Production note: Lee et al. use K=50 over a suffix array to recover
     MAXIMAL spans; the distributed mark-and-cut here is the part that has
     to scale, and the union-of-positions step subsumes maximality for
@@ -1479,36 +1602,35 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("cnt") > 1) & (okey != F.col("first_occ")))
         .select("doc_id", "pos")
     )
-    covered = marked.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + SUBSTR_K - 1)
-        ).alias("pos"),
-    ).distinct()
-    tok = toks.select(
-        "doc_id", F.posexplode("tokens").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
-    kept = tok.join(covered, ["doc_id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("new_text"),
+    # the per-doc CUT PLAN: one small row per affected doc (win rows are
+    # (doc,pos)-unique, so the list needs no dedup; bounded by doc length)
+    cuts = marked.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("starts")
     )
-    return (
-        toks.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("tokens").cast("long").alias("n_tokens"),
-            (F.size("tokens") - F.coalesce("n_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
-            F.coalesce("new_text", F.lit("")).alias("new_text"),
-        )
+    # attach the plan to the payload with the ONLY payload-carrying join,
+    # then cut and rebuild in-row. __cov sits on its own projection level
+    # so the filter lambda below references the materialized array rather
+    # than re-expanding the sequence union per token.
+    planned = toks.join(cuts, "doc_id", "left").select(
+        "doc_id",
+        "tokens",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce("starts", F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + SUBSTR_K - 1),
+                )
+            )
+        ).alias("__cov"),
+    )
+    kept = F.filter(
+        "tokens", lambda t, i: ~F.array_contains("__cov", i + F.lit(1))
+    )
+    return planned.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        (F.size("tokens") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("new_text"),
     )
 
 

@@ -334,62 +334,80 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-identical cross-engine, unlike libm log); per-doc sums are
     floor-quantized integer-DECIMAL so accumulation order is free.
 
-    Shape: the model is built once — unigram + bigram count tables (two
-    map-combined word-count shuffles) joined into a DISTINCT-bigram
-    probability table (|bigram vocab|-sized, NOT corpus-sized); the
-    corpus' bigram instances then join that table once on (w1, w2) —
-    one posting-list-style shuffle, linear in corpus tokens — and
-    aggregate per document. At 100 TB the prob table exceeds broadcast
-    range and the equi-join shuffles both sides; AQE handles the hot
-    stopword-pair skew (same argument as pmi_cooccurrence)."""
+    Shape (r14 reshape): the model is built once — unigram + bigram
+    count tables joined into a DISTINCT-bigram probability table
+    (|bigram vocab|-sized, NOT corpus-sized); scoring joins per-doc
+    bigram COUNTS against it and aggregates per document. The r13 plan
+    evaluated the corpus explodes FOUR times (bigram stream under both
+    the count aggregate and the scoring join; unigram stream under both
+    the vocab-size broadcast and the c1 join — 24 Exchange refs): now
+    the per-doc bigram counts (doc_id, w1, w2, n) and the unigram table
+    are each materialized once (localCheckpoint — the count tables
+    you'd persist anyway when training an LM), big/c12 derives from the
+    per-doc counts WITHOUT another corpus pass, vocab size folds to a
+    literal off the checkpointed unigram table (a driver scalar, not a
+    crossJoin re-evaluating the corpus), and the scoring join moves
+    distinct (doc, bigram) rows instead of every instance — per-doc
+    sums weight by n (exact integers, identical totals). Two corpus
+    explodes total, the algorithm's floor. At 100 TB the prob table
+    exceeds broadcast range and the equi-join shuffles both sides; AQE
+    handles the hot stopword-pair skew (same argument as
+    pmi_cooccurrence)."""
     d = _spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
     )
-    bg = toks.where(F.size("t") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    # corpus pass 1: bigram instances folded to per-doc counts map-side
+    bgd = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    # corpus pass 2: unigram counts (|vocab| rows once materialized)
     uni = (
         toks.select(F.explode("t").alias("w1"))
         .groupBy("w1")
         .agg(F.count("*").cast("long").alias("c1"))
+        .localCheckpoint(eager=True)
     )
-    big = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
-    v = uni.agg(F.count("*").cast("long").alias("vsize"))
-    probs = (
-        big.join(uni, "w1")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "w1",
-            "w2",
-            F.floor(
-                (F.col("c12") + 1).cast("double")
-                / (F.col("c1") + F.col("vsize")).cast("double")
-                * F.lit(LM_Q)
-            )
-            .cast("long")
-            .alias("pq"),
+    vsize = uni.count()  # metadata job on the checkpointed vocab table
+    big = bgd.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c12"))
+    probs = big.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.lit(vsize).cast("long")).cast("double")
+            * F.lit(LM_Q)
         )
+        .cast("long")
+        .alias("pq"),
     )
     return (
-        bg.join(probs, ["w1", "w2"])
+        bgd.join(probs, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("n").cast("long").alias("n_bigrams"),
             (
-                F.sum(F.col("pq").cast("decimal(38,0)")).cast("double")
+                F.sum(F.col("pq").cast("decimal(38,0)") * F.col("n")).cast(
+                    "double"
+                )
                 / F.lit(LM_Q)
-                / F.count("*")
+                / F.sum("n")
             ).alias("avg_bigram_p"),
             (F.min("pq").cast("double") / F.lit(LM_Q)).alias("min_bigram_p"),
         )
@@ -523,41 +541,42 @@ def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-quantized DECIMAL sums — KL's log would break parity
     (determinism doctrine).
 
-    Shape: one token-count aggregate per side (map-combined), a
-    |vocab|-sized full-outer join (never corpus-sized), totals as one
-    1-row aggregate broadcast back, top-k via ranked_topk
-    (TakeOrdered) — no corpus-sized shuffle after the counts."""
+    Shape (r14): ONE token-count aggregate with per-side conditional
+    counts (map-combined) — the r13 plan evaluated the corpus explode
+    THREE times (side-A counts, side-B counts, totals) and re-merged the
+    two sides with a |vocab| full-outer join; a word's (ca, cb) pair now
+    comes out of the same hash-aggregate row, the totals fold off the
+    materialized |vocab| table, and the full-outer join disappears
+    (identical integers: a word absent from one side counts 0 there,
+    exactly the old COALESCE(.., 0), and side totals are the same sums).
+    Top-k via ranked_topk (TakeOrdered) — no corpus-sized shuffle after
+    the count."""
     tok = (
         _spread(load_table(spark, sf_dir, "documents"))
         .select("source", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
     )
     is_a = F.col("source") == DRIFT_SOURCE
-    a = tok.where(is_a).groupBy("w").agg(F.count("*").cast("long").alias("ca"))
-    b = (
-        tok.where(~is_a)
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("cb"))
-    )
-    n = tok.agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("na"),
-        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("nb"),
-    )
-    j = (
-        a.withColumnRenamed("w", "wa")
-        .join(b.withColumnRenamed("w", "wb"), F.col("wa") == F.col("wb"), "full_outer")
-        .crossJoin(F.broadcast(n))
-        .select(
-            F.coalesce("wa", "wb").alias("token"),
-            (
-                F.coalesce("ca", F.lit(0)).cast("double")
-                / F.col("na").cast("double")
-            ).alias("p_a"),
-            (
-                F.coalesce("cb", F.lit(0)).cast("double")
-                / F.col("nb").cast("double")
-            ).alias("p_b"),
+    g = (
+        tok.groupBy("w")
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("cb"),
         )
+        .localCheckpoint(eager=True)
+    )
+    n = g.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    j = g.crossJoin(F.broadcast(n)).select(
+        F.col("w").alias("token"),
+        (F.col("ca").cast("double") / F.col("na").cast("double")).alias(
+            "p_a"
+        ),
+        (F.col("cb").cast("double") / F.col("nb").cast("double")).alias(
+            "p_b"
+        ),
     )
     m = j.select(
         "token",

@@ -102,17 +102,33 @@ QUALIFY ROW_NUMBER() OVER w <= {TOP_TERMS}
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TOP_TERMS} characteristic terms per document by tf-idf (linear
-    idf — see module docstring for why). Two hash aggregates + a term join
-    (broadcast: the term dictionary is tiny relative to the corpus) + one
-    per-doc window."""
+    idf — see module docstring for why).
+
+    r14 reshape (guide §1.2 "how many passes are unavoidable"): the r13
+    plan evaluated the corpus tokenize+explode THREE times — once under
+    the tf aggregate, once under the df broadcast build, once under the
+    corpus-size broadcast build (12 Exchanges). The (doc, term, tf)
+    posting table — what an IR system materializes anyway — is now built
+    in ONE corpus pass and localCheckpointed; document frequency is then
+    COUNT(*) of its (term) groups (identical to countDistinct(doc_id)
+    per term, since the posting rows are (doc, term)-unique) and the
+    corpus doc count is countDistinct over the postings — both
+    dictionary-scale reads of the materialized table, never the corpus.
+    One corpus explode, then a broadcast term join + the per-doc top-K
+    window, exactly as before (same exact integers, same tfidf doubles,
+    same window order — bit-identical output)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     tok = d.select(
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("term"),
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = tok.select(F.countDistinct("doc_id").alias("n"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = tf.select(F.countDistinct("doc_id").alias("n"))
     scored = (
         tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))
@@ -670,10 +686,11 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: bigrams are built in-row and hashed to {DSIR_BUCKETS} buckets
     (md5-based — engine-independent, unlike xxhash); the bucket stats
-    table is AT MOST {DSIR_BUCKETS} rows, so both the per-bucket counts
-    and the corpus totals broadcast back onto the gram stream — the
-    per-doc score is one map-side join plus one doc_id hash aggregate.
-    Nothing global materializes beyond two broadcast-scalar tables. The
+    table is AT MOST {DSIR_BUCKETS} rows — a driver scalar collected
+    once and folded into a CONSTANT per-bucket ratio array (r14), so the
+    per-doc score is one array index per gram plus one doc_id hash
+    aggregate: exactly two corpus passes, the algorithm's floor.
+    Nothing global materializes beyond the 256-row stats read. The
     final rank uses prefix_sum_ordered (range partition -> local window ->
     offset add), not a single-task global window; at 100 TB you'd replace
     the exact rank with a score threshold from a quantile sketch and skip
@@ -731,30 +748,43 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
     )
-    stats = g.groupBy("b").agg(
+    # r14 (guide §1.2 "how many passes are unavoidable"): DSIR is a
+    # two-pass algorithm — bucket stats, then scoring — but the previous
+    # broadcast-join shape evaluated the gram explode THREE times (once
+    # under the stats BroadcastExchange, once under the totals
+    # BroadcastExchange, once in the scoring pass). The stats table is at
+    # most DSIR_BUCKETS (=256) rows, a driver scalar in the extrema/
+    # in-plan-k-means family: collect it ONCE, fold the smoothed
+    # likelihood ratios to a CONSTANT per-bucket array, and index it per
+    # gram — one stats pass + one scoring pass, no per-gram hash probes.
+    #
+    # Parity: each factor is converted to double BEFORE multiplying
+    # (float(int) is the same exact conversion as Spark's bigint->double
+    # cast for counts < 2^53; a bigint product would overflow at corpus
+    # scale), and the num/den products and the divide mirror the previous
+    # Spark expression tree op-for-op — Python doubles ARE IEEE doubles,
+    # so every bucket ratio is bit-identical to the joined form.
+    stats_rows = g.groupBy("b").agg(
         F.count("*").alias("cnt_r"),
         F.sum(F.col("is_t").cast("long")).alias("cnt_t"),
-    )
-    # corpus totals fold out of the 256-row stats table — never a second
-    # scan/explode of the corpus
-    tot = stats.agg(
-        F.sum("cnt_r").alias("t_r"),
-        F.sum("cnt_t").alias("t_t"),
-    )
-    # each factor cast to double BEFORE multiplying: a BIGINT product of
-    # corpus-scale counts overflows int64 (ANSI mode raises); double
-    # products are exactly rounded identically on both engines
-    ratio = (
-        (F.col("cnt_t") + 1).cast("double")
-        * (F.col("t_r") + DSIR_BUCKETS).cast("double")
-    ) / (
-        (F.col("cnt_r") + 1).cast("double")
-        * (F.col("t_t") + DSIR_BUCKETS).cast("double")
+    ).collect()
+    cnt_r = {r["b"]: r["cnt_r"] for r in stats_rows}
+    cnt_t = {r["b"]: r["cnt_t"] for r in stats_rows}
+    t_r = sum(cnt_r.values())
+    t_t = sum(cnt_t.values())
+    ratio_by_bucket = []
+    for bb in range(DSIR_BUCKETS):
+        num = float(cnt_t.get(bb, 0) + 1) * float(t_r + DSIR_BUCKETS)
+        den = float(cnt_r.get(bb, 0) + 1) * float(t_t + DSIR_BUCKETS)
+        ratio_by_bucket.append(num / den)
+    # a literal array of doubles constant-folds; per gram the ratio is
+    # one index, not two broadcast-hash probes
+    ratio = F.element_at(
+        F.array(*[F.lit(r) for r in ratio_by_bucket]),
+        F.col("b").cast("int") + 1,
     )
     per_doc = (
-        g.join(F.broadcast(stats), "b")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
+        g.groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             (

@@ -46,13 +46,12 @@ def dot(u: Column, w: Column) -> Column:
     return F.aggregate(F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
-def cosine(u: Column, w: Column) -> Column:
-    """Guarded like lsh_bucket_col: zip_with pads the shorter side with
+def _dim_guard(u: Column, w: Column, cos: Column) -> Column:
+    """The cosine dimension guard: zip_with pads the shorter side with
     NULLs, so a dimension mismatch would NULL-poison the dot product and
     silently DROP the row from every ranking/filter downstream — raise at
     execution instead (one size comparison per row; the branch keeps the
     oracle-parity expression untouched for well-formed data)."""
-    cos = dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
     return F.when(F.size(u) == F.size(w), cos).otherwise(
         F.raise_error(
             F.concat(
@@ -63,6 +62,32 @@ def cosine(u: Column, w: Column) -> Column:
             )
         ).cast("double")
     )
+
+
+def cosine(u: Column, w: Column) -> Column:
+    """Guarded cosine (see _dim_guard). For PAIR-join consumers — where
+    this expression runs once per candidate pair — use norm() +
+    cosine_with_norms() instead: two of the three folds here depend on
+    one row only and belong in a per-row projection (r14, guide §1.2
+    "per-task work")."""
+    return _dim_guard(u, w, dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w))))
+
+
+def norm(v: Column) -> Column:
+    """sqrt(dot(v,v)) — exactly the per-side subexpression cosine()
+    computes, exposed so pair consumers can hoist it to a per-row
+    projection. Same IEEE sequence, bit-identical."""
+    return F.sqrt(dot(v, v))
+
+
+def cosine_with_norms(u: Column, w: Column, nu: Column, nw: Column) -> Column:
+    """cosine() with the two norm folds hoisted to per-ROW columns
+    (computed via norm()): dot/(nu*nw) is the identical IEEE op sequence
+    — same dot fold, same sqrt per side, same multiply, same divide — so
+    the result is bit-identical to cosine(u, w), at ONE array fold per
+    evaluated pair instead of three. Use in join conditions and pair
+    projections where each row is touched by many pairs (r14)."""
+    return _dim_guard(u, w, dot(u, w) / (nu * nw))
 
 
 def _dmean(val: Column) -> Column:
@@ -947,20 +972,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     gw = Window.partitionBy("label", F.md5(F.col("v").cast("string")))
     keyed = e.withColumn("gmin", F.min("vec_id").over(gw))
+    # r14: norms hoisted out of the pair join — cosine's |u| and |v|
+    # folds depend on one row each, so compute them ONCE per rep here
+    # and evaluate one fold per candidate pair in the join condition
+    # (cosine_with_norms is bit-identical; guide §1.2 per-task work)
     reps = keyed.where(F.col("vec_id") == F.col("gmin")).select(
-        "vec_id", "label", "v"
+        "vec_id", "label", "v", norm(F.col("v")).alias("nrm")
     )
     prior = reps.select(
         F.col("vec_id").alias("pid"),
         F.col("label").alias("plabel"),
         F.col("v").alias("pv"),
+        F.col("nrm").alias("pnrm"),
     )
     dup_reps = (
         reps.join(
             prior,
             (F.col("plabel") == F.col("label"))
             & (F.col("pid") < F.col("vec_id"))
-            & (cosine(F.col("pv"), F.col("v")) > SEM_TAU),
+            & (
+                cosine_with_norms(
+                    F.col("pv"), F.col("v"), F.col("pnrm"), F.col("nrm")
+                )
+                > SEM_TAU
+            ),
         )
         .select(F.col("vec_id").alias("gmin"))
         .distinct()
@@ -1876,55 +1911,48 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dimensionality-reduction / whitening-rotation step ahead of OPQ
     or visualization.
 
-    Shape: the ONLY corpus-scale stages are the covariance aggregate
-    (reduce side sees dims^2 rows, map-combined) and the final projection
-    (map-side against the broadcast {COV_DIMS}-row axis); the iteration
-    itself touches {COV_DIMS}^2-row frames — free at any corpus size, and
-    each extra iteration is one more tiny join, no new plan shape
-    (the IVF assign/update loop's argument, applied to linear algebra).
+    Shape (r14): the ONLY corpus-scale stage left is the covariance
+    aggregate (reduce side sees dims^2 rows, map-combined), collected
+    ONCE; the entire power iteration is {COV_DIMS}x{COV_DIMS} arithmetic
+    on a driver scalar (the norm step already was — the matvec joins
+    were Spark jobs over a 256-row frame, pure fixed job-count overhead:
+    checkpoint job + one collect job per round, the constant VERDICT r13
+    item 4 suspected). The final projection is an IN-ROW fold against
+    the literal axis — the previous posexplode x{COV_DIMS} + broadcast
+    join + vec_id re-aggregate (one corpus-sized Exchange) is gone; the
+    plan is scan -> project, zero joins, zero exchanges past the scan.
 
     Parity: matvec products, squared norms, and projection products are
-    floor-quantized and summed as exact integer DECIMAL; division and
-    SQRT are exactly-rounded IEEE ops — bit-identical across engines at
-    every iteration, so the eigenvector sign/values cannot drift."""
-    cov = embedding_covariance(spark, sf_dir)
-    # Materialize the dims^2-row covariance ONCE: every iteration's matvec
-    # action would otherwise re-run the corpus-scale aggregate per collect.
-    cfull = cov.unionByName(
-        cov.where(F.col("i") < F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
-        )
-    ).localCheckpoint(eager=True)
-    v = spark.range(1, COV_DIMS + 1).select(
-        F.col("id").alias("dim"),
-        F.when(F.col("id") == 1, 1.0).otherwise(0.0).alias("vv"),
-    )
+    floor-quantized and summed as exact integers — Python ints ARE the
+    DECIMAL(38,0) sums (both exact, order-free), float(int) is the same
+    correctly-rounded conversion as the decimal->double cast, and
+    multiply/divide/sqrt on doubles are identical IEEE ops driver- or
+    executor-side — bit-identical across all three computations at
+    every iteration, so the eigenvector sign/values cannot drift. The
+    in-row projection fold sums the same floor-quantized longs the
+    previous per-(vec,dim)-row SUM did (order-free), with SQL SUM null
+    semantics preserved (null terms skipped, all-null -> NULL)."""
+    # ONE corpus-scale action: the dims^2/2-row covariance collected as a
+    # driver scalar (in-plan-k-means/extrema family)
+    C: dict[tuple[int, int], float] = {}
+    for r in embedding_covariance(spark, sf_dir).collect():
+        C[(r["i"], r["j"])] = r["cov"]
+        if r["i"] < r["j"]:
+            C[(r["j"], r["i"])] = r["cov"]
+    vv = [1.0 if d == 1 else 0.0 for d in range(1, COV_DIMS + 1)]
     for _ in range(PCA_ITERS):
-        m = (
-            cfull.join(F.broadcast(v), F.col("dim") == F.col("j"))
-            .groupBy(F.col("i").alias("mdim"))
-            .agg(
-                (
-                    F.sum(
-                        F.floor(F.col("cov") * F.col("vv") * F.lit(_PCA_Q)).cast(
-                            "decimal(38,0)"
-                        )
-                    ).cast("double")
-                    / F.lit(_PCA_Q)
-                ).alias("m")
-            )
-        )
-        # COLLECT the COV_DIMS-row matvec each round and restart the next
-        # iteration from literals: leaving it as a lazy frame embeds the
-        # covariance subtree ~2x per round (plan grows 2^ITERS). The norm
-        # is computed driver-side with the SAME op sequence the oracle's
-        # n{{k}} CTE runs — floor(m*m*quantum) summed as exact integers
-        # (Python ints == the DECIMAL(38,0) sum), int->double conversion
-        # == the decimal->double cast (both correctly rounded), then one
-        # exactly-rounded division and sqrt — so every iterate stays
-        # bit-identical across all three computations.
-        mrows = sorted(m.collect(), key=lambda r: r["mdim"])
-        qsum = sum(int(math.floor(r["m"] * r["m"] * _PCA_NQ)) for r in mrows)
+        # matvec, the oracle's m{k} CTE op-for-op: floor(cov*vv*Q) summed
+        # as exact ints (== the DECIMAL(38,0) sum), int->double, /Q
+        m = []
+        for i in range(1, COV_DIMS + 1):
+            qs = 0
+            for j in range(1, COV_DIMS + 1):
+                c = C.get((i, j))
+                if c is None:  # SUM skips absent/null entries
+                    continue
+                qs += int(math.floor(c * vv[j - 1] * _PCA_Q))
+            m.append(float(qs) / _PCA_Q)
+        qsum = sum(int(math.floor(x * x * _PCA_NQ)) for x in m)
         if qsum == 0:
             raise ValueError(
                 "embedding_pca_project: power iteration collapsed — zero "
@@ -1932,28 +1960,26 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dimension); start from a different unit vector"
             )
         nval = math.sqrt(float(qsum) / _PCA_NQ)
-        rows = [(r["mdim"], r["m"] / nval) for r in mrows]
-        v = spark.createDataFrame(rows, "dim long, vv double")
-    ee = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.posexplode(
-            F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, COV_DIMS)
-        ).alias("pos", "x"),
-    ).select("vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "x")
-    return (
-        ee.join(F.broadcast(v), "dim")
-        .groupBy("vec_id")
-        .agg(
-            (
-                F.sum(
-                    F.floor(F.col("x") * F.col("vv") * F.lit(_PCA_Q)).cast(
-                        "decimal(38,0)"
-                    )
-                ).cast("double")
-                / F.lit(_PCA_Q)
-            ).alias("pc1")
-        )
+        vv = [x / nval for x in m]
+    axis = F.array(*[F.lit(x) for x in vv])
+    ee = load_table(spark, sf_dir, "embeddings")
+    # per-term floor-quantized longs, folded in-row; SQL SUM semantics:
+    # null terms are skipped, an all-null dim set yields NULL
+    terms = F.zip_with(
+        F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, COV_DIMS),
+        axis,
+        lambda x, a: F.floor(x * a * F.lit(_PCA_Q)).cast("long"),
     )
+    qsum_col = F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(t, F.lit(0).cast("long")),
+    )
+    pc1 = F.when(
+        F.exists(terms, lambda t: t.isNotNull()),
+        qsum_col.cast("double") / F.lit(_PCA_Q),
+    )
+    return ee.select("vec_id", pc1.alias("pc1"))
 
 
 # ------------------------------------------------ iterative IVF training
@@ -2011,37 +2037,71 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine — the convergence curve an IVF build watches to decide when to
     stop (ivf_centroids is one update step; this is the loop around it).
 
-    Shape per round: the centroid update is the (label, dim) decimal hash
-    aggregate (|cells| x dim reduce rows, corpus-size-free); reassignment
-    joins every vector against the BROADCAST centroid table with a
-    bounded (vec_id) window — the same assign plan ann_topk_ivf_probe
-    uses. Each round's assignment is collect-free and localCheckpointed
-    so round k+1's lineage starts from materialized cells rather than
-    re-running every earlier round (the PCA-iteration lesson; here the
-    frame is corpus-sized, exactly what a real trainer persists between
-    passes). Parity: centroid means and the fit statistic use the
-    floor-quantized integer-DECIMAL recipe; cosine ranking is the
-    verified bit-identical sequential fold."""
+    Shape per round (r14): the centroid update is the (label, dim)
+    decimal hash aggregate (|cells| x dim reduce rows, corpus-size-free);
+    reassignment is the assign_to_cells IN-ROW broadcast argmax — the
+    |cells| centroids pack into ONE broadcast row and each vector
+    argmaxes over it in a projection. The r13 shape instead crossJoined
+    every vector against the broadcast centroid table (|cells|x row
+    blow-up) and ranked with a ROW_NUMBER window PARTITION BY vec_id —
+    a corpus-sized Exchange + sort PER ROUND that the fold makes
+    unnecessary (plans/r14/ivf_train_rounds: 2 window Exchanges -> 0;
+    this is also the plan ann's delta-assign path already runs, so
+    training and serving now share one assignment shape). Ties break
+    identically: the fold keeps the FIRST max over label-ascending
+    cells = ROW_NUMBER(bc DESC, label ASC) = 1. Each round's assignment
+    is collect-free and localCheckpointed so round k+1's lineage starts
+    from materialized cells rather than re-running every earlier round
+    (the PCA-iteration lesson; here the frame is corpus-sized, exactly
+    what a real trainer persists between passes). Parity: centroid means
+    and the fit statistic use the floor-quantized integer-DECIMAL
+    recipe; per-pair cosine is the verified bit-identical sequential
+    fold with both norm folds hoisted (cosine_with_norms — same IEEE op
+    sequence), evaluated ONCE per (vector, centroid) via a transform
+    instead of twice inside the argmax condition."""
     a_prev = _emb(spark, sf_dir).localCheckpoint(eager=True)
     out_rows = []
     for k in range(1, IVF_ROUNDS + 1):
         cvec = _cvec(a_prev)
-        scored = a_prev.select(
-            "vec_id", "v", F.col("label").alias("old_label")
-        ).crossJoin(F.broadcast(cvec.withColumnRenamed("label", "new_label")))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("bc").desc(), F.col("new_label").asc()
+        packed = cvec.select(
+            "label", "cv", norm(F.col("cv")).alias("cnrm")
+        ).agg(
+            F.array_sort(
+                F.collect_list(F.struct("label", "cv", "cnrm"))
+            ).alias("cells")
+        )
+        scored_arr = F.transform(
+            F.col("cells"),
+            lambda c: F.struct(
+                cosine_with_norms(
+                    F.col("v"), c["cv"], F.col("vnrm"), c["cnrm"]
+                ).alias("bc"),
+                c["label"].alias("new_label"),
+            ),
+        )
+        best = F.aggregate(
+            scored_arr,
+            F.struct(
+                F.lit(-2.0).alias("bc"),
+                F.lit(None).cast("int").alias("new_label"),
+            ),
+            lambda acc, s: F.when(s["bc"] > acc["bc"], s).otherwise(acc),
         )
         a_next = (
-            scored.withColumn("bc", cosine(F.col("v"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            a_prev.select(
+                "vec_id",
+                "v",
+                F.col("label").alias("old_label"),
+                norm(F.col("v")).alias("vnrm"),
+            )
+            .crossJoin(F.broadcast(packed))
+            .withColumn("__best", best)
             .select(
                 "vec_id",
                 "v",
-                F.col("new_label").alias("label"),
+                F.col("__best.new_label").alias("label"),
                 F.col("old_label"),
-                F.col("bc").alias("best_cos"),
+                F.col("__best.bc").alias("best_cos"),
             )
             .localCheckpoint(eager=True)
         )

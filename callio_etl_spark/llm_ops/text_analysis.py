@@ -60,13 +60,26 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex is the BPE-ish pre-tokenizer split (words+digits); swap TOKEN_RE for
     a fuller GPT-style pattern in production."""
     d = load_table(spark, sf_dir, "documents")
-    lo = F.lower("text")
-    toks = F.regexp_extract_all(lo, F.lit(TOKEN_RE), 0)
+    # tokenize ONCE per row: the token array lands as its own projection
+    # level referenced several times below, which blocks CollapseProject
+    # from inlining the regexp into each consumer (r14 measured the
+    # inlined form re-running regexp_extract_all per consuming
+    # expression — a 3-5x per-row constant on every text query)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.lower("text").alias("__lo"),
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
+    )
+    toks = F.col("__t")
+    lo = F.col("__lo")
     stops = F.array([F.lit(w) for w in EN_STOPWORDS])
     n_tok = F.size(toks).cast("long")
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).cast("long")
     n_uniq = F.size(F.array_distinct(toks)).cast("long")
-    return d.select(
+    return tok.select(
         "doc_id",
         "lang",
         F.length(lo).alias("n_chars_calc"),
@@ -117,11 +130,20 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights mirror common pretraining-data filters (e.g. C4/Gopher rules);
     all built-in expressions, single scan."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    # tokenize once per row (see text_stats): the alias level keeps the
+    # regexp out of each consuming expression
+    tok = d.select(
+        "doc_id",
+        F.length("text").alias("__nc"),
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
+    )
+    toks = F.col("__t")
     stops = F.array([F.lit(w) for w in EN_STOPWORDS])
     n_tok = F.size(toks).cast("long")
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w))).cast("long")
-    n_chars = F.length("text")
+    n_chars = F.col("__nc")
     quality = (
         F.least(n_tok.cast("double") / 200.0, F.lit(1.0)) * 0.5
         + F.when(
@@ -131,7 +153,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 0.3
         + F.when(n_chars.between(50, 5000), 0.2).otherwise(0.0)
     )
-    return d.select(
+    return tok.select(
         "doc_id",
         quality.alias("quality"),
         (n_tok >= 10).alias("passes_min_len"),
@@ -169,13 +191,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer comparisons only, so cross-engine exact. Real pipelines plug a
     model here; the operator shape (scan + scoring projection) is identical."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    # tokenize once per row (see text_stats)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
+    )
+    toks = F.col("__t")
     en = F.array([F.lit(w) for w in EN_STOPWORDS])
     es = F.array([F.lit(w) for w in ["de", "la", "el", "que", "en", "es"]])
     n_tok = F.size(toks).cast("long")
     en_hits = F.size(F.filter(toks, lambda w: F.array_contains(en, w))).cast("long")
     es_hits = F.size(F.filter(toks, lambda w: F.array_contains(es, w))).cast("long")
-    return d.select(
+    return tok.select(
         "doc_id",
         "lang",
         F.when((en_hits >= es_hits) & (en_hits * 10 >= n_tok), "en")
@@ -303,20 +333,51 @@ def corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip to explode + (doc, token) count + max, which trades a shuffle for
     linear work."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
-    n_tok = F.size(toks).cast("long")
-    # most frequent token's count, computed in-row: count occurrences of
-    # each distinct token via filter(), take the max
-    top_tok = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)).cast("long"),
-        )
+    # tokenize once per row (see text_stats) — CRITICAL here: the inline
+    # form re-ran regexp_extract_all inside the nested filter() lambda,
+    # i.e. once per DISTINCT TOKEN per row (r14 plan audit)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
     )
+    toks = F.col("__t")
+    n_tok = F.size(toks).cast("long")
+    # most frequent token's count, computed in-row (r14): sort the token
+    # array and take the longest equal-run — O(n log n) per doc, replacing
+    # the array_distinct x filter() count whose worst case is O(n·distinct)
+    # (a long diverse doc paid ~n² comparisons). NULL init can never match
+    # a real token, so the first element always opens a run of 1; empty
+    # docs keep the old NULL top_tok (array_max over an empty transform),
+    # preserving repeat_ok's NULL for them bit-for-bit.
+    runmax = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("mx"),
+        ),
+        lambda acc: acc["mx"],
+    )
+    top_tok = F.when(F.size(toks) > 0, runmax)
     len_ok = (n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS)
     repeat_ok = top_tok <= F.ceil(n_tok * MAX_REPEAT_RATIO).cast("long")
     lang_ok = F.col("lang").isin("en", "de", "fr", "es", "zh")
-    return d.select(
+    return tok.select(
         "doc_id",
         "lang",
         n_tok.alias("n_tok"),
@@ -383,7 +444,16 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from callio_etl_spark.tables import spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    # tokenize once per row on an alias level (r14): the inline form put
+    # regexp_extract_all INSIDE the shingling lambda, re-tokenizing the
+    # document once per shingle position — O(len^2) per doc
+    tok = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
+    )
+    toks = F.col("__t")
     n_win = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
     shingles = F.transform(
         F.sequence(F.lit(1), n_win),
@@ -396,7 +466,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster is already memory-loaded, and pure overhead at 100 TB where
     # the right shape is streaming partial aggregation). Per-doc
     # distinctness moves into countDistinct (map-side partial distinct).
-    sh = d.select("doc_id", F.explode(shingles).alias("s"))
+    sh = tok.select("doc_id", F.explode(shingles).alias("s"))
     bench = (
         sh.where(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
     )
@@ -453,53 +523,85 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filters that catch boilerplate and degenerate repetition that
     plain length/stopword scoring (quality_score) misses.
 
-    Shape: bigrams are built IN-ROW (transform over an offset sequence —
-    linear, codegen'd), then exploded and counted with a two-level
-    aggregate. The per-doc scalars ride along as constant grouping keys,
-    so the whole thing is the explode plus two hash aggregates on the
-    same doc_id-prefixed keys — no join back, and AQE coalesces the
-    second (tiny) shuffle. At 100 TB this is the standard linear
-    inverted-count pattern; nothing is quadratic in document length
-    (the in-row alternative — filter(bigrams, x -> x = b) per distinct
-    bigram — is O(n^2) per doc and was rejected).
+    Shape (r14 reshape, guide §2.4 "remove shuffles outright"): every
+    output is a PER-DOCUMENT statistic, so nothing needs to leave the
+    row. Bigrams are built in-row (transform over an offset sequence —
+    linear, codegen'd), then SORTED in-row and run-length-folded: equal
+    bigrams are adjacent after array_sort, so one aggregate() pass
+    yields the max run (= max per-bigram count) and the total length of
+    runs > 1 (= duplicated-bigram mass). The previous shape exploded the
+    bigrams and counted them with a two-level hash aggregate — one
+    corpus-sized Exchange of (doc_id, bigram) rows plus a second tiny
+    one; the plan is now a single projection over the scan, ZERO
+    exchanges (2 Exchange -> 0, before/after plans in plans/r14/).
+    O(n log n) array_sort per doc replaces the shuffle; nothing is
+    quadratic in document length.
 
-    Ratios divide two exact BIGINTs in one IEEE double op — engine-exact.
+    Counts stay exact integers; each ratio divides two exact BIGINTs in
+    one IEEE double op — engine-exact, bit-identical to the aggregate
+    form.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split("text", " ").alias("tokens")
     ).where(F.size("tokens") >= 2)
-    bi = toks.select(
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("tokens") - 1),
+        lambda g: F.concat_ws(
+            " ",
+            F.element_at("tokens", g),
+            F.element_at("tokens", g + F.lit(1)),
+        ),
+    )
+    # run-length fold over the sorted bigram array: acc tracks the
+    # previous value, current run length, max run, and duplicated mass
+    # (a run contributes its full length once it reaches 2: +2 at the
+    # second element, +1 per further element). A bigram always contains
+    # the concat_ws separator, so the "" init can never match a value.
+    runs = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("mx"),
+            F.lit(0).cast("long").alias("dup"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["mx"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("mx"),
+            (
+                acc["dup"]
+                + F.when(
+                    (x == acc["prev"]) & (acc["run"] == 1), F.lit(2).cast("long")
+                )
+                .when(x == acc["prev"], F.lit(1).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("dup"),
+        ),
+    )
+    return toks.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_tokens"),
         (
             F.size(F.array_distinct("tokens")).cast("double")
             / F.size("tokens").cast("double")
         ).alias("distinct_token_ratio"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("tokens") - 1),
-                lambda g: F.concat_ws(
-                    " ",
-                    F.element_at("tokens", g),
-                    F.element_at("tokens", g + F.lit(1)),
-                ),
-            )
-        ).alias("bigram"),
-    )
-    counted = bi.groupBy(
-        "doc_id", "n_tokens", "distinct_token_ratio", "bigram"
-    ).agg(F.count("*").alias("cnt"))
-    return counted.groupBy("doc_id", "n_tokens", "distinct_token_ratio").agg(
-        F.sum("cnt").cast("long").alias("n_bigrams"),
-        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
-            "top_bigram_frac"
-        ),
+        F.size("tokens").cast("long").alias("__nb"),
+        runs.alias("__r"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "distinct_token_ratio",
+        (F.col("__nb") - 1).alias("n_bigrams"),
         (
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).cast(
-                "double"
-            )
-            / F.sum("cnt").cast("double")
+            F.col("__r.mx").cast("double") / (F.col("__nb") - 1).cast("double")
+        ).alias("top_bigram_frac"),
+        (
+            F.col("__r.dup").cast("double") / (F.col("__nb") - 1).cast("double")
         ).alias("dup_bigram_frac"),
     )
 
@@ -612,27 +714,38 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated-within-document signals, and the per-source grouping mirrors
     how CommonCrawl pipelines de-boilerplate per domain.
 
-    Plan/scale: per-doc-distinct n-grams (one explode + distinct), a
-    (source, gram) document-frequency aggregate, and a join back on the
-    same (source, gram) key — the shuffle partitioning from the aggregate
-    is REUSED by the join (no extra exchange), so the whole op is one
-    explode shuffle at any corpus size. Counts exact; one final division."""
+    Plan/scale (r14 reshape): per-doc-distinct n-grams are computed
+    IN-ROW (array_distinct before the explode — same set as the old
+    row-level distinct, since doc_id is the table key), so the explode
+    feeds straight into ONE (source, gram) window that counts each
+    gram's documents — no distinct shuffle, no self-join that evaluated
+    the whole explode subtree twice (the r14 before-plan showed two
+    full Scan+Generate branches), and the tokenizer runs once per row
+    on its own alias level instead of once per gram position inside
+    the slicing lambda. One scan, one Generate, two Exchanges total.
+    Counts exact; one final division."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
+    )
+    toks = F.col("__t")
     n_win = F.greatest(F.size(toks) - (BOILER_N - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(1), n_win),
         lambda i: F.array_join(F.slice(toks, i, BOILER_N), " "),
     )
-    sh = (
-        d.select("doc_id", "source", F.explode(grams).alias("g"))
-        .distinct()
-    )
-    df_per_source = sh.groupBy("source", "g").agg(
-        F.count("*").alias("n_docs")
-    )
+    sh = tok.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("g")
+    ).where(F.col("source").isNotNull())  # the old inner join's null gate
+    n_docs = F.count("*").over(Window.partitionBy("source", "g"))
     return (
-        sh.join(df_per_source, ["source", "g"])
+        sh.withColumn("n_docs", n_docs)
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").cast("long").alias("n_grams"),
@@ -723,13 +836,22 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from callio_etl_spark.tables import spread
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+    # tokenize once per row on an alias level (see contamination_check —
+    # the inline form re-ran the regexp per shingle position)
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0).alias(
+            "__t"
+        ),
+    )
+    toks = F.col("__t")
     n_win = F.greatest(F.size(toks) - (SHINGLE_N - 1), F.lit(0))
     shingles = F.transform(
         F.sequence(F.lit(1), n_win),
         lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
     )
-    sh = d.select(
+    sh = tok.select(
         "doc_id", "source", F.explode_outer(shingles).alias("s")
     ).where(F.col("s").isNotNull()).dropDuplicates(["doc_id", "s"])
     bench = sh.where(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
@@ -955,11 +1077,22 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    co = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("co"))
+    # r14: materialize BOTH count tables once (vocab-bounded — the
+    # co-occurrence matrix and unigram table an embedding trainer
+    # persists anyway). The r13 plan re-evaluated the corpus-wide pair
+    # explode under both consumers of co (the totals aggregate and the
+    # scoring filter) and the unigram explode under each of its two
+    # broadcast builds — four corpus passes where two are the floor.
+    co = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("co"))
+        .localCheckpoint(eager=True)
+    )
     uni = (
         toks.select(F.explode("t").alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     # total pairs from the vocab-bounded co table (sum BEFORE the support
     # filter == count of pair rows) — never a second corpus-wide explode

@@ -473,7 +473,14 @@ def _snapshot_loop_tick(
             pinned = (snapshot_properties(spark, table_path) or {}).get(
                 "loop.id_buckets"
             )
-            if pinned is not None and int(pinned) != id_buckets:
+            if pinned is None:
+                # pre-pin table (created before the pin existed): its ids
+                # are bucketed under the historical constant 16 — a caller
+                # override here would scatter existing ids into buckets
+                # the bucket-scoped merge never reads (silent duplicates),
+                # so the missing pin IS the constant, not a free slot
+                pinned = "16"
+            if int(pinned) != id_buckets:
                 raise ValueError(
                     f"id_buckets={id_buckets} drifts from the table's "
                     f"pinned modulus {pinned}; existing ids are bucketed "

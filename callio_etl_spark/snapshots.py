@@ -1869,6 +1869,48 @@ def _bloom_may_contain(hexmap: str, positions: list[int]) -> bool:
     return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
+def _distribute_for_write(
+    df: DataFrame,
+    partition_col: str | None,
+    override: str | None = None,
+) -> DataFrame:
+    """Iceberg-style write distribution (``write.distribution-mode=hash``)
+    ahead of every staged commit write: REBALANCE the frame on the
+    partition column so each leaf lands as few, advisory-sized files
+    instead of one file per upstream task per leaf. AQE both COALESCES
+    tiny post-shuffle partitions and SKEW-SPLITS oversized ones
+    (REBALANCE_PARTITIONS_BY_COL), so the distribution is scale-adaptive
+    with no local-only constant: the fixture-scale commit writes ~1 file
+    per leaf instead of |tasks| per leaf (r14 measured 4 files vs 128 for
+    a 32-task frame over 4 leaves), while a 100 TB leaf still fans out
+    across tasks at ``spark.sql.adaptive.advisoryPartitionSizeInBytes``.
+    Fewer staged files also means proportionally fewer footer reads in
+    ``_staged_stats``/``_staged_blooms``, fewer in-lock rename round
+    trips, cheaper vacuum deletes, and fewer file opens on EVERY
+    subsequent read of the table (guide: small files hurt twice).
+
+    Production knob: ``spark.callio.write.distribution`` — ``rebalance``
+    (default, Iceberg's hash mode) or ``none`` (Iceberg's none mode, for
+    callers that pre-distribute; the zorder and bucketBy paths already
+    impose their own distribution and never reach this). ``override``
+    (an explicit per-call mode, e.g. compaction's "none" — its
+    coalesce(target_files) IS the distribution) wins over the conf."""
+    if override is not None:
+        mode = override
+    else:
+        try:
+            mode = df.sparkSession.conf.get(
+                "spark.callio.write.distribution", "rebalance"
+            )
+        except Exception:
+            mode = "rebalance"
+    if mode != "rebalance":
+        return df
+    if partition_col:
+        return df.hint("rebalance", partition_col)
+    return df.hint("rebalance")
+
+
 def _staged_blooms(
     spark: SparkSession,
     wstaging: str,
@@ -2032,6 +2074,7 @@ def snapshot_partition_overwrite(
     bucket_by: tuple[int, str] | None = None,
     retire_leaves: list[str] | None = None,
     properties: dict | None = None,
+    distribution: str | None = None,
 ) -> int:
     """Commit ``df``'s partitions into the table as one new snapshot:
     partitions present in df replace their predecessors, absent partitions
@@ -2146,7 +2189,11 @@ def snapshot_partition_overwrite(
             .drop("__z")
         )
     elif cluster_cols:
-        df = df.sortWithinPartitions(*cluster_cols)
+        df = _distribute_for_write(
+            df, partition_col, override=distribution
+        ).sortWithinPartitions(*cluster_cols)
+    elif not bucket_by:
+        df = _distribute_for_write(df, partition_col, override=distribution)
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
     if bucket_by:
         # Spark's bucketed writer only runs through the catalog: stage as
@@ -2357,7 +2404,11 @@ def snapshot_append(
     jvm, fs, _ = _hadoop(spark, path)
     df = _relax_batch_types(df, _published_head(spark, jvm, fs, path))
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
-    writer = df.write.mode("overwrite").partitionBy(partition_col)
+    writer = (
+        _distribute_for_write(df, partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+    )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(wstaging)
@@ -2539,7 +2590,9 @@ def snapshot_delete_rows(
         .select(col, *keys)
     )
     wstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
-    doomed.write.mode("overwrite").partitionBy(col).parquet(wstaging)
+    _distribute_for_write(doomed, col).write.mode("overwrite").partitionBy(
+        col
+    ).parquet(wstaging)
     acquire_table_lock(spark, path)
     try:
         _vacuum_stale_stagings(jvm, fs, path)
@@ -2638,8 +2691,12 @@ def snapshot_upsert_rows(
     ).select(col, *keys)
     dstaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
     astaging = f"{path}{STAGING_SUFFIX}.{uuid.uuid4().hex[:12]}"
-    matched.write.mode("overwrite").partitionBy(col).parquet(dstaging)
-    source.write.mode("overwrite").partitionBy(col).parquet(astaging)
+    _distribute_for_write(matched, col).write.mode("overwrite").partitionBy(
+        col
+    ).parquet(dstaging)
+    _distribute_for_write(source, col).write.mode("overwrite").partitionBy(
+        col
+    ).parquet(astaging)
     batch_schema = json.loads(source.schema.json())
     acquire_table_lock(spark, path)
     try:
@@ -3095,6 +3152,10 @@ def snapshot_compact_partition(
         file_stats=leaf in m.get("file_stats", {}),
         bloom_cols=bloom_cols,
         op_name="compact",
+        # the coalesce(target_files) above IS this write's distribution:
+        # the default rebalance would re-shuffle and override the
+        # requested file count
+        distribution="none",
     )
 
 

@@ -1155,3 +1155,52 @@ def test_snapshot_loop_noop_tick_runs_retention(spark, tmp_path, monkeypatch):
         assert {r["mode"] for r in log.collect()} == {"NOOP"}
     finally:
         srv.stop()
+
+
+def test_snapshot_loop_tick_missing_pin_defaults_to_sixteen(spark, tmp_path):
+    """ADVICE r13 (r14 fix): a loop table created BEFORE the id_buckets
+    pin existed has no `loop.id_buckets` property — its ids are bucketed
+    under the historical constant 16, so a tick passing any OTHER modulus
+    must refuse (a drifted modulus scatters existing ids into buckets the
+    bucket-scoped merge never reads, silently surviving duplicates);
+    a tick passing 16 proceeds normally."""
+    import pytest as _pytest
+
+    from callio_etl_spark.queries.api_source import (
+        _snapshot_loop_tick,
+        _start_loop_server,
+    )
+    from callio_etl_spark.snapshots import (
+        snapshot_properties,
+        snapshot_read,
+        snapshot_set_properties,
+    )
+
+    T0 = 1_700_000_000_000
+    rows = _mk_full_rows(10, T0, 30 * 60 * 1000, prefix="pin")
+    for r in rows:
+        r["value"] = float(r["value"])
+    srv, base = _start_loop_server(rows)
+    root = str(tmp_path / "pinroot")
+    table_path = f"{root}/fact_events"
+    window1 = T0 + 8 * HOUR
+    try:
+        spark.dataSource.register(CallioPagedDataSource)
+        _snapshot_loop_tick(spark, base, root, window1)  # pins 16
+        # simulate the pre-pin table: unset the pin the first tick wrote
+        snapshot_set_properties(
+            spark, table_path, {"loop.id_buckets": None}
+        )
+        assert "loop.id_buckets" not in (
+            snapshot_properties(spark, table_path) or {}
+        )
+        with _pytest.raises(ValueError, match="drifts from the table's"):
+            _snapshot_loop_tick(
+                spark, base, root, window1 + HOUR, id_buckets=8
+            )
+        # the historical constant is accepted and the tick completes
+        _snapshot_loop_tick(spark, base, root, window1 + HOUR)
+        got = {r["_id"] for r in snapshot_read(spark, table_path).collect()}
+        assert got == {r["_id"] for r in rows}
+    finally:
+        srv.stop()

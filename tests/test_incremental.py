@@ -533,3 +533,38 @@ def test_warm_and_flush_heal_a_torn_compact_swap(spark, store):
     after = CheckpointStore(spark, path)
     after.warm()
     assert after.get("TableA", "PK") == T0 + 4 * HOUR
+
+
+def test_update_log_lock_waits_tick_sized_not_commit_sized(
+    spark, store, monkeypatch
+):
+    """ADVICE r13 (r14 fix): flush()/warm()/compact() wait on the
+    update_log's SERVICE lock, whose holder may be a whole compact of a
+    ~100k-file log — acquire_service_lock's contract says waiters need a
+    tick-sized timeout (LOCK_STALE_S + LOCK_TIMEOUT_S, as
+    single_writer_tick passes), not the 120 s commit default that would
+    raise a spurious TimeoutError and fail the tick."""
+    from callio_etl_spark import io as cio
+
+    expected = cio.LOCK_STALE_S + cio.LOCK_TIMEOUT_S
+    seen: list[tuple[str, float | None]] = []
+    real = cio.acquire_table_lock
+
+    def spy(spark_, path, *a, **kw):
+        if cio.SERVICE_LOCK_INFIX in path:
+            seen.append((path, kw.get("timeout_s")))
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(cio, "acquire_table_lock", spy)
+
+    store.log("Customer", "PK", 1, T0, "MERGED")
+    store.flush()           # append under the service lock
+    store.compact(1)        # whole-table swap under the service lock
+    # warm() takes the lock only on the missing-path recovery branch
+    missing = CheckpointStore(spark, store.log_path + "_missing")
+    missing.warm()
+    assert len(seen) >= 3, f"service-lock acquires not seen: {seen}"
+    bad = [(p, t) for p, t in seen if t != expected]
+    assert not bad, (
+        f"service-lock waits must pass timeout_s={expected}: {bad}"
+    )

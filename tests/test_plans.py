@@ -433,22 +433,42 @@ def test_span_removal_has_no_pair_join(spark):
     assert "partial_min" in plan  # the first-occurrence MIN map-combines
 
 
-def test_dsir_bucket_stats_broadcast(spark):
-    """dsir_importance joins the gram stream to bucket stats and corpus
-    totals — both bounded by DSIR_BUCKETS rows, so both must broadcast;
-    the gram side must never shuffle for the score join. Asserted on the
-    scoring stage (the registered query's prefix_sum_ordered rank
-    materializes a localCheckpoint, which truncates explain output)."""
+def test_dsir_scoring_pass_is_join_free(spark):
+    """dsir_importance's bucket stats (≤DSIR_BUCKETS rows by
+    construction) are collected once and folded into a literal ratio
+    array (r14): the scoring stage must be ONE corpus pass — a gram
+    projection indexing a constant array straight into the doc_id
+    aggregate, with no join of any kind and no extra evaluation of the
+    gram explode under a broadcast build. Asserted on the scoring stage
+    (the registered query's prefix_sum_ordered rank materializes a
+    localCheckpoint, which truncates explain output)."""
+    from pyspark.sql import functions as F
+
     from callio_etl_spark.llm_ops.sampling import _dsir_scored
 
     df = _dsir_scored(spark, "/root/testdata/sf0.001")
     plan = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert plan.count("BroadcastHashJoin") >= 1
-    assert "CartesianProduct" not in plan
-    # the 1-row totals table rides a broadcast nested-loop (cross) join
-    assert "BroadcastNestedLoopJoin" in plan
+    for join_node in (
+        "BroadcastNestedLoopJoin",  # the old 1-row totals cross join
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+    ):
+        assert join_node not in plan
+    # the only join left is the doc-universe LeftOuter backfill (docs
+    # with <2 tokens keep their null-score row); the stats/totals joins
+    # are gone. "formatted" prints each node twice (tree + details), so
+    # one join == two textual hits.
+    assert plan.count("BroadcastHashJoin") <= 2
+    # one corpus explode only: the stats pass already ran at plan-build
+    # time (driver collect), so the scoring plan holds a single Generate
+    assert plan.count("Generate (") == 1
+    # and the scoring output is unchanged vs the two-pass definition
+    # on a spot row (exact: n_grams is an integer, score a quantized sum)
+    row = df.orderBy(F.col("doc_id")).limit(1).collect()[0]
+    assert row["n_grams"] >= 1
 
 
 def test_ivfpq_is_broadcast_lookup_plus_equi_join(spark):
@@ -482,14 +502,24 @@ def test_vocab_coverage_vocab_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_pca_projection_axis_broadcasts(spark):
-    """embedding_pca_project's only corpus-scale join is the final
-    projection against the COV_DIMS-row axis — broadcast, never a
-    sort-merge of the embedding stream."""
+def test_pca_projection_is_scan_project(spark):
+    """embedding_pca_project (r14): the power iteration runs on the
+    driver over the collected dims²-row covariance and the axis folds
+    into a LITERAL array, so the corpus-scale projection is a pure
+    scan→project — no join of any kind, no Exchange, no Generate (the
+    old shape posexploded every embedding ×dims and re-aggregated by
+    vec_id through a corpus-sized shuffle)."""
     plan = _plan(spark, "embedding_pca_project")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "CartesianProduct" not in plan
+    for node in (
+        "BroadcastHashJoin",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "Exchange",
+        "Generate",
+    ):
+        assert node not in plan
 
 
 def test_era_scan_pushes_filters_under_stored_names(spark, tmp_path):

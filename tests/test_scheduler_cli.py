@@ -685,3 +685,40 @@ def test_driver_priority_window_is_well_formed():
         n for n in DRIVER_PRIORITY[:50] if not REGISTRY[n].oracle
     ]
     assert not missing_oracle, missing_oracle
+
+
+def test_staff_group_clears_stale_staging_before_staging(tmp_path, monkeypatch):
+    """ADVICE r13 (r14 fix): a crash between a prior run's STAGED and its
+    MERGE leaves rows in stg_staff; the staging dir is per-run scratch,
+    so the next run must clear it before staging — otherwise stale keys
+    absent from the new snapshot resurrect into the dim and the MERGED
+    audit count understates what was merged."""
+    import pyspark.sql.functions as F
+
+    monkeypatch.setenv("DAYS_TO_FETCH_IF_EMPTY", "100000")
+    from callio_etl_spark.__main__ import main
+    from callio_etl_spark.session import get_spark
+
+    wd = str(tmp_path / "work")
+    args = ["--mode", "once", "--job", "staff_group",
+            "--sf-dir", "/root/testdata/sf0.001", "--work-dir", wd]
+    assert main(args) == 0
+
+    spark = get_spark("cli-test")
+    staff = spark.read.parquet(f"{wd}/staff")
+    n_staff = staff.count()
+
+    # simulate the crashed prior run: a staged batch that never merged,
+    # carrying a key the fresh snapshot does NOT contain
+    ghost = spark.createDataFrame(
+        [("PK", "GHOST-STAFF", "999999", "1", "deadbeef")],
+        "tenant string, name string, _id string, group_id string,"
+        " row_hash string",
+    )
+    ghost.write.mode("append").parquet(f"{wd}/stg_staff")
+
+    assert main(args) == 0
+    staff2 = spark.read.parquet(f"{wd}/staff")
+    ghosts = staff2.where(F.col("name") == "GHOST-STAFF").count()
+    assert ghosts == 0, "stale staged rows resurrected into the dim"
+    assert staff2.count() == n_staff

@@ -240,7 +240,15 @@ def test_snapshot_compact_partition(spark, tmp_path):
     the manifest), and commits as a pinnable version."""
     p = str(tmp_path / "cp")
     df = _df(spark, range(40)).repartition(6)  # ~6 files per partition
-    snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=3)
+    # the r14 write-distribution rebalance would coalesce each leaf to one
+    # file on write — exactly the fragmentation this test needs to exist so
+    # compaction has something to rewrite. Use the documented knob to write
+    # the fragmented state, then restore.
+    spark.conf.set("spark.callio.write.distribution", "none")
+    try:
+        snap.snapshot_partition_overwrite(spark, df, p, "d", keep_snapshots=3)
+    finally:
+        spark.conf.unset("spark.callio.write.distribution")
     m1 = snap.snapshot_manifest(spark, p)
 
     def files_in(leaf_tok):
