@@ -197,10 +197,14 @@ class CheckpointStore:
         # one file per flush, not one per createDataFrame slice: the
         # buffer is a handful of driver-local audit rows (bounded by the
         # tick's table x tenant fan-out at any scale), and every extra
-        # part file is paid again by EVERY later warm()'s full-log scan
+        # part file is paid again by EVERY later warm()'s full-log scan.
+        # repartition(1), NOT coalesce(1): coalesce on a local relation
+        # defeats the LocalTableScan fast path and costs a measured
+        # ~4.5 s FIXED per flush (r14 bisect — it tripled every
+        # flush-bearing service row); the one-row shuffle is free.
         df = self.spark.createDataFrame(
             self._buffer, UPDATE_LOG_SCHEMA
-        ).coalesce(1)
+        ).repartition(1)
         from callio_etl_spark.io import (
             LOCK_STALE_S,
             LOCK_TIMEOUT_S,

@@ -1869,6 +1869,23 @@ def _bloom_may_contain(hexmap: str, positions: list[int]) -> bool:
     return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
+def _parse_bytes_conf(raw: str) -> int:
+    """Spark byte-size conf string -> bytes (``67108864b``, ``256m``,
+    ``1g``, bare digits). Mirrors Spark's JavaUtils.byteStringAsBytes for
+    the suffixes that appear in practice."""
+    s = raw.strip().lower()
+    units = {
+        "b": 1,
+        "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30,
+        "t": 1 << 40, "tb": 1 << 40,
+    }
+    num = s.rstrip("kmgtb")
+    suffix = s[len(num):]
+    return int(num) * units.get(suffix, 1)
+
+
 def _distribute_for_write(
     df: DataFrame,
     partition_col: str | None,
@@ -1889,8 +1906,23 @@ def _distribute_for_write(
     trips, cheaper vacuum deletes, and fewer file opens on EVERY
     subsequent read of the table (guide: small files hurt twice).
 
+    SIZE-GATED (r14 measure): the rebalance exchange costs a fixed extra
+    stage per staged write (~0.2-0.8 s at commit cadence — it showed up
+    on every multi-commit service row of the bench), and a frame whose
+    optimizer-estimated bytes fit inside ONE advisory partition gains
+    nothing from it (AQE would coalesce the shuffle to a single task and
+    the plain write already emits few, small files). So the hint is
+    applied only when the estimate spans >= 1 advisory partition — a
+    data-size-derived rule (guide §2 "derive from input size"), not a
+    core-count constant: fixture-scale commits skip the exchange and
+    keep bench parity, while any production-scale frame crosses the
+    threshold and gets Iceberg-hash file sizing. Catalyst over-estimates
+    (e.g. join products) only ever fire the rebalance early, which is
+    safe.
+
     Production knob: ``spark.callio.write.distribution`` — ``rebalance``
-    (default, Iceberg's hash mode) or ``none`` (Iceberg's none mode, for
+    (default, Iceberg's hash mode, size-gated), ``always`` (ungated, for
+    layout-critical tables), or ``none`` (Iceberg's none mode, for
     callers that pre-distribute; the zorder and bucketBy paths already
     impose their own distribution and never reach this). ``override``
     (an explicit per-call mode, e.g. compaction's "none" — its
@@ -1904,8 +1936,21 @@ def _distribute_for_write(
             )
         except Exception:
             mode = "rebalance"
-    if mode != "rebalance":
+    if mode not in ("rebalance", "always"):
         return df
+    if mode == "rebalance":
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            raw = df.sparkSession.conf.get(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864b"
+            )
+            advisory = _parse_bytes_conf(raw)
+        except Exception:
+            est, advisory = 0, 1  # estimate unavailable: keep the plain write
+        if est < advisory:
+            return df
     if partition_col:
         return df.hint("rebalance", partition_col)
     return df.hint("rebalance")
