@@ -114,8 +114,6 @@ class CheckpointStore:
             ):
                 raise
             from callio_etl_spark.io import (
-                LOCK_STALE_S,
-                LOCK_TIMEOUT_S,
                 _hadoop,
                 acquire_service_lock,
                 recover_table,
@@ -127,12 +125,10 @@ class CheckpointStore:
             # several stores can share one log) — rolling ITS staged
             # swap forward from here would corrupt its rename sequence;
             # waiting out the lock sees either the finished swap or a
-            # genuinely torn one. Tick-sized timeout: the hold we may be
-            # waiting out is a whole compact, not a plain commit.
-            acquire_service_lock(
-                self.spark, self.log_path,
-                timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S,
-            )
+            # genuinely torn one. The hold we may be waiting out is a
+            # whole compact, not a plain commit — covered by
+            # acquire_service_lock's tick-sized default timeout.
+            acquire_service_lock(self.spark, self.log_path)
             try:
                 recover_table(self.spark, self.log_path)
                 jvm, fs, p = _hadoop(self.spark, self.log_path)
@@ -206,26 +202,21 @@ class CheckpointStore:
             self._buffer, UPDATE_LOG_SCHEMA
         ).repartition(1)
         from callio_etl_spark.io import (
-            LOCK_STALE_S,
-            LOCK_TIMEOUT_S,
             acquire_service_lock,
             release_service_lock,
         )
 
-        # tick-sized timeout (acquire_service_lock's contract): a flush
-        # racing a long compact of a ~100k-file log must wait the compact
-        # out, not raise a spurious 120 s commit-timeout and fail the tick
-        acquire_service_lock(
-            self.spark, self.log_path,
-            timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S,
-        )
+        # a flush racing a long compact of a ~100k-file log must wait the
+        # compact out, not raise a spurious 120 s commit-timeout and fail
+        # the tick — acquire_service_lock's tick-sized default timeout
+        acquire_service_lock(self.spark, self.log_path)
         try:
             # heal a torn compact swap BEFORE appending: if a crash left
             # the log under its backup name, creating a fresh path here
             # would make the later recovery read "swap already finished"
             # and DISPOSE the backup — the entire pre-crash log. One
             # exists probe per flush; recovery only when path is missing.
-            from callio_etl_spark.io import _exists, _hadoop, recover_table
+            from callio_etl_spark.io import _hadoop, recover_table
 
             jvm, fs, p = _hadoop(self.spark, self.log_path)
             if not fs.exists(p):
@@ -260,20 +251,15 @@ class CheckpointStore:
         from pyspark.sql import Window
 
         from callio_etl_spark.io import (
-            LOCK_STALE_S,
-            LOCK_TIMEOUT_S,
             acquire_service_lock,
             assert_service_fencing,
             atomic_overwrite,
             release_service_lock,
         )
 
-        # tick-sized timeout: a compact may queue behind another store's
-        # long compact of the same shared log (see flush())
-        acquire_service_lock(
-            self.spark, self.log_path,
-            timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S,
-        )
+        # a compact may queue behind another store's long compact of the
+        # same shared log (see flush()) — tick-sized default timeout
+        acquire_service_lock(self.spark, self.log_path)
         try:
             try:
                 log = self.spark.read.schema(UPDATE_LOG_SCHEMA).parquet(

@@ -501,8 +501,13 @@ def acquire_service_lock(spark: SparkSession, path: str, **kw) -> str:
     conflicts with — the per-commit locks the inner operations take.
     ``kw`` forwards to acquire_table_lock (timeout_s / stale_s): service
     holders run multi-commit sequences far longer than a plain commit,
-    so callers that WAIT on one (a second loop instance) need a timeout
-    sized to a whole tick, not the 120 s commit default."""
+    so a waiter (a second loop instance, a maintenance pass queued
+    behind a rebuild) needs a timeout sized to a whole tick — which is
+    therefore the DEFAULT here (LOCK_STALE_S + LOCK_TIMEOUT_S: a live
+    holder survives at most the stale window before reclaim, plus one
+    commit-lock wait for the reclaimer), not the 120 s commit default.
+    Callers with a faster-fail policy pass timeout_s explicitly."""
+    kw.setdefault("timeout_s", LOCK_STALE_S + LOCK_TIMEOUT_S)
     return acquire_table_lock(
         spark, path.rstrip("/") + SERVICE_LOCK_INFIX, **kw
     )

@@ -142,6 +142,21 @@ JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
 """
 
 
+def _band_key(mins, b: int, rows_per_band: int = ROWS_PER_BAND):
+    """THE per-band LSH key expression: concat of the band's
+    ``rows_per_band`` signature slices. The band layout lives in exactly
+    two places that must stay byte-identical — this expression (shared
+    by band_projection and _minband_band_table) and its SQL twin inside
+    ``_bands_union_sql`` (oracle text, mirrored textually). Change one,
+    change both."""
+    return F.concat(
+        *[
+            F.element_at(mins, b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+    )
+
+
 def band_projection(
     d: DataFrame,
     rows_per_band: int = ROWS_PER_BAND,
@@ -161,12 +176,7 @@ def band_projection(
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat(
-                *[
-                    F.element_at("mins", b * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ]
-            ).alias("band_key"),
+            _band_key("mins", b, rows_per_band).alias("band_key"),
         )
         for b in range(n_bands)
     ]
@@ -232,14 +242,10 @@ def _minband_band_table(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     sig = d.select(
         "doc_id", *carry, _minhash_sig(_words(F.col("text"))).alias("mins")
     )
-    bkey = lambda b: F.concat(  # noqa: E731
-        *[
-            F.element_at("mins", b * ROWS_PER_BAND + r + 1)
-            for r in range(ROWS_PER_BAND)
-        ]
-    )
     sig = sig.select(
-        "doc_id", *carry, *[bkey(b).alias(f"k{b}") for b in range(N_BANDS)]
+        "doc_id",
+        *carry,
+        *[_band_key("mins", b).alias(f"k{b}") for b in range(N_BANDS)],
     )
     return sig.select(
         "doc_id",

@@ -59,15 +59,11 @@ def single_writer_tick(spark: SparkSession, table_path: str):
     stale_s a genuinely dead holder is reclaimed and the waiter
     proceeds."""
     from callio_etl_spark.io import (
-        LOCK_STALE_S,
-        LOCK_TIMEOUT_S,
         acquire_service_lock,
         release_service_lock,
     )
 
-    acquire_service_lock(
-        spark, table_path, timeout_s=LOCK_STALE_S + LOCK_TIMEOUT_S
-    )
+    acquire_service_lock(spark, table_path)
     try:
         yield
     finally:

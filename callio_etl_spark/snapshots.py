@@ -1949,6 +1949,22 @@ def _distribute_for_write(
             advisory = _parse_bytes_conf(raw)
         except Exception:
             est, advisory = 0, 1  # estimate unavailable: keep the plain write
+        # Catalyst reports UNKNOWN size as the defaultSizeInBytes sentinel
+        # (Long.MaxValue unless overridden) for local relations, RDD-backed
+        # frames and some join products. That is "no estimate", not "huge":
+        # firing the rebalance on it re-pays the fixed exchange this gate
+        # exists to skip on every tiny stats-less commit. Same policy as
+        # the except-branch: no estimate -> keep the plain write.
+        try:
+            sentinel = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.defaultSizeInBytes", str(2**63 - 1)
+                )
+            )
+        except Exception:
+            sentinel = 2**63 - 1
+        if est >= sentinel:
+            return df
         if est < advisory:
             return df
     if partition_col:

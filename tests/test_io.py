@@ -1496,3 +1496,29 @@ def test_recover_needed_gate_matches_recovery_conditions(spark, tmp_path):
     recover_table(spark, path)
     assert probe() is False
     assert spark.read.parquet(path).count() == 5
+
+
+def test_service_lock_default_timeout_is_tick_sized(spark, tmp_path, monkeypatch):
+    """r14 review: the tick-sized wait (LOCK_STALE_S + LOCK_TIMEOUT_S)
+    is acquire_service_lock's DEFAULT, so bare callers — the band/vector
+    index maintainers queueing behind a long rebuild of the same index —
+    inherit it instead of the 120 s commit default (which raised the
+    same spurious TimeoutError ADVICE r13 flagged for the update_log).
+    An explicit timeout_s still wins."""
+    from callio_etl_spark import io as cio
+
+    seen: dict[str, float | None] = {}
+    real = cio.acquire_table_lock
+
+    def spy(spark_, path, *a, **kw):
+        seen["timeout_s"] = kw.get("timeout_s")
+        return real(spark_, path, *a, **kw)
+
+    monkeypatch.setattr(cio, "acquire_table_lock", spy)
+    p = str(tmp_path / "svc_tbl")
+    cio.acquire_service_lock(spark, p)
+    cio.release_service_lock(spark, p)
+    assert seen["timeout_s"] == cio.LOCK_STALE_S + cio.LOCK_TIMEOUT_S
+    cio.acquire_service_lock(spark, p, timeout_s=5.0)
+    cio.release_service_lock(spark, p)
+    assert seen["timeout_s"] == 5.0

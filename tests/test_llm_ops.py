@@ -2446,3 +2446,51 @@ def test_vector_index_pure_delete_tick_still_backfills_pin(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="quantizer drift"):
         maintain_vector_index(spark, vp, ip, fwd, cursor, cells_b)
+
+
+def test_ivf_argmax_fold_matches_window_nan_ordering(spark):
+    """Pins the NaN semantics the r14 assign/train argmax fold relies
+    on (review claim REFUTED empirically, kept pinned): Spark SQL
+    comparisons follow the NaN-greatest total order — NaN > x is TRUE
+    for any non-NaN x, NaN > NaN is FALSE — in BOTH ANSI modes, so the
+    fold keeps the FIRST NaN cell exactly like the r13
+    ROW_NUMBER(bc DESC, label ASC) window, including on degenerate
+    zero-norm vectors where cosine yields NaN (non-ANSI deployments)."""
+    from pyspark.sql import Window
+
+    cases = [
+        ([0.5, float("nan"), 0.9], 1),  # NaN beats both reals
+        ([float("nan"), float("nan")], 0),  # first NaN = lowest label
+        ([0.1, 0.9, 0.9], 1),  # strict > keeps the FIRST max (label ASC)
+    ]
+    for scores, want in cases:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(s).cast("double").alias("bc"),
+                    F.lit(i).cast("int").alias("new_label"),
+                )
+                for i, s in enumerate(scores)
+            ]
+        )
+        best = F.aggregate(
+            arr,
+            F.struct(
+                F.lit(-2.0).alias("bc"),
+                F.lit(None).cast("int").alias("new_label"),
+            ),
+            lambda acc, s: F.when(s["bc"] > acc["bc"], s).otherwise(acc),
+        )
+        got = spark.range(1).select(best.alias("b")).collect()[0]["b"]
+        assert got["new_label"] == want, (scores, got)
+        # and the r13 window twin agrees on the same scores
+        wdf = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(scores)], "label int, bc double"
+        )
+        w = Window.orderBy(F.col("bc").desc(), F.col("label").asc())
+        top = (
+            wdf.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .collect()[0]
+        )
+        assert top["label"] == want, (scores, top)

@@ -3509,3 +3509,48 @@ def test_merge_write_snapshot_windowed_equals_full_merge(spark, tmp_path):
             f"trial {trial}: windowed merge diverged from full merge: "
             f"{got_w ^ got_f}"
         )
+
+
+def test_write_distribution_gate_sizes_and_unknown_sentinel(spark, tmp_path):
+    """r14 size-gated REBALANCE (review finding): (a) a frame whose
+    optimizer estimate fits ONE advisory partition keeps the plain
+    write; (b) a frame spanning >= 1 advisory partition gets the hint;
+    (c) Catalyst's unknown-size sentinel (defaultSizeInBytes =
+    Long.MaxValue, reported for local relations / RDD-backed frames)
+    means NO estimate, not HUGE — same keep-the-plain-write policy as
+    the estimate-unavailable except-branch, so tiny stats-less commits
+    never pay the fixed rebalance exchange the gate exists to skip."""
+    from callio_etl_spark.snapshots import _distribute_for_write
+
+    # (c) local relation: stats report the Long.MaxValue sentinel
+    local = spark.createDataFrame(
+        [(i, str(i % 4)) for i in range(40)], "id long, p string"
+    )
+    est = int(local._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est >= 2**63 - 1, "precondition: local relation reports sentinel"
+    assert _distribute_for_write(local, "p") is local
+
+    # (a)/(b) parquet-backed frame with a real, finite estimate
+    src = str(tmp_path / "gate_src")
+    spark.range(0, 10_000).select(
+        "id", (F.col("id") % 4).cast("string").alias("p")
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert 0 < est < 2**62, "precondition: real estimate"
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", f"{est * 10}b"
+        )
+        assert _distribute_for_write(df, "p") is df  # fits one partition
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            f"{max(1, est // 10)}b",
+        )
+        hinted = _distribute_for_write(df, "p")
+        assert hinted is not df
+        assert "RebalancePartitions" in (
+            hinted._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
