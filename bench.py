@@ -5,11 +5,14 @@ full per-query JSON line
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"<name>": sec, ...}, "sf": <sf>}
 
-followed by a compact truncation-proof summary as the FINAL stdout line
-(the driver archives only the tail):
+followed by a truncation-proof summary as the FINAL stdout line (the
+driver parses the last line of a 2000-char tail archive — BENCH_r01's
+parse=None on a long final line is the proof), carrying the headline
+plus the slowest per-query entries that fit a 1900-byte budget:
 
     {"metric": "...", "value": <total>, "unit": "sec",
-     "total_s": <total>, "n_queries": <n>, "sf": <sf>}
+     "total_s": <total>, "n_queries": <n>, "calibration_s": <s>,
+     "queries_in_line": <k>, "queries": {"<slowest>": sec, ...}, "sf": <sf>}
 
 The COMPLETE per-query dict is also persisted to
 ``BENCH_DETAIL_r{N}.json`` beside this script (N inferred from the
@@ -304,22 +307,46 @@ def main() -> None:
             }
         )
     )
-    # The driver archives only the stdout TAIL; the full line above can get
-    # truncated from the front at 124 queries, so re-emit the headline as a
-    # compact final line that always survives.
-    print(
-        json.dumps(
-            {
-                "metric": "wall_seconds_all_queries",
-                "value": total,
-                "unit": "sec",
-                "total_s": total,
-                "n_queries": len(timings),
-                "calibration_s": calibration,
-                "sf": sf_val,
-            }
-        )
-    )
+    # FINAL-LINE CONTRACT (VERDICT r14 item 1, driver-tail forensics):
+    # the driver parses the LAST stdout line from a 2000-char tail
+    # archive (proof: BENCH_r01.json — the full 212-query line was the
+    # final line, the archived tail holds its last 2000 chars, and the
+    # driver's parse came back None). The complete per-query dict is
+    # 5.4+ KB compact and can NEVER survive that window, so the final
+    # line carries the headline PLUS as many per-query entries as fit a
+    # 1900-byte budget, slowest queries first — the rows that carry the
+    # wall-clock total and every >1 s service/watchlist row the verdict
+    # tracks. The line is self-describing (n_queries = full count,
+    # queries_in_line = entries present, detail = the complete artifact)
+    # so a partial dict can't be misread as dropped queries; the full
+    # dict is the line above and BENCH_DETAIL_r{N}.json. Existing keys
+    # unchanged; `queries` here is ADDITIVE (the compact final line
+    # never had it).
+    head = {
+        "metric": "wall_seconds_all_queries",
+        "value": total,
+        "unit": "sec",
+        "total_s": total,
+        "n_queries": len(timings),
+        "calibration_s": calibration,
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL",
+        "queries_in_line": 0,
+        "queries": {},
+    }
+    budget = 1900
+    by_cost = sorted(timings, key=lambda n: (-timings[n], n))
+    sel: dict[str, float] = {}
+    for name in by_cost:
+        sel[name] = timings[name]
+        head["queries"] = sel
+        head["queries_in_line"] = len(sel)
+        if len(json.dumps(head, separators=(",", ":"))) > budget:
+            del sel[name]
+            head["queries"] = sel
+            head["queries_in_line"] = len(sel)
+            break
+    print(json.dumps(head, separators=(",", ":")))
     spark.stop()
 
 

@@ -179,6 +179,60 @@ class CheckpointStore:
             )
         )
 
+    def _flush_local_fastpath(self) -> bool:
+        """Driver-side single-file append for LOCAL log paths (r15,
+        guide §5 inverted: the driver should do no *data* work, but a
+        flush is a handful of driver-resident audit scalars — pushing
+        them through a Spark job costs a fixed ~0.5-0.9 s per flush
+        (job launch + one-row shuffle + committer) where a direct
+        pyarrow write of the identical parquet bytes is ~1 ms; measured
+        on http_loop_snapshot_sink / update_log_modes, flush was the
+        single biggest fixed cost). Byte-compatibility is pinned by
+        test: timestamps land as TIMESTAMP(MICROS, adjusted-to-UTC),
+        longs as INT64, read back identically by warm()'s
+        explicit-schema read AND a schema-inferring read over a mixed
+        Spark+pyarrow file set. Crash-safe: written as a dot-hidden
+        temp (invisible to Spark/Hadoop input listings) then renamed —
+        a crash strands only a hidden temp file. Remote warehouses
+        (hdfs://, s3a://...) return False and keep the distributed
+        write. Caller holds the service lock."""
+        import re
+
+        if re.match(
+            r"^[a-z][a-z0-9+.-]*://", self.log_path
+        ) and not self.log_path.startswith("file:"):
+            return False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyspark ships pyarrow
+            return False
+        import os
+        import uuid
+
+        path = re.sub(r"^file:(//)?", "", self.log_path)
+        os.makedirs(path, exist_ok=True)
+        cols = list(zip(*self._buffer))
+        tbl = pa.table(
+            {
+                "table_name": pa.array(cols[0], pa.string()),
+                "tenant": pa.array(cols[1], pa.string()),
+                # buffered as naive-UTC datetimes (log()); tz="UTC" makes
+                # the parquet annotation adjusted-to-UTC, matching what
+                # Spark's writer records for TimestampType
+                "updated_at": pa.array(cols[2], pa.timestamp("us", tz="UTC")),
+                "rows_loaded": pa.array(cols[3], pa.int64()),
+                "max_update_ms": pa.array(cols[4], pa.int64()),
+                "mode": pa.array(cols[5], pa.string()),
+            }
+        )
+        tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(tbl, tmp, compression="snappy")
+        os.rename(
+            tmp, os.path.join(path, f"part-{uuid.uuid4().hex}.snappy.parquet")
+        )
+        return True
+
     def flush(self) -> None:
         """C5 — append the buffer to the log table (checkpoints.py:42-50).
 
@@ -190,17 +244,6 @@ class CheckpointStore:
         the lock file per flushed tick."""
         if not self._buffer:
             return
-        # one file per flush, not one per createDataFrame slice: the
-        # buffer is a handful of driver-local audit rows (bounded by the
-        # tick's table x tenant fan-out at any scale), and every extra
-        # part file is paid again by EVERY later warm()'s full-log scan.
-        # repartition(1), NOT coalesce(1): coalesce on a local relation
-        # defeats the LocalTableScan fast path and costs a measured
-        # ~4.5 s FIXED per flush (r14 bisect — it tripled every
-        # flush-bearing service row); the one-row shuffle is free.
-        df = self.spark.createDataFrame(
-            self._buffer, UPDATE_LOG_SCHEMA
-        ).repartition(1)
         from callio_etl_spark.io import (
             acquire_service_lock,
             release_service_lock,
@@ -221,7 +264,19 @@ class CheckpointStore:
             jvm, fs, p = _hadoop(self.spark, self.log_path)
             if not fs.exists(p):
                 recover_table(self.spark, self.log_path)
-            df.write.mode("append").parquet(self.log_path)
+            if not self._flush_local_fastpath():
+                # remote warehouse: one file per flush, not one per
+                # createDataFrame slice — every extra part file is paid
+                # again by EVERY later warm()'s full-log scan.
+                # repartition(1), NOT coalesce(1): coalesce on a local
+                # relation defeats the LocalTableScan fast path and costs
+                # a measured ~4.5 s FIXED per flush (r14 bisect — it
+                # tripled every flush-bearing service row); the one-row
+                # shuffle is free.
+                df = self.spark.createDataFrame(
+                    self._buffer, UPDATE_LOG_SCHEMA
+                ).repartition(1)
+                df.write.mode("append").parquet(self.log_path)
             self._buffer.clear()
         finally:
             release_service_lock(self.spark, self.log_path)

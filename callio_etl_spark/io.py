@@ -503,11 +503,15 @@ def acquire_service_lock(spark: SparkSession, path: str, **kw) -> str:
     holders run multi-commit sequences far longer than a plain commit,
     so a waiter (a second loop instance, a maintenance pass queued
     behind a rebuild) needs a timeout sized to a whole tick — which is
-    therefore the DEFAULT here (LOCK_STALE_S + LOCK_TIMEOUT_S: a live
-    holder survives at most the stale window before reclaim, plus one
-    commit-lock wait for the reclaimer), not the 120 s commit default.
-    Callers with a faster-fail policy pass timeout_s explicitly."""
-    kw.setdefault("timeout_s", LOCK_STALE_S + LOCK_TIMEOUT_S)
+    therefore the DEFAULT here (the effective stale window +
+    LOCK_TIMEOUT_S: a live holder survives at most the stale window
+    before reclaim, plus one commit-lock wait for the reclaimer), not
+    the 120 s commit default. The default derives from the CALLER'S
+    stale_s when one is passed — a caller widening the stale window
+    without also widening timeout_s must not time out before a dead
+    holder becomes reclaimable (ADVICE r14). Callers with a faster-fail
+    policy pass timeout_s explicitly."""
+    kw.setdefault("timeout_s", kw.get("stale_s", LOCK_STALE_S) + LOCK_TIMEOUT_S)
     return acquire_table_lock(
         spark, path.rstrip("/") + SERVICE_LOCK_INFIX, **kw
     )

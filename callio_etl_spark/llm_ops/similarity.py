@@ -2236,6 +2236,25 @@ def ivf_delta_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 VINDEX_BUCKETS = 64
 
 
+def _ckpt_once(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` unless the frame already IS a
+    checkpoint (a LogicalRDD plan). The service roundtrips pass the same
+    quantizer frame into several maintain/rebuild calls; each call used
+    to re-checkpoint it (~0.2 s job apiece, r15 profile: 22
+    localCheckpoint jobs in one rebuild_vector_index pass). One cheap
+    plan-class probe replaces the redundant jobs; any probe failure
+    falls back to checkpointing (always safe)."""
+    try:
+        if (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        ):
+            return df
+    except Exception:
+        pass
+    return df.localCheckpoint(eager=True)
+
+
 def _quantizer_fp(cells: DataFrame) -> str:
     """Content fingerprint of a quantizer (md5 over the sorted
     (label, centroid) rows) — the identity the index pins as a table
@@ -2323,7 +2342,7 @@ def maintain_vector_index(
         snapshot_read,
     )
 
-    cells = cells.localCheckpoint(eager=True)
+    cells = _ckpt_once(cells)
     cells_fp = _quantizer_fp(cells)
 
     def _emptied(path: str, col: str, touched, with_rows) -> list[str]:
@@ -2470,86 +2489,109 @@ def maintain_vector_index(
         ]
         touched_cells = sorted(set(old_cells) | set(new_cells))
 
-        # postings: rewrite the touched cell partitions
-        if idx_exists:
-            carried = (
-                snapshot_read(spark, index_path)
-                .where(F.col("assigned_cell").isin(touched_cells))
-                .join(changed_ids, "vec_id", "left_anti")
+        def _postings_chain() -> None:
+            # postings: rewrite the touched cell partitions
+            if idx_exists:
+                carried = (
+                    snapshot_read(spark, index_path)
+                    .where(F.col("assigned_cell").isin(touched_cells))
+                    .join(changed_ids, "vec_id", "left_anti")
+                )
+                out = carried.select(*fresh.columns).unionByName(fresh)
+            else:
+                out = fresh
+            out = out.localCheckpoint(eager=True)
+            cells_with_rows = {
+                r["assigned_cell"]
+                for r in out.select("assigned_cell").distinct().collect()
+            }
+            idx_retire = (
+                _emptied(
+                    index_path, "assigned_cell", touched_cells, cells_with_rows
+                )
+                if idx_exists
+                else []
             )
-            out = carried.select(*fresh.columns).unionByName(fresh)
-        else:
-            out = fresh
-        out = out.localCheckpoint(eager=True)
-        cells_with_rows = {
-            r["assigned_cell"]
-            for r in out.select("assigned_cell").distinct().collect()
-        }
-        idx_retire = (
-            _emptied(index_path, "assigned_cell", touched_cells, cells_with_rows)
-            if idx_exists
-            else []
-        )
+            if cells_with_rows:
+                snapshot_partition_overwrite(
+                    spark, out, index_path, "assigned_cell",
+                    keep_snapshots=keep_snapshots,
+                    retire_leaves=idx_retire or None,
+                    properties=(
+                        {"ivf.quantizer_md5": cells_fp} if pin_now else None
+                    ),
+                )
+            elif idx_retire:
+                _retire_only(index_path, idx_retire)
+            if pin_now and idx_exists and not cells_with_rows:
+                # the proven backfill fingerprint found no data commit to
+                # ride (pure-delete tick against a pre-pin index): record
+                # it now via a metadata-only properties commit rather than
+                # leaving drift protection disabled until the next
+                # non-empty tick.
+                from callio_etl_spark.snapshots import snapshot_set_properties
+
+                snapshot_set_properties(
+                    spark,
+                    index_path,
+                    {"ivf.quantizer_md5": cells_fp},
+                    keep_snapshots=keep_snapshots,
+                )
+
+        def _fwd_chain() -> None:
+            # forward map: rewrite the touched id buckets
+            fwd_fresh = fresh.select("vec_id", "assigned_cell", bkt)
+            if fwd_exists:
+                fcarried = (
+                    snapshot_read(spark, fwd_path)
+                    .where(F.col("bkt").isin(tb))
+                    .join(changed_ids, "vec_id", "left_anti")
+                )
+                fout = fcarried.select(*fwd_fresh.columns).unionByName(
+                    fwd_fresh
+                )
+            else:
+                fout = fwd_fresh
+            fout = fout.localCheckpoint(eager=True)
+            bkts_with_rows = {
+                r["bkt"] for r in fout.select("bkt").distinct().collect()
+            }
+            fwd_retire = (
+                _emptied(fwd_path, "bkt", tb, bkts_with_rows)
+                if fwd_exists
+                else []
+            )
+            if bkts_with_rows:
+                snapshot_partition_overwrite(
+                    spark, fout, fwd_path, "bkt",
+                    keep_snapshots=keep_snapshots,
+                    retire_leaves=fwd_retire or None,
+                )
+            elif fwd_retire:
+                _retire_only(fwd_path, fwd_retire)
+
         # fence AT the commit point (not just batch entry): the delta
-        # assignment above is where a stall can outlast the stale window
+        # assignment above is where a stall can outlast the stale window.
+        # The postings and forward-map chains are INDEPENDENT given fresh
+        # + changed_ids (both localCheckpointed): each builds its carry
+        # from ITS table's immutable published head and commits to ITS
+        # manifest, so they run concurrently (guide §2.6 — overlap
+        # independent jobs; the two ~1 s commit jobs were strictly
+        # serial before, r15). Crash semantics are unchanged: the cursor
+        # acks only after BOTH commits return, so a crash leaving either
+        # table (or both) behind replays the batch — same at-least-once
+        # window as the old postings-then-fwd order; each publish still
+        # passes the manifest-level fencing in _write_manifest.
         assert_service_fencing(spark, index_path)
-        if cells_with_rows:
-            snapshot_partition_overwrite(
-                spark, out, index_path, "assigned_cell",
-                keep_snapshots=keep_snapshots,
-                retire_leaves=idx_retire or None,
-                properties=(
-                    {"ivf.quantizer_md5": cells_fp} if pin_now else None
-                ),
-            )
-        elif idx_retire:
-            _retire_only(index_path, idx_retire)
-        if pin_now and idx_exists and not cells_with_rows:
-            # the proven backfill fingerprint found no data commit to
-            # ride (pure-delete tick against a pre-pin index): record it
-            # now via a metadata-only properties commit rather than
-            # leaving drift protection disabled until the next non-empty
-            # tick.
-            from callio_etl_spark.snapshots import snapshot_set_properties
+        from concurrent.futures import ThreadPoolExecutor
 
-            snapshot_set_properties(
-                spark,
-                index_path,
-                {"ivf.quantizer_md5": cells_fp},
-                keep_snapshots=keep_snapshots,
-            )
-
-        # forward map: rewrite the touched id buckets
-        fwd_fresh = fresh.select("vec_id", "assigned_cell", bkt)
-        if fwd_exists:
-            fcarried = (
-                snapshot_read(spark, fwd_path)
-                .where(F.col("bkt").isin(tb))
-                .join(changed_ids, "vec_id", "left_anti")
-            )
-            fout = fcarried.select(*fwd_fresh.columns).unionByName(fwd_fresh)
-        else:
-            fout = fwd_fresh
-        fout = fout.localCheckpoint(eager=True)
-        bkts_with_rows = {
-            r["bkt"] for r in fout.select("bkt").distinct().collect()
-        }
-        fwd_retire = (
-            _emptied(fwd_path, "bkt", tb, bkts_with_rows)
-            if fwd_exists
-            else []
-        )
-        # the forward map is a SECOND table: a stall between the postings
-        # commit and this one must not leave the fwd map advancing under
-        # a reclaimed lock
-        assert_service_fencing(spark, index_path)
-        if bkts_with_rows:
-            snapshot_partition_overwrite(
-                spark, fout, fwd_path, "bkt", keep_snapshots=keep_snapshots,
-                retire_leaves=fwd_retire or None,
-            )
-        elif fwd_retire:
-            _retire_only(fwd_path, fwd_retire)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_idx = pool.submit(_postings_chain)
+            fut_fwd = pool.submit(_fwd_chain)
+            # surface BOTH outcomes: .result() re-raises the first chain's
+            # failure only after the second finished (pool exit joins)
+            fut_idx.result()
+            fut_fwd.result()
 
     acquire_service_lock(spark, index_path)
     try:
@@ -2601,7 +2643,7 @@ def rebuild_vector_index(
 
     vecs_path = vecs_path.rstrip("/")
     index_path, fwd_path = index_path.rstrip("/"), fwd_path.rstrip("/")
-    cells = cells.localCheckpoint(eager=True)
+    cells = _ckpt_once(cells)
     fp = _quantizer_fp(cells)
     acquire_service_lock(spark, index_path)
     try:
@@ -2635,32 +2677,49 @@ def rebuild_vector_index(
                 if int(leaf.split("=", 1)[1]) not in present
             )
 
-        cells_present = {
-            r["assigned_cell"]
-            for r in fresh.select("assigned_cell").distinct().collect()
-        }
         from callio_etl_spark.io import assert_service_fencing
 
+        def _postings_chain() -> None:
+            cells_present = {
+                r["assigned_cell"]
+                for r in fresh.select("assigned_cell").distinct().collect()
+            }
+            snapshot_partition_overwrite(
+                spark, fresh, index_path, "assigned_cell",
+                keep_snapshots=keep_snapshots,
+                retire_leaves=_retire(
+                    index_path, "assigned_cell", cells_present
+                )
+                or None,
+                properties={"ivf.quantizer_md5": fp},
+            )
+
+        def _fwd_chain() -> None:
+            bkt = (F.col("vec_id") % VINDEX_BUCKETS).cast("int").alias("bkt")
+            fwd = fresh.select(
+                "vec_id", "assigned_cell", bkt
+            ).localCheckpoint(eager=True)
+            bkts_present = {
+                r["bkt"] for r in fwd.select("bkt").distinct().collect()
+            }
+            snapshot_partition_overwrite(
+                spark, fwd, fwd_path, "bkt", keep_snapshots=keep_snapshots,
+                retire_leaves=_retire(fwd_path, "bkt", bkts_present) or None,
+            )
+
+        # one commit-point fence, then the two tables' chains run
+        # concurrently — independent given the checkpointed fresh, same
+        # crash semantics as the serial order (cursor acks only after
+        # both), each publish still fenced in _write_manifest (see
+        # maintain_vector_index for the full argument)
         assert_service_fencing(spark, index_path)
-        snapshot_partition_overwrite(
-            spark, fresh, index_path, "assigned_cell",
-            keep_snapshots=keep_snapshots,
-            retire_leaves=_retire(index_path, "assigned_cell", cells_present)
-            or None,
-            properties={"ivf.quantizer_md5": fp},
-        )
-        bkt = (F.col("vec_id") % VINDEX_BUCKETS).cast("int").alias("bkt")
-        fwd = fresh.select("vec_id", "assigned_cell", bkt).localCheckpoint(
-            eager=True
-        )
-        bkts_present = {
-            r["bkt"] for r in fwd.select("bkt").distinct().collect()
-        }
-        assert_service_fencing(spark, index_path)  # second table, re-fence
-        snapshot_partition_overwrite(
-            spark, fwd, fwd_path, "bkt", keep_snapshots=keep_snapshots,
-            retire_leaves=_retire(fwd_path, "bkt", bkts_present) or None,
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_idx = pool.submit(_postings_chain)
+            fut_fwd = pool.submit(_fwd_chain)
+            fut_idx.result()
+            fut_fwd.result()
         _write_cursor(cursor_file, v, vecs_path)
         return fp
     finally:
@@ -2750,7 +2809,10 @@ def rebuild_vector_index_roundtrip(
     cursor = f"{root}/cursor.json"
     e = _emb(spark, sf_dir)
     base = e.where(F.col("vec_id") % VEC_DELTA_MOD != 0)
-    cells1 = _cvec(base)
+    # checkpoint each quantizer ONCE: three ticks consume cells1 and
+    # three consume cells2 — without this every call re-materialized the
+    # same centroid aggregate (~0.2 s apiece, r15 profile)
+    cells1 = _cvec(base).localCheckpoint(eager=True)
     part = (F.col("vec_id") % 4).cast("string").alias("p")
     base_rows = base.select("vec_id", F.col("v").alias("embedding"), part)
     snapshot_partition_overwrite(spark, base_rows, vp, "p", keep_snapshots=5)
@@ -2781,7 +2843,9 @@ def rebuild_vector_index_roundtrip(
         raise AssertionError(f"index did not advance: {v0} -> {v1}")
 
     # quantizer refresh + a pending delta: the drifted tick must refuse
-    cells2 = _cvec(base.where(F.col("vec_id") % 2 == 0))
+    cells2 = _cvec(base.where(F.col("vec_id") % 2 == 0)).localCheckpoint(
+        eager=True
+    )
     corpus2 = _flip(corpus1, 11, 5)
     snapshot_partition_overwrite(spark, corpus2, vp, "p", keep_snapshots=5)
     try:
@@ -2809,10 +2873,9 @@ def rebuild_vector_index_roundtrip(
 
     postings = snapshot_read(spark, ip).select("vec_id", "assigned_cell")
     fmap = snapshot_read(spark, fwd).select("vec_id", "assigned_cell")
-    if (
-        postings.exceptAll(fmap).count() != 0
-        or fmap.exceptAll(postings).count() != 0
-    ):
+    if not postings.exceptAll(fmap).unionByName(
+        fmap.exceptAll(postings)
+    ).isEmpty():
         raise AssertionError("forward map diverged from the postings")
     return _materialize_and_clean(postings, root)
 
@@ -2890,7 +2953,8 @@ def stream_ingest_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    cells = _cvec(_emb(spark, sf_dir))  # frozen full-corpus quantizer
+    # frozen full-corpus quantizer, checkpointed ONCE for both ticks
+    cells = _cvec(_emb(spark, sf_dir)).localCheckpoint(eager=True)
 
     def tick(batch: DataFrame) -> None:
         batch.write.mode("append").parquet(src_dir)
@@ -2916,10 +2980,9 @@ def stream_ingest_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError(f"landed vectors wrong: {landed} != {expect}")
     postings = snapshot_read(spark, ip).select("vec_id", "assigned_cell")
     fmap = snapshot_read(spark, fwd).select("vec_id", "assigned_cell")
-    if (
-        postings.exceptAll(fmap).count() != 0
-        or fmap.exceptAll(postings).count() != 0
-    ):
+    if not postings.exceptAll(fmap).unionByName(
+        fmap.exceptAll(postings)
+    ).isEmpty():
         shutil.rmtree(root, ignore_errors=True)
         raise AssertionError("forward map diverged from the postings")
     return _materialize_and_clean(postings, root)
@@ -2991,7 +3054,8 @@ def maintain_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     cursor = f"{root}/cursor.json"
     e = _emb(spark, sf_dir)  # (vec_id, label, v: array<double>)
     base = e.where(F.col("vec_id") % VEC_DELTA_MOD != 0)
-    cells = _cvec(base)  # the frozen coarse quantizer
+    # the frozen coarse quantizer, checkpointed ONCE for both ticks
+    cells = _cvec(base).localCheckpoint(eager=True)
     part = (F.col("vec_id") % 4).cast("string").alias("p")
     base_rows = base.select("vec_id", F.col("v").alias("embedding"), part)
     snapshot_partition_overwrite(spark, base_rows, vp, "p", keep_snapshots=5)
@@ -3021,10 +3085,9 @@ def maintain_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
 
     postings = snapshot_read(spark, ip).select("vec_id", "assigned_cell")
     fmap = snapshot_read(spark, fwd).select("vec_id", "assigned_cell")
-    if (
-        postings.exceptAll(fmap).count() != 0
-        or fmap.exceptAll(postings).count() != 0
-    ):
+    if not postings.exceptAll(fmap).unionByName(
+        fmap.exceptAll(postings)
+    ).isEmpty():
         raise AssertionError("forward map diverged from the postings")
     # the cross-cell-move class must actually have moved >= 1 vector
     moved = (

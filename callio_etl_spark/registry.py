@@ -72,63 +72,19 @@ def register(name: str, oracle: str | None = None, tags: list[str] | None = None
 #: Queries outside the window remain registered, pytest-covered, and
 #: locally oracle-checked every round via tools/check_correctness.py
 #: (stricter value compare than the driver hash).
+#:
+#: r15 rotation (VERDICT r14 item 8 — the window did NOT rotate between
+#: r13 and r14, so staleness accrued): the ledger computed from
+#: CORRECTNESS_r01..r14 shows 18 oracle-bearing rows whose latest driver
+#: check is r9 and 47 at r10. The r15 window holds all 18 r9-vintage
+#: rows, five touched-path canaries for the index-service commit
+#: restructuring this optimization round performs (maintain_band_index /
+#: maintain_vector_index / rebuild_band_index / rebuild_vector_index /
+#: stream_ingest_vector_index — the rebuilds are themselves r10-stale),
+#: then the r10-vintage cohort oldest-first alphabetically (27 fit; the
+#: remaining 17 hold positions 51-67 and lead the next window).
 DRIVER_PRIORITY: list[str] = [
-    # --- the r8-vintage cohort tail: oldest driver rows, must refresh (17)
-    "text_stats",
-    "tfidf_top_terms",
-    "time_buckets",
-    "topk_recent",
-    "tpch_q10_returned",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_lines",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing",
-    "union_tenants",
-    "watermark_filter",
-    "window_range_scan",
-    # --- canaries: flagship + merge anchor (3) ---
-    "fact_staff_daily",
-    "fact_status_pivot",
-    "merge_upsert_conditional",
-    # --- r13 registration: full audit-mode vocabulary (1) ---
-    "update_log_modes",
-    # --- oldest-first re-checks: the r9-vintage cohort (29 of 47) ---
-    "ann_hard_negatives",
-    "ann_recall_ivf_probe",
-    "ann_recall_pq",
-    "ann_recall_pq_rerank",
-    "ann_topk_ivf_probe",
-    "ann_topk_ivfpq",
-    "ann_topk_pq_rerank",
-    "audio_features",
-    "bloom_decontaminate",
-    "boilerplate_ngrams",
-    "contamination_check",
-    "corpus_select_budget",
-    "dsir_importance",
-    "embedding_covariance",
-    "embedding_lsh_buckets",
-    "embedding_lsh_pairs",
-    "embedding_outliers",
-    "embedding_pca_project",
-    "embedding_standardize",
-    "fact_staff_daily_sql",
-    "incremental_agg_maintenance",
-    "latest_per_key",
-    "maintain_band_index",
-    "maintain_band_index_planned",
-    "maintain_vector_index",
-    "media_features",
-    "media_resize",
-    "merge_upsert_full",
-    "minhash_lsh_pairs",
-    # --- positions 51-68: the r9 cohort's last eighteen fall just
-    #     outside the 50-row window this round and lead the r14 window
+    # --- the r9-vintage cohort: oldest driver rows, must refresh (18)
     "pack_sequences",
     "pq_codes",
     "sink_segmented_manifest",
@@ -147,6 +103,59 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q8_market_share",
     "tpch_q9_profit",
     "weighted_sample",
+    # --- canaries: the index-service paths r15 restructures (5) ---
+    "maintain_band_index",
+    "maintain_vector_index",
+    "rebuild_band_index",
+    "rebuild_vector_index",
+    "stream_ingest_vector_index",
+    # --- oldest-first re-checks: the r10-vintage cohort (27 of 47) ---
+    "api_http_ingest",
+    "array_hof_suite",
+    "asof_join_latest_order",
+    "bigram_lm_score",
+    "bitwise_agg_suite",
+    "bm25_topk",
+    "bpe_pair_counts",
+    "bpe_segment_docs",
+    "bpe_train_merges",
+    "char_diversity",
+    "cross_source_neardup",
+    "cube_agg",
+    "curriculum_bins",
+    "date_fn_suite",
+    "date_spine_fill",
+    "dedup_pipeline",
+    "dedup_span_removal",
+    "distinct_rows",
+    "domain_stats",
+    "embedding_decontaminate",
+    "embedding_neardup_cells",
+    "grouping_sets_explicit",
+    "hashed_classifier_score",
+    "heavy_hitters_cms",
+    "hopping_window_agg",
+    "hybrid_rrf_fusion",
+    "ivf_delta_assign",
+    # --- positions 51-67: the r10 cohort's remaining seventeen fall
+    #     just outside the 50-row window and lead the next window
+    "ivf_train_rounds",
+    "join_anti",
+    "join_semi",
+    "json_map_suite",
+    "length_batching",
+    "minhash_incremental_grown",
+    "null_semantics_suite",
+    "salted_join_agg",
+    "scd2_history",
+    "shard_manifest",
+    "sink_append_evolve",
+    "sink_partition_delete",
+    "sink_remove_orphans",
+    "sink_version_diff",
+    "sink_versioned_restore",
+    "unigram_rarity",
+    "zorder_layout",
 ]
 
 

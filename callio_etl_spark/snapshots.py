@@ -1917,8 +1917,14 @@ def _distribute_for_write(
     core-count constant: fixture-scale commits skip the exchange and
     keep bench parity, while any production-scale frame crosses the
     threshold and gets Iceberg-hash file sizing. Catalyst over-estimates
-    (e.g. join products) only ever fire the rebalance early, which is
-    safe.
+    (e.g. join products) fire the rebalance early, which is safe —
+    EXCEPT estimates at or above sentinel/8, which are indistinguishable
+    from a stats-less leaf scaled through a Project/Filter (Catalyst
+    multiplies the defaultSizeInBytes sentinel by selectivity ratios,
+    so "no estimate" frames can report any value in that band) and are
+    treated as "no estimate": the plain write. A genuine >=2^60-byte
+    single-frame estimate keeping the plain write is acceptable — at
+    that size the writer's task count already fans the leaf out.
 
     Production knob: ``spark.callio.write.distribution`` — ``rebalance``
     (default, Iceberg's hash mode, size-gated), ``always`` (ungated, for
@@ -1953,8 +1959,14 @@ def _distribute_for_write(
         # (Long.MaxValue unless overridden) for local relations, RDD-backed
         # frames and some join products. That is "no estimate", not "huge":
         # firing the rebalance on it re-pays the fixed exchange this gate
-        # exists to skip on every tiny stats-less commit. Same policy as
-        # the except-branch: no estimate -> keep the plain write.
+        # exists to skip on every tiny stats-less commit. The optimizer
+        # additionally SCALES leaf sizes through Project/Filter (a
+        # projection over a stats-less leaf reports sentinel * ratio,
+        # strictly below the sentinel), so an exact equality test leaks
+        # those frames through as "huge" (ADVICE r14): anything within a
+        # factor of 8 of the sentinel is treated as stats-less too. Same
+        # policy as the except-branch: no estimate -> keep the plain
+        # write.
         try:
             sentinel = int(
                 df.sparkSession.conf.get(
@@ -1963,7 +1975,7 @@ def _distribute_for_write(
             )
         except Exception:
             sentinel = 2**63 - 1
-        if est >= sentinel:
+        if est >= sentinel // 8:
             return df
         if est < advisory:
             return df

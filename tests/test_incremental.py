@@ -125,6 +125,53 @@ def test_noop_and_log_modes(spark, store, tmp_path):
     assert fresh.get("customer", "PK") == ck1
 
 
+def test_flush_local_fastpath_byte_parity_with_spark_writer(spark, store):
+    """r15 flush fast path: a LOCAL log path appends audit rows through a
+    driver-side pyarrow write (the Spark job costs a fixed ~0.5-0.9 s per
+    flushed tick; the bytes are the same). Parity is the contract: a log
+    holding BOTH Spark-written and fastpath-written files must read back
+    identically through warm()'s explicit-schema read and through a
+    schema-inferring read, timestamps and NULLs intact."""
+    import datetime as dt
+
+    from callio_etl_spark.checkpoints import UPDATE_LOG_SCHEMA
+
+    # one Spark-written file (the remote-warehouse arm, forced)
+    spark.createDataFrame(
+        [("t1", "PK", dt.datetime(2024, 1, 1, 12, 0, 0), 5, 1000, "MERGED")],
+        UPDATE_LOG_SCHEMA,
+    ).repartition(1).write.mode("append").parquet(store.log_path)
+    # two fastpath-written rows, one with a NULL checkpoint
+    store.log("t1", "PK", 7, None, "NOOP")
+    store.log("t2", "VN", 0, 2000, "ERROR_LOGIN")
+    store.flush()
+    assert not store._buffer, "flush did not clear the buffer"
+
+    got = {
+        (r["table_name"], r["tenant"], r["updated_at"] is not None,
+         r["rows_loaded"], r["max_update_ms"], r["mode"])
+        for r in spark.read.schema(UPDATE_LOG_SCHEMA)
+        .parquet(store.log_path).collect()
+    }
+    assert got == {
+        ("t1", "PK", True, 5, 1000, "MERGED"),
+        ("t1", "PK", True, 7, None, "NOOP"),
+        ("t2", "VN", True, 0, 2000, "ERROR_LOGIN"),
+    }
+    # schema-inferring read over the mixed file set agrees with the
+    # declared schema (no NTZ drift, no int32 narrowing)
+    inferred = spark.read.parquet(store.log_path)
+    assert inferred.schema == UPDATE_LOG_SCHEMA
+    # warm() folds the fastpath rows back (the checkpoint row survives)
+    fresh = CheckpointStore(spark, store.log_path)
+    fresh.warm()
+    assert fresh.get("t2", "VN") == 2000
+    # a remote-scheme path refuses the fastpath (falls back to Spark)
+    remote = CheckpointStore(spark, "s3a://bucket/update_log")
+    remote.log("t", "PK", 1, 1, "MERGED")
+    assert remote._flush_local_fastpath() is False
+
+
 def test_checkpoint_table_name_normalization(spark, store):
     """Reference _normalize_table parity (checkpoints.py:83-85): strip,
     lowercase, '-'/' ' -> '_', applied on set/get/log/warm — 'Call-Log ' and

@@ -1522,3 +1522,11 @@ def test_service_lock_default_timeout_is_tick_sized(spark, tmp_path, monkeypatch
     cio.acquire_service_lock(spark, p, timeout_s=5.0)
     cio.release_service_lock(spark, p)
     assert seen["timeout_s"] == 5.0
+    # ADVICE r14: a caller widening stale_s without timeout_s must get a
+    # default wide enough to outlive a dead holder's reclaim window —
+    # the default derives from the EFFECTIVE stale window, not the
+    # module constant.
+    wide = cio.LOCK_STALE_S * 3
+    cio.acquire_service_lock(spark, p, stale_s=wide)
+    cio.release_service_lock(spark, p)
+    assert seen["timeout_s"] == wide + cio.LOCK_TIMEOUT_S

@@ -3530,6 +3530,20 @@ def test_write_distribution_gate_sizes_and_unknown_sentinel(spark, tmp_path):
     assert est >= 2**63 - 1, "precondition: local relation reports sentinel"
     assert _distribute_for_write(local, "p") is local
 
+    # (d) ADVICE r14: Catalyst SCALES the sentinel through a projection
+    # (sizeInBytes * output-row-size ratio, strictly below the
+    # sentinel), so a stats-less frame behind a Project must also read
+    # as "no estimate" — the gate treats the whole >= sentinel/8 band
+    # as stats-less rather than testing exact equality.
+    projected = local.select("p")
+    est = int(
+        projected._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert (2**63 - 1) // 8 <= est < 2**63 - 1, (
+        f"precondition: scaled-sentinel band, got {est}"
+    )
+    assert _distribute_for_write(projected, "p") is projected
+
     # (a)/(b) parquet-backed frame with a real, finite estimate
     src = str(tmp_path / "gate_src")
     spark.range(0, 10_000).select(
