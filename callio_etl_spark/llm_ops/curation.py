@@ -206,10 +206,13 @@ def cross_source_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id", "text", "source", F.md5("text").alias("tkey")
     ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("tkey")))
-    cells = (
-        keyed.groupBy("rep_id", "source")
-        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("min_doc"))
-        .localCheckpoint(eager=True)
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    cells = materialize(
+        keyed.groupBy("rep_id", "source").agg(
+            F.count("*").alias("cnt"), F.min("doc_id").alias("min_doc")
+        ),
+        "neardup_cells",
     )
     rep_docs = _spread(
         keyed.where(F.col("doc_id") == F.col("rep_id")).select("doc_id", "text")
@@ -337,10 +340,11 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized once (dictionary-sized): BOTH consumers below read
     # the checkpointed word counts, so the corpus explode runs exactly
     # once even where plan-level exchange reuse does not fire
-    exact = (
-        occ.groupBy("tok")
-        .agg(F.count("*").alias("exact_cnt"))
-        .localCheckpoint(eager=True)
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    exact = materialize(
+        occ.groupBy("tok").agg(F.count("*").alias("exact_cnt")),
+        "hh_word_counts",
     )
     top = ranked_topk(
         exact, [F.col("exact_cnt").desc(), F.col("tok").asc()], HH_K, "rank"

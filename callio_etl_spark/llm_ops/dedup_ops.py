@@ -197,7 +197,11 @@ def _band_table(
     self-join evaluates its input subtree on BOTH sides, which would run
     the whole tokenize->minhash signature pass twice. At scale this is the
     signature table you'd persist anyway before pair generation."""
-    return band_projection(d, rows_per_band, n_bands).localCheckpoint(eager=True)
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    return materialize(
+        band_projection(d, rows_per_band, n_bands), "band_table"
+    )
 
 
 def _band_pairs(bands: DataFrame) -> DataFrame:
@@ -247,14 +251,19 @@ def _minband_band_table(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
         *carry,
         *[_band_key("mins", b).alias(f"k{b}") for b in range(N_BANDS)],
     )
-    return sig.select(
-        "doc_id",
-        *carry,
-        *[f"k{b}" for b in range(N_BANDS)],
-        F.posexplode(F.array(*[f"k{b}" for b in range(N_BANDS)])).alias(
-            "band", "band_key"
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    return materialize(
+        sig.select(
+            "doc_id",
+            *carry,
+            *[f"k{b}" for b in range(N_BANDS)],
+            F.posexplode(F.array(*[f"k{b}" for b in range(N_BANDS)])).alias(
+                "band", "band_key"
+            ),
         ),
-    ).localCheckpoint(eager=True)
+        "minband_table",
+    )
 
 
 def _minband_pairs(bands: DataFrame) -> DataFrame:

@@ -375,14 +375,17 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint(eager=True)
     )
+    # size-gated (r15): per-doc bigram counts are corpus-scale
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    bgd = materialize(bgd, "bigram_doc_counts")
     # corpus pass 2: unigram counts (|vocab| rows once materialized)
-    uni = (
+    uni = materialize(
         toks.select(F.explode("t").alias("w1"))
         .groupBy("w1")
-        .agg(F.count("*").cast("long").alias("c1"))
-        .localCheckpoint(eager=True)
+        .agg(F.count("*").cast("long").alias("c1")),
+        "unigram_counts",
     )
     vsize = uni.count()  # metadata job on the checkpointed vocab table
     big = bgd.groupBy("w1", "w2").agg(F.sum("n").cast("long").alias("c12"))
@@ -557,13 +560,14 @@ def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w") != "")
     )
     is_a = F.col("source") == DRIFT_SOURCE
-    g = (
-        tok.groupBy("w")
-        .agg(
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    g = materialize(
+        tok.groupBy("w").agg(
             F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("ca"),
             F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("cb"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        "tokdist_counts",
     )
     n = g.agg(
         F.sum("ca").cast("long").alias("na"),
@@ -588,7 +592,8 @@ def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("p_a") - F.col("p_b"))
             / (F.col("p_a") + F.col("p_b"))
         ).alias("chi2_term"),
-    ).localCheckpoint(eager=True)
+    )
+    m = materialize(m, "tokdist_scored")
     tot = m.agg(
         (
             F.lit(0.5)

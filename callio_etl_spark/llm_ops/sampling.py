@@ -122,10 +122,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("term"),
     )
-    tf = (
-        tok.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    # size-gated (r15): the posting table is O(distinct (doc, term)) —
+    # corpus-scale — so above the spill gate it lands in parquet scratch
+    # instead of executor block storage; plan shape unchanged below it
+    tf = materialize(
+        tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")),
+        "tfidf_postings",
     )
     df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     n = tf.select(F.countDistinct("doc_id").alias("n"))

@@ -1083,16 +1083,19 @@ def pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode under both consumers of co (the totals aggregate and the
     # scoring filter) and the unigram explode under each of its two
     # broadcast builds — four corpus passes where two are the floor.
-    co = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count("*").cast("long").alias("co"))
-        .localCheckpoint(eager=True)
+    from callio_etl_spark.llm_ops.matutil import materialize
+
+    co = materialize(
+        pairs.groupBy("w1", "w2").agg(
+            F.count("*").cast("long").alias("co")
+        ),
+        "pmi_cooc",
     )
-    uni = (
+    uni = materialize(
         toks.select(F.explode("t").alias("word"))
         .groupBy("word")
-        .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .agg(F.count("*").cast("long").alias("cnt")),
+        "pmi_unigrams",
     )
     # total pairs from the vocab-bounded co table (sum BEFORE the support
     # filter == count of pair rows) — never a second corpus-wide explode
